@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{PipelineQueries, RelationalQueries}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (E2, `table_jobs/nis_policies.py`) on sf=0.001;
+    * driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    RelationalQueries.flagship(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+§7 extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ PipelineQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for hash-based approximate ops
+    * (MinHash/SimHash/LSH) → driver records a weaker rows-only check;
+    * those are validated against their exact counterparts in ScalaTest.
+    */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracle ++ PipelineQueries.oracle
 }

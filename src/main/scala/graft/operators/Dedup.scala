@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Deduplication operators for the LLM-data-pipeline surface: exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: every variant is a groupBy/join on a derived key — no
+  * driver-side collection, no quadratic all-pairs stage. The all-pairs
+  * comparisons only ever happen *within* a bucket (LSH band, simhash
+  * bucket, shared shingle), which is the standard way these run over
+  * 100 TB corpora.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct text with the surviving
+    * (minimum) id and the number of copies. Single hash aggregation on a
+    * 128-bit digest — the shuffle carries the digest, not the document.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** `dropDuplicates`-style survivor set (min-id per exact text). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    docs.join(keep, idCol)
+  }
+
+  /** doc → exploded distinct word-n-gram shingles. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(Text.shingles(col(textCol), n)).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs (ground truth; the MinHash path
+    * approximates this). Pairs are generated only through shared shingles
+    * — an equi-join on `shingle` — then scored `|A∩B| / |A∪B|`.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val common = a
+      .join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val ja = common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    ja.orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signature columns: for each of `numHashes` seeded hash
+    * functions, the min over the doc's shingles of
+    * `xxhash64(shingle, seed)`. Computed as one aggregation over the
+    * exploded shingle table — `numHashes` codegen'd min-aggregates, no UDF.
+    */
+  def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
+    shingled.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding candidate pairs, verified with exact Jaccard.
+    *
+    * bands × rowsPerBand = numHashes. A pair lands in the candidate set if
+    * any band of its signature collides (hash of that band's minhashes).
+    * Candidates are then re-scored with exact shingle Jaccard so the output
+    * has no false positives; only LSH misses remain (tunable via
+    * bands/rows). This is the 100 TB path: the only all-pairs work is
+    * within LSH buckets.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      bands: Int = 8,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    val sig = minhashSignatures(sh, numHashes)
+
+    // band id + band hash, one row per (doc, band)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val candidates = l
+      .join(
+        r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id")
+      )
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+
+    // exact verification on the candidate set only
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val commonCnt = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    val scored = commonCnt
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    scored.orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash per document from token `xxhash64`s: per bit, sum of
+    * +1/-1 over tokens, sign → bit. Expressed as 64 codegen'd aggregate
+    * expressions over the exploded token table.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(
+      col(idCol).as("doc_id"),
+      explode(array_distinct(Text.tokens(col(textCol)))).as("tok")
+    )
+    val hashed = tok.withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
+    }
+    val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(i => when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash dup groups: identical 64-bit signatures bucketed together. */
+  def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhash(docs, idCol, textCol)
+      .groupBy("simhash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+      .where(col("n_members") >= 2)
+      .orderBy("keep_id")
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `ARRAY<FLOAT>` embedding column.
+  *
+  * All math is `zip_with` + `aggregate` column expressions in double
+  * precision — codegen'd, deterministic left-to-right summation (matches
+  * the DuckDB oracle bit-for-bit), no UDF.
+  *
+  * Scale paths:
+  *  - brute-force top-k: broadcast the query vector; one scan, one top-k.
+  *  - LSH-bucketed (random-hyperplane sign bits): candidate generation is
+  *    an equi-join on bucket id, so the all-pairs work is per-bucket only.
+  */
+object Similarity {
+
+  /** Deterministic left-fold dot product of two (equal-length) float
+    * arrays, accumulated in double.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Brute-force exact top-k cosine neighbors of the row with id
+    * `queryId`. The 1-row query side is broadcast; the scan side never
+    * shuffles — only the global top-k (a TakeOrdered, partial per
+    * partition) moves data.
+    */
+  def cosineTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int
+  ): DataFrame = {
+    val q = emb.where(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
+    emb
+      .where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(
+        col(idCol),
+        round(cosine(col(vecCol), col("q_vec")), 6).as("cos_sim")
+      )
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of the dot products with
+    * `planes` (each a dense double vector, broadcast as literals). With b
+    * planes → 2^b buckets of cosine-similar vectors.
+    */
+  def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (p, i) =>
+        val pl = array(p.map(lit): _*)
+        when(dot(vec, pl) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** Deterministic pseudo-random unit-free hyperplanes (xorshift-ish LCG
+    * seeded by plane+dim index) — reproducible across runs and engines
+    * without RNG state.
+    */
+  def deterministicPlanes(numPlanes: Int, dim: Int): Seq[Array[Double]] =
+    (0 until numPlanes).map { p =>
+      Array.tabulate(dim) { d =>
+        val x = (p * 1315423911L + d * 2654435761L + 97531L) & 0xffffffffL
+        (x.toDouble / 0xffffffffL.toDouble) * 2.0 - 1.0
+      }
+    }
+
+  /** ANN top-k via hyperplane LSH: candidates share the query's bucket in
+    * any of `tables` independent hashings; exact cosine re-rank on the
+    * candidate set. Returns (id, cos_sim); approximate — may miss
+    * neighbors whose buckets never collide.
+    */
+  def annTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      numPlanes: Int = 8,
+      tables: Int = 4,
+      dim: Int = 64
+  ): DataFrame = {
+    val bucketCols = (0 until tables).map { t =>
+      struct(lit(t).as("t"), hyperplaneBucket(col(vecCol), planesFor(t, numPlanes, dim)).as("bkt"))
+    }
+    val banded = emb
+      .select(col(idCol), col(vecCol), explode(array(bucketCols: _*)).as("tb"))
+      .select(col(idCol), col(vecCol), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+
+    val qb = banded.where(col(idCol) === queryId).select(
+      col("t").as("qt"),
+      col("bkt").as("qbkt"),
+      col(vecCol).as("q_vec")
+    )
+    banded
+      .join(broadcast(qb), col("t") === col("qt") && col("bkt") === col("qbkt"))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col(vecCol), col("q_vec")), 6).as("cos_sim"))
+      .distinct()
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  private def planesFor(table: Int, numPlanes: Int, dim: Int): Seq[Array[Double]] =
+    (0 until numPlanes).map { p =>
+      Array.tabulate(dim) { d =>
+        val x = (table * 2246822519L + p * 1315423911L + d * 2654435761L + 97531L) & 0xffffffffL
+        (x.toDouble / 0xffffffffL.toDouble) * 2.0 - 1.0
+      }
+    }
+
+  /** Embedding-cosine near-duplicate pairs at `threshold`, LSH-blocked:
+    * pairs are only compared when they share a bucket in at least one
+    * table, then exact-cosine verified. Linear-ish in corpus size vs the
+    * quadratic naive cross join.
+    */
+  def embeddingNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int = 8,
+      tables: Int = 4,
+      dim: Int = 64
+  ): DataFrame = {
+    val bucketCols = (0 until tables).map { t =>
+      struct(lit(t).as("t"), hyperplaneBucket(col(vecCol), planesFor(t, numPlanes, dim)).as("bkt"))
+    }
+    val banded = emb
+      .select(col(idCol), col(vecCol), explode(array(bucketCols: _*)).as("tb"))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val cand = l
+      .join(r, col("l.t") === col("r.t") && col("l.bkt") === col("r.bkt") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("l.vec").as("vec_a"), col("r.id").as("id_b"), col("r.vec").as("vec_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .where(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+}

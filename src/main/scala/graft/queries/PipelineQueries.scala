@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+
+/** LLM-data-pipeline operator corpus (SURVEY.md §7 step 8, BASELINE.json
+  * north star): dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+  * embedding), similarity search (brute-force + LSH ANN), text analysis.
+  *
+  * Oracle notes: md5 is the one hash both Spark and DuckDB implement
+  * identically, so exact dedup and fingerprinting are fully
+  * oracle-checked. MinHash/SimHash/LSH rely on `xxhash64` /
+  * engine-specific hashing — those entries are declared without oracle
+  * SQL (driver records rows-only checks) and are instead validated in
+  * ScalaTest against their exact counterparts.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_dedup_exact" -> { (s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+    },
+    "q24_dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+    },
+    "q25_dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+    },
+    "q26_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashGroups(t(s, dir, "documents"), "doc_id", "text")
+    },
+    "q27_knn_cosine" -> { (s, dir) =>
+      Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 20)
+    },
+    "q28_ann_lsh" -> { (s, dir) =>
+      Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
+    },
+    "q29_text_stats" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.distinctTokenCount(col("text")).as("n_distinct"),
+          Text.stopwordCount(col("text")).as("n_stop"),
+          round(Text.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          col("n_chars")
+        )
+        .orderBy("doc_id")
+    },
+    "q30_langid" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(Text.langIdHeuristic(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_pred")
+    },
+    "q31_quality_score" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+    "q32_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(Text.bagFingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy("keep_id")
+    },
+    "q33_embedding_neardup" -> { (s, dir) =>
+      Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.95)
+    }
+  )
+
+  private val TokensSql = "string_split(trim(text), ' ')"
+  private val StopFilterSql =
+    s"list_filter($TokensSql, x -> x IN ('the', 'a', 'and', 'of', 'to'))"
+
+  val oracle: Map[String, String] = Map(
+    "q23_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q24_dedup_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id)
+        |SELECT p.doc_a, p.doc_b,
+        |  round(CAST(p.common AS DOUBLE) / (ca.n + cb.n - p.common), 6) AS jaccard
+        |FROM pairs p
+        |JOIN cnt ca ON ca.doc_id = p.doc_a
+        |JOIN cnt cb ON cb.doc_id = p.doc_b
+        |WHERE CAST(p.common AS DOUBLE) / (ca.n + cb.n - p.common) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q27_knn_cosine" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sc AS (SELECT e.vec_id,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x, unnest(q.qe) AS y) z) AS dot,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
+        |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(q.qe) AS y) z) AS n2b
+        | FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim
+        |FROM sc ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q29_text_stats" ->
+      s"""SELECT doc_id,
+         |  len($TokensSql) AS n_tokens,
+         |  len(list_distinct($TokensSql)) AS n_distinct,
+         |  len($StopFilterSql) AS n_stop,
+         |  round(CAST(len($StopFilterSql) AS DOUBLE) / len($TokensSql), 6) AS stop_ratio,
+         |  n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_langid" ->
+      s"""SELECT CASE
+         |    WHEN CAST(len($StopFilterSql) AS DOUBLE) / len($TokensSql) >= 0.1 THEN 'en_like'
+         |    WHEN len($TokensSql) < 5 THEN 'short'
+         |    ELSE 'other' END AS lang_pred,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY lang_pred""".stripMargin,
+    "q31_quality_score" ->
+      s"""SELECT doc_id,
+         |  round(0.5 * least(1.0, len($TokensSql) / 200.0)
+         |      + 0.5 * (CAST(len(list_distinct($TokensSql)) AS DOUBLE) / len($TokensSql)),
+         |    6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_fingerprint" ->
+      s"""SELECT md5(array_to_string(list_sort($TokensSql), ' ')) AS fp,
+         |  min(doc_id) AS keep_id, count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+  )
+}

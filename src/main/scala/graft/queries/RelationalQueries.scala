@@ -1,0 +1,434 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Incremental
+
+/** The relational operator corpus (SURVEY.md §2 + §7 step 7): each entry is
+  * a Spark-first implementation paired with ANSI SQL the DuckDB oracle runs
+  * over the same parquet tables.
+  *
+  * Determinism rules (the driver hash-compares values):
+  *  - every query ends in a total ORDER BY (unique tie-break);
+  *  - no raw TIMESTAMP columns in outputs (parquet ns vs µs differ between
+  *    engines) — always date_trunc + format to string, or extract fields;
+  *  - aggregated doubles are rounded; integer-ish computed columns are cast
+  *    to BIGINT on both sides; raw column passthroughs stay untouched.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects by default. Read nanos as long (legacy conf) and
+    * rebuild a microsecond timestamp column — integer `DIV`, not double
+    * division, since epoch-nanos exceed double's 2^53 integer range.
+    */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Flagship (E2, `table_jobs/nis_policies.py:21-32`): two-hop inner
+    * equi-join + 60-ish-element IN-list + aliased star projection, executed
+    * as SQL over temp views exactly like the reference's filtration stage.
+    */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("v_orders")
+    t(s, dir, "customer").createOrReplaceTempView("v_customer")
+    t(s, dir, "nation").createOrReplaceTempView("v_nation")
+    val out = s.sql(
+      """SELECT ord.o_orderkey, ord.o_custkey, ord.o_orderstatus,
+        |       ord.o_totalprice, ord.o_orderpriority
+        |FROM v_orders ord
+        |JOIN v_customer c ON c.c_custkey = ord.o_custkey
+        |JOIN v_nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE n.n_nationkey IN (0, 3, 5, 7, 11, 13, 17, 19, 23)
+        |ORDER BY ord.o_orderkey""".stripMargin
+    )
+    Seq("v_orders", "v_customer", "v_nation").foreach(s.catalog.dropTempView(_))
+    out
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_flagship" -> ((s, dir) => flagship(s, dir)),
+
+    // A-series: aggregation (grouped + global, §2.5)
+    "q02_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    "q03_global_agg" -> { (s, dir) =>
+      t(s, dir, "orders").agg(
+        max(col("o_orderkey")).as("max_key"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_cust")
+      )
+    },
+
+    // P-series: predicates / incremental watermark (§2.3)
+    "q04_watermark_filter" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val mx = ev.agg(max(col("event_id"))).head().getLong(0)
+      val hw = math.floor(mx * 0.8).toLong
+      ev.where(col("event_id") > hw)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+    "q05_inlist_filter" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_suppkey").isin(1, 2, 3, 5, 8, 13, 21, 34) && col("l_quantity") > 25)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice")
+    },
+
+    // J-series: join flavors (§2.4 + mandated outer/semi/anti)
+    "q06_outer_join_agg" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust
+        .join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+        .groupBy(cust("c_custkey").as("c_custkey"))
+        .agg(
+          count(ord("o_orderkey")).as("n_orders"),
+          round(sum(coalesce(ord("o_totalprice"), lit(0.0))), 2).as("total_spend")
+        )
+        .orderBy("c_custkey")
+    },
+    "q07_semi_join" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+      cust
+        .join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    "q08_anti_join" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust
+        .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // W-series: window functions (§2.6 extension)
+    "q09_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(
+          col("c_mktsegment"),
+          col("c_custkey"),
+          col("c_acctbal"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk")
+        )
+        .where(col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    },
+    "q10_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("o_totalprice"),
+          round(
+            sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            2
+          ).as("run_total"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price")
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // sort / limit / set ops / distinct (§2.6 extension)
+    "q11_topk" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+    },
+    "q12_setops" -> { (s, dir) =>
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("k")).distinct()
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("k")).distinct()
+      val both = cn.intersect(sn).withColumn("op", lit("both"))
+      val custOnly = cn.except(sn).withColumn("op", lit("cust_only"))
+      both.unionByName(custOnly).select("op", "k").orderBy("op", "k")
+    },
+    "q13_distinct" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // F-series: scalar functions (§2.7 + extensions)
+    "q14_string_funcs" -> { (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lc"),
+          upper(col("p_brand")).as("brand_uc"),
+          substring(col("p_type"), 1, 6).as("type_pre"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_type"), " ", "_").as("type_us"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("name_tr")
+        )
+        .orderBy("p_partkey")
+    },
+    "q15_date_funcs" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m")
+        )
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("y", "m")
+    },
+    "q16_math_funcs" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(pow(col("l_discount") + 1, 2), 6).as("pow_disc"),
+          floor(col("l_quantity")).cast("long").as("floor_qty"),
+          ceil(col("l_quantity")).cast("long").as("ceil_qty"),
+          round(abs(col("l_discount") - 0.05), 6).as("abs_disc"),
+          (col("l_orderkey") % 7).cast("long").as("mod_key")
+        )
+        .orderBy("l_orderkey", "l_linenumber", "sqrt_price", "pow_disc", "floor_qty")
+    },
+    "q17_json_extract" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
+          count(lit(1)).as("n_events")
+        )
+        .orderBy("event_type")
+    },
+
+    // grouping sets (§2.5 extension)
+    "q18_rollup" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      cust
+        .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("n_cust"),
+          col("acctbal_sum")
+        )
+        .orderBy("region_name", "nation_name")
+    },
+    "q19_cube" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"),
+          col("total")
+        )
+        .orderBy("status", "priority")
+    },
+
+    // K4 — PK-keyed upsert semantics through the merge fallback
+    "q20_merge_upsert" -> { (s, dir) =>
+      val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
+      val mx = ev.agg(max(col("event_id"))).head().getLong(0)
+      val hi = math.floor(mx * 0.8).toLong
+      val lo = math.floor(mx * 0.6).toLong
+      val target = ev.where(col("event_id") < hi)
+      val source = ev.where(col("event_id") >= lo).withColumn("value", round(col("value") + 1, 2))
+      Incremental.merge(target, source, "event_id").orderBy("event_id")
+    },
+
+    // time bucketing over the event stream table
+    "q21_time_buckets" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour_s"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+        .orderBy("hour_s")
+    },
+
+    // O7 — recon count parity as a query
+    "q22_recon_counts" -> { (s, dir) =>
+      import s.implicits._
+      Seq("customer", "lineitem", "nation", "orders", "region", "supplier")
+        .map(n => (n, t(s, dir, n).count()))
+        .toDF("table_name", "row_cnt")
+        .orderBy("table_name")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_flagship" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderpriority
+        |FROM orders o
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE n.n_nationkey IN (0, 3, 5, 7, 11, 13, 17, 19, 23)
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q02_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_global_agg" ->
+      """SELECT max(o_orderkey) AS max_key, count(*) AS n_rows,
+        |  count(DISTINCT o_custkey) AS n_cust FROM orders""".stripMargin,
+    "q04_watermark_filter" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_id > (SELECT CAST(FLOOR(max(event_id) * 0.8) AS BIGINT) FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q05_inlist_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_suppkey IN (1, 2, 3, 5, 8, 13, 21, 34) AND l_quantity > 25
+        |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_extendedprice""".stripMargin,
+    "q06_outer_join_agg" ->
+      """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+        |  round(sum(coalesce(o.o_totalprice, 0)), 2) AS total_spend
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_window_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn, rnk FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        |    rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer) x
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q10_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
+        |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q11_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q12_setops" ->
+      """SELECT 'both' AS op, k FROM (
+        |  SELECT DISTINCT c_nationkey AS k FROM customer
+        |  INTERSECT SELECT DISTINCT s_nationkey AS k FROM supplier) x
+        |UNION ALL
+        |SELECT 'cust_only' AS op, k FROM (
+        |  SELECT DISTINCT c_nationkey AS k FROM customer
+        |  EXCEPT SELECT DISTINCT s_nationkey AS k FROM supplier) y
+        |ORDER BY op, k""".stripMargin,
+    "q13_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q14_string_funcs" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS name_lc,
+        |  upper(p_brand) AS brand_uc,
+        |  substring(p_type, 1, 6) AS type_pre,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  p_brand || ':' || p_type AS brand_type,
+        |  replace(p_type, ' ', '_') AS type_us,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS name_tr
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q15_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "q16_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sqrt(l_extendedprice), 6) AS sqrt_price,
+        |  round(ln(l_extendedprice), 6) AS ln_price,
+        |  round(power(l_discount + 1, 2), 6) AS pow_disc,
+        |  CAST(floor(l_quantity) AS BIGINT) AS floor_qty,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty,
+        |  round(abs(l_discount - 0.05), 6) AS abs_disc,
+        |  CAST(l_orderkey % 7 AS BIGINT) AS mod_key
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, sqrt_price, pow_disc, floor_qty""".stripMargin,
+    "q17_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q18_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |  coalesce(n_name, 'ALL') AS nation_name,
+        |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal_sum
+        |FROM customer c
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "q19_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q20_merge_upsert" ->
+      """WITH m AS (SELECT CAST(FLOOR(max(event_id) * 0.8) AS BIGINT) AS hi,
+        |                  CAST(FLOOR(max(event_id) * 0.6) AS BIGINT) AS lo FROM events),
+        |t AS (SELECT event_id, user_id, event_type, value FROM events, m WHERE event_id < m.hi),
+        |s AS (SELECT event_id, user_id, event_type, round(value + 1, 2) AS value
+        |      FROM events, m WHERE event_id >= m.lo)
+        |SELECT coalesce(s.event_id, t.event_id) AS event_id,
+        |       coalesce(s.user_id, t.user_id) AS user_id,
+        |       coalesce(s.event_type, t.event_type) AS event_type,
+        |       coalesce(s.value, t.value) AS value
+        |FROM t FULL OUTER JOIN s ON t.event_id = s.event_id
+        |ORDER BY event_id""".stripMargin,
+    "q21_time_buckets" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_s,
+        |  count(*) AS n_events, round(sum(value), 2) AS value_sum
+        |FROM events GROUP BY 1 ORDER BY hour_s""".stripMargin,
+    "q22_recon_counts" ->
+      """SELECT 'customer' AS table_name, count(*) AS row_cnt FROM customer
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |UNION ALL SELECT 'nation', count(*) FROM nation
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |UNION ALL SELECT 'region', count(*) FROM region
+        |UNION ALL SELECT 'supplier', count(*) FROM supplier
+        |ORDER BY table_name""".stripMargin
+  )
+}

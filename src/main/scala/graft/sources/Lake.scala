@@ -1,0 +1,169 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.Sanitize
+
+/** Lake + source I/O, re-expressing the reference's reader/writer surface
+  * (`utils.py:83-209`) Spark-first. Local `file:/` paths stand in for
+  * `s3://bucket/datalake/...`; the Spark session catalog stands in for the
+  * Glue crawler (every lake write registers/refreshes a catalog view —
+  * `utils.py:206`, `utils.py:319-328`).
+  */
+object Lake {
+
+  /** Logical table name = last path segment (`utils.py:123`, `utils.py:201`). */
+  def tableNameFromPath(tablePath: String): String =
+    tablePath.split('/').last
+
+  def lakePath(root: String, tablePath: String): String =
+    s"$root/datalake/$tablePath"
+
+  // ----------------------------------------------------------------- sources
+
+  /** S1 — JDBC scan with optional source-side pushdown query
+    * (`utils.py:83-104`). The pushdown query rides the same derived-table
+    * trick the reference uses: `"(query) as pushdown_query"` as `dbtable`.
+    * Returned lazily-configured; no SQL Server exists in the test env, so
+    * tests assert on the configured options, not execution.
+    */
+  def jdbcReader(
+      spark: SparkSession,
+      url: String,
+      schemaTable: String,
+      user: String,
+      password: String,
+      driver: String = "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+      pushdownQuery: Option[String] = None
+  ): org.apache.spark.sql.DataFrameReader = {
+    val dbtable = pushdownQuery match {
+      case Some(q) => s"($q) as pushdown_query"
+      case None    => schemaTable
+    }
+    spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", dbtable)
+      .option("user", user)
+      .option("password", password)
+      .option("driver", driver)
+      // pushdown of filters Catalyst derives, on top of the manual query:
+      .option("pushDownPredicate", "true")
+  }
+
+  /** S3 — parquet lake scan with optional SQL filtration over a temp view
+    * named after the table (`utils.py:121-138`). The view is dropped after
+    * planning; the returned DataFrame is self-contained.
+    */
+  def readParquet(
+      spark: SparkSession,
+      path: String,
+      query: Option[String] = None
+  ): DataFrame = {
+    val df = spark.read.parquet(path)
+    query match {
+      case None => df
+      case Some(q) =>
+        val view = tableNameFromPath(path.stripSuffix(".parquet"))
+        df.createOrReplaceTempView(view)
+        val out = spark.sql(q)
+        spark.catalog.dropTempView(view)
+        out
+    }
+  }
+
+  /** S4 — CSV scan, inferred schema (`utils.py:170-174`). */
+  def readCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("multiLine", "true")
+      .csv(path)
+
+  /** S5 — CSV scan with a declared `CREATE TABLE` DDL schema
+    * (`utils.py:141-167`). We keep the DDL-string API for parity but
+    * implement it cleanly: parse the column list out of the DDL, build a
+    * `StructType`, and hand it to the CSV reader — no catalog round-trip
+    * (the reference executes CREATE TABLE / SELECT star / DROP TABLE).
+    */
+  def readCsvDdl(spark: SparkSession, ddl: String, path: String): DataFrame = {
+    val colsDdl = columnListFromDdl(ddl)
+    spark.read
+      .schema(StructType.fromDDL(colsDdl))
+      .option("header", "true")
+      .option("multiLine", "true")
+      .csv(path)
+  }
+
+  /** Parse `CREATE TABLE <name> (...)` → table name (`utils.py:144-145`). */
+  def tableNameFromDdl(ddl: String): String =
+    ddl.trim
+      .replaceAll("(?is)^create\\s+table\\s+(if\\s+not\\s+exists\\s+)?", "")
+      .takeWhile(c => !c.isWhitespace && c != '(')
+
+  /** The parenthesized column list of a CREATE TABLE DDL, as a
+    * `StructType.fromDDL`-compatible string.
+    */
+  def columnListFromDdl(ddl: String): String = {
+    val start = ddl.indexOf('(')
+    val end = ddl.lastIndexOf(')')
+    require(start >= 0 && end > start, s"no column list in DDL: $ddl")
+    ddl.substring(start + 1, end)
+  }
+
+  /** S7 — dependency-metadata CSV (`Table, Parent Table, Layer`),
+    * `dependency_utils.py:22`.
+    */
+  def readDependencyCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  // ------------------------------------------------------------------- sinks
+
+  /** K1 — parquet overwrite write + catalog sync (`utils.py:200-209`).
+    * Overwrite keeps jobs idempotent/re-runnable; the post-write crawler
+    * collapses to a session-catalog temp-view registration locally.
+    */
+  def writeToDatalake(
+      spark: SparkSession,
+      df: DataFrame,
+      root: String,
+      tablePath: String
+  ): String = {
+    val path = lakePath(root, tablePath)
+    df.write.mode("overwrite").parquet(path)
+    syncCatalog(spark, path)
+    path
+  }
+
+  /** K2 — parquet append (operational metadata, `utils.py:474-477`). */
+  def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** O8 — catalog sync standing in for the Glue crawler
+    * (`utils.py:250-328`): register the files as a queryable view named
+    * after the table and refresh any cached metadata for the path.
+    */
+  def syncCatalog(spark: SparkSession, path: String): Unit = {
+    spark.catalog.refreshByPath(path)
+    val name = tableNameFromPath(path)
+    spark.read.parquet(path).createOrReplaceTempView(name)
+  }
+
+  /** K6 — CSV-to-lake ingestion pipeline (`utils.py:194-197`):
+    * read (inferred or DDL-declared) → sanitize column names → overwrite.
+    */
+  def ingestCsvToDatalake(
+      spark: SparkSession,
+      csvPath: String,
+      root: String,
+      tablePath: String,
+      ddl: Option[String] = None
+  ): String = {
+    val raw = ddl match {
+      case Some(d) => readCsvDdl(spark, d, csvPath)
+      case None    => readCsvInferred(spark, csvPath)
+    }
+    writeToDatalake(spark, Sanitize.sanitizeColumns(raw), root, tablePath)
+  }
+}
