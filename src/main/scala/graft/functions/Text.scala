@@ -19,11 +19,19 @@ object Text {
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text))).cast("long")
 
-  /** BPE-ish subword count: word-boundary regex pieces + digits + punct. */
+  /** BPE-ish subword count: whitespace tokens further split at
+    * alnum/non-alnum boundaries (splitting whitespace and boundaries in a
+    * single regex would let zero-width matches leak whitespace tokens).
+    */
   def subwordCount(text: Column): Column =
     size(
       filter(
-        split(text, "(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])(?=[a-zA-Z0-9])|\\s+"),
+        flatten(
+          transform(
+            tokens(text),
+            t => split(t, "(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])(?=[a-zA-Z0-9])")
+          )
+        ),
         t => length(t) > 0
       )
     ).cast("long")

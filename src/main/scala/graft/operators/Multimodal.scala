@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `BINARY`
+  * columns with typed metadata, plus distributed decode / feature-extract
+  * / frame-sample operators.
+  *
+  * The actual media decode is STUBBED (no codec libraries in this
+  * environment): `fakeDecodeFeatures` derives deterministic features from
+  * the bytes themselves. Everything around it — schema, partition-wise
+  * batch processing via `mapPartitions` on a typed Dataset, feature
+  * column shape `ARRAY<FLOAT>`, downstream joinability — is real and
+  * tested; swapping in a JNI/FFmpeg decoder changes one function.
+  */
+object Multimodal {
+
+  final case class MediaRecord(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      duration_ms: Long
+  )
+
+  final case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
+
+  final case class FrameSample(media_id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** STUB decode: a 16-bin byte histogram, L1-normalized. A real decoder
+    * would produce pixel/spectrogram tensors here; the Spark-side batch
+    * shape (one partition of records in, one iterator of features out) is
+    * exactly what a native decoder needs.
+    */
+  def fakeDecodeFeatures(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) >> 4) += 1f
+      i += 1
+    }
+    val total = math.max(1, payload.length).toFloat
+    hist.map(_ / total)
+  }
+
+  /** Distributed feature extraction: partition-wise map over the typed
+    * Dataset — no driver collection, no shuffle; scales with input
+    * partitions.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => MediaFeatures(m.media_id, m.kind, fakeDecodeFeatures(m.payload))))
+  }
+
+  /** STUB frame sampling for "video" payloads: every `stride`-th 1 KiB
+    * chunk stands in for a decoded frame; the emitted (id, frame_idx,
+    * hash) rows have the shape a real frame sampler would produce.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val chunks = m.payload.grouped(1024).toIndexedSeq
+      chunks.indices.collect {
+        case i if i % stride == 0 =>
+          FrameSample(m.media_id, i, java.util.Arrays.hashCode(chunks(i)).toLong)
+      }
+    }
+  }
+
+  /** Wrap a text table as fake media records (test fixture helper): the
+    * text bytes become the payload, metadata is derived deterministically.
+    */
+  def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val kind = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        MediaRecord(id, kind, bytes, width = bytes.length % 640, height = bytes.length % 480,
+          duration_ms = bytes.length.toLong)
+      }
+  }
+}

@@ -123,6 +123,38 @@ object Similarity {
       }
     }
 
+  /** Embedding-cosine near-duplicate pairs within coarse partitions
+    * (IVF-style): pairs are only compared when they share `blockCol` (e.g.
+    * a cluster/label id), making the pair space linear-ish in corpus size.
+    * Norms are precomputed once per vector before the self-join — the
+    * per-pair work is a single dot product.
+    */
+  def blockedNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val n = emb.select(
+      col(idCol).as("id"),
+      col(blockCol).as("blk"),
+      col(vecCol).as("vec"),
+      sqrt(norm2(col(vecCol))).as("nrm")
+    )
+    val a = n.as("a")
+    val b = n.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))).as("cs")
+      )
+      .where(col("cs") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cs"), 6).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs at `threshold`, LSH-blocked:
     * pairs are only compared when they share a bucket in at least one
     * table, then exact-cosine verified. Linear-ish in corpus size vs the

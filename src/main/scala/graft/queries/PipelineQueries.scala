@@ -71,7 +71,7 @@ object PipelineQueries {
         .orderBy("keep_id")
     },
     "q33_embedding_neardup" -> { (s, dir) =>
-      Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.95)
+      Similarity.blockedNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.45)
     }
   )
 
@@ -134,6 +134,17 @@ object PipelineQueries {
     "q32_fingerprint" ->
       s"""SELECT md5(array_to_string(list_sort($TokensSql), ' ')) AS fp,
          |  min(doc_id) AS keep_id, count(*) AS n_docs
-         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q33_embedding_neardup" ->
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |   FROM (SELECT unnest(embedding) AS x) z) AS n2 FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z)
+        |    / (sqrt(a.n2) * sqrt(b.n2)) AS cs
+        | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p
+        |WHERE cs >= 0.45 ORDER BY id_a, id_b""".stripMargin
   )
 }

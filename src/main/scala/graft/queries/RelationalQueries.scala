@@ -119,7 +119,7 @@ object RelationalQueries {
     },
     "q08_anti_join" -> { (s, dir) =>
       val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
+      val ord = t(s, dir, "orders").where(col("o_orderstatus") === "P")
       cust
         .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
@@ -329,7 +329,8 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q08_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
     "q09_window_rank" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal, rn, rnk FROM (

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("exact dedup: groups have min-id survivor; survivor set unique on text") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    val total = groups.agg(org.apache.spark.sql.functions.sum("n_copies")).head().getLong(0)
+    assert(total == docs.count()) // partition of the corpus
+    val surv = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(surv.count() == groups.count())
+    assert(surv.select("text").distinct().count() == surv.count())
+  }
+
+  test("minhash LSH pairs ⊆ exact ngram-jaccard pairs, with high recall") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.85, s"recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash: identical texts share signatures; groups bucket them") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content about spark engines and shuffles")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val groups = Dedup.simhashGroups(df, "doc_id", "text").collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("keep_id") == 1L
+      && groups.head.getAs[Long]("n_members") == 2L)
+  }
+
+  test("shingles: correct count and content") {
+    val sh = Dedup.shingleTable(Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .select("shingle").as[String].collect().sorted
+    assert(sh.toSeq == Seq("a b c", "b c d"))
+    // shorter than n → no shingles, no crash
+    val none = Dedup.shingleTable(Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 3)
+    assert(none.count() == 0)
+  }
+}

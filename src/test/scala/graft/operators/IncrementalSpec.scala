@@ -1,0 +1,74 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class IncrementalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Long, String)*) = rows.toDF("id", "v")
+
+  test("high watermark = global max PK; None on empty (A1, utils.py:219)") {
+    assert(Incremental.highWatermark(df(1L -> "a", 5L -> "b"), "id").contains(5L))
+    assert(Incremental.highWatermark(df().where(lit(false)), "id").isEmpty)
+  }
+
+  test("watermark filter keeps only rows strictly above (P5)") {
+    val src = df(1L -> "a", 5L -> "b", 6L -> "c", 9L -> "d")
+    val existing = df(1L -> "a", 5L -> "b")
+    val fresh = Incremental.newRowsAboveWatermark(src, existing, "id")
+    assert(fresh.select("id").as[Long].collect().sorted.toSeq == Seq(6L, 9L))
+  }
+
+  test("append path: no drops, no duplicates across two increments (K3)") {
+    val dir = Files.createTempDirectory("inc").toString + "/t"
+    df(1L -> "a", 2L -> "b").write.parquet(dir)
+    val src = df(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+    Incremental.appendIncrement(src, spark.read.parquet(dir), "id", dir)
+    // re-running with the same source appends nothing
+    Incremental.appendIncrement(src, spark.read.parquet(dir), "id", dir)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("merge: source wins on matched keys, inserts new, keeps unmatched (K4)") {
+    val target = df(1L -> "t1", 2L -> "t2", 3L -> "t3")
+    val source = df(2L -> "s2", 4L -> "s4")
+    val out = Incremental.merge(target, source, "id").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(1L -> "t1", 2L -> "s2", 3L -> "t3", 4L -> "s4"))
+  }
+
+  test("merge is idempotent: re-merging the same batch changes nothing") {
+    val target = df(1L -> "t1", 2L -> "t2")
+    val source = df(2L -> "s2", 3L -> "s3")
+    val once = Incremental.merge(target, source, "id")
+    val twice = Incremental.merge(once, source, "id")
+    assert(once.as[(Long, String)].collect().toSet == twice.as[(Long, String)].collect().toSet)
+  }
+
+  test("merge with duplicate source keys is deterministic (last-write-wins by max struct)") {
+    val target = df(1L -> "t1")
+    val source = df(1L -> "a", 1L -> "z", 2L -> "m", 2L -> "b")
+    val out = Incremental.merge(target, source, "id").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(1L -> "z", 2L -> "m"))
+  }
+
+  test("merge preserves target column order and disjoint columns") {
+    val target = Seq((1L, "x", 10)).toDF("id", "v", "extra")
+    val source = df(2L -> "y")
+    val out = Incremental.merge(target, source, "id")
+    assert(out.columns.toSeq == Seq("id", "v", "extra"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(1).getString(1) == "y" && rows(1).isNullAt(2))
+  }
+
+  test("merge on disjoint keys equals union (append equivalence)") {
+    val target = df(1L -> "a", 2L -> "b")
+    val source = df(3L -> "c", 4L -> "d")
+    val m = Incremental.merge(target, source, "id").as[(Long, String)].collect().toSet
+    assert(m == Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("dot/cosine column math matches a driver-side computation") {
+    val df = Seq((1L, Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("id", "a", "b")
+    val got = df.select(Similarity.dot(col("a"), col("b"))).head().getDouble(0)
+    assert(got == 32.0)
+    val cos = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(cos - expected) < 1e-12)
+  }
+
+  test("brute-force top-k: scores descend, k rows, query excluded") {
+    val top = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10).collect()
+    assert(top.length == 10)
+    assert(!top.map(_.getLong(0)).contains(0L))
+    val sims = top.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("ANN results are a subset of brute-force ranking with identical scores") {
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 10).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val (id, sim) = (r.getLong(0), r.getDouble(1))
+      assert(brute.contains(id) && math.abs(brute(id) - sim) < 1e-9)
+    }
+  }
+
+  test("blocked near-dup pairs: within-block only, ordered ids, threshold respected") {
+    val pairs = Similarity.blockedNearDupPairs(emb, "vec_id", "embedding", "label", 0.3).collect()
+    assert(pairs.nonEmpty)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pairs.foreach { r =>
+      val (a, b, cs) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(a < b && labels(a) == labels(b) && cs >= 0.3)
+    }
+  }
+
+  test("deterministic hyperplanes are reproducible and table-distinct") {
+    val p1 = Similarity.deterministicPlanes(4, 8)
+    val p2 = Similarity.deterministicPlanes(4, 8)
+    assert(p1.flatten == p2.flatten)
+    assert(p1.flatten.forall(v => v >= -1.0 && v <= 1.0))
+  }
+}

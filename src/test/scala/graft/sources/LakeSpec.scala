@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class LakeSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("lake").toString
+
+  test("tableNameFromPath takes the last segment (utils.py:123)") {
+    assert(Lake.tableNameFromPath("a/b/c") == "c")
+    assert(Lake.tableNameFromPath("solo") == "solo")
+  }
+
+  test("DDL parsing: table name and column list (utils.py:144-145)") {
+    val ddl = "CREATE TABLE lookup_calendar (`Date - Date Format` DATE, Year INT, Rate FLOAT)"
+    assert(Lake.tableNameFromDdl(ddl) == "lookup_calendar")
+    assert(Lake.columnListFromDdl(ddl).contains("Year INT"))
+  }
+
+  test("CSV with DDL-declared schema keeps declared types (S5)") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/cal.csv"), "d,Year,Rate\n2024-01-02,2024,1.5\n")
+    val df = Lake.readCsvDdl(spark, "CREATE TABLE cal (d DATE, Year INT, Rate FLOAT)", s"$dir/cal.csv")
+    assert(df.schema.map(_.dataType.typeName) == Seq("date", "integer", "float"))
+    assert(df.count() == 1)
+  }
+
+  test("CSV inferred schema (S4) + ingest pipeline sanitizes and syncs catalog (K6/O8)") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"), "col one,b;ad\n1,x\n2,y\n")
+    val root = tmp()
+    Lake.ingestCsvToDatalake(spark, s"$dir/in.csv", root, "nested/mytable")
+    val back = spark.read.parquet(s"$root/datalake/nested/mytable")
+    assert(back.columns.toSeq == Seq("col_one", "bad"))
+    assert(back.count() == 2)
+    // crawler-replacement: the table is queryable by name
+    assert(spark.sql("SELECT count(*) FROM mytable").head().getLong(0) == 2)
+  }
+
+  test("parquet lake scan with SQL filtration over temp view (S3)") {
+    val root = tmp()
+    import spark.implicits._
+    Lake.writeToDatalake(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), root, "t1")
+    val out = Lake.readParquet(spark, s"$root/datalake/t1", Some("SELECT v FROM t1 WHERE id = 2"))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("jdbc reader carries the pushdown derived-table option (S1, utils.py:87)") {
+    val reader = Lake.jdbcReader(
+      spark, "jdbc:sqlserver://host;databaseName=db", "nis.policies",
+      "u", "p", pushdownQuery = Some("SELECT * FROM nis.policies WHERE id > 5")
+    )
+    // option map is private; assert via the reader's plan failure mode instead:
+    // building the reader must not throw, and load() must fail on connection,
+    // not on option validation.
+    val err = intercept[Exception](reader.load())
+    val msg = Option(err.getMessage).getOrElse("") + err.getClass.getName
+    assert(!msg.toLowerCase.contains("option"))
+  }
+
+  test("overwrite write is idempotent (K1)") {
+    import spark.implicits._
+    val root = tmp()
+    Lake.writeToDatalake(spark, Seq(1, 2, 3).toDF("x"), root, "t2")
+    Lake.writeToDatalake(spark, Seq(1, 2, 3).toDF("x"), root, "t2")
+    assert(spark.read.parquet(s"$root/datalake/t2").count() == 3)
+  }
+}
