@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JVM/codegen/shuffle-machinery startup isn't query
+    // cost. A small read+join+agg touches the main execution paths.
+    try {
+      val w = spark.read.parquet(s"$sfDir/nation.parquet")
+      w.join(w.selectExpr("n_nationkey AS k"), w("n_nationkey") === org.apache.spark.sql.functions.col("k"))
+        .groupBy("n_name").count().count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Primitive-loop vector math used by the similarity/dedup operators.
+  *
+  * Spark's `zip_with` + `aggregate` route works but higher-order
+  * functions are evaluated with interpreted lambdas (no codegen) and
+  * allocate an intermediate array per row — too slow for the inner loop
+  * of a 100 TB similarity scan. These are native Catalyst expressions:
+  * a tight double-accumulation loop over the float arrays, wired into
+  * whole-stage codegen via a static helper call, with deterministic
+  * left-to-right summation (bit-compatible with the ordered-sum oracle).
+  */
+object VectorOps {
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def norm2(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val v = a.getFloat(i).toDouble
+      acc += v * v
+      i += 1
+    }
+    acc
+  }
+
+  /** Sign-bit bucket of `a` against `planes` (flattened row-major
+    * `numPlanes x dim`): bit p set iff dot(a, planes[p]) >= 0.
+    */
+  def hyperplaneBucket(a: ArrayData, planes: Array[Double], dim: Int): Long = {
+    val numPlanes = planes.length / dim
+    val n = math.min(a.numElements(), dim)
+    var bits = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var acc = 0.0
+      val off = p * dim
+      var i = 0
+      while (i < n) {
+        acc += a.getFloat(i).toDouble * planes(off + i)
+        i += 1
+      }
+      if (acc >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+}
+
+/** dot(a, b) over two ARRAY<FLOAT> columns, double accumulation. */
+case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** sum of squares of an ARRAY<FLOAT> column, double accumulation. */
+case class Norm2Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any = VectorOps.norm2(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.norm2($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Random-hyperplane sign-bit bucket id; `planes` ships as a referenced
+  * object into generated code (no literal tree per coefficient).
+  */
+case class HyperplaneBucketExpr(child: Expression, planes: Array[Double], dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.hyperplaneBucket(a.asInstanceOf[ArrayData], planes, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.hyperplaneBucket($a, $ref, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-level API for the vector expressions (Spark 4's `Column` wraps
+  * ColumnNodes; `ExpressionUtils` is the classic-backend bridge).
+  */
+object VectorFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def vec_dot(a: Column, b: Column): Column =
+    column(DotProductExpr(expression(a), expression(b)))
+  def vec_norm2(a: Column): Column = column(Norm2Expr(expression(a)))
+  def vec_cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    vec_dot(a, b) / (sqrt(vec_norm2(a)) * sqrt(vec_norm2(b)))
+  }
+  def hyperplane_bucket(a: Column, planes: Seq[Array[Double]]): Column = {
+    require(planes.nonEmpty)
+    val dim = planes.head.length
+    column(HyperplaneBucketExpr(expression(a), planes.flatten.toArray, dim))
+  }
+}

@@ -32,9 +32,15 @@ object Dedup {
     docs.join(keep, idCol)
   }
 
-  /** doc → exploded distinct word-n-gram shingles. */
+  /** doc → exploded distinct word-n-gram shingles (single-pass custom
+    * expression; the `transform`/`slice` built-in route is ~30 µs/row of
+    * interpreted lambda overhead — see graft.functions.TextOps).
+    */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), explode(Text.shingles(col(textCol), n)).as("shingle"))
+    docs.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.TextExpressions.word_shingles(col(textCol), n)).as("shingle")
+    )
 
   /** Exact n-gram Jaccard near-dup pairs (ground truth; the MinHash path
     * approximates this). Pairs are generated only through shared shingles
@@ -64,10 +70,10 @@ object Dedup {
     ja.orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signature columns: for each of `numHashes` seeded hash
-    * functions, the min over the doc's shingles of
-    * `xxhash64(shingle, seed)`. Computed as one aggregation over the
-    * exploded shingle table — `numHashes` codegen'd min-aggregates, no UDF.
+  /** MinHash signatures as one ARRAY<BIGINT> column, computed row-wise by
+    * a custom expression — no explode, no `numHashes`-column aggregation
+    * shuffle. (An exploded + min-agg variant exists but shuffles the full
+    * shingle table; signature-per-row keeps the pre-LSH stage shuffle-free.)
     */
   def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
@@ -92,16 +98,28 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 4
   ): DataFrame = {
+    import graft.functions.TextExpressions.{minhash_signature, word_shingles}
     val numHashes = bands * rowsPerBand
-    val sh = shingleTable(docs, idCol, textCol, n).cache()
-    val sig = minhashSignatures(sh, numHashes)
+
+    // one row per doc: shingle set + minhash signature, computed in a
+    // single scan with no shuffle
+    val base = docs
+      .select(col(idCol).as("doc_id"), word_shingles(col(textCol), n).as("shs"))
+      .where(size(col("shs")) > 0)
+      .select(
+        col("doc_id"),
+        col("shs"),
+        size(col("shs")).as("n_sh"),
+        minhash_signature(col("shs"), numHashes).as("sig")
+      )
+      .cache()
 
     // band id + band hash, one row per (doc, band)
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      val cols = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
     }
-    val banded = sig
+    val banded = base
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
@@ -117,15 +135,14 @@ object Dedup {
       .distinct()
 
     // exact verification on the candidate set only
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sh = base.select(col("doc_id"), col("n_sh"), explode(col("shs")).as("shingle"))
     val commonCnt = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("common"))
     val scored = commonCnt
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))

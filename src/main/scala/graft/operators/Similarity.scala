@@ -17,19 +17,16 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Deterministic left-fold dot product of two (equal-length) float
-    * arrays, accumulated in double.
+    * arrays, accumulated in double. Backed by the custom codegen'd
+    * Catalyst expression (graft.functions.DotProductExpr) — Spark's
+    * `zip_with`+`aggregate` route evaluates interpreted lambdas per row,
+    * too slow for the inner loop of a corpus-scale similarity scan.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v
-    )
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vec_dot(a, b)
 
-  def norm2(a: Column): Column = dot(a, a)
+  def norm2(a: Column): Column = graft.functions.VectorFunctions.vec_norm2(a)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorFunctions.vec_cosine(a, b)
 
   /** Brute-force exact top-k cosine neighbors of the row with id
     * `queryId`. The 1-row query side is broadcast; the scan side never
@@ -56,16 +53,12 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of the dot products with
-    * `planes` (each a dense double vector, broadcast as literals). With b
-    * planes → 2^b buckets of cosine-similar vectors.
+    * `planes`. One custom expression carrying the plane matrix as a
+    * codegen reference object — not a per-coefficient literal tree. With
+    * b planes → 2^b buckets of cosine-similar vectors.
     */
   def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex
-      .map { case (p, i) =>
-        val pl = array(p.map(lit): _*)
-        when(dot(vec, pl) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }
-      .reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.VectorFunctions.hyperplane_bucket(vec, planes)
 
   /** Deterministic pseudo-random unit-free hyperplanes (xorshift-ish LCG
     * seeded by plane+dim index) — reproducible across runs and engines
