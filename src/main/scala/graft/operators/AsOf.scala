@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward-looking point-in-time) join: for each left row, the
+  * latest right row with the same key and `rightTime <= leftTime`.
+  *
+  * Implementation is the union + windowed last-ignoreNulls trick rather
+  * than a range join: tag right rows 0 and left rows 1, union, and take
+  * `last(payload, ignoreNulls)` over (key) ordered by (time, tag,
+  * tie-break). One shuffle on the key, no per-key pair explosion — a
+  * key×time range join materializes |L|×|R| rows per key before
+  * filtering, which is exactly what dies at 100 TB. Tag ordering makes
+  * same-timestamp right rows visible to left rows (<= semantics);
+  * `tieBreakCols` pins which right row wins among equal timestamps.
+  */
+object AsOf {
+
+  def joinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      tieBreakCols: Seq[String] = Nil,
+      inner: Boolean = false
+  ): DataFrame = {
+    val ties = if (tieBreakCols.nonEmpty) tieBreakCols else payloadCols.take(1)
+    val payload = struct((ties ++ payloadCols.filterNot(ties.contains)).map(col): _*)
+
+    val r = right.select(
+      col(rightKey).as("_k"),
+      col(rightTime).as("_t"),
+      payload.as("_p"),
+      lit(0).as("_tag")
+    )
+    val l = left
+      .withColumn("_k", col(leftKey))
+      .withColumn("_t", col(leftTime))
+      .withColumn("_tag", lit(1))
+
+    val u = r.unionByName(l, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_tag"), col("_p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = u.withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
+
+    val base = filled.where(col("_tag") === 1)
+    val kept = if (inner) base.where(col("_match").isNotNull) else base
+    kept.select(
+      left.columns.map(col).toIndexedSeq ++
+        payloadCols.map(c => col(s"_match.$c").as(c)): _*
+    )
+  }
+}

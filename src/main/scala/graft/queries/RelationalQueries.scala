@@ -277,6 +277,29 @@ object RelationalQueries {
         .orderBy("hour_s")
     },
 
+    // as-of (point-in-time) join: each event paired with its user's
+    // latest prior order — union + windowed last, not a range join
+    "q34_asof_join" -> { (s, dir) =>
+      val ev = events(s, dir).select("event_id", "user_id", "ts")
+      val ord = t(s, dir, "orders")
+      graft.operators.AsOf
+        .joinBackward(
+          ev, ord,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payloadCols = Seq("o_orderkey", "o_totalprice"),
+          tieBreakCols = Seq("o_orderdate", "o_orderkey"),
+          inner = true
+        )
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
+    },
+
+    // gap-based sessionization over the event stream (6 h gap)
+    "q35_sessionize" -> { (s, dir) =>
+      graft.operators.Sessions.byGap(events(s, dir), "user_id", "ts", "event_id", "value", 21600L)
+    },
+
     // O7 — recon count parity as a query
     "q22_recon_counts" -> { (s, dir) =>
       import s.implicits._
@@ -423,6 +446,28 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_s,
         |  count(*) AS n_events, round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1 ORDER BY hour_s""".stripMargin,
+    "q34_asof_join" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey, o_totalprice FROM j
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q35_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |f AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+        |                       OR sec - lag(sec) OVER w > 21600 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |      FROM f)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  max(sec) - min(sec) AS duration_sec, round(sum(value), 2) AS value_sum
+        |FROM g GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "q22_recon_counts" ->
       """SELECT 'customer' AS table_name, count(*) AS row_cnt FROM customer
         |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
