@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out primitives the reference never needed at Glue-job size but a
+  * 100 TB lake does: partitioned/bucketed table layout and salted joins
+  * for skewed keys.
+  */
+object Scale {
+
+  /** Hive-style partitioned lake write: files under
+    * `path/col=value/...`, enabling partition pruning on the read side
+    * (a filter on a partition column prunes directories before any IO).
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      mode: String = "overwrite"
+  ): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table: co-locates join keys so equi-joins
+    * between tables bucketed on the same key by the same count skip the
+    * shuffle entirely (both sides already hash-distributed).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      bucketCol: String,
+      numBuckets: Int,
+      mode: String = "overwrite"
+  ): Unit =
+    df.write
+      .mode(mode)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+
+  /** Salted join for skewed build keys: the skewed (large) side gets a
+    * random salt in [0, factor); the small side is exploded `factor`
+    * times so every salted key finds its match. Breaks a hot key's rows
+    * across `factor` tasks instead of one straggler.
+    *
+    * AQE's skew-join handles moderate skew automatically; explicit
+    * salting is for the pathological keys AQE splits can't fix (e.g. one
+    * key = 30% of the table).
+    */
+  def saltedEquiJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      skewedKey: String,
+      otherKey: String,
+      factor: Int = 8,
+      joinType: String = "inner"
+  ): DataFrame = {
+    require(factor > 0)
+    val salted = skewed.withColumn("_salt", pmod(spark_partition_id() + crc32(col(skewedKey).cast("string")), lit(factor)).cast("int"))
+    val exploded = other.withColumn("_salt", explode(array((0 until factor).map(lit): _*)))
+    salted
+      .join(exploded, salted(skewedKey) === exploded(otherKey) && salted("_salt") === exploded("_salt"), joinType)
+      .drop("_salt")
+  }
+
+  /** Range-repartition + sort-within-partitions writer: produces globally
+    * range-clustered files so min/max parquet statistics prune row
+    * groups for range predicates on `col` (poor man's Z-order for one
+    * dimension).
+    */
+  def writeRangeClustered(
+      df: DataFrame,
+      path: String,
+      clusterCol: String,
+      partitions: Int
+  ): Unit =
+    df.repartitionByRange(partitions, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+}

@@ -72,6 +72,18 @@ object PipelineQueries {
     },
     "q33_embedding_neardup" -> { (s, dir) =>
       Similarity.blockedNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.45)
+    },
+    "q36_subword_count" -> { (s, dir) =>
+      // BPE-ish subword pieces via an extraction regex (alnum runs |
+      // single non-alnum non-space) — RE2-compatible so the oracle can
+      // run the identical pattern
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]', 0)"))
+            .cast("long").as("n_subwords")
+        )
+        .orderBy("doc_id")
     }
   )
 
@@ -145,6 +157,10 @@ object PipelineQueries {
         |    / (sqrt(a.n2) * sqrt(b.n2)) AS cs
         | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p
-        |WHERE cs >= 0.45 ORDER BY id_a, id_b""".stripMargin
+        |WHERE cs >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "q36_subword_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

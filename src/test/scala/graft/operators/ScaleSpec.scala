@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ScaleSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("partitioned write enables partition pruning on read") {
+    val dir = Files.createTempDirectory("part").toString + "/t"
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("status", col("o_orderstatus"))
+    Scale.writePartitioned(df, dir, Seq("status"))
+    val pruned = spark.read.parquet(dir).where(col("status") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(status"), plan.take(500))
+    assert(pruned.count() > 0)
+    // only the status=F directory exists under the F partition path
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/status=F")))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory catalog forgets tables across JVMs but warehouse files
+    // persist; clear stale locations so CREATE TABLE AS doesn't refuse
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+    Scale.writeBucketed(
+      spark.read.parquet(s"$sf/orders.parquet"), "b_orders", "o_custkey", 4)
+    Scale.writeBucketed(
+      spark.read.parquet(s"$sf/customer.parquet").withColumn("o_custkey", col("c_custkey")),
+      "b_customer", "o_custkey", 4)
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer"), "o_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+    assert(joined.count() == spark.read.parquet(s"$sf/orders.parquet").count())
+  }
+
+  test("salted join returns exactly the plain-join result") {
+    val skewed = (1 to 500).map(i => (if (i % 5 == 0) 1L else i.toLong, i)).toDF("k", "v")
+    val dim = (1 to 500).map(i => (i.toLong, s"d$i")).toDF("dk", "name")
+    val plain = skewed.join(dim, skewed("k") === dim("dk")).select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = Scale.saltedEquiJoin(skewed, dim, "k", "dk").select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("range-clustered write produces sorted, range-partitioned files") {
+    val dir = Files.createTempDirectory("range").toString + "/t"
+    Scale.writeRangeClustered(spark.read.parquet(s"$sf/orders.parquet"), dir, "o_orderkey", 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == spark.read.parquet(s"$sf/orders.parquet").count())
+    // row-group pruning: a tight range predicate must not scan everything —
+    // verified structurally: each output file covers a disjoint key range
+    val perFile = back.select(input_file_name().as("f"), col("o_orderkey"))
+      .groupBy("f").agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+}
