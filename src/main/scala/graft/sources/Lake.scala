@@ -112,6 +112,39 @@ object Lake {
     ddl.substring(start + 1, end)
   }
 
+  /** S6 — Delta lake scan with the same optional-SQL shape as S3
+    * (`utils.py:177-192`). No Delta jar ships in this environment, so the
+    * reader tries `format("delta")` and falls back to the parquet files
+    * of the table directory (same rows for an append-only table; merge
+    * history is handled by our own staging-swap upsert, see
+    * graft.streaming.Streams). Errors surface as None — the reference's
+    * `-1` sentinel (`utils.py:192`) made typed.
+    */
+  def readDeltaOrParquet(
+      spark: SparkSession,
+      path: String,
+      query: Option[String] = None
+  ): Option[DataFrame] = {
+    val df =
+      try Some(spark.read.format("delta").load(path))
+      catch {
+        case _: Throwable =>
+          try Some(spark.read.parquet(path))
+          catch { case _: Throwable => None }
+      }
+    df.map { d =>
+      query match {
+        case None => d
+        case Some(q) =>
+          val view = tableNameFromPath(path)
+          d.createOrReplaceTempView(view)
+          val out = spark.sql(q)
+          spark.catalog.dropTempView(view)
+          out
+      }
+    }
+  }
+
   /** S7 — dependency-metadata CSV (`Table, Parent Table, Layer`),
     * `dependency_utils.py:22`.
     */

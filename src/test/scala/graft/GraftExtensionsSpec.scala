@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
+
+  test("custom expressions callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |  vec_norm2(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n2,
+        |  word_shingles('a b c d', 3) AS sh,
+        |  size(minhash_signature(word_shingles('a b c d', 3), 16)) AS sig_len
+        |""".stripMargin).head()
+    assert(row.getAs[Double]("d") == 11.0)
+    assert(row.getAs[Double]("n2") == 25.0)
+    assert(row.getSeq[String](2).toList == List("a b c", "b c d"))
+    assert(row.getAs[Int]("sig_len") == 16)
+  }
+
+  test("delta reader falls back to parquet when no delta jar is present") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("delta").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+    val back = graft.sources.Lake.readDeltaOrParquet(spark, dir)
+    assert(back.exists(_.count() == 2))
+    assert(graft.sources.Lake.readDeltaOrParquet(spark, "/nonexistent-xyz").isEmpty)
+  }
+}
