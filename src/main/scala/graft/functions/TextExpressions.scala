@@ -64,6 +64,32 @@ object TextOps {
     new GenericArrayData(sig.map(Long.box(_): Any))
   }
 
+  /** 64-bit SimHash over a token array: per bit, +1/-1 tally across token
+    * XXH64 hashes (seed 42 = Spark's `xxhash64` default), sign → bit.
+    */
+  def simhash64(toks: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val m = toks.numElements()
+    var i = 0
+    while (i < m) {
+      val s = toks.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   private def tokenize(s: String): Array[String] = {
     val out = mutable.ArrayBuffer[String]()
     var i = 0
@@ -98,9 +124,21 @@ case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpres
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 64-bit SimHash of a token array, BIGINT. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(toks: Any): Any =
+    TextOps.simhash64(toks.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.simhash64($s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), n))
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
 }

@@ -149,25 +149,19 @@ object Dedup {
     scored.orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash per document from token `xxhash64`s: per bit, sum of
-    * +1/-1 over tokens, sign → bit. Expressed as 64 codegen'd aggregate
-    * expressions over the exploded token table.
+  /** 64-bit SimHash per document from token XXH64 hashes: per bit, sum of
+    * +1/-1 over distinct tokens, sign → bit. Single row-wise expression
+    * (graft.functions.SimHash64Expr) over the token array — no explode,
+    * no 64-aggregate shuffle; the only shuffle left is the group-by on
+    * the finished signature.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
       col(idCol).as("doc_id"),
-      explode(array_distinct(Text.tokens(col(textCol)))).as("tok")
+      graft.functions.TextExpressions
+        .simhash64(graft.functions.TextExpressions.word_shingles(col(textCol), 1))
+        .as("simhash")
     )
-    val hashed = tok.withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
-    }
-    val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64)
-      .map(i => when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    sums.select(col("doc_id"), sig.as("simhash"))
-  }
 
   /** SimHash dup groups: identical 64-bit signatures bucketed together. */
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
