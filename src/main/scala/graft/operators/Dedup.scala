@@ -70,6 +70,52 @@ object Dedup {
     ja.orderBy("doc_a", "doc_b")
   }
 
+  /** Frequency-capped variant of [[ngramJaccardPairs]] for corpora where
+    * common ("stop") shingles make the shared-shingle join quadratic:
+    * shingles appearing in more than `maxDocsPerShingle` documents are
+    * excluded from candidate generation only — surviving pairs are still
+    * scored with exact Jaccard over the full shingle sets, so scores have
+    * no error; only pairs whose entire overlap is stop-shingles can be
+    * missed. This caps the per-shingle pair fan-out at
+    * `maxDocsPerShingle²`, which is what keeps the join bounded at 100 TB.
+    */
+  def ngramJaccardPairsCapped(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocsPerShingle: Int = 100
+  ): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    val rare = sh
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDocsPerShingle)
+      .select("shingle")
+    val capped = sh.join(rare, "shingle")
+    val a = capped.as("a")
+    val b = capped.as("b")
+    val candidates = a
+      .join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val commonCnt = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    commonCnt
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash signatures as one ARRAY<BIGINT> column, computed row-wise by
     * a custom expression — no explode, no `numHashes`-column aggregation
     * shuffle. (An exploded + min-agg variant exists but shuffles the full

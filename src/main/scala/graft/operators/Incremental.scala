@@ -75,6 +75,41 @@ object Incremental {
     joined.select(outCols.toIndexedSeq: _*)
   }
 
+  /** E4 — the reference's whole incremental entry point
+    * (`utils.py:212-246`): read the existing lake table, keep only source
+    * rows above its PK high watermark, then either append them or
+    * PK-merge the full source batch (`updates = true` ⇒ merge path,
+    * matching the reference's flag), and overwrite-write the result.
+    * Returns the new lake state.
+    */
+  def ingestIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      source: DataFrame,
+      lakePath: String,
+      pk: String,
+      updates: Boolean
+  ): DataFrame = {
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(lakePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
+    if (!exists) {
+      dedupByKey(source, pk).write.mode("overwrite").parquet(lakePath)
+    } else if (updates) {
+      val merged = merge(spark.read.parquet(lakePath), source, pk)
+      val staging = lakePath + "_staging"
+      merged.write.mode("overwrite").parquet(staging)
+      val p = new org.apache.hadoop.fs.Path(lakePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.rename(new org.apache.hadoop.fs.Path(staging), p)
+    } else {
+      appendIncrement(source, spark.read.parquet(lakePath), pk, lakePath)
+    }
+    spark.read.parquet(lakePath)
+  }
+
   /** One row per key, deterministically (greatest full-row struct wins). */
   def dedupByKey(df: DataFrame, pk: String): DataFrame = {
     val others = df.columns.filterNot(_ == pk)

@@ -44,6 +44,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       && groups.head.getAs[Long]("n_members") == 2L)
   }
 
+  test("capped ngram pairs: scores identical to exact, recall subset") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text", 3, 0.8, maxDocsPerShingle = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.keySet.subsetOf(exact.keySet))
+    capped.foreach { case (k, v) => assert(exact(k) == v) } // scores exact
+    // a generous cap loses nothing on this corpus
+    val wide = Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text", 3, 0.8, maxDocsPerShingle = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == exact.keySet)
+  }
+
   test("shingles: correct count and content") {
     val sh = Dedup.shingleTable(Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 3)
       .select("shingle").as[String].collect().sorted

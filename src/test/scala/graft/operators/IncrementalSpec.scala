@@ -65,6 +65,22 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(rows(1).getString(1) == "y" && rows(1).isNullAt(2))
   }
 
+  test("ingestIncremental: create → append → merge lifecycle (E4)") {
+    val dir = Files.createTempDirectory("e4").toString + "/t"
+    // first run creates
+    Incremental.ingestIncremental(spark, df(1L -> "a", 2L -> "b"), dir, "id", updates = false)
+    assert(spark.read.parquet(dir).count() == 2)
+    // append run: only rows above watermark land
+    Incremental.ingestIncremental(spark, df(1L -> "a", 2L -> "b", 3L -> "c"), dir, "id", updates = false)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    // updates run: matched keys rewritten, new keys inserted
+    val after = Incremental.ingestIncremental(
+      spark, df(2L -> "B2", 4L -> "d"), dir, "id", updates = true)
+    assert(after.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
+  }
+
   test("merge on disjoint keys equals union (append equivalence)") {
     val target = df(1L -> "a", 2L -> "b")
     val source = df(3L -> "c", 4L -> "d")
