@@ -300,12 +300,14 @@ object RelationalQueries {
       graft.operators.Sessions.byGap(events(s, dir), "user_id", "ts", "event_id", "value", 21600L)
     },
 
-    // O7 — recon count parity as a query
+    // O7 — recon count parity as a query: one distributed union-aggregate
+    // job, not N driver-side count() actions
     "q22_recon_counts" -> { (s, dir) =>
-      import s.implicits._
       Seq("customer", "lineitem", "nation", "orders", "region", "supplier")
-        .map(n => (n, t(s, dir, n).count()))
-        .toDF("table_name", "row_cnt")
+        .map(n => t(s, dir, n).select(lit(n).as("table_name")))
+        .reduce(_ unionByName _)
+        .groupBy("table_name")
+        .agg(count(lit(1)).as("row_cnt"))
         .orderBy("table_name")
     }
   )
