@@ -300,6 +300,18 @@ object RelationalQueries {
       graft.operators.Sessions.byGap(events(s, dir), "user_id", "ts", "event_id", "value", 21600L)
     },
 
+    // exact interpolated percentiles (same definition as quantile_cont)
+    "q37_percentiles" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, array(0.25, 0.75))[1] - percentile(l_extendedprice, array(0.25, 0.75))[0]"), 4).as("iqr")
+        )
+        .orderBy("l_returnflag")
+    },
+
     // O7 — recon count parity as a query: one distributed union-aggregate
     // job, not N driver-side count() actions
     "q22_recon_counts" -> { (s, dir) =>
@@ -470,6 +482,12 @@ object RelationalQueries {
         |  max(sec) - min(sec) AS duration_sec, round(sum(value), 2) AS value_sum
         |FROM g GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "q37_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25), 4) AS iqr
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q22_recon_counts" ->
       """SELECT 'customer' AS table_name, count(*) AS row_cnt FROM customer
         |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
