@@ -209,6 +209,44 @@ object Dedup {
         .as("simhash")
     )
 
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`:
+    * candidates must share at least one of four 16-bit signature bands
+    * (pigeonhole: any pair within Hamming 3 shares a band), then are
+    * verified with `bit_count(xor)`. Same blocked-join shape as the other
+    * near-dup operators — no all-pairs stage.
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    // pigeonhole guarantee holds for maxHamming <= 3; beyond that the
+    // band blocking is a recall/cost trade-off (documented, not an error)
+    val sig = simhash(docs, idCol, textCol)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"), shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("bucket"))
+    }
+    val banded = sig
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(
+        r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id")
+      )
+      .select(
+        col("l.doc_id").as("doc_a"),
+        col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming")
+      )
+      .dropDuplicates("doc_a", "doc_b")
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash dup groups: identical 64-bit signatures bucketed together. */
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     simhash(docs, idCol, textCol)

@@ -57,6 +57,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(wide == exact.keySet)
   }
 
+  test("simhash near-dup: catches small token edits, orders pairs") {
+    val base = (1 to 40).map("tok" + _).mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("tok7", "tok7x")),                       // one-token edit → small hamming
+      (3L, (100 to 140).map("z" + _).mkString(" "))              // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, _) => a == 1L && b == 2L })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+    // identical docs → hamming 0
+    val same = Dedup.simhashNearDupPairs(
+      Seq((1L, base), (2L, base)).toDF("doc_id", "text"), "doc_id", "text", maxHamming = 0)
+      .collect()
+    assert(same.length == 1 && same.head.getLong(2) == 0L)
+  }
+
   test("shingles: correct count and content") {
     val sh = Dedup.shingleTable(Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 3)
       .select("shingle").as[String].collect().sorted
