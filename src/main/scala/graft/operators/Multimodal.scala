@@ -54,14 +54,19 @@ object Multimodal {
     media.mapPartitions(_.map(m => MediaFeatures(m.media_id, m.kind, fakeDecodeFeatures(m.payload))))
   }
 
-  /** STUB frame sampling for "video" payloads: every `stride`-th 1 KiB
-    * chunk stands in for a decoded frame; the emitted (id, frame_idx,
-    * hash) rows have the shape a real frame sampler would produce.
+  /** STUB frame sampling for "video" payloads: every `stride`-th
+    * `chunkBytes`-sized chunk stands in for a decoded frame; the emitted
+    * (id, frame_idx, hash) rows have the shape a real frame sampler would
+    * produce. `chunkBytes` maps to a real decoder's GOP/keyframe interval.
     */
-  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4): Dataset[FrameSample] = {
+  def sampleFrames(
+      media: Dataset[MediaRecord],
+      stride: Int = 4,
+      chunkBytes: Int = 1024
+  ): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val chunks = m.payload.grouped(1024).toIndexedSeq
+      val chunks = m.payload.grouped(chunkBytes).toIndexedSeq
       chunks.indices.collect {
         case i if i % stride == 0 =>
           FrameSample(m.media_id, i, java.util.Arrays.hashCode(chunks(i)).toLong)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** LLM-data-pipeline operator corpus (SURVEY.md §7 step 8, BASELINE.json
   * north star): dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
@@ -84,10 +84,42 @@ object PipelineQueries {
             .cast("long").as("n_subwords")
         )
         .orderBy("doc_id")
+    },
+    // Multimodal feature extraction over BINARY payloads: the byte-histogram
+    // decode stub is deterministic arithmetic, so the whole path — binary
+    // column construction, partition-wise mapPartitions decode, feature
+    // array shape, metadata join — is oracle-checkable. Bin counts are
+    // recovered from the L1-normalized features (hist = feature × n_bytes).
+    "q38_multimodal_features" -> { (s, dir) =>
+      val media = Multimodal.fromDocuments(s, t(s, dir, "documents"))
+      val feats = Multimodal.extractFeatures(media).toDF()
+      val meta = media.toDF().select(col("media_id"), col("duration_ms").as("n_bytes"))
+      val bins = (0 until 16).map(i =>
+        round(element_at(col("features"), i + 1) * greatest(col("n_bytes"), lit(1L)))
+          .cast("long").as(f"b$i%02d"))
+      feats
+        .join(meta, "media_id")
+        .select(Seq(col("media_id"), col("kind"), col("n_bytes")) ++ bins: _*)
+        .orderBy("media_id")
+    },
+    // Frame sampling over "video" payloads: chunked payload stands in for
+    // decoded frames; stride-4 sampling over 64-byte chunks. Frame counts
+    // and indices are pure arithmetic on payload length → oracle-checkable.
+    "q39_multimodal_frames" -> { (s, dir) =>
+      val media = Multimodal.fromDocuments(s, t(s, dir, "documents"))
+      Multimodal
+        .sampleFrames(media, stride = 4, chunkBytes = 64)
+        .toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"), max(col("frame_idx")).cast("long").as("max_idx"))
+        .orderBy("media_id")
     }
   )
 
-  private val TokensSql = "string_split(trim(text), ' ')"
+  // Tokenize exactly like Spark-side Text.tokens: trim, then split on
+  // whitespace RUNS (string_split on ' ' would diverge on tabs/newlines/
+  // multi-space inputs even though the test corpus is single-spaced).
+  private val TokensSql = "regexp_split_to_array(trim(text), '\\s+')"
   private val StopFilterSql =
     s"list_filter($TokensSql, x -> x IN ('the', 'a', 'and', 'of', 'to'))"
 
@@ -96,7 +128,7 @@ object PipelineQueries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "q24_dedup_ngram_jaccard" ->
-      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
         |       FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -161,6 +193,33 @@ object PipelineQueries {
     "q36_subword_count" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS n_subwords
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q38_multimodal_features" -> {
+      val histAggs =
+        (0 until 16).map(b => f"count(*) FILTER (WHERE bin = $b) AS c$b%02d").mkString(", ")
+      val histCols =
+        (0 until 16).map(b => f"CAST(coalesce(h.c$b%02d, 0) AS BIGINT) AS b$b%02d").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id AS media_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |         ELSE 'video' END AS kind,
+         |    CAST(strlen(text) AS BIGINT) AS n_bytes, text
+         |  FROM documents),
+         |bytes AS (
+         |  SELECT media_id, ascii(substring(text, CAST(i AS INT), 1)) // 16 AS bin
+         |  FROM base, UNNEST(range(1, n_bytes + 1)) AS t(i)),
+         |hist AS (SELECT media_id, $histAggs FROM bytes GROUP BY media_id)
+         |SELECT b.media_id, b.kind, b.n_bytes, $histCols
+         |FROM base b LEFT JOIN hist h ON h.media_id = b.media_id
+         |ORDER BY b.media_id""".stripMargin
+    },
+    "q39_multimodal_frames" ->
+      """WITH v AS (SELECT doc_id AS media_id,
+        |             CAST(CEIL(strlen(text) / 64.0) AS BIGINT) AS nchunks
+        |           FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id,
+        |  CAST((nchunks - 1) // 4 + 1 AS BIGINT) AS n_frames,
+        |  CAST(((nchunks - 1) // 4) * 4 AS BIGINT) AS max_idx
+        |FROM v ORDER BY media_id""".stripMargin
   )
 }
