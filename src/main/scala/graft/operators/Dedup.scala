@@ -116,6 +116,110 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Exact-Jaccard rescore of a candidate pair set: `candidates` is
+    * (doc_a, doc_b); `sh` is the exploded (doc_id, n_sh, shingle) table.
+    * Shared verification tail of every candidate-generation strategy
+    * (shared-shingle, capped, MinHash-LSH) — candidates-only work, never
+    * all-pairs.
+    */
+  private def rescoreExactJaccard(
+      candidates: DataFrame,
+      sh: DataFrame,
+      threshold: Double
+  ): DataFrame = {
+    val commonCnt = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle")), "doc_a")
+      .join(
+        sh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+    commonCnt
+      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH banding with md5-derived hashes — the oracle-replicable
+    * variant of [[minhashLshPairs]]: slot `k`'s minhash is the
+    * lexicographic min of `md5(shingle || ':' || k)` (md5 being the one
+    * hash Spark and DuckDB share bit-for-bit), and a band's bucket is the
+    * md5 of its '|'-joined slots. Same scale shape as the xxhash64 path
+    * (row-wise signatures, banded equi-join candidates, exact rescore);
+    * md5 costs more per shingle, so the xxhash64 variant stays the
+    * performance path.
+    */
+  def minhashLshPairsMd5(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      bands: Int = 8,
+      rowsPerBand: Int = 2
+  ): DataFrame = {
+    import graft.functions.TextExpressions.word_shingles
+    val numHashes = bands * rowsPerBand
+    val base = docs
+      .select(col(idCol).as("doc_id"), word_shingles(col(textCol), n).as("shs"))
+      .where(size(col("shs")) > 0)
+      .cache()
+
+    // per-seed signature, computed row-wise (map-side only, no shuffle)
+    val mhCols = (0 until numHashes).map(k =>
+      array_min(transform(col("shs"), s => md5(concat(s, lit(":" + k))))).as(s"mh_$k"))
+    val sigs = base.select(col("doc_id") +: mhCols: _*)
+
+    val bandCols = (0 until bands).map { b =>
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh_$k"))
+      struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bucket"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val candidates = l
+      .join(
+        r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+
+    val sh = base.select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("shingle"))
+    rescoreExactJaccard(candidates, sh, threshold)
+  }
+
+  /** md5-derived 60-bit SimHash — the oracle-replicable variant of
+    * [[simhash]]: each distinct token hashes to the first 15 hex chars of
+    * its md5 (60 bits), per-bit ±1 tallies are a single grouped
+    * aggregation (map-side partial combine), sign → bit. 60 bits instead
+    * of 64 keeps the value in a signed BIGINT on both engines.
+    */
+  def simhashMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextExpressions.word_shingles
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(word_shingles(col(textCol), 1)).as("tok"))
+      .select(col("doc_id"), conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val aggs = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"c$b"))
+    val cnts = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sig = (0 until 60)
+      .map(b => when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    cnts.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash dup groups over the md5-derived signature ([[simhashMd5]]). */
+  def simhashMd5Groups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashMd5(docs, idCol, textCol)
+      .groupBy("simhash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+      .where(col("n_members") >= 2)
+      .orderBy("keep_id")
+
   /** MinHash signatures as one ARRAY<BIGINT> column, computed row-wise by
     * a custom expression — no explode, no `numHashes`-column aggregation
     * shuffle. (An exploded + min-agg variant exists but shuffles the full
@@ -182,17 +286,7 @@ object Dedup {
 
     // exact verification on the candidate set only
     val sh = base.select(col("doc_id"), col("n_sh"), explode(col("shs")).as("shingle"))
-    val commonCnt = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle")),
-        Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("common"))
-    val scored = commonCnt
-      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-    scored.orderBy("doc_a", "doc_b")
+    rescoreExactJaccard(candidates, sh, threshold)
   }
 
   /** 64-bit SimHash per document from token XXH64 hashes: per bit, sum of

@@ -85,6 +85,25 @@ object PipelineQueries {
         )
         .orderBy("doc_id")
     },
+    // Frequency-capped Jaccard: the 100 TB-safe variant of q24 — shingles
+    // seen in more than 5 docs are excluded from candidate generation
+    // (bounds the shared-shingle join fan-out at cap² per shingle); pairs
+    // are still scored with exact Jaccard over full shingle sets.
+    "q40_dedup_jaccard_capped" -> { (s, dir) =>
+      Dedup.ngramJaccardPairsCapped(
+        t(s, dir, "documents"), "doc_id", "text", 3, 0.8, maxDocsPerShingle = 5)
+    },
+    // MinHash+LSH with md5-derived hashes: the fully oracle-checked LSH
+    // pipeline (signatures, banding, candidate join, exact rescore all
+    // replicated in DuckDB SQL). q25 stays as the xxhash64 fast path.
+    "q41_dedup_minhash_md5" -> { (s, dir) =>
+      Dedup.minhashLshPairsMd5(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+    },
+    // md5-derived 60-bit SimHash dup groups — oracle-checked counterpart
+    // of q26's xxhash64 SimHash.
+    "q42_dedup_simhash_md5" -> { (s, dir) =>
+      Dedup.simhashMd5Groups(t(s, dir, "documents"), "doc_id", "text")
+    },
     // Multimodal feature extraction over BINARY payloads: the byte-histogram
     // decode stub is deterministic arithmetic, so the whole path — binary
     // column construction, partition-wise mapPartitions decode, feature
@@ -122,6 +141,29 @@ object PipelineQueries {
   private val TokensSql = "regexp_split_to_array(trim(text), '\\s+')"
   private val StopFilterSql =
     s"list_filter($TokensSql, x -> x IN ('the', 'a', 'and', 'of', 'to'))"
+
+  // Shared CTE fragments for the word-trigram dedup oracles (n = 3, the
+  // corpus setting): distinct shingles per doc + per-doc shingle counts.
+  private val ShinglesCte =
+    """tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  // Exact-Jaccard rescore tail over a `cand(doc_a, doc_b)` CTE.
+  private val RescoreSql =
+    """common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+      |           FROM cand c
+      |           JOIN sh a ON a.doc_id = c.doc_a
+      |           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |           GROUP BY c.doc_a, c.doc_b)
+      |SELECT m.doc_a, m.doc_b,
+      |  round(CAST(m.common AS DOUBLE) / (ca.n + cb.n - m.common), 6) AS jaccard
+      |FROM common m
+      |JOIN cnt ca ON ca.doc_id = m.doc_a
+      |JOIN cnt cb ON cb.doc_id = m.doc_b
+      |WHERE CAST(m.common AS DOUBLE) / (ca.n + cb.n - m.common) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q23_dedup_exact" ->
@@ -194,6 +236,45 @@ object PipelineQueries {
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q40_dedup_jaccard_capped" ->
+      s"""WITH $ShinglesCte,
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5),
+         |capped AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare r ON r.shingle = s.shingle),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM capped a JOIN capped b
+         |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |$RescoreSql""".stripMargin,
+    "q41_dedup_minhash_md5" ->
+      s"""WITH $ShinglesCte,
+         |mh AS (SELECT doc_id, CAST(t.k AS INT) AS k,
+         |              min(md5(shingle || ':' || CAST(t.k AS VARCHAR))) AS h
+         |       FROM sh, UNNEST(range(0, 16)) AS t(k) GROUP BY doc_id, t.k),
+         |bands AS (SELECT doc_id, k // 2 AS band,
+         |                 md5(string_agg(h, '|' ORDER BY k)) AS bucket
+         |          FROM mh GROUP BY doc_id, k // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |$RescoreSql""".stripMargin,
+    "q42_dedup_simhash_md5" ->
+      """WITH tokd AS (SELECT DISTINCT doc_id, tok FROM (
+        |        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents)),
+        |hv AS (SELECT doc_id, tok,
+        |         CAST(sum((CAST(strpos('0123456789abcdef',
+        |                               substring(md5(tok), CAST(p AS INT), 1)) - 1 AS BIGINT))
+        |                  << (CAST(4 * (15 - p) AS INT))) AS BIGINT) AS h
+        |       FROM tokd, UNNEST(range(1, 16)) AS t(p)
+        |       GROUP BY doc_id, tok),
+        |bits AS (SELECT doc_id, CAST(b AS INT) AS bb,
+        |           sum(((h >> CAST(b AS INT)) & 1) * 2 - 1) AS cnt
+        |         FROM hv, UNNEST(range(0, 60)) AS t(b) GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << bb)
+        |                        ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM bits GROUP BY doc_id)
+        |SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_members
+        |FROM sig GROUP BY simhash HAVING count(*) >= 2 ORDER BY keep_id""".stripMargin,
     "q38_multimodal_features" -> {
       val histAggs =
         (0 until 16).map(b => f"count(*) FILTER (WHERE bin = $b) AS c$b%02d").mkString(", ")
