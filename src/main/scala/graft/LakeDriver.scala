@@ -118,10 +118,7 @@ object LakeDriver {
     val metaPath = s"${config.root}/${config.metaSubdir}"
     val times =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(metaPath)))
-        Recon.ingestionTimeReport(
-          plans.MetaStore.read(spark, metaPath),
-          job => job.stripPrefix(config.jobPrefix)
-        )
+        Recon.ingestionTimeReport(plans.MetaStore.read(spark, metaPath), config.jobPrefix)
       else {
         import spark.implicits._
         Seq.empty[(String, Int)].toDF("TableName", "IngestionTime")

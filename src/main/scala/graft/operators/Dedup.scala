@@ -51,9 +51,10 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double
+      threshold: Double,
+      persistIntermediate: Boolean = true
   ): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    val sh = persisted(shingleTable(docs, idCol, textCol, n), persistIntermediate)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -85,9 +86,10 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxDocsPerShingle: Int = 100
+      maxDocsPerShingle: Int = 100,
+      persistIntermediate: Boolean = true
   ): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    val sh = persisted(shingleTable(docs, idCol, textCol, n), persistIntermediate)
     val rare = sh
       .groupBy("shingle")
       .agg(count(lit(1)).as("_df"))
@@ -115,6 +117,15 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Optional caching for intermediates reused across multiple join
+    * branches. `persist = false` lets long-lived sessions opt out —
+    * cached blocks otherwise accumulate in executor storage across
+    * repeated invocations (callers managing their own lifecycle can also
+    * `unpersist` the inputs themselves).
+    */
+  private def persisted(df: DataFrame, persist: Boolean): DataFrame =
+    if (persist) df.cache() else df
 
   /** Exact-Jaccard rescore of a candidate pair set: `candidates` is
     * (doc_a, doc_b); `sh` is the exploded (doc_id, n_sh, shingle) table.
@@ -157,14 +168,16 @@ object Dedup {
       n: Int,
       threshold: Double,
       bands: Int = 8,
-      rowsPerBand: Int = 2
+      rowsPerBand: Int = 2,
+      persistIntermediate: Boolean = true
   ): DataFrame = {
     import graft.functions.TextExpressions.word_shingles
     val numHashes = bands * rowsPerBand
-    val base = docs
-      .select(col(idCol).as("doc_id"), word_shingles(col(textCol), n).as("shs"))
-      .where(size(col("shs")) > 0)
-      .cache()
+    val base = persisted(
+      docs
+        .select(col(idCol).as("doc_id"), word_shingles(col(textCol), n).as("shs"))
+        .where(size(col("shs")) > 0),
+      persistIntermediate)
 
     // per-seed signature, computed row-wise (map-side only, no shuffle)
     val mhCols = (0 until numHashes).map(k =>
@@ -246,23 +259,25 @@ object Dedup {
       n: Int,
       threshold: Double,
       bands: Int = 8,
-      rowsPerBand: Int = 4
+      rowsPerBand: Int = 4,
+      persistIntermediate: Boolean = true
   ): DataFrame = {
     import graft.functions.TextExpressions.{minhash_signature, word_shingles}
     val numHashes = bands * rowsPerBand
 
     // one row per doc: shingle set + minhash signature, computed in a
     // single scan with no shuffle
-    val base = docs
-      .select(col(idCol).as("doc_id"), word_shingles(col(textCol), n).as("shs"))
-      .where(size(col("shs")) > 0)
-      .select(
-        col("doc_id"),
-        col("shs"),
-        size(col("shs")).as("n_sh"),
-        minhash_signature(col("shs"), numHashes).as("sig")
-      )
-      .cache()
+    val base = persisted(
+      docs
+        .select(col(idCol).as("doc_id"), word_shingles(col(textCol), n).as("shs"))
+        .where(size(col("shs")) > 0)
+        .select(
+          col("doc_id"),
+          col("shs"),
+          size(col("shs")).as("n_sh"),
+          minhash_signature(col("shs"), numHashes).as("sig")
+        ),
+      persistIntermediate)
 
     // band id + band hash, one row per (doc, band)
     val bandCols = (0 until bands).map { b =>

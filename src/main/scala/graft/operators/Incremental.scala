@@ -54,6 +54,11 @@ object Incremental {
     * source to one row per key first — max-struct pick, shuffle-free beyond
     * the one aggregation).
     *
+    * Matched rows take the source's values WHOLESALE — including explicit
+    * NULLs — via a matched-row flag, matching Delta's
+    * `whenMatchedUpdateAll` (a per-column coalesce would silently keep the
+    * target value wherever the source carries NULL).
+    *
     * Output column order/types follow `target`; columns only present on one
     * side are preserved (nulls on the other).
     */
@@ -63,12 +68,14 @@ object Incremental {
     require(srcCols.contains(pk) && tgtCols.contains(pk), s"merge key $pk missing")
 
     val t = target.alias("t")
-    val s = dedupByKey(source, pk).alias("s")
+    // non-nullable marker: NULL after the full-outer join ⇔ no source row
+    val s = dedupByKey(source, pk).withColumn("_matched", lit(true)).alias("s")
     val joined = t.join(s, col(s"t.$pk") === col(s"s.$pk"), "full_outer")
 
+    val takeSource = col("s._matched") // NULL → otherwise-branch (target row kept)
     val outCols = (target.columns ++ source.columns.filterNot(tgtCols)).map {
       case c if srcCols.contains(c) && tgtCols.contains(c) =>
-        coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+        when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
       case c if srcCols.contains(c) => col(s"s.$c").as(c)
       case c                        => col(s"t.$c").as(c)
     }
@@ -100,14 +107,35 @@ object Incremental {
       val merged = merge(spark.read.parquet(lakePath), source, pk)
       val staging = lakePath + "_staging"
       merged.write.mode("overwrite").parquet(staging)
-      val p = new org.apache.hadoop.fs.Path(lakePath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
-      fs.rename(new org.apache.hadoop.fs.Path(staging), p)
+      swapInStaging(spark, lakePath, staging)
     } else {
       appendIncrement(source, spark.read.parquet(lakePath), pk, lakePath)
     }
     spark.read.parquet(lakePath)
+  }
+
+  /** Swap a fully-written staging directory into the live table path via
+    * rename-aside: live → live`_old`, staging → live, delete `_old`. A
+    * plain delete-then-rename leaves NO copy of the table if the process
+    * dies between the two steps; here every crash point leaves either the
+    * old table in place (before step 2) or the new one live, and a
+    * leftover `_old`/`_staging` directory is always a complete table, so
+    * recovery is a rename. (A table format's transaction log would make
+    * the flip truly atomic; this is the best a plain filesystem offers.)
+    */
+  def swapInStaging(
+      spark: org.apache.spark.sql.SparkSession,
+      livePath: String,
+      stagingPath: String
+  ): Unit = {
+    val live = new org.apache.hadoop.fs.Path(livePath)
+    val staging = new org.apache.hadoop.fs.Path(stagingPath)
+    val old = new org.apache.hadoop.fs.Path(livePath + "_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(staging, live)
+    fs.delete(old, true)
   }
 
   /** One row per key, deterministically (greatest full-row struct wins). */

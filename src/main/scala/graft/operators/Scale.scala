@@ -39,10 +39,23 @@ object Scale {
       .format("parquet")
       .saveAsTable(tableName)
 
-  /** Salted join for skewed build keys: the skewed (large) side gets a
-    * random salt in [0, factor); the small side is exploded `factor`
+  /** Per-row salt in [0, factor): `monotonically_increasing_id` varies
+    * within every partition, so a hot key's rows fan out across all
+    * `factor` salts even when the input arrives pre-clustered on the key
+    * (a partition-id- or key-derived salt would collapse to one value per
+    * partition in that case and split nothing).
+    */
+  def saltColumn(factor: Int): Column =
+    pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int")
+
+  /** Salted join for skewed probe keys: the skewed (large) side gets a
+    * per-row salt in [0, factor); the small side is exploded `factor`
     * times so every salted key finds its match. Breaks a hot key's rows
     * across `factor` tasks instead of one straggler.
+    *
+    * Inner and left joins only: for right/full outer, every unmatched row
+    * of the exploded side would surface `factor` times (one null-padded
+    * row per salt replica).
     *
     * AQE's skew-join handles moderate skew automatically; explicit
     * salting is for the pathological keys AQE splits can't fix (e.g. one
@@ -57,7 +70,12 @@ object Scale {
       joinType: String = "inner"
   ): DataFrame = {
     require(factor > 0)
-    val salted = skewed.withColumn("_salt", pmod(spark_partition_id() + crc32(col(skewedKey).cast("string")), lit(factor)).cast("int"))
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(
+      Set("inner", "left", "leftouter").contains(jt),
+      s"saltedEquiJoin supports inner/left joins only (got '$joinType'): outer variants " +
+        "would emit one null-padded row per salt replica of the exploded side")
+    val salted = skewed.withColumn("_salt", saltColumn(factor))
     val exploded = other.withColumn("_salt", explode(array((0 until factor).map(lit): _*)))
     salted
       .join(exploded, salted(skewedKey) === exploded(otherKey) && salted("_salt") === exploded("_salt"), joinType)

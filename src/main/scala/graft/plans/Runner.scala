@@ -54,6 +54,17 @@ object Runner {
     JobRunRecord(name, args, status, start, end, durationSecs(start, end))
   }
 
+  /** Raised by [[runSerialOrRaise]] after downstream jobs are marked
+    * SUSPENDED — the reference raises once the cascade is recorded
+    * (`utils.py:389-392`); the records (including the SUSPENDED rows)
+    * ride on the exception so callers can still persist them.
+    */
+  final case class CascadeSuspendedException(
+      failedJob: String,
+      records: Seq[JobRunRecord]
+  ) extends RuntimeException(
+        s"serial run failed at job '$failedJob'; downstream jobs SUSPENDED")
+
   /** O4 — serial runner with cascade-suspend (`utils.py:357-392`): run in
     * order; on the first failure, all downstream jobs are recorded
     * SUSPENDED with zero duration and execution stops.
@@ -76,6 +87,25 @@ object Runner {
       }
     }
     out.result()
+  }
+
+  /** [[runSerial]] with the reference's raise-after-suspend contract
+    * (`utils.py:389-392`): records are appended via `record` first (so
+    * the SUSPENDED rows are durably logged, as the reference does before
+    * raising), then a typed exception signals the cascade.
+    */
+  def runSerialOrRaise(
+      spark: SparkSession,
+      jobs: Seq[(String, Job)],
+      args: String = "",
+      record: Seq[JobRunRecord] => Unit = _ => ()
+  ): Seq[JobRunRecord] = {
+    val recs = runSerial(spark, jobs, args)
+    record(recs)
+    recs.find(_.job_status == Failure_) match {
+      case Some(bad) => throw CascadeSuspendedException(bad.job_name, recs)
+      case None      => recs
+    }
   }
 
   /** O3 — parallel runner: all jobs of a batch run concurrently on a

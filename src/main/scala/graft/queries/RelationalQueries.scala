@@ -43,8 +43,7 @@ object RelationalQueries {
     t(s, dir, "customer").createOrReplaceTempView("v_customer")
     t(s, dir, "nation").createOrReplaceTempView("v_nation")
     val out = s.sql(
-      """SELECT ord.o_orderkey, ord.o_custkey, ord.o_orderstatus,
-        |       ord.o_totalprice, ord.o_orderpriority
+      """SELECT ord.*
         |FROM v_orders ord
         |JOIN v_customer c ON c.c_custkey = ord.o_custkey
         |JOIN v_nation n ON n.n_nationkey = c.c_nationkey
@@ -326,7 +325,7 @@ object RelationalQueries {
 
   val oracle: Map[String, String] = Map(
     "q01_flagship" ->
-      """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderpriority
+      """SELECT o.*
         |FROM orders o
         |JOIN customer c ON c.c_custkey = o.o_custkey
         |JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -451,9 +450,9 @@ object RelationalQueries {
         |s AS (SELECT event_id, user_id, event_type, round(value + 1, 2) AS value
         |      FROM events, m WHERE event_id >= m.lo)
         |SELECT coalesce(s.event_id, t.event_id) AS event_id,
-        |       coalesce(s.user_id, t.user_id) AS user_id,
-        |       coalesce(s.event_type, t.event_type) AS event_type,
-        |       coalesce(s.value, t.value) AS value
+        |       CASE WHEN s.event_id IS NOT NULL THEN s.user_id ELSE t.user_id END AS user_id,
+        |       CASE WHEN s.event_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type,
+        |       CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE t.value END AS value
         |FROM t FULL OUTER JOIN s ON t.event_id = s.event_id
         |ORDER BY event_id""".stripMargin,
     "q21_time_buckets" ->

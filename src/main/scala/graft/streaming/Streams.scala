@@ -65,10 +65,9 @@ object Streams {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(target) && fs.listStatus(target).nonEmpty) {
       val merged = Incremental.merge(spark.read.parquet(targetPath), batch, pk)
-      val staging = new Path(targetPath + s"_staging_$batchId")
-      merged.write.mode("overwrite").parquet(staging.toString)
-      fs.delete(target, true)
-      fs.rename(staging, target)
+      val staging = targetPath + s"_staging_$batchId"
+      merged.write.mode("overwrite").parquet(staging)
+      Incremental.swapInStaging(spark, targetPath, staging)
     } else {
       Incremental.dedupByKey(batch, pk).write.mode("overwrite").parquet(targetPath)
     }

@@ -81,6 +81,31 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
       Seq(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
   }
 
+  test("merge: explicit source NULL overwrites the target value (whenMatchedUpdateAll parity)") {
+    val target = Seq((1L, Some("t1")), (2L, Some("t2"))).toDF("id", "v")
+    val source = Seq((2L, None: Option[String])).toDF("id", "v")
+    val out = Incremental.merge(target, source, "id").orderBy("id").collect()
+    assert(out(0).getString(1) == "t1")
+    assert(out(1).isNullAt(1), "matched source row with NULL must null-out the target value")
+  }
+
+  test("swapInStaging: staging becomes live, no _old/_staging residue") {
+    val base = Files.createTempDirectory("swap").toString
+    val live = base + "/t"
+    val staging = live + "_staging"
+    df(1L -> "old").write.parquet(live)
+    df(2L -> "new").write.parquet(staging)
+    Incremental.swapInStaging(spark, live, staging)
+    assert(spark.read.parquet(live).as[(Long, String)].collect().toSeq == Seq(2L -> "new"))
+    assert(!Files.exists(java.nio.file.Paths.get(live + "_old")))
+    assert(!Files.exists(java.nio.file.Paths.get(staging)))
+    // also works when no live directory exists yet
+    val live2 = base + "/t2"
+    df(3L -> "x").write.parquet(live2 + "_staging")
+    Incremental.swapInStaging(spark, live2, live2 + "_staging")
+    assert(spark.read.parquet(live2).count() == 1)
+  }
+
   test("merge on disjoint keys equals union (append equivalence)") {
     val target = df(1L -> "a", 2L -> "b")
     val source = df(3L -> "c", 4L -> "d")

@@ -55,6 +55,27 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(salted == plain)
   }
 
+  test("salt fans a pre-clustered hot key across multiple salts") {
+    // one partition, every row the same key — a partition-id- or
+    // key-derived salt would collapse to a single value here
+    val hot = (1 to 1000).map(i => (42L, i)).toDF("k", "v").repartition(1)
+    val nSalts = hot.withColumn("_salt", Scale.saltColumn(8))
+      .select("_salt").distinct().count()
+    assert(nSalts > 1, s"hot key mapped to $nSalts salt(s); skew not split")
+  }
+
+  test("salted join rejects right/full outer join types") {
+    val a = Seq((1L, 1)).toDF("k", "v")
+    val b = Seq((1L, "x")).toDF("dk", "name")
+    intercept[IllegalArgumentException] {
+      Scale.saltedEquiJoin(a, b, "k", "dk", joinType = "full_outer")
+    }
+    // left join keeps unmatched skewed rows exactly once
+    val skewed = Seq((1L, 1), (9L, 2)).toDF("k", "v")
+    val out = Scale.saltedEquiJoin(skewed, b, "k", "dk", joinType = "left")
+    assert(out.count() == 2 && out.where(col("name").isNull).count() == 1)
+  }
+
   test("range-clustered write produces sorted, range-partitioned files") {
     val dir = Files.createTempDirectory("range").toString + "/t"
     Scale.writeRangeClustered(spark.read.parquet(s"$sf/orders.parquet"), dir, "o_orderkey", 4)

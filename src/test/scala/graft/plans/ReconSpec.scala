@@ -19,6 +19,19 @@ class ReconSpec extends AnyFunSuite with SparkSpec {
       && r.getAs[Long]("TableRowCounts") == 3)
   }
 
+  test("count report is one distributed job and keeps empty tables") {
+    val src = Seq(1, 2, 3).toDF("x")
+    val lake = Seq(1, 2).toDF("x")
+    val empty = Seq.empty[Int].toDF("x")
+    val rep = Recon
+      .countReport(spark, Map("t1" -> (src, lake), "t0" -> (empty, empty)))
+      .collect()
+      .map(r => (r.getAs[String]("TableName"), r.getAs[Long]("OnpremRowCounts"),
+        r.getAs[Long]("TableRowCounts")))
+    assert(rep.toSeq == Seq(("t0", 0L, 0L), ("t1", 3L, 2L)))
+    assert(Recon.countReport(spark, Map.empty).collect().isEmpty)
+  }
+
   test("size report sums file bytes under each table dir") {
     val dir = Files.createTempDirectory("recon")
     Files.writeString(dir.resolve("f1"), "12345")
@@ -35,7 +48,7 @@ class ReconSpec extends AnyFunSuite with SparkSpec {
       ("nis_t1", "", "FAILURE", ts(9000), ts(9500), 99),
       ("nis_t2", "", "FAILURE", ts(1000), ts(2000), 5)
     ).toDF("job_name", "job_args", "job_status", "job_start_time", "job_end_time", "job_duration")
-    val times = Recon.ingestionTimeReport(meta, _.stripPrefix("nis_"))
+    val times = Recon.ingestionTimeReport(meta, "nis_")
     val rows = times.collect().map(r => r.getAs[String]("TableName") -> r.getAs[Int]("IngestionTime"))
     assert(rows.toSeq == Seq("t1" -> 40)) // only SUCCESS rows contribute
 

@@ -21,6 +21,20 @@ class RunnerSpec extends AnyFunSuite with SparkSpec {
     assert(recs.filter(_.job_status == "SUSPENDED").forall(_.job_duration == 0))
   }
 
+  test("runSerialOrRaise records SUSPENDED rows first, then raises typed (utils.py:389-392)") {
+    var recorded: Seq[Runner.JobRunRecord] = Nil
+    val ex = intercept[Runner.CascadeSuspendedException] {
+      Runner.runSerialOrRaise(spark, Seq("a" -> ok, "b" -> boom, "c" -> ok),
+        record = recs => recorded = recs)
+    }
+    assert(ex.failedJob == "b")
+    assert(recorded.map(_.job_status) == Seq("SUCCESS", "FAILURE", "SUSPENDED"))
+    assert(ex.records == recorded)
+    // clean run returns records without raising
+    val clean = Runner.runSerialOrRaise(spark, Seq("a" -> ok, "b" -> ok))
+    assert(clean.map(_.job_status) == Seq("SUCCESS", "SUCCESS"))
+  }
+
   test("failure at action time (not plan time) is still FAILURE") {
     val recs = Runner.runSerial(spark, Seq("a" -> okLazyFail, "b" -> ok))
     assert(recs.map(_.job_status) == Seq("FAILURE", "SUSPENDED"))
