@@ -28,7 +28,8 @@ object LakeDriver {
       dependencyCsv: Option[String] = None,
       jobPrefix: String = "",
       maxBatchSize: Int = 25, // driver_ingestions.py:28
-      metaSubdir: String = "operational_metadata"
+      metaSubdir: String = "operational_metadata",
+      database: Option[String] = None // catalog database to bootstrap (infra_utils.py:41-53)
   )
 
   final case class RunResult(
@@ -45,7 +46,8 @@ object LakeDriver {
       tablePath: String,
       root: String,
       filterSql: Option[String] = None,
-      viewName: Option[String] = None
+      viewName: Option[String] = None,
+      database: Option[String] = None
   ): Job = { spark =>
     val df = read(spark)
     val filtered = filterSql match {
@@ -57,13 +59,15 @@ object LakeDriver {
         out
       case None => df
     }
-    Lake.writeToDatalake(spark, filtered, root, tablePath)
+    Lake.writeToDatalake(spark, filtered, root, tablePath, database)
     spark.read.parquet(Lake.lakePath(root, tablePath))
   }
 
   def run(spark: SparkSession, config: Config, registry: Map[String, Job]): RunResult = {
-    // 1. infra bootstrap: the "bucket"
+    // 1. infra bootstrap: the "bucket" + the catalog database the
+    //    reference's infra step creates (O9, infra_utils.py:41-53)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"${config.root}/datalake"))
+    config.database.foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`"))
 
     // 3. DAG layers (single layer 0 with every job when no CSV given)
     val layers: Map[Int, Seq[String]] = config.dependencyCsv match {

@@ -154,18 +154,23 @@ object Lake {
   // ------------------------------------------------------------------- sinks
 
   /** K1 — parquet overwrite write + catalog sync (`utils.py:200-209`).
-    * Overwrite keeps jobs idempotent/re-runnable; the post-write crawler
-    * collapses to a session-catalog temp-view registration locally.
+    * Overwrite keeps jobs idempotent/re-runnable. The post-write crawler
+    * registers a session temp view by default; pass `database` to also
+    * register a durable external-catalog table ([[syncCatalogTable]]),
+    * matching the crawler's "queryable by name after the job dies"
+    * semantics.
     */
   def writeToDatalake(
       spark: SparkSession,
       df: DataFrame,
       root: String,
-      tablePath: String
+      tablePath: String,
+      database: Option[String] = None
   ): String = {
     val path = lakePath(root, tablePath)
     df.write.mode("overwrite").parquet(path)
     syncCatalog(spark, path)
+    database.foreach(db => syncCatalogTable(spark, path, db))
     path
   }
 
@@ -181,6 +186,27 @@ object Lake {
     spark.catalog.refreshByPath(path)
     val name = tableNameFromPath(path)
     spark.read.parquet(path).createOrReplaceTempView(name)
+  }
+
+  /** O8, durable variant — register the parquet directory as an EXTERNAL
+    * table in the catalog, the crawler's real semantics
+    * (`utils.py:319-328`: the Glue entry outlives the job). Unlike
+    * [[syncCatalog]]'s session-scoped temp view, this entry lives in the
+    * application's shared external catalog: visible to every session
+    * (`spark.newSession`) and, backed by a persistent metastore
+    * (Hive/Glue), to future applications. Returns the qualified name.
+    */
+  def syncCatalogTable(
+      spark: SparkSession,
+      path: String,
+      database: String = "default"
+  ): String = {
+    val name = tableNameFromPath(path)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    val fq = s"`$database`.`$name`"
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $fq USING parquet LOCATION '$path'")
+    spark.catalog.refreshTable(fq)
+    fq
   }
 
   /** K6 — CSV-to-lake ingestion pipeline (`utils.py:194-197`):

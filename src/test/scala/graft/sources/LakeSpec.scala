@@ -41,6 +41,24 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SELECT count(*) FROM mytable").head().getLong(0) == 2)
   }
 
+  test("catalog-table sync is visible beyond the session (crawler parity, O8)") {
+    import spark.implicits._
+    val root = tmp()
+    val dir = s"$root/cat_tbl"
+    Seq(1, 2, 3).toDF("x").write.parquet(dir)
+    spark.sql("DROP TABLE IF EXISTS `graft_cat`.`cat_tbl`")
+    val fq = Lake.syncCatalogTable(spark, dir, "graft_cat")
+    assert(fq == "`graft_cat`.`cat_tbl`")
+    // external-catalog entry: a NEW session sees it (a temp view would not)
+    val other = spark.newSession()
+    assert(other.table(fq).count() == 3)
+    assert(!other.catalog.tableExists("cat_tbl")) // the temp view stayed session-local
+    // re-sync after a data change refreshes, not errors
+    Seq(4, 5).toDF("x").write.mode("overwrite").parquet(dir)
+    Lake.syncCatalogTable(spark, dir, "graft_cat")
+    assert(spark.table(fq).count() == 2)
+  }
+
   test("parquet lake scan with SQL filtration over temp view (S3)") {
     val root = tmp()
     import spark.implicits._
