@@ -90,6 +90,69 @@ object TextOps {
     sig
   }
 
+  /** md5-hex of `prefix || ':' || seed` — the oracle-shared hash recipe
+    * (md5 is the one hash Spark and DuckDB agree on bit-for-bit).
+    */
+  private def md5HexSeeded(s: UTF8String, seed: Int): String = {
+    val base = s.getBytes
+    val tail = (":" + seed).getBytes("UTF-8")
+    val buf = new Array[Byte](base.length + tail.length)
+    System.arraycopy(base, 0, buf, 0, base.length)
+    System.arraycopy(tail, 0, buf, base.length, tail.length)
+    org.apache.commons.codec.digest.DigestUtils.md5Hex(buf)
+  }
+
+  /** md5-based MinHash signature: element k is the lexicographic min over
+    * shingles of `md5(shingle || ':' || k)` — identical to the SQL
+    * `array_min(transform(shs, s -> md5(concat(s, ':k'))))` but one pass,
+    * no interpreted lambdas, no intermediate arrays. Empty input → empty
+    * strings.
+    */
+  def minhashMd5Signature(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val sig = new Array[String](numHashes)
+    val m = shingles.numElements()
+    var i = 0
+    while (i < m) {
+      val s = shingles.getUTF8String(i)
+      var k = 0
+      while (k < numHashes) {
+        val h = md5HexSeeded(s, k)
+        if (sig(k) == null || h.compareTo(sig(k)) < 0) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig.map(h => UTF8String.fromString(if (h == null) "" else h): Any))
+  }
+
+  /** md5-based 60-bit SimHash over a token array: each token's hash is the
+    * first 15 hex chars of its md5 (60 bits, fits a signed long on every
+    * engine); per bit, ±1 tally, sign → bit. Row-wise — replaces an
+    * explode + 60-column aggregation (and its shuffle) with one pass.
+    */
+  def simhashMd5_60(toks: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val m = toks.numElements()
+    var i = 0
+    while (i < m) {
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(toks.getUTF8String(i).getBytes)
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   private def tokenize(s: String): Array[String] = {
     val out = mutable.ArrayBuffer[String]()
     var i = 0
@@ -134,6 +197,26 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** md5-based MinHash signature of a shingle array, ARRAY<STRING> (hex). */
+case class MinHashMd5SigExpr(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(shs: Any): Any =
+    TextOps.minhashMd5Signature(shs.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.minhashMd5Signature($s, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** md5-based 60-bit SimHash of a token array, BIGINT. */
+case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(toks: Any): Any =
+    TextOps.simhashMd5_60(toks.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.simhashMd5_60($s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), n))
@@ -141,4 +224,8 @@ object TextExpressions {
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
+  def minhash_md5_signature(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashMd5SigExpr(ColumnBridge.expression(shingles), numHashes))
+  def simhash_md5_60(tokens: Column): Column =
+    ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(tokens)))
 }

@@ -179,13 +179,16 @@ object Dedup {
         .where(size(col("shs")) > 0),
       persistIntermediate)
 
-    // per-seed signature, computed row-wise (map-side only, no shuffle)
-    val mhCols = (0 until numHashes).map(k =>
-      array_min(transform(col("shs"), s => md5(concat(s, lit(":" + k))))).as(s"mh_$k"))
-    val sigs = base.select(col("doc_id") +: mhCols: _*)
+    // per-seed signature, computed row-wise by a single codegen'd
+    // expression (map-side only, no shuffle; the transform/array_min SQL
+    // equivalent evaluates numHashes interpreted lambdas per row)
+    val sigs = base.select(
+      col("doc_id"),
+      graft.functions.TextExpressions.minhash_md5_signature(col("shs"), numHashes).as("sig"))
 
     val bandCols = (0 until bands).map { b =>
-      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh_$k"))
+      val slots =
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => element_at(col("sig"), k + 1))
       struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bucket"))
     }
     val banded = sigs
@@ -212,17 +215,10 @@ object Dedup {
     * of 64 keeps the value in a signed BIGINT on both engines.
     */
   def simhashMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import graft.functions.TextExpressions.word_shingles
-    val toks = docs
-      .select(col(idCol).as("doc_id"), explode(word_shingles(col(textCol), 1)).as("tok"))
-      .select(col("doc_id"), conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
-    val aggs = (0 until 60).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"c$b"))
-    val cnts = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val sig = (0 until 60)
-      .map(b => when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    cnts.select(col("doc_id"), sig.as("simhash"))
+    import graft.functions.TextExpressions.{simhash_md5_60, word_shingles}
+    // row-wise signature: no explode, no 60-column aggregation shuffle —
+    // the whole computation happens inside the scan
+    docs.select(col(idCol).as("doc_id"), simhash_md5_60(word_shingles(col(textCol), 1)).as("simhash"))
   }
 
   /** SimHash dup groups over the md5-derived signature ([[simhashMd5]]). */
