@@ -1,9 +1,9 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Incremental
@@ -71,6 +71,86 @@ object Streams {
     } else {
       Incremental.dedupByKey(batch, pk).write.mode("overwrite").parquet(targetPath)
     }
+  }
+
+  /** Streaming input row for [[sessionizeStream]]. */
+  final case class SessionEvent(user_id: Long, sec: Long, value: Double)
+
+  /** Open-session state carried between micro-batches, one per key. */
+  final case class SessionState(startSec: Long, lastSec: Long, nEvents: Long, valueSum: Double)
+
+  /** A closed session (same shape as the batch `Sessions.byGap` output). */
+  final case class SessionOut(
+      user_id: Long,
+      session_start_sec: Long,
+      n_events: Long,
+      duration_sec: Long,
+      value_sum: Double
+  )
+
+  /** Gap-based sessionization with CUSTOM state —
+    * `flatMapGroupsWithState` keeps one open session per user across
+    * micro-batches and emits a session row as soon as a later event
+    * proves the gap elapsed, or when the event-time timeout fires (state
+    * expires `gapSec` past the watermark). This is the streaming
+    * counterpart of the batch `operators.Sessions.byGap` (q35): identical
+    * session boundaries, but incremental, with state bounded by the
+    * number of concurrently-open sessions — the 100 TB stream shape.
+    */
+  def sessionizeStream(
+      events: Dataset[SessionEvent],
+      gapSec: Long
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def close(uid: Long, s: SessionState): SessionOut =
+      SessionOut(uid, s.startSec, s.nEvents, s.lastSec - s.startSec, s.valueSum)
+
+    def fold(
+        uid: Long,
+        rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+        state: GroupState[SessionState]
+    ): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(uid, _)).iterator
+        state.remove()
+        return out
+      }
+      val closed = Seq.newBuilder[SessionOut]
+      var cur = state.getOption
+      rows.map(t => SessionEvent(t._1, t._2, t._3)).toSeq.sortBy(e => (e.sec, e.value)).foreach {
+        e =>
+          cur match {
+            case Some(s) if e.sec - s.lastSec <= gapSec =>
+              cur = Some(SessionState(s.startSec, e.sec, s.nEvents + 1, s.valueSum + e.value))
+            case Some(s) =>
+              closed += close(uid, s)
+              cur = Some(SessionState(e.sec, e.sec, 1, e.value))
+            case None =>
+              cur = Some(SessionState(e.sec, e.sec, 1, e.value))
+          }
+      }
+      cur match {
+        case Some(s) =>
+          state.update(s)
+          // expire once no in-gap event can still arrive (event-time
+          // clock); clamped above the current watermark — a session that
+          // is already expired by this batch's watermark fires next batch
+          state.setTimeoutTimestamp(
+            math.max((s.lastSec + gapSec) * 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+        case None => state.remove()
+      }
+      closed.result().iterator
+    }
+
+    // the watermarked event_ts column must survive up to the stateful
+    // operator (a map that drops it would disable event-time timeouts)
+    events
+      .withColumn("event_ts", timestamp_seconds(col("sec")))
+      .withWatermark("event_ts", "0 seconds")
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
   /** Watermarked windowed aggregate over an event-time column — bounded

@@ -32,6 +32,39 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(Set("b", "b2").contains(out.find(_._1 == 2L).get._2))
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) matches the batch operator") {
+    val base = Files.createTempDirectory("stream3").toString
+    val in = s"$base/in"
+    // two real sessions per user (gap 3600 s), replayed one file per batch;
+    // a far-future sentinel event advances the watermark so the second
+    // session's event-time timeout fires before the stream drains
+    // (secs start at 100: an event AT the initial watermark (epoch 0)
+    // would be dropped as late)
+    Seq((1L, 100L, 1.0), (1L, 110L, 2.0), (2L, 105L, 5.0))
+      .toDF("user_id", "sec", "value").coalesce(1).write.mode("append").parquet(in)
+    Seq((1L, 5100L, 1.0), (1L, 5110L, 3.0), (2L, 6100L, 7.0))
+      .toDF("user_id", "sec", "value").coalesce(1).write.mode("append").parquet(in)
+    Seq((1L, 10000000L, 0.0), (2L, 10000000L, 0.0))
+      .toDF("user_id", "sec", "value").coalesce(1).write.mode("append").parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    val sessions = Streams.sessionizeStream(
+      Streams.fileStream(spark, in, schema).as[(Long, Long, Double)]
+        .map { case (u, s, v) => Streams.SessionEvent(u, s, v) },
+      gapSec = 3600L)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql("SELECT user_id, n_events, duration_sec, value_sum FROM sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // batch ground truth over the four real sessions (sentinels excluded:
+    // their sessions are still open when the stream drains)
+    val batch = Set((1L, 2L, 10L, 3.0), (1L, 2L, 10L, 4.0), (2L, 1L, 0L, 5.0), (2L, 1L, 0L, 7.0))
+    assert(streamed == batch)
+  }
+
   test("watermarked windowed aggregate over a replayed stream") {
     val base = Files.createTempDirectory("stream2").toString
     val in = s"$base/in"
