@@ -90,39 +90,69 @@ object TextOps {
     sig
   }
 
-  /** md5-hex of `prefix || ':' || seed` — the oracle-shared hash recipe
-    * (md5 is the one hash Spark and DuckDB agree on bit-for-bit).
+  // One digest per thread: MessageDigest.getInstance does a provider
+  // lookup per call, which dominates when hashing millions of short
+  // shingles (DigestUtils.md5Hex pays it every time).
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def toHex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexDigits((d(i) & 0xff) >> 4)
+      out(2 * i + 1) = HexDigits(d(i) & 0x0f)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** unsigned lexicographic byte compare — same order as comparing the
+    * hex encodings as strings
     */
-  private def md5HexSeeded(s: UTF8String, seed: Int): String = {
-    val base = s.getBytes
-    val tail = (":" + seed).getBytes("UTF-8")
-    val buf = new Array[Byte](base.length + tail.length)
-    System.arraycopy(base, 0, buf, 0, base.length)
-    System.arraycopy(tail, 0, buf, base.length, tail.length)
-    org.apache.commons.codec.digest.DigestUtils.md5Hex(buf)
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
   }
 
   /** md5-based MinHash signature: element k is the lexicographic min over
-    * shingles of `md5(shingle || ':' || k)` — identical to the SQL
+    * shingles of `md5(shingle || ':' || k)` (hex) — identical to the SQL
     * `array_min(transform(shs, s -> md5(concat(s, ':k'))))` but one pass,
-    * no interpreted lambdas, no intermediate arrays. Empty input → empty
-    * strings.
+    * no interpreted lambdas, raw-digest comparisons, and hex encoding
+    * only of the winning slots. Empty input → empty strings.
     */
   def minhashMd5Signature(shingles: ArrayData, numHashes: Int): ArrayData = {
-    val sig = new Array[String](numHashes)
+    val sig = new Array[Array[Byte]](numHashes)
+    val seedTails = new Array[Array[Byte]](numHashes)
+    var k = 0
+    while (k < numHashes) { seedTails(k) = (":" + k).getBytes("UTF-8"); k += 1 }
+    val md = md5Local.get()
     val m = shingles.numElements()
     var i = 0
     while (i < m) {
-      val s = shingles.getUTF8String(i)
-      var k = 0
+      val s = shingles.getUTF8String(i).getBytes
+      k = 0
       while (k < numHashes) {
-        val h = md5HexSeeded(s, k)
-        if (sig(k) == null || h.compareTo(sig(k)) < 0) sig(k) = h
+        md.reset()
+        md.update(s)
+        md.update(seedTails(k))
+        val h = md.digest()
+        if (sig(k) == null || unsignedLess(h, sig(k))) sig(k) = h
         k += 1
       }
       i += 1
     }
-    new GenericArrayData(sig.map(h => UTF8String.fromString(if (h == null) "" else h): Any))
+    new GenericArrayData(sig.map(h =>
+      UTF8String.fromString(if (h == null) "" else toHex(h)): Any))
   }
 
   /** md5-based 60-bit SimHash over a token array: each token's hash is the
@@ -132,11 +162,18 @@ object TextOps {
     */
   def simhashMd5_60(toks: ArrayData): Long = {
     val counts = new Array[Int](60)
+    val md = md5Local.get()
     val m = toks.numElements()
     var i = 0
     while (i < m) {
-      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(toks.getUTF8String(i).getBytes)
-      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      md.reset()
+      md.update(toks.getUTF8String(i).getBytes)
+      val d = md.digest()
+      // first 15 hex chars = high 60 bits of the first 8 digest bytes
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      h = h >>> 4 // drop the 16th hex char's low nibble
       var b = 0
       while (b < 60) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

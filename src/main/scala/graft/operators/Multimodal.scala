@@ -25,7 +25,7 @@ object Multimodal {
       duration_ms: Long
   )
 
-  final case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long, features: Array[Float])
 
   final case class FrameSample(media_id: Long, frame_idx: Int, frame_hash: Long)
 
@@ -47,11 +47,13 @@ object Multimodal {
 
   /** Distributed feature extraction: partition-wise map over the typed
     * Dataset — no driver collection, no shuffle; scales with input
-    * partitions.
+    * partitions. Carries the payload size out so downstream consumers
+    * don't have to join back to the (heavy) media table for it.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(m => MediaFeatures(m.media_id, m.kind, fakeDecodeFeatures(m.payload))))
+    media.mapPartitions(_.map(m =>
+      MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, fakeDecodeFeatures(m.payload))))
   }
 
   /** STUB frame sampling for "video" payloads: every `stride`-th

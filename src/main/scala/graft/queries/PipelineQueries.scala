@@ -111,13 +111,12 @@ object PipelineQueries {
     // recovered from the L1-normalized features (hist = feature × n_bytes).
     "q38_multimodal_features" -> { (s, dir) =>
       val media = Multimodal.fromDocuments(s, t(s, dir, "documents"))
-      val feats = Multimodal.extractFeatures(media).toDF()
-      val meta = media.toDF().select(col("media_id"), col("duration_ms").as("n_bytes"))
       val bins = (0 until 16).map(i =>
         round(element_at(col("features"), i + 1) * greatest(col("n_bytes"), lit(1L)))
           .cast("long").as(f"b$i%02d"))
-      feats
-        .join(meta, "media_id")
+      Multimodal
+        .extractFeatures(media)
+        .toDF()
         .select(Seq(col("media_id"), col("kind"), col("n_bytes")) ++ bins: _*)
         .orderBy("media_id")
     },
