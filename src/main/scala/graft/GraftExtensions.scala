@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductExpr, MinHashSigExpr, Norm2Expr, ShinglesExpr}
+import graft.functions.{DotProductExpr, MinHashMd5SigExpr, MinHashSigExpr, Norm2Expr, ShinglesExpr, SimHash64Expr, SimHashMd5Expr}
 
 /** SparkSessionExtensions registering graft's custom Catalyst expressions
   * as SQL functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works the
@@ -44,7 +44,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => ShinglesExpr(args(0), intArg(args(1), "n"))),
     ("minhash_signature",
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_signature"),
-      (args: Seq[Expression]) => MinHashSigExpr(args(0), intArg(args(1), "numHashes")))
+      (args: Seq[Expression]) => MinHashSigExpr(args(0), intArg(args(1), "numHashes"))),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64Expr(args(0))),
+    ("minhash_md5_signature",
+      new ExpressionInfo(classOf[MinHashMd5SigExpr].getName, "minhash_md5_signature"),
+      (args: Seq[Expression]) => MinHashMd5SigExpr(args(0), intArg(args(1), "numHashes"))),
+    ("simhash_md5_60",
+      new ExpressionInfo(classOf[SimHashMd5Expr].getName, "simhash_md5_60"),
+      (args: Seq[Expression]) => SimHashMd5Expr(args(0)))
   )
 
   /** Register on an already-built session (tests, REPL). */

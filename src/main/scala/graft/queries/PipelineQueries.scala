@@ -104,6 +104,52 @@ object PipelineQueries {
     "q42_dedup_simhash_md5" -> { (s, dir) =>
       Dedup.simhashMd5Groups(t(s, dir, "documents"), "doc_id", "text")
     },
+    // Array scalar functions (§2.7): size / element_at (both ends) /
+    // contains / slice / distinct-intersect / sort — all codegen'd column
+    // expressions over the token array, no explode, no shuffle.
+    "q43_array_funcs" -> { (s, dir) =>
+      val tok = Text.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(tok).cast("long").as("n"),
+          element_at(tok, 1).as("first_tok"),
+          element_at(tok, -1).as("last_tok"),
+          array_contains(tok, "the").as("has_the"),
+          concat_ws("-", slice(tok, 1, 3)).as("first3"),
+          size(array_intersect(tok, array(lit("the"), lit("a"), lit("of"))))
+            .cast("long").as("n_stop_kinds"),
+          element_at(array_sort(tok), 1).as("min_tok")
+        )
+        .orderBy("doc_id")
+    },
+    // Map scalar functions (§2.7): construct / element_at / map_keys /
+    // size over a per-doc stats map.
+    "q45_map_funcs" -> { (s, dir) =>
+      val tok = Text.tokens(col("text"))
+      val m = map(
+        lit("n"), size(tok).cast("long"),
+        lit("nd"), size(array_distinct(tok)).cast("long"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          element_at(m, "n").as("m_n"),
+          element_at(m, "nd").as("m_nd"),
+          size(m).cast("long").as("m_size"),
+          concat_ws(",", map_keys(m)).as("m_keys")
+        )
+        .orderBy("doc_id")
+    },
+    // Generator / UDTF surface (§2.9): posexplode over the token array,
+    // re-aggregated into a top-50 token frequency table.
+    "q44_posexplode_topk" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"), min("pos").as("min_pos"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(50)
+    },
     // Multimodal feature extraction over BINARY payloads: the byte-histogram
     // decode stub is deterministic arithmetic, so the whole path — binary
     // column construction, partition-wise mapPartitions decode, feature
@@ -274,6 +320,31 @@ object PipelineQueries {
         |        FROM bits GROUP BY doc_id)
         |SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_members
         |FROM sig GROUP BY simhash HAVING count(*) >= 2 ORDER BY keep_id""".stripMargin,
+    "q43_array_funcs" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n, w[1] AS first_tok, w[-1] AS last_tok,
+        |  list_contains(w, 'the') AS has_the,
+        |  array_to_string(w[1:3], '-') AS first3,
+        |  CAST(len(list_filter(list_distinct(w), x -> x IN ('the', 'a', 'of'))) AS BIGINT)
+        |    AS n_stop_kinds,
+        |  list_sort(w)[1] AS min_tok
+        |FROM tok ORDER BY doc_id""".stripMargin,
+    "q45_map_funcs" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |        map(['n', 'nd'],
+        |            [CAST(len(w) AS BIGINT), CAST(len(list_distinct(w)) AS BIGINT)]) AS mm
+        |      FROM tok)
+        |SELECT doc_id, mm['n'][1] AS m_n, mm['nd'][1] AS m_nd,
+        |  CAST(cardinality(mm) AS BIGINT) AS m_size,
+        |  array_to_string(map_keys(mm), ',') AS m_keys
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q44_posexplode_topk" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |x AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[CAST(i AS INT)] AS tok
+        |      FROM tok, UNNEST(range(1, len(w) + 1)) AS t(i))
+        |SELECT tok, count(*) AS n, min(doc_id) AS keep_id, min(pos) AS min_pos
+        |FROM x GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
     "q38_multimodal_features" -> {
       val histAggs =
         (0 until 16).map(b => f"count(*) FILTER (WHERE bin = $b) AS c$b%02d").mkString(", ")

@@ -12,12 +12,17 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         |          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
         |  vec_norm2(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n2,
         |  word_shingles('a b c d', 3) AS sh,
-        |  size(minhash_signature(word_shingles('a b c d', 3), 16)) AS sig_len
+        |  size(minhash_signature(word_shingles('a b c d', 3), 16)) AS sig_len,
+        |  simhash64(word_shingles('a b c', 1)) AS sh64,
+        |  minhash_md5_signature(word_shingles('a b c d', 3), 4)[0] AS mh_md5,
+        |  simhash_md5_60(word_shingles('a b c', 1)) AS sh_md5
         |""".stripMargin).head()
     assert(row.getAs[Double]("d") == 11.0)
     assert(row.getAs[Double]("n2") == 25.0)
     assert(row.getSeq[String](2).toList == List("a b c", "b c d"))
     assert(row.getAs[Int]("sig_len") == 16)
+    assert(row.getAs[String]("mh_md5").length == 32)
+    assert(row.getAs[Long]("sh_md5") >= 0L && row.getAs[Long]("sh_md5") < (1L << 60))
   }
 
   test("delta reader falls back to parquet when no delta jar is present") {

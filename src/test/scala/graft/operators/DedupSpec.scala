@@ -75,6 +75,43 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(same.length == 1 && same.head.getLong(2) == 0L)
   }
 
+  test("native md5 minhash signature equals the SQL transform/array_min composition") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextExpressions.{minhash_md5_signature, word_shingles}
+    val n = 8
+    val sample = docs.limit(50)
+    val viaExpr = sample
+      .select(col("doc_id"), minhash_md5_signature(word_shingles(col("text"), 3), n).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    val slots = (0 until n).map(k =>
+      array_min(transform(word_shingles(col("text"), 3), s => md5(concat(s, lit(":" + k))))))
+    val viaSql = sample
+      .select(col("doc_id"), array(slots: _*).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaExpr == viaSql)
+  }
+
+  test("native md5 simhash equals an independent reimplementation") {
+    import org.apache.spark.sql.functions.col
+    val sample = docs.limit(20)
+    val got = Dedup.simhashMd5(sample, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val texts = sample.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").distinct
+      val counts = new Array[Int](60)
+      toks.foreach { t =>
+        md.reset()
+        val hex = md.digest(t.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        (0 until 60).foreach(b => if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1)
+      }
+      val want = (0 until 60).map(b => if (counts(b) > 0) 1L << b else 0L).sum
+      assert(got(id) == want, s"doc $id")
+    }
+  }
+
   test("shingles: correct count and content") {
     val sh = Dedup.shingleTable(Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 3)
       .select("shingle").as[String].collect().sorted
