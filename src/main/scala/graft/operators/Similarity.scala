@@ -52,6 +52,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-vector scalar quantization to integer codes in [0, levels-1]
+    * (int8-style at levels=256): `code = round((x - min) / scale)` with
+    * `scale = (max - min) / (levels - 1)`. The classic memory-reduction
+    * step before ANN — codes are 4× smaller than float32 and reconstruct
+    * within scale/2 per dimension. Constant vectors map to code 0. Pure
+    * double-precision column expressions, so the DuckDB oracle replicates
+    * it bit-for-bit (a hot-path variant would be a custom Expression like
+    * DotProductExpr).
+    */
+  def quantizeCodes(vec: Column, levels: Int = 256): Column = {
+    val d = transform(vec, x => x.cast("double"))
+    val mn = array_min(d)
+    val mx = array_max(d)
+    val scale = (mx - mn) / lit((levels - 1).toDouble)
+    when(mx === mn, transform(d, _ => lit(0L)))
+      .otherwise(transform(d, x => round((x - mn) / scale).cast("long")))
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of the dot products with
     * `planes`. One custom expression carrying the plane matrix as a
     * codegen reference object — not a per-coefficient literal tree. With

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Pack, Similarity}
 
 /** LLM-data-pipeline operator corpus (SURVEY.md §7 step 8, BASELINE.json
   * north star): dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
@@ -149,6 +149,42 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"), min("pos").as("min_pos"))
         .orderBy(col("n").desc, col("tok"))
         .limit(50)
+    },
+    // Scalar (int8-style) embedding quantization: per-vector min/max
+    // codes, summarized with integer aggregates — deterministic double
+    // arithmetic, fully oracle-checked.
+    "q46_quantize_embeddings" -> { (s, dir) =>
+      val codes = Similarity.quantizeCodes(col("embedding"))
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          aggregate(codes, lit(0L), (acc, x) => acc + x).as("code_sum"),
+          array_min(codes).as("code_min"),
+          array_max(codes).as("code_max")
+        )
+        .orderBy("vec_id")
+    },
+    // Token-budget sequence packing (greedy running-sum bins): the batch
+    // assembly step of a pretraining pipeline. Single global window at
+    // corpus-query size; Pack.byTokenBudget takes a shard column at scale.
+    "q47_token_packing" -> { (s, dir) =>
+      val assigned = Pack.byTokenBudget(
+        t(s, dir, "documents").select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", 2000L)
+      assigned
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_sum"))
+        .orderBy("bin")
+    },
+    // Deterministic md5-bucket train/val/test split — reproducible across
+    // engines/runs with no RNG state; scan-only.
+    "q48_hash_split" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(Pack.hashSplit(col("text")).as("split"), col("n_chars"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_sum"))
+        .orderBy("split")
     },
     // Multimodal feature extraction over BINARY payloads: the byte-histogram
     // decode stub is deterministic arithmetic, so the whole path — binary
@@ -329,6 +365,42 @@ object PipelineQueries {
         |    AS n_stop_kinds,
         |  list_sort(w)[1] AS min_tok
         |FROM tok ORDER BY doc_id""".stripMargin,
+    "q46_quantize_embeddings" ->
+      """WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM d),
+        |c AS (SELECT vec_id, v,
+        |        CASE WHEN mx = mn THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |             ELSE list_transform(v,
+        |                    x -> CAST(round((x - mn) / ((mx - mn) / 255.0)) AS BIGINT))
+        |        END AS codes
+        |      FROM s)
+        |SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  CAST(list_min(codes) AS BIGINT) AS code_min,
+        |  CAST(list_max(codes) AS BIGINT) AS code_max
+        |FROM c ORDER BY vec_id""".stripMargin,
+    "q47_token_packing" ->
+      """WITH tk AS (SELECT doc_id,
+        |              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |            FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM tk)
+        |SELECT CAST(FLOOR((cum - n_tokens) / 2000.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_sum
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q48_hash_split" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |  ( CAST(strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS BIGINT) * 4096
+        |  + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1)) % 100 AS b
+        |  FROM documents)
+        |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
     "q45_map_funcs" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |m AS (SELECT doc_id,
