@@ -74,6 +74,45 @@ object Text {
   def bagFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(tokens(text))))
 
+  /** Fixed-token-window document chunking with overlap (the standard
+    * pretraining/RAG windowing step): chunk i covers tokens
+    * `[i*stride, i*stride + chunkTokens)`, `stride = chunkTokens -
+    * overlap`; the tail chunk may be shorter. Pure column expressions —
+    * one array per row, no explode until the caller asks.
+    */
+  def chunks(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(chunkTokens > overlap && overlap >= 0, "need chunkTokens > overlap >= 0")
+    val t = tokens(text)
+    val stride = chunkTokens - overlap
+    val nChunks = greatest(
+      lit(1),
+      ceil((size(t) - lit(overlap)).cast("double") / stride).cast("int"))
+    transform(
+      sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(t, i * stride + 1, lit(chunkTokens))))
+  }
+
+  /** First matching drop-reason of a C4/RefinedWeb-style quality filter
+    * chain, 'keep' if none: too_short → too_stoppy → too_punct →
+    * too_repetitive. Thresholds are caller-supplied; evaluation is one
+    * scan-only CASE expression.
+    */
+  def filterReason(
+      text: Column,
+      minTokens: Int = 20,
+      maxStopRatio: Double = 0.12,
+      maxPunctRatio: Double = 0.2,
+      minDistinctRatio: Double = 0.35
+  ): Column =
+    when(tokenCount(text) < minTokens, lit("too_short"))
+      .when(stopwordRatio(text) > maxStopRatio, lit("too_stoppy"))
+      .when(punctRatio(text) > maxPunctRatio, lit("too_punct"))
+      .when(
+        distinctTokenCount(text).cast("double") / tokenCount(text).cast("double")
+          < minDistinctRatio,
+        lit("too_repetitive"))
+      .otherwise(lit("keep"))
+
   /** Word n-gram shingles as an array column (null-free, distinct).
     * `transform` over `sequence` keeps it codegen'd; no explode until the
     * caller asks for one.

@@ -186,6 +186,28 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_sum"))
         .orderBy("split")
     },
+    // Fixed-token-window chunking with overlap (pretraining/RAG
+    // windowing): chunk count, first chunk, tail-chunk token count.
+    "q49_chunking" -> { (s, dir) =>
+      val ch = Text.chunks(col("text"), chunkTokens = 32, overlap = 8)
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(ch).cast("long").as("n_chunks"),
+          element_at(ch, 1).as("first_chunk"),
+          size(split(element_at(ch, -1), " ")).cast("long").as("last_chunk_tokens")
+        )
+        .orderBy("doc_id")
+    },
+    // Quality filter chain (C4/RefinedWeb-style): first-matching drop
+    // reason per doc, aggregated into a reason report.
+    "q50_quality_filter" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(Text.filterReason(col("text")).as("reason"), col("n_chars"))
+        .groupBy("reason")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_sum"))
+        .orderBy("reason")
+    },
     // Multimodal feature extraction over BINARY payloads: the byte-histogram
     // decode stub is deterministic arithmetic, so the whole path — binary
     // column construction, partition-wise mapPartitions decode, feature
@@ -365,6 +387,33 @@ object PipelineQueries {
         |    AS n_stop_kinds,
         |  list_sort(w)[1] AS min_tok
         |FROM tok ORDER BY doc_id""".stripMargin,
+    "q49_chunking" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        GREATEST(1, CAST(CEIL((len(w) - 8) / 24.0) AS BIGINT)) AS n_chunks
+        |      FROM tok)
+        |SELECT doc_id, n_chunks,
+        |  array_to_string(w[1:32], ' ') AS first_chunk,
+        |  CAST(len(w[CAST((n_chunks - 1) * 24 + 1 AS INT):CAST((n_chunks - 1) * 24 + 32 AS INT)])
+        |       AS BIGINT) AS last_chunk_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q50_quality_filter" ->
+      """WITH t AS (SELECT doc_id, n_chars, regexp_split_to_array(trim(text), '\s+') AS w, text
+        |           FROM documents),
+        |m AS (SELECT doc_id, n_chars, len(w) AS n,
+        |        CAST(len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+        |          / len(w) AS stop_r,
+        |        CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |          / length(text) AS punct_r,
+        |        CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dist_r
+        |      FROM t)
+        |SELECT CASE WHEN n < 20 THEN 'too_short'
+        |            WHEN stop_r > 0.12 THEN 'too_stoppy'
+        |            WHEN punct_r > 0.2 THEN 'too_punct'
+        |            WHEN dist_r < 0.35 THEN 'too_repetitive'
+        |            ELSE 'keep' END AS reason,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM m GROUP BY 1 ORDER BY reason""".stripMargin,
     "q46_quantize_embeddings" ->
       """WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

@@ -49,4 +49,27 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     val r = one("ab,c!").select(Text.punctRatio(col("text"))).head().getDouble(0)
     assert(math.abs(r - 0.4) < 1e-9)
   }
+
+  test("chunks: stride windows with overlap, short docs get one chunk") {
+    val df = one((1 to 10).map(i => s"t$i").mkString(" "))
+    val ch = df.select(Text.chunks(col("text"), 4, 1).as("c")).head().getSeq[String](0)
+    // stride 3: starts at 0,3,6 cover all 10 tokens
+    assert(ch.head == "t1 t2 t3 t4")
+    assert(ch(1) == "t4 t5 t6 t7")
+    assert(ch.last == "t7 t8 t9 t10")
+    assert(ch.size == 3)
+    val short = one("a b").select(Text.chunks(col("text"), 4, 1).as("c")).head().getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("filterReason: first matching reason wins, keep otherwise") {
+    def reason(t: String): String =
+      one(t).select(Text.filterReason(col("text"), minTokens = 3, maxStopRatio = 0.5,
+        maxPunctRatio = 0.4, minDistinctRatio = 0.5)).head().getString(0)
+    assert(reason("one two") == "too_short")
+    assert(reason("the the the the of") == "too_stoppy") // short-circuits before repetitive
+    assert(reason("x!! y!! z!!") == "too_punct") // 6 punct / 11 chars > 0.4
+    assert(reason("x x x x y") == "too_repetitive")
+    assert(reason("alpha beta gamma delta") == "keep")
+  }
 }
