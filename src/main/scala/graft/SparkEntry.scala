@@ -18,9 +18,10 @@ object SparkEntry {
     RelationalQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for hash-based approximate ops
-    * (MinHash/SimHash/LSH) → driver records a weaker rows-only check;
-    * those are validated against their exact counterparts in ScalaTest.
+    * the same parquet tables. Omitted only for the two xxhash64-based
+    * fast variants (q25 MinHash, q26 SimHash — DuckDB lacks xxhash64) →
+    * driver records rows-only checks there; both have fully oracle-checked
+    * md5-derived counterparts (q41, q42) plus exact-counterpart ScalaTests.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ PipelineQueries.oracle

@@ -299,6 +299,40 @@ object PipelineQueries {
         | FROM embeddings e, q WHERE e.vec_id <> 0)
         |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim
         |FROM sc ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    // Full ANN pipeline replicated: the LCG plane coefficients are pure
+    // integer arithmetic, bucket = sign bits of zip-unnest dot products
+    // (the q27-proven bit-identical summation form), candidates share any
+    // table's bucket with the query, exact cosine re-rank.
+    "q28_ann_lsh" ->
+      """WITH pl AS (
+        |  SELECT t.t, p.p, d.d,
+        |    (CAST(((2246822519 * t.t + 1315423911 * p.p + 2654435761 * d.d + 97531)
+        |           & 4294967295) AS DOUBLE) / 4294967295.0) * 2.0 - 1.0 AS coef
+        |  FROM UNNEST(range(0, 4)) AS t(t), UNNEST(range(0, 8)) AS p(p),
+        |       UNNEST(range(0, 64)) AS d(d)),
+        |pll AS (SELECT t, p, list(coef ORDER BY d) AS plane FROM pl GROUP BY t, p),
+        |dots AS (SELECT e.vec_id, q.t, q.p,
+        |    (SELECT sum(CAST(x AS DOUBLE) * y)
+        |     FROM (SELECT unnest(e.embedding) AS x, unnest(q.plane) AS y) z) AS dot
+        |  FROM embeddings e, pll q),
+        |buckets AS (SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+        |             ELSE 0 END) AS BIGINT) AS bkt
+        |  FROM dots GROUP BY vec_id, t),
+        |qb AS (SELECT t, bkt FROM buckets WHERE vec_id = 0),
+        |cand AS (SELECT DISTINCT b.vec_id FROM buckets b
+        |         JOIN qb ON b.t = qb.t AND b.bkt = qb.bkt WHERE b.vec_id <> 0),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sc AS (SELECT e.vec_id,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x, unnest(qv.qe) AS y) z) AS dot,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
+        |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(qv.qe) AS y) z) AS n2b
+        | FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, qv)
+        |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim
+        |FROM sc ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q29_text_stats" ->
       s"""SELECT doc_id,
          |  len($TokensSql) AS n_tokens,
