@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** Latest right row with `rightTime <= leftTime` per left row. */
   def joinBackward(
       left: DataFrame,
       right: DataFrame,
@@ -28,6 +29,40 @@ object AsOf {
       payloadCols: Seq[String],
       tieBreakCols: Seq[String] = Nil,
       inner: Boolean = false
+  ): DataFrame =
+    joinDirected(left, right, leftKey, rightKey, leftTime, rightTime,
+      payloadCols, tieBreakCols, inner, forward = false)
+
+  /** Earliest right row with `rightTime >= leftTime` per left row — the
+    * mirror of [[joinBackward]] (window scanned in descending time).
+    * Same single-shuffle shape; same tie-break rule (max tie-break struct
+    * among rows at the nearest timestamp).
+    */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      tieBreakCols: Seq[String] = Nil,
+      inner: Boolean = false
+  ): DataFrame =
+    joinDirected(left, right, leftKey, rightKey, leftTime, rightTime,
+      payloadCols, tieBreakCols, inner, forward = true)
+
+  private def joinDirected(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      tieBreakCols: Seq[String],
+      inner: Boolean,
+      forward: Boolean
   ): DataFrame = {
     val ties = if (tieBreakCols.nonEmpty) tieBreakCols else payloadCols.take(1)
     val payload = struct((ties ++ payloadCols.filterNot(ties.contains)).map(col): _*)
@@ -44,9 +79,10 @@ object AsOf {
       .withColumn("_tag", lit(1))
 
     val u = r.unionByName(l, allowMissingColumns = true)
+    val timeOrder = if (forward) col("_t").desc else col("_t").asc
     val w = Window
       .partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_tag"), col("_p"))
+      .orderBy(timeOrder, col("_tag"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = u.withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
 

@@ -294,6 +294,27 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // forward as-of: each order paired with its customer's FIRST event
+    // at/after the order date (orders predate the event stream, so the
+    // forward direction is the populated one on this data)
+    "q51_asof_forward" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      val ev = events(s, dir).select("event_id", "user_id", "ts", "value")
+      graft.operators.AsOf
+        .joinForward(
+          ord, ev,
+          leftKey = "o_custkey", rightKey = "user_id",
+          leftTime = "o_orderdate", rightTime = "ts",
+          payloadCols = Seq("event_id", "value"),
+          tieBreakCols = Seq("event_id"),
+          inner = true
+        )
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("event_id"),
+          round(col("value"), 2).as("value"))
+        .orderBy("o_orderkey")
+    },
+
     // gap-based sessionization over the event stream (6 h gap)
     "q35_sessionize" -> { (s, dir) =>
       graft.operators.Sessions.byGap(events(s, dir), "user_id", "ts", "event_id", "value", 21600L)
@@ -468,6 +489,15 @@ object RelationalQueries {
         |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |SELECT event_id, user_id, o_orderkey, o_totalprice FROM j
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q51_asof_forward" ->
+      """WITH j AS (
+        |  SELECT o.o_orderkey, o.o_custkey, e.event_id, e.value,
+        |    row_number() OVER (PARTITION BY o.o_orderkey
+        |                       ORDER BY e.ts ASC, e.event_id DESC) AS rn
+        |  FROM orders o
+        |  JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+        |SELECT o_orderkey, o_custkey, event_id, round(value, 2) AS value FROM j
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
     "q35_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, value,
         |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),

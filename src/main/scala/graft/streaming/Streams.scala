@@ -73,6 +73,25 @@ object Streams {
     }
   }
 
+  /** Streaming exact dedup on key columns: a row is dropped if its key
+    * was already seen. With an event-time column + watermark the dedup
+    * state is BOUNDED (`dropDuplicatesWithinWatermark` — keys expire once
+    * the watermark passes them, the only shape that survives an unbounded
+    * stream); without one it falls back to unbounded-state
+    * `dropDuplicates` (exact-forever semantics, only for finite replays).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      eventTimeCol: Option[String] = None,
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    eventTimeCol match {
+      case Some(tc) =>
+        events.withWatermark(tc, watermark).dropDuplicatesWithinWatermark(keyCols)
+      case None => events.dropDuplicates(keyCols)
+    }
+
   /** Streaming input row for [[sessionizeStream]]. */
   final case class SessionEvent(user_id: Long, sec: Long, value: Double)
 

@@ -37,6 +37,19 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(out(12L).isEmpty && out(13L).isEmpty)
   }
 
+  test("forward as-of: earliest right row at or after left time, per key") {
+    val out = AsOf
+      .joinForward(trades, quotes, "t_key", "q_key", "t_ts", "q_ts", Seq("price"))
+      .select("trade_id", "price")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(10L).contains(102.0)) // next quote after 10:06 is 10:10
+    assert(out(11L).contains(102.0)) // >= semantics: same-instant quote visible
+    assert(out(12L).contains(200.0)) // before any quote → first one
+    assert(out(13L).isEmpty) // key with no quotes
+  }
+
   test("inner variant drops unmatched left rows") {
     val out = AsOf.joinBackward(
       trades, quotes, "t_key", "q_key", "t_ts", "q_ts", Seq("price"), inner = true)

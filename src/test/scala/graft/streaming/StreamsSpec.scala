@@ -32,6 +32,26 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(Set("b", "b2").contains(out.find(_._1 == 2L).get._2))
   }
 
+  test("streaming dedup drops repeated keys across micro-batches") {
+    val base = Files.createTempDirectory("streamdd").toString
+    val in = s"$base/in"
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "a"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:11:00"), "b"))
+      .toDF("id", "ts", "v").coalesce(1).write.mode("append").parquet(in)
+    Seq((2L, java.sql.Timestamp.valueOf("2024-01-01 00:12:00"), "b2"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:13:00"), "c"))
+      .toDF("id", "ts", "v").coalesce(1).write.mode("append").parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    val dd = Streams.dedupStream(
+      Streams.fileStream(spark, in, schema), Seq("id"), eventTimeCol = Some("ts"))
+    val q = dd.writeStream.format("memory").queryName("dd_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT id FROM dd_out").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // id=2 emitted exactly once
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches the batch operator") {
     val base = Files.createTempDirectory("stream3").toString
     val in = s"$base/in"
