@@ -332,6 +332,34 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // column-level profiling: one aggregation over one scan for every
+    // column's stats, stack-unpivoted to a row per column
+    "q52_column_profile" -> { (s, dir) =>
+      graft.plans.Profile.columnStats(
+        t(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))
+    },
+
+    // pivot (explicit value list → deterministic columns)
+    "q53_pivot" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy("o_orderpriority")
+    },
+
+    // multiset set operations (INTERSECT ALL / EXCEPT ALL)
+    "q54_setops_all" -> { (s, dir) =>
+      val x = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val y = t(s, dir, "orders").where(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      x.exceptAll(y).withColumn("op", lit("except_all"))
+        .unionByName(x.intersectAll(y).withColumn("op", lit("intersect_all")))
+        .groupBy("op", "k")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("op", "k")
+    },
+
     // O7 — recon count parity as a query: one distributed union-aggregate
     // job, not N driver-side count() actions
     "q22_recon_counts" -> { (s, dir) =>
@@ -517,6 +545,31 @@ object RelationalQueries {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |  round(quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25), 4) AS iqr
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q52_column_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count($c) AS n,
+           |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+           |  round(CAST(min($c) AS DOUBLE), 6) AS vmin,
+           |  round(CAST(max($c) AS DOUBLE), 6) AS vmax,
+           |  round(sum(CAST($c AS DOUBLE)), 2) AS vsum
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "q53_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q54_setops_all" ->
+      """WITH x AS (SELECT o_custkey AS k FROM orders),
+        |y AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |u AS (SELECT 'except_all' AS op, k FROM (SELECT k FROM x EXCEPT ALL SELECT k FROM y) a
+        |      UNION ALL
+        |      SELECT 'intersect_all' AS op, k
+        |      FROM (SELECT k FROM x INTERSECT ALL SELECT k FROM y) b)
+        |SELECT op, k, count(*) AS n FROM u GROUP BY op, k ORDER BY op, k""".stripMargin,
     "q22_recon_counts" ->
       """SELECT 'customer' AS table_name, count(*) AS row_cnt FROM customer
         |UNION ALL SELECT 'lineitem', count(*) FROM lineitem

@@ -1,0 +1,27 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ProfileSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("columnStats: one row per column, nulls counted, approx close to exact") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.5), (2L, null), (3L, 2.5), (3L, 2.5)
+    ).toDF("a", "b")
+    val stats = Profile.columnStats(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats("a").getAs[Long]("n") == 4 && stats("a").getAs[Long]("n_nulls") == 0)
+    assert(stats("a").getAs[Long]("n_distinct") == 3)
+    assert(stats("b").getAs[Long]("n") == 3 && stats("b").getAs[Long]("n_nulls") == 1)
+    assert(stats("b").getAs[Double]("vmin") == 1.5 && stats("b").getAs[Double]("vmax") == 2.5)
+
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exact = Profile.columnStats(li, Seq("l_quantity")).head().getAs[Long]("n_distinct")
+    val approx = Profile.columnStats(li, Seq("l_quantity"), exact = false)
+      .head().getAs[Long]("n_distinct")
+    assert(math.abs(approx - exact).toDouble / exact < 0.1, s"approx $approx vs exact $exact")
+  }
+}
