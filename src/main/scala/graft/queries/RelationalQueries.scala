@@ -360,6 +360,41 @@ object RelationalQueries {
         .orderBy("op", "k")
     },
 
+    // time-series resample + forward-fill: hourly grid per user over the
+    // user's own span, gaps carried forward; values in integer cents so
+    // the filled sum is exact on both engines
+    "q55_resample_ffill" -> { (s, dir) =>
+      val filled = graft.operators.TimeSeries.resampleForwardFill(
+        events(s, dir), "user_id", "ts",
+        round(sum(col("value")) * 100).cast("long"))
+      filled
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_slots"),
+          count(col("v")).as("n_observed"),
+          sum("v_ff").as("ff_cents"))
+        .orderBy("user_id")
+    },
+
+    // window-function completeness: ntile / percent_rank / cume_dist /
+    // first_value / nth_value over one partition-ordered window
+    "q56_window_rank_funcs" -> { (s, dir) =>
+      val w = Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(
+          col("c_mktsegment"),
+          col("c_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          first(col("c_custkey")).over(w).as("top_cust"),
+          nth_value(col("c_custkey"), 2).over(w).as("second_cust")
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+
     // O7 — recon count parity as a query: one distributed union-aggregate
     // job, not N driver-side count() actions
     "q22_recon_counts" -> { (s, dir) =>
@@ -545,6 +580,32 @@ object RelationalQueries {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |  round(quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25), 4) AS iqr
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q55_resample_ffill" ->
+      """WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS slot,
+        |                  CAST(round(sum(value) * 100) AS BIGINT) AS v
+        |                FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(slot) AS s0, max(slot) AS s1 FROM hourly GROUP BY user_id),
+        |slots AS (SELECT user_id, unnest(generate_series(s0, s1, INTERVAL 1 HOUR)) AS slot
+        |          FROM spans),
+        |j AS (SELECT s.user_id, s.slot, h.v FROM slots s
+        |      LEFT JOIN hourly h ON h.user_id = s.user_id AND h.slot = s.slot),
+        |f AS (SELECT user_id, v,
+        |        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+        |      FROM j)
+        |SELECT user_id, count(*) AS n_slots, count(v) AS n_observed,
+        |  CAST(sum(v_ff) AS BIGINT) AS ff_cents
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q56_window_rank_funcs" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  first_value(c_custkey) OVER w AS top_cust,
+        |  nth_value(c_custkey, 2) OVER w AS second_cust
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q52_column_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, count($c) AS n,
