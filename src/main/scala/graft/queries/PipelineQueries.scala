@@ -208,6 +208,46 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_sum"))
         .orderBy("reason")
     },
+    // TF-IDF top terms per document: tf from posexplode counts, df from a
+    // distinct-doc aggregate, idf broadcast back, top-3 by windowed rank.
+    "q57_tfidf_topterms" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(df_, "tok")
+        .crossJoin(broadcast(n))
+        .withColumn(
+          "score",
+          round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      scored
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("tok"), col("score"))
+        .orderBy("doc_id", "rnk")
+    },
+    // Bucketed interval join: events matched to per-user 12 h windows
+    // anchored at each user's first event — candidates via (key, bucket)
+    // equi-join, never a per-key cross product.
+    "q58_range_join" -> { (s, dir) =>
+      val ev = graft.queries.RelationalQueries.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+      val iv = ev
+        .groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("interval 12 hours"))
+      graft.operators.RangeJoin
+        .bucketedIntervalJoin(ev, iv, "user_id", "ts", "w_start", "w_end")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_in_window"),
+          sum(round(col("value") * 100).cast("long")).as("cents_in_window"))
+        .orderBy("user_id")
+    },
     // Multimodal feature extraction over BINARY payloads: the byte-histogram
     // decode stub is deterministic arithmetic, so the whole path — binary
     // column construction, partition-wise mapPartitions decode, feature
@@ -421,6 +461,29 @@ object PipelineQueries {
         |    AS n_stop_kinds,
         |  list_sort(w)[1] AS min_tok
         |FROM tok ORDER BY doc_id""".stripMargin,
+    "q57_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |              FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT t.doc_id, t.tok,
+        |    round(t.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (d.df + 1)), 6) AS score
+        |  FROM tf t JOIN dfreq d ON d.tok = t.tok, n),
+        |r AS (SELECT doc_id, tok, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, score FROM r
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q58_range_join" ->
+      """WITH iv AS (SELECT user_id, date_trunc('hour', min(ts)) AS w_start,
+        |              date_trunc('hour', min(ts)) + INTERVAL 12 HOUR AS w_end
+        |            FROM events GROUP BY user_id)
+        |SELECT e.user_id, count(*) AS n_in_window,
+        |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents_in_window
+        |FROM events e
+        |JOIN iv ON iv.user_id = e.user_id AND e.ts >= iv.w_start AND e.ts <= iv.w_end
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
     "q49_chunking" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |c AS (SELECT doc_id, w,
