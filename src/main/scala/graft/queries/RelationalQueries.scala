@@ -257,6 +257,33 @@ object RelationalQueries {
         .orderBy("status", "priority")
     },
 
+    // explicit GROUPING SETS (beyond rollup/cube)
+    "q59_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("v_gs_orders")
+      val out = s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS priority,
+          |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM v_gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+      s.catalog.dropTempView("v_gs_orders")
+      out
+    },
+
+    // NULL semantics: null-safe equality join (<=> / IS NOT DISTINCT
+    // FROM) with a NULL join key group
+    "q60_null_semantics" -> { (s, dir) =>
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").as("k"), expr("nullif(n_regionkey, 0)").as("r"))
+      val a = n.as("a")
+      val b = n.as("b")
+      a.join(b, col("a.r") <=> col("b.r") && col("a.k") < col("b.k"))
+        .groupBy(coalesce(col("a.r").cast("string"), lit("<null>")).as("region"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("region")
+    },
+
     // K4 — PK-keyed upsert semantics through the merge fallback
     "q20_merge_upsert" -> { (s, dir) =>
       val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
@@ -527,6 +554,18 @@ object RelationalQueries {
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q59_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "q60_null_semantics" ->
+      """WITH n AS (SELECT n_nationkey AS k, NULLIF(n_regionkey, 0) AS r FROM nation)
+        |SELECT coalesce(CAST(a.r AS VARCHAR), '<null>') AS region, count(*) AS n_pairs
+        |FROM n a JOIN n b ON a.r IS NOT DISTINCT FROM b.r AND a.k < b.k
+        |GROUP BY 1 ORDER BY region""".stripMargin,
     "q20_merge_upsert" ->
       """WITH m AS (SELECT CAST(FLOOR(max(event_id) * 0.8) AS BIGINT) AS hi,
         |                  CAST(FLOOR(max(event_id) * 0.6) AS BIGINT) AS lo FROM events),

@@ -172,6 +172,31 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
+  /** Watermarked stream-stream inner join: right rows within ±`within`
+    * of the left row's event time, equi-matched on `keyCol`. Both sides
+    * carry watermarks and the join condition is time-bounded in both
+    * directions — the two requirements that let Spark expire join state
+    * instead of buffering either stream forever. Output columns keep
+    * their `l`/`r` qualifiers; callers select what they need.
+    */
+  def joinStreamsWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTime: String,
+      rightTime: String,
+      within: String = "1 hour"
+  ): DataFrame = {
+    val l = left.withWatermark(leftTime, within).alias("l")
+    val r = right.withWatermark(rightTime, within).alias("r")
+    l.join(
+      r,
+      expr(
+        s"""l.$keyCol = r.$keyCol
+           |AND r.$rightTime >= l.$leftTime - interval $within
+           |AND r.$rightTime <= l.$leftTime + interval $within""".stripMargin))
+  }
+
   /** Watermarked windowed aggregate over an event-time column — bounded
     * state, append-safe at scale.
     */

@@ -85,6 +85,31 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream join matches rows within the time bound only") {
+    val base = Files.createTempDirectory("streamj").toString
+    val (inL, inR) = (s"$base/l", s"$base/r")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click1"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click2"))
+      .toDF("user_id", "l_ts", "l_tag").write.parquet(inL)
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), "buy_near"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 14:00:00"), "buy_far"), // outside ±1h
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), "other_user"))
+      .toDF("user_id", "r_ts", "r_tag").write.parquet(inR)
+
+    val joined = Streams.joinStreamsWithin(
+      Streams.fileStream(spark, inL, spark.read.parquet(inL).schema),
+      Streams.fileStream(spark, inR, spark.read.parquet(inR).schema),
+      "user_id", "l_ts", "r_ts", within = "1 hour")
+      .select($"l_tag", $"r_tag")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT l_tag, r_tag FROM ssj_out")
+      .as[(String, String)].collect().toSet
+    assert(rows == Set(("click1", "buy_near")))
+  }
+
   test("watermarked windowed aggregate over a replayed stream") {
     val base = Files.createTempDirectory("stream2").toString
     val in = s"$base/in"
