@@ -73,6 +73,16 @@ object Lake {
     }
   }
 
+  /** S3 variant — parquet scan with schema merging across files: an
+    * appended batch that gained columns still reads as one table (the
+    * union schema; old files surface NULLs for new columns). Schema
+    * merging costs a footer read per file, so it is opt-in here rather
+    * than a global conf — the schema-evolution story an append-only lake
+    * needs without a table format.
+    */
+  def readParquetMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** S4 — CSV scan, inferred schema (`utils.py:170-174`). */
   def readCsvInferred(spark: SparkSession, path: String): DataFrame =
     spark.read

@@ -41,6 +41,18 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SELECT count(*) FROM mytable").head().getLong(0) == 2)
   }
 
+  test("schema evolution: merged-schema read unions appended columns") {
+    import spark.implicits._
+    val dir = tmp() + "/evolving"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.mode("append").parquet(dir)
+    val merged = Lake.readParquetMergedSchema(spark, dir)
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old file → NULL
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+  }
+
   test("catalog-table sync is visible beyond the session (crawler parity, O8)") {
     import spark.implicits._
     val root = tmp()
