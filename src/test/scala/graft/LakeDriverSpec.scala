@@ -67,6 +67,25 @@ class LakeDriverSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("database-backed run: O9 bootstraps the catalog db, writes register durable tables") {
+    val root = Files.createTempDirectory("lake_db").toString
+    spark.sql("DROP TABLE IF EXISTS `graft_e2e`.`region`")
+    val registry: Map[String, Job] = Map(
+      "ing_region" -> LakeDriver.ingestJob(
+        s => s.read.parquet(s"$sf/region.parquet"), "region", root,
+        database = Some("graft_e2e"))
+    )
+    val result = LakeDriver.run(
+      spark,
+      LakeDriver.Config(root, jobPrefix = "ing_", database = Some("graft_e2e")),
+      registry)
+    assert(result.records.forall(_.job_status == "SUCCESS"))
+    assert(spark.catalog.databaseExists("graft_e2e"))
+    // durable catalog entry: visible from a fresh session (not a temp view)
+    assert(spark.newSession().table("`graft_e2e`.`region`").count() ==
+      spark.read.parquet(s"$sf/region.parquet").count())
+  }
+
   test("a failing job inside a layer is recorded FAILURE, run continues") {
     val root = Files.createTempDirectory("lake_fail").toString
     val registry: Map[String, Job] = Map(
