@@ -9,6 +9,17 @@ import graft.SparkSpec
 class StreamsSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  /** The file source orders batches by modification time; same-millisecond
+    * writes would tie and replay in arbitrary (path) order, making
+    * later-batch events late against the advanced watermark. Pin each
+    * batch's files to a strictly increasing mtime.
+    */
+  private def pinBatchOrder(dir: String, batch: Int): Unit = {
+    val d = new java.io.File(dir)
+    d.listFiles().filter(f => f.isFile && f.lastModified() > batch * 60000L)
+      .foreach(_.setLastModified(batch * 60000L))
+  }
+
   test("streaming upsert: two micro-batches merge into the target by PK") {
     val base = Files.createTempDirectory("stream").toString
     val in = s"$base/in"
@@ -38,9 +49,11 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "a"),
       (2L, java.sql.Timestamp.valueOf("2024-01-01 00:11:00"), "b"))
       .toDF("id", "ts", "v").coalesce(1).write.mode("append").parquet(in)
+    pinBatchOrder(in, 1)
     Seq((2L, java.sql.Timestamp.valueOf("2024-01-01 00:12:00"), "b2"),
       (3L, java.sql.Timestamp.valueOf("2024-01-01 00:13:00"), "c"))
       .toDF("id", "ts", "v").coalesce(1).write.mode("append").parquet(in)
+    pinBatchOrder(in, 2)
 
     val schema = spark.read.parquet(in).schema
     val dd = Streams.dedupStream(
@@ -62,10 +75,13 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     // would be dropped as late)
     Seq((1L, 100L, 1.0), (1L, 110L, 2.0), (2L, 105L, 5.0))
       .toDF("user_id", "sec", "value").coalesce(1).write.mode("append").parquet(in)
+    pinBatchOrder(in, 1)
     Seq((1L, 5100L, 1.0), (1L, 5110L, 3.0), (2L, 6100L, 7.0))
       .toDF("user_id", "sec", "value").coalesce(1).write.mode("append").parquet(in)
+    pinBatchOrder(in, 2)
     Seq((1L, 10000000L, 0.0), (2L, 10000000L, 0.0))
       .toDF("user_id", "sec", "value").coalesce(1).write.mode("append").parquet(in)
+    pinBatchOrder(in, 3)
 
     val schema = spark.read.parquet(in).schema
     val sessions = Streams.sessionizeStream(
