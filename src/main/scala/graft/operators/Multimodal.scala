@@ -76,6 +76,26 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: nearest-neighbor resampling of the payload to exactly
+    * `targetBytes` — the byte-level stand-in for an image resize kernel
+    * (a real decoder swaps the sampling loop for a pixel kernel over
+    * decoded rows/cols). Deterministic, partition-wise, no shuffle.
+    */
+  def resizePayload(media: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    require(targetBytes > 0)
+    media.mapPartitions(_.map { m =>
+      val n = m.payload.length
+      val out = new Array[Byte](targetBytes)
+      var i = 0
+      while (i < targetBytes) {
+        out(i) = if (n == 0) 0 else m.payload((i.toLong * n / targetBytes).toInt)
+        i += 1
+      }
+      m.copy(payload = out, width = targetBytes, height = 1)
+    })
+  }
+
   /** Wrap a text table as fake media records (test fixture helper): the
     * text bytes become the payload, metadata is derived deterministically.
     */

@@ -264,6 +264,16 @@ object PipelineQueries {
         .select(Seq(col("media_id"), col("kind"), col("n_bytes")) ++ bins: _*)
         .orderBy("media_id")
     },
+    // Resize: nearest-neighbor byte resampling to a fixed 64-byte payload
+    // — md5 of the resized bytes is replicated positionally in DuckDB.
+    "q61_multimodal_resize" -> { (s, dir) =>
+      val media = Multimodal.fromDocuments(s, t(s, dir, "documents"))
+      Multimodal
+        .resizePayload(media, targetBytes = 64)
+        .toDF()
+        .select(col("media_id"), col("kind"), md5(col("payload")).as("resized_md5"))
+        .orderBy("media_id")
+    },
     // Frame sampling over "video" payloads: chunked payload stands in for
     // decoded frames; stride-4 sampling over 64-byte chunks. Frame counts
     // and indices are pure arithmetic on payload length → oracle-checkable.
@@ -582,6 +592,19 @@ object PipelineQueries {
          |FROM base b LEFT JOIN hist h ON h.media_id = b.media_id
          |ORDER BY b.media_id""".stripMargin
     },
+    "q61_multimodal_resize" ->
+      """WITH base AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    text, CAST(strlen(text) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT media_id, kind,
+        |  md5(string_agg(substring(text, CAST((i * n) // 64 + 1 AS INT), 1), '' ORDER BY i))
+        |    AS resized_md5
+        |FROM base, UNNEST(range(0, 64)) AS t(i)
+        |GROUP BY media_id, kind
+        |ORDER BY media_id""".stripMargin,
     "q39_multimodal_frames" ->
       """WITH v AS (SELECT doc_id AS media_id,
         |             CAST(CEIL(strlen(text) / 64.0) AS BIGINT) AS nchunks

@@ -37,4 +37,15 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val kinds = media.collect().map(m => m.media_id -> m.kind).toMap
     assert(frames.forall(f => kinds(f.media_id) == "video"))
   }
+
+  test("resize: exact target size, nearest-neighbor samples from the source") {
+    val resized = Multimodal.resizePayload(media, targetBytes = 64).collect()
+    assert(resized.forall(_.payload.length == 64))
+    // first sampled byte is the source's first byte; identity when n == target
+    val src = media.collect().map(m => m.media_id -> m.payload).toMap
+    resized.foreach { r =>
+      assert(r.payload(0) == src(r.media_id)(0))
+      assert(r.width == 64 && r.height == 1)
+    }
+  }
 }
