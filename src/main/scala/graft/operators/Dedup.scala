@@ -54,7 +54,7 @@ object Dedup {
       threshold: Double,
       persistIntermediate: Boolean = true
   ): DataFrame = {
-    val sh = persisted(shingleTable(docs, idCol, textCol, n), persistIntermediate)
+    val sh = persisted(shingleTable(fanOut(docs), idCol, textCol, n), persistIntermediate)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -89,7 +89,7 @@ object Dedup {
       maxDocsPerShingle: Int = 100,
       persistIntermediate: Boolean = true
   ): DataFrame = {
-    val sh = persisted(shingleTable(docs, idCol, textCol, n), persistIntermediate)
+    val sh = persisted(shingleTable(fanOut(docs), idCol, textCol, n), persistIntermediate)
     val rare = sh
       .groupBy("shingle")
       .agg(count(lit(1)).as("_df"))
@@ -126,6 +126,18 @@ object Dedup {
     */
   private def persisted(df: DataFrame, persist: Boolean): DataFrame =
     if (persist) df.cache() else df
+
+  /** CPU fan-out for hash-heavy per-row stages: a small parquet file
+    * arrives as ONE input split, so signature computation would run
+    * single-threaded regardless of executor count. If the input has
+    * fewer partitions than the cluster's parallelism, repartition first —
+    * the shuffle of raw docs is cheap next to per-row hashing. At real
+    * scale inputs already carry thousands of splits and this is a no-op.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Exact-Jaccard rescore of a candidate pair set: `candidates` is
     * (doc_a, doc_b); `sh` is the exploded (doc_id, n_sh, shingle) table.
@@ -174,7 +186,7 @@ object Dedup {
     import graft.functions.TextExpressions.word_shingles
     val numHashes = bands * rowsPerBand
     val base = persisted(
-      docs
+      fanOut(docs)
         .select(col(idCol).as("doc_id"), word_shingles(col(textCol), n).as("shs"))
         .where(size(col("shs")) > 0),
       persistIntermediate)
@@ -218,7 +230,8 @@ object Dedup {
     import graft.functions.TextExpressions.{simhash_md5_60, word_shingles}
     // row-wise signature: no explode, no 60-column aggregation shuffle —
     // the whole computation happens inside the scan
-    docs.select(col(idCol).as("doc_id"), simhash_md5_60(word_shingles(col(textCol), 1)).as("simhash"))
+    fanOut(docs)
+      .select(col(idCol).as("doc_id"), simhash_md5_60(word_shingles(col(textCol), 1)).as("simhash"))
   }
 
   /** SimHash dup groups over the md5-derived signature ([[simhashMd5]]). */
@@ -264,7 +277,7 @@ object Dedup {
     // one row per doc: shingle set + minhash signature, computed in a
     // single scan with no shuffle
     val base = persisted(
-      docs
+      fanOut(docs)
         .select(col(idCol).as("doc_id"), word_shingles(col(textCol), n).as("shs"))
         .where(size(col("shs")) > 0)
         .select(
