@@ -38,6 +38,9 @@ object Engine {
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // make the custom expressions first-class SQL functions in every
+    // engine session (vec_dot, word_shingles, simhash64, ...)
+    GraftExtensions.register(spark)
     spark
   }
 }
