@@ -219,6 +219,27 @@ object Lake {
     fq
   }
 
+  /** Small-file compaction (the OPTIMIZE of table formats, for a plain
+    * parquet lake): incremental appends accumulate files far smaller than
+    * a scan-efficient split, inflating task counts and file-listing cost.
+    * Rewrites the table into `ceil(bytes / targetFileBytes)` files via the
+    * crash-safe staging swap, returns the new file count. Readers never
+    * observe a missing table (see `Incremental.swapInStaging`).
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): Int = {
+    require(targetFileBytes > 0)
+    val bytes = graft.plans.Recon.directoryBytes(java.nio.file.Paths.get(path))
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val staging = path + "_staging_compact"
+    spark.read.parquet(path).repartition(nFiles).write.mode("overwrite").parquet(staging)
+    graft.operators.Incremental.swapInStaging(spark, path, staging)
+    nFiles
+  }
+
   /** K6 — CSV-to-lake ingestion pipeline (`utils.py:194-197`):
     * read (inferred or DDL-declared) → sanitize column names → overwrite.
     */

@@ -41,6 +41,23 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SELECT count(*) FROM mytable").head().getLong(0) == 2)
   }
 
+  test("compaction rewrites many small files into few, preserving rows") {
+    import spark.implicits._
+    val dir = tmp() + "/frag"
+    // 8 single-row appends → at least 8 data files
+    (1 to 8).foreach(i => Seq((i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir))
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles() >= 8)
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1)
+    Lake.compact(spark, dir, targetFileBytes = 1024L * 1024)
+    assert(dataFiles() == 1) // tiny table → one file
+    val after = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1)
+    assert(after.toSeq == before.toSeq)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "_staging_compact")))
+  }
+
   test("schema evolution: merged-schema read unions appended columns") {
     import spark.implicits._
     val dir = tmp() + "/evolving"
