@@ -365,6 +365,51 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over a near-duplicate pair set — the transitive
+    * closure that turns pairwise matches into dedup CLUSTERS (a is a dup
+    * of b, b of c ⇒ {a,b,c} keep one survivor). Iterative min-label
+    * propagation: each round, every node takes the min label in its
+    * neighborhood; converges in O(component diameter) rounds. Each round
+    * is one distributed join + aggregate; `localCheckpoint` truncates the
+    * growing lineage. Near-dup graphs are dense clique-ish clusters with
+    * tiny diameters, so rounds stay in the single digits at any corpus
+    * size (the classic large-diameter adversary — a long path — does not
+    * occur in similarity graphs; raise `maxIter` if yours differs).
+    *
+    * Returns (node, label) with label = min node id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min("label").as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(
+          col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"),
+          col("label"))
+        .localCheckpoint()
+      changed = updated.where(col("new_label") =!= col("label")).count()
+      labels = updated.select(col("node"), col("new_label").as("label"))
+      i += 1
+    }
+    labels.orderBy("node")
+  }
+
   /** SimHash dup groups: identical 64-bit signatures bucketed together. */
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     simhash(docs, idCol, textCol)

@@ -208,6 +208,13 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_sum"))
         .orderBy("reason")
     },
+    // Dedup clusters: connected components over the exact near-dup pairs
+    // (transitive closure of q24's edges) — pairwise matches become
+    // keep-one clusters.
+    "q62_dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+      Dedup.connectedComponents(pairs)
+    },
     // TF-IDF top terms per document: tf from posexplode counts, df from a
     // distinct-doc aggregate, idf broadcast back, top-3 by windowed rank.
     "q57_tfidf_topterms" -> { (s, dir) =>
@@ -471,6 +478,24 @@ object PipelineQueries {
         |    AS n_stop_kinds,
         |  list_sort(w)[1] AS min_tok
         |FROM tok ORDER BY doc_id""".stripMargin,
+    "q62_dedup_clusters" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT p.doc_a, p.doc_b FROM p0 p
+         |          JOIN cnt ca ON ca.doc_id = p.doc_a
+         |          JOIN cnt cb ON cb.doc_id = p.doc_b
+         |          WHERE CAST(p.common AS DOUBLE) / (ca.n + cb.n - p.common) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst
+         |)
+         |SELECT node, min(r) AS label FROM reach GROUP BY node ORDER BY node""".stripMargin,
     "q57_tfidf_topterms" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |              FROM documents),

@@ -112,6 +112,16 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("connected components merge chained pairs into one cluster") {
+    // path 1-2-3-4 (diameter 3 forces multiple propagation rounds) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert(labels.size == 6)
+  }
+
   test("shingles: correct count and content") {
     val sh = Dedup.shingleTable(Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 3)
       .select("shingle").as[String].collect().sorted
