@@ -410,6 +410,19 @@ object Dedup {
     labels.orderBy("node")
   }
 
+  /** Apply near-dup clusters to the corpus: keep one survivor (the min
+    * id) per connected component of `pairs`, pass through every document
+    * that matched nothing. The "actually drop the duplicates" step after
+    * any pair-generation strategy — a left anti join against the
+    * non-survivor set.
+    */
+  def dedupByPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("node") =!= col("label"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash dup groups: identical 64-bit signatures bucketed together. */
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     simhash(docs, idCol, textCol)

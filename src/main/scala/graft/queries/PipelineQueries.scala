@@ -215,6 +215,15 @@ object PipelineQueries {
       val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
       Dedup.connectedComponents(pairs)
     },
+    // The applied dedup: corpus minus every non-survivor of the near-dup
+    // clusters (one survivor per component).
+    "q63_dedup_survivors" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      Dedup.dedupByPairs(docs, "doc_id", pairs)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
     // TF-IDF top terms per document: tf from posexplode counts, df from a
     // distinct-doc aggregate, idf broadcast back, top-3 by windowed rank.
     "q57_tfidf_topterms" -> { (s, dir) =>
@@ -478,6 +487,27 @@ object PipelineQueries {
         |    AS n_stop_kinds,
         |  list_sort(w)[1] AS min_tok
         |FROM tok ORDER BY doc_id""".stripMargin,
+    "q63_dedup_survivors" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT p.doc_a, p.doc_b FROM p0 p
+         |          JOIN cnt ca ON ca.doc_id = p.doc_a
+         |          JOIN cnt cb ON cb.doc_id = p.doc_b
+         |          WHERE CAST(p.common AS DOUBLE) / (ca.n + cb.n - p.common) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst
+         |),
+         |losers AS (SELECT node FROM reach GROUP BY node HAVING node <> min(r))
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM losers)
+         |ORDER BY doc_id""".stripMargin,
     "q62_dedup_clusters" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
