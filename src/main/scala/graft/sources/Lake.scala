@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.Sanitize
@@ -229,13 +230,22 @@ object Lake {
   def compact(
       spark: SparkSession,
       path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionCols: Seq[String] = Nil
   ): Int = {
     require(targetFileBytes > 0)
     val bytes = graft.plans.Recon.directoryBytes(java.nio.file.Paths.get(path))
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val staging = path + "_staging_compact"
-    spark.read.parquet(path).repartition(nFiles).write.mode("overwrite").parquet(staging)
+    val df = spark.read.parquet(path)
+    // a Hive-partitioned table must be rewritten with the same layout or
+    // the directory structure (and pruning) is silently lost
+    val writer =
+      if (partitionCols.isEmpty) df.repartition(nFiles).write
+      else
+        df.repartition(nFiles, partitionCols.map(col): _*)
+          .write.partitionBy(partitionCols: _*)
+    writer.mode("overwrite").parquet(staging)
     graft.operators.Incremental.swapInStaging(spark, path, staging)
     nFiles
   }

@@ -58,6 +58,20 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "_staging_compact")))
   }
 
+  test("compaction of a partitioned table preserves the partition layout") {
+    import spark.implicits._
+    val dir = tmp() + "/frag_part"
+    (1 to 4).foreach(i => Seq((i.toLong, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "par").coalesce(1).write.partitionBy("par").mode("append").parquet(dir))
+    Lake.compact(spark, dir, targetFileBytes = 1024L * 1024, partitionCols = Seq("par"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/par=even")))
+    assert(spark.read.parquet(dir).count() == 4)
+    // partition pruning still works on the compacted layout
+    val plan = spark.read.parquet(dir).where($"par" === "even")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(par"), plan.take(400))
+  }
+
   test("schema evolution: merged-schema read unions appended columns") {
     import spark.implicits._
     val dir = tmp() + "/evolving"
