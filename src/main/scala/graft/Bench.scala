@@ -26,7 +26,7 @@ object Bench {
       catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+            .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(200)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }

@@ -384,11 +384,16 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = sym
+    // `ck` is always THE checkpointed frame of the current round — the
+    // handle we unpersist once the next round has materialized (without
+    // this, every round leaks one full (node,label) copy into executor
+    // storage for the life of the application)
+    var ck = sym
       .select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    var labels = ck
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -402,11 +407,14 @@ object Dedup {
           col("node"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"),
           col("label"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the old round is dropped
+      ck.unpersist()
+      ck = updated
       changed = updated.where(col("new_label") =!= col("label")).count()
       labels = updated.select(col("node"), col("new_label").as("label"))
       i += 1
     }
+    sym.unpersist()
     labels.orderBy("node")
   }
 

@@ -68,11 +68,16 @@ object Incremental {
     require(srcCols.contains(pk) && tgtCols.contains(pk), s"merge key $pk missing")
 
     val t = target.alias("t")
-    // non-nullable marker: NULL after the full-outer join ⇔ no source row
-    val s = dedupByKey(source, pk).withColumn("_matched", lit(true)).alias("s")
+    // non-nullable marker: NULL after the full-outer join ⇔ no source row.
+    // The marker name must not shadow real data — fail fast on collision
+    // rather than silently overwriting a user column with `true`.
+    val marker = "__graft_matched"
+    require(!srcCols.contains(marker) && !tgtCols.contains(marker),
+      s"merge: reserved marker column '$marker' already exists in the input")
+    val s = dedupByKey(source, pk).withColumn(marker, lit(true)).alias("s")
     val joined = t.join(s, col(s"t.$pk") === col(s"s.$pk"), "full_outer")
 
-    val takeSource = col("s._matched") // NULL → otherwise-branch (target row kept)
+    val takeSource = col(s"s.$marker") // NULL → otherwise-branch (target row kept)
     val outCols = (target.columns ++ source.columns.filterNot(tgtCols)).map {
       case c if srcCols.contains(c) && tgtCols.contains(c) =>
         when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
@@ -132,10 +137,18 @@ object Incremental {
     val staging = new org.apache.hadoop.fs.Path(stagingPath)
     val old = new org.apache.hadoop.fs.Path(livePath + "_old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(staging, live)
-    fs.delete(old, true)
+    // Hadoop rename signals most failures by RETURNING FALSE, not
+    // throwing — an unchecked rename would either bury staging inside a
+    // still-present live dir or delete the only surviving copy below.
+    def renameOrThrow(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"swapInStaging: rename $src -> $dst failed; " +
+          s"table left untouched at its pre-step state")
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"swapInStaging: could not clear stale backup $old")
+    if (fs.exists(live)) renameOrThrow(live, old)
+    renameOrThrow(staging, live)
+    fs.delete(old, true) // best effort; a leftover _old is a complete old copy
   }
 
   /** One row per key, deterministically (greatest full-row struct wins). */

@@ -39,14 +39,18 @@ object Scale {
       .format("parquet")
       .saveAsTable(tableName)
 
-  /** Per-row salt in [0, factor): `monotonically_increasing_id` varies
-    * within every partition, so a hot key's rows fan out across all
-    * `factor` salts even when the input arrives pre-clustered on the key
-    * (a partition-id- or key-derived salt would collapse to one value per
-    * partition in that case and split nothing).
+  /** Per-row salt in [0, factor) from a hash of the FULL row content:
+    * varies across a hot key's rows (they differ in their other columns),
+    * so pre-clustered hot keys still fan out — unlike a partition-id- or
+    * key-only-derived salt, which collapses to one value per partition in
+    * that case. Content-derived also keeps the salt DETERMINISTIC under
+    * partial stage recomputation (a `monotonically_increasing_id` salt
+    * re-rolls on retried map tasks, duplicating/losing join rows).
+    * Caveat: byte-identical duplicate rows share a salt; if the skew IS
+    * massive exact-duplicate rows, pre-aggregate them instead.
     */
-  def saltColumn(factor: Int): Column =
-    pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int")
+  def saltColumn(df: DataFrame, factor: Int): Column =
+    pmod(hash(df.columns.map(col) :+ lit(0x9e3779b9): _*), lit(factor)).cast("int")
 
   /** Salted join for skewed probe keys: the skewed (large) side gets a
     * per-row salt in [0, factor); the small side is exploded `factor`
@@ -75,7 +79,7 @@ object Scale {
       Set("inner", "left", "leftouter").contains(jt),
       s"saltedEquiJoin supports inner/left joins only (got '$joinType'): outer variants " +
         "would emit one null-padded row per salt replica of the exploded side")
-    val salted = skewed.withColumn("_salt", saltColumn(factor))
+    val salted = skewed.withColumn("_salt", saltColumn(skewed, factor))
     val exploded = other.withColumn("_salt", explode(array((0 until factor).map(lit): _*)))
     salted
       .join(exploded, salted(skewedKey) === exploded(otherKey) && salted("_salt") === exploded("_salt"), joinType)

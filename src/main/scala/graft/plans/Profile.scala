@@ -19,19 +19,25 @@ object Profile {
     require(cols.nonEmpty)
     def distinctAgg(c: String) =
       if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
-    val aggs = cols.flatMap { c =>
+    // generated identifiers are positional (c0, c1, ...) so arbitrary
+    // input column names (spaces, dashes, quotes) never reach the
+    // stack() SQL string as identifiers; the display label is escaped
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"n_$c"),
-        (count(lit(1)) - count(col(c))).as(s"nulls_$c"),
-        distinctAgg(c).as(s"d_$c"),
-        round(min(col(c)).cast("double"), 6).as(s"mn_$c"),
-        round(max(col(c)).cast("double"), 6).as(s"mx_$c"),
-        round(sum(col(c).cast("double")), 2).as(s"s_$c")
+        count(col(c)).as(s"n_$i"),
+        (count(lit(1)) - count(col(c))).as(s"nulls_$i"),
+        distinctAgg(c).as(s"d_$i"),
+        round(min(col(c)).cast("double"), 6).as(s"mn_$i"),
+        round(max(col(c)).cast("double"), 6).as(s"mx_$i"),
+        round(sum(col(c).cast("double")), 2).as(s"s_$i")
       )
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', n_$c, nulls_$c, d_$c, mn_$c, mx_$c, s_$c")
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) =>
+        val label = c.replace("\\", "\\\\").replace("'", "\\'")
+        s"'$label', n_$i, nulls_$i, d_$i, mn_$i, mx_$i, s_$i"
+      }
       .mkString(", ")
     wide
       .selectExpr(

@@ -215,7 +215,12 @@ object Lake {
     val name = tableNameFromPath(path)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
     val fq = s"`$database`.`$name`"
-    spark.sql(s"CREATE TABLE IF NOT EXISTS $fq USING parquet LOCATION '$path'")
+    // drop + recreate rather than IF NOT EXISTS: the catalog entry's
+    // STORED SCHEMA must track the files after an overwrite that evolved
+    // columns (refreshTable only invalidates cached listings, not the
+    // schema). External LOCATION table — dropping never touches the data.
+    spark.sql(s"DROP TABLE IF EXISTS $fq")
+    spark.sql(s"CREATE TABLE $fq USING parquet LOCATION '$path'")
     spark.catalog.refreshTable(fq)
     fq
   }
@@ -234,7 +239,11 @@ object Lake {
       partitionCols: Seq[String] = Nil
   ): Int = {
     require(targetFileBytes > 0)
-    val bytes = graft.plans.Recon.directoryBytes(java.nio.file.Paths.get(path))
+    // size via the Hadoop FS of the path itself — a local-filesystem walk
+    // would read 0 bytes for hdfs://, s3a://, ... and compact to ONE file
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val staging = path + "_staging_compact"
     val df = spark.read.parquet(path)

@@ -106,6 +106,13 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(live2).count() == 1)
   }
 
+  test("merge fails fast if an input already carries the reserved marker column") {
+    val target = Seq((1L, true)).toDF("id", "__graft_matched")
+    intercept[IllegalArgumentException] {
+      Incremental.merge(target, df(1L -> "x"), "id")
+    }
+  }
+
   test("merge on disjoint keys equals union (append equivalence)") {
     val target = df(1L -> "a", 2L -> "b")
     val source = df(3L -> "c", 4L -> "d")

@@ -59,9 +59,13 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     // one partition, every row the same key — a partition-id- or
     // key-derived salt would collapse to a single value here
     val hot = (1 to 1000).map(i => (42L, i)).toDF("k", "v").repartition(1)
-    val nSalts = hot.withColumn("_salt", Scale.saltColumn(8))
+    val nSalts = hot.withColumn("_salt", Scale.saltColumn(hot, 8))
       .select("_salt").distinct().count()
     assert(nSalts > 1, s"hot key mapped to $nSalts salt(s); skew not split")
+    // deterministic: recomputation yields identical salts
+    val s1 = hot.withColumn("_salt", Scale.saltColumn(hot, 8)).collect().map(_.getInt(2)).toSeq
+    val s2 = hot.withColumn("_salt", Scale.saltColumn(hot, 8)).collect().map(_.getInt(2)).toSeq
+    assert(s1 == s2)
   }
 
   test("salted join rejects right/full outer join types") {

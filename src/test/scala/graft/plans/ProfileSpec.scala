@@ -18,6 +18,11 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(stats("b").getAs[Long]("n") == 3 && stats("b").getAs[Long]("n_nulls") == 1)
     assert(stats("b").getAs[Double]("vmin") == 1.5 && stats("b").getAs[Double]("vmax") == 2.5)
 
+    // non-identifier column names survive (pre-sanitize inputs)
+    val weird = Seq((1, 2)).toDF("order total", "price-usd")
+    val wstats = Profile.columnStats(weird, Seq("order total", "price-usd")).collect()
+    assert(wstats.map(_.getString(0)).toSet == Set("order total", "price-usd"))
+
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val exact = Profile.columnStats(li, Seq("l_quantity")).head().getAs[Long]("n_distinct")
     val approx = Profile.columnStats(li, Seq("l_quantity"), exact = false)

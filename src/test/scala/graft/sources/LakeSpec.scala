@@ -100,6 +100,10 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     Seq(4, 5).toDF("x").write.mode("overwrite").parquet(dir)
     Lake.syncCatalogTable(spark, dir, "graft_cat")
     assert(spark.table(fq).count() == 2)
+    // re-sync after SCHEMA evolution: the catalog entry tracks new columns
+    Seq((6, "s")).toDF("x", "extra").write.mode("overwrite").parquet(dir)
+    Lake.syncCatalogTable(spark, dir, "graft_cat")
+    assert(spark.table(fq).columns.toSet == Set("x", "extra"))
   }
 
   test("parquet lake scan with SQL filtration over temp view (S3)") {
