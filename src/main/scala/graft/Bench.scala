@@ -25,14 +25,15 @@ object Bench {
       try { fn(spark, sfDir).count() }
       catch {
         case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(200)
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => JsonUtil.quote(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    val errJson = errors
+      .map { case (k, v) => JsonUtil.quote(k) + ":" + JsonUtil.quote(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")

@@ -379,21 +379,29 @@ object Dedup {
     * Returns (node, label) with label = min node id of the component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    // `ck` is always THE checkpointed frame of the current round — the
-    // handle we unpersist once the next round has materialized (without
-    // this, every round leaks one full (node,label) copy into executor
-    // storage for the life of the application)
-    var ck = sym
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    var labels = ck
+    val sc = pairs.sparkSession.sparkContext
+
+    // localCheckpoint persists its internal RDD OUTSIDE the CacheManager,
+    // so Dataset.unpersist() cannot free it — track the RDDs each
+    // checkpoint registers and unpersist those handles once the round is
+    // superseded (otherwise every round leaks one full (node,label) copy
+    // into executor storage for the life of the application).
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val ck = df.localCheckpoint()
+      val added = sc.getPersistentRDDs.collect { case (id, r) if !before(id) => r }.toSeq
+      (ck, added)
+    }
+    def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdds.foreach(_.unpersist(blocking = false))
+
+    val (sym, symRdds) = checkpointTracked(
+      pairs
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct())
+    var (labels, prevRdds) = checkpointTracked(
+      sym.select(col("src").as("node")).distinct().withColumn("label", col("node")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -401,20 +409,20 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min("label").as("nbr_min"))
-      val updated = labels
-        .join(nbrMin, Seq("node"), "left")
-        .select(
-          col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"),
-          col("label"))
-        .localCheckpoint() // eager: materialized before the old round is dropped
-      ck.unpersist()
-      ck = updated
+      val (updated, newRdds) = checkpointTracked( // eager: materialized before release
+        labels
+          .join(nbrMin, Seq("node"), "left")
+          .select(
+            col("node"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"),
+            col("label")))
+      release(prevRdds)
+      prevRdds = newRdds
       changed = updated.where(col("new_label") =!= col("label")).count()
       labels = updated.select(col("node"), col("new_label").as("label"))
       i += 1
     }
-    sym.unpersist()
+    release(symRdds)
     labels.orderBy("node")
   }
 

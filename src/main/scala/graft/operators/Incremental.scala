@@ -140,14 +140,21 @@ object Incremental {
     // Hadoop rename signals most failures by RETURNING FALSE, not
     // throwing — an unchecked rename would either bury staging inside a
     // still-present live dir or delete the only surviving copy below.
-    def renameOrThrow(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"swapInStaging: rename $src -> $dst failed; " +
-          s"table left untouched at its pre-step state")
     if (fs.exists(old) && !fs.delete(old, true))
       throw new java.io.IOException(s"swapInStaging: could not clear stale backup $old")
-    if (fs.exists(live)) renameOrThrow(live, old)
-    renameOrThrow(staging, live)
+    val hadLive = fs.exists(live)
+    if (hadLive && !fs.rename(live, old))
+      throw new java.io.IOException(
+        s"swapInStaging: rename $live -> $old failed; table untouched at $live")
+    if (!fs.rename(staging, live)) {
+      // roll the old table back into place so readers never see a gap
+      val rolledBack = hadLive && fs.rename(old, live)
+      throw new java.io.IOException(
+        s"swapInStaging: rename $staging -> $live failed; " +
+          (if (rolledBack) s"previous table restored at $live"
+           else if (hadLive) s"MANUAL RECOVERY NEEDED: previous table at $old, new data at $staging"
+           else s"no previous table existed; new data remains at $staging"))
+    }
     fs.delete(old, true) // best effort; a leftover _old is a complete old copy
   }
 

@@ -39,18 +39,35 @@ object Scale {
       .format("parquet")
       .saveAsTable(tableName)
 
-  /** Per-row salt in [0, factor) from a hash of the FULL row content:
+  /** Per-row salt in [0, factor) from a hash of the row's content:
     * varies across a hot key's rows (they differ in their other columns),
     * so pre-clustered hot keys still fan out — unlike a partition-id- or
     * key-only-derived salt, which collapses to one value per partition in
     * that case. Content-derived also keeps the salt DETERMINISTIC under
     * partial stage recomputation (a `monotonically_increasing_id` salt
     * re-rolls on retried map tasks, duplicating/losing join rows).
-    * Caveat: byte-identical duplicate rows share a salt; if the skew IS
-    * massive exact-duplicate rows, pre-aggregate them instead.
+    *
+    * MapType columns can't feed `hash()` directly and are hashed through
+    * their JSON form. Caveat: byte-identical rows share a salt — a
+    * key-only projection of a hot key, or massive exact-duplicate rows,
+    * will NOT fan out; carry a distinguishing column (or pre-aggregate
+    * the duplicates) before salting.
     */
-  def saltColumn(df: DataFrame, factor: Int): Column =
-    pmod(hash(df.columns.map(col) :+ lit(0x9e3779b9): _*), lit(factor)).cast("int")
+  def saltColumn(df: DataFrame, factor: Int): Column = {
+    require(
+      df.columns.map(_.toLowerCase).distinct.length == df.columns.length,
+      "saltColumn requires unique column names (disambiguate join outputs first)")
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val basis = df.schema.fields.map { f =>
+      if (hashable(f.dataType)) col(f.name) else to_json(col(f.name))
+    }
+    pmod(hash(basis.toIndexedSeq :+ lit(0x9e3779b9): _*), lit(factor)).cast("int")
+  }
 
   /** Salted join for skewed probe keys: the skewed (large) side gets a
     * per-row salt in [0, factor); the small side is exploded `factor`

@@ -215,12 +215,17 @@ object Lake {
     val name = tableNameFromPath(path)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
     val fq = s"`$database`.`$name`"
-    // drop + recreate rather than IF NOT EXISTS: the catalog entry's
-    // STORED SCHEMA must track the files after an overwrite that evolved
-    // columns (refreshTable only invalidates cached listings, not the
-    // schema). External LOCATION table — dropping never touches the data.
-    spark.sql(s"DROP TABLE IF EXISTS $fq")
-    spark.sql(s"CREATE TABLE $fq USING parquet LOCATION '$path'")
+    // The catalog entry's STORED SCHEMA must track the files after an
+    // overwrite that evolved columns (refreshTable only invalidates
+    // cached listings). Recreate ONLY on schema change — dropping an
+    // external LOCATION entry never touches data, but it does open a
+    // brief not-found window for concurrent sessions, so the steady-state
+    // re-sync stays a pure refresh.
+    val exists = spark.catalog.tableExists(fq)
+    val schemaChanged = exists && spark.table(fq).schema != spark.read.parquet(path).schema
+    if (schemaChanged) spark.sql(s"DROP TABLE IF EXISTS $fq")
+    if (!exists || schemaChanged)
+      spark.sql(s"CREATE TABLE $fq USING parquet LOCATION '$path'")
     spark.catalog.refreshTable(fq)
     fq
   }
