@@ -52,11 +52,9 @@ object LakeDriver {
     val df = read(spark)
     val filtered = filterSql match {
       case Some(q) =>
+        // serialized: this job may run beside 24 others on one session
         val v = viewName.getOrElse(Lake.tableNameFromPath(tablePath))
-        df.createOrReplaceTempView(v)
-        val out = spark.sql(q)
-        spark.catalog.dropTempView(v)
-        out
+        Lake.withScopedView(spark, v, df)(spark.sql(q))
       case None => df
     }
     Lake.writeToDatalake(spark, filtered, root, tablePath, database)
@@ -86,7 +84,7 @@ object LakeDriver {
     )
 
     // 5. reconciliation over everything the run produced
-    val recon = reconReport(spark, config, registry.keySet)
+    val recon = reconReport(spark, config)
     recon.write.mode("overwrite").parquet(s"${config.root}/recon_report")
     RunResult(records, recon, layers)
   }
@@ -96,9 +94,24 @@ object LakeDriver {
     * equal lake counts when sources are the lake inputs themselves; the
     * JDBC-source variant plugs its own source frames into
     * `Recon.countReport`.)
+    *
+    * Table discovery: a table is the nearest non-partition (`k=v`)
+    * ancestor directory of a parquet file; swap leftovers
+    * (`_old`/`_staging*`) are excluded. Names are lowercased so they join
+    * the metastore's lowercased job-derived names (`Dag.jobNameFor`) —
+    * mixed-case tablePaths would otherwise recon with NULL times.
     */
-  private def reconReport(spark: SparkSession, config: Config, jobs: Set[String]): DataFrame = {
+  private def reconReport(spark: SparkSession, config: Config): DataFrame = {
     val lakeDir = java.nio.file.Paths.get(s"${config.root}/datalake")
+    def tableDirOf(file: java.nio.file.Path): Option[java.nio.file.Path] = {
+      var d = file.getParent
+      while (d != null && d != lakeDir && d.getFileName.toString.contains("=")) d = d.getParent
+      val ok = d != null && d != lakeDir && {
+        val n = d.getFileName.toString
+        !n.endsWith("_old") && !n.contains("_staging")
+      }
+      if (ok) Some(d) else None
+    }
     val tables: Seq[(String, String)] =
       if (!java.nio.file.Files.exists(lakeDir)) Nil
       else {
@@ -107,9 +120,9 @@ object LakeDriver {
           import scala.jdk.CollectionConverters._
           stream.iterator().asScala
             .filter(p => java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-            .map(_.getParent)
+            .flatMap(tableDirOf(_))
             .toSet
-            .map((d: java.nio.file.Path) => d.getFileName.toString -> d.toString)
+            .map((d: java.nio.file.Path) => d.getFileName.toString.toLowerCase -> d.toString)
             .toSeq
             .sortBy(_._1)
         } finally stream.close()

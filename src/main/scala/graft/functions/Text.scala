@@ -10,9 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokenization (collapses runs; trims first). */
+  /** Whitespace tokenization (collapses runs; trims first). Empty and
+    * whitespace-only text yields an EMPTY array — `split` alone returns
+    * `[""]` there, which would count one phantom token and diverge from
+    * the native TextOps tokenizer used on the dedup hot paths.
+    */
   def tokens(text: Column): Column =
-    split(trim(regexp_replace(text, "\\s+", " ")), " ")
+    filter(
+      split(trim(regexp_replace(text, "\\s+", " ")), " "),
+      t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
@@ -41,12 +47,19 @@ object Text {
   def stopwordCount(text: Column, stops: Seq[String] = DefaultStopwords): Column =
     size(filter(tokens(text), t => t.isin(stops: _*))).cast("long")
 
-  def stopwordRatio(text: Column, stops: Seq[String] = DefaultStopwords): Column =
-    stopwordCount(text, stops).cast("double") / tokenCount(text).cast("double")
+  /** NULL on zero tokens (a 0/0 would throw under ANSI mode). */
+  def stopwordRatio(text: Column, stops: Seq[String] = DefaultStopwords): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(null).cast("double"))
+      .otherwise(stopwordCount(text, stops).cast("double") / n.cast("double"))
+  }
 
+  /** NULL on empty text (a 0/0 would throw under ANSI mode). */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
-      .cast("double") / length(text).cast("double")
+    when(length(text) === 0, lit(null).cast("double"))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+          .cast("double") / length(text).cast("double"))
 
   /** n-gram heuristic language ID: stopword density proxies
     * English-likeness; everything is otherwise bucketed by length. A real
@@ -64,7 +77,9 @@ object Text {
   def qualityScore(text: Column): Column = {
     val n = tokenCount(text).cast("double")
     val d = distinctTokenCount(text).cast("double")
-    round(lit(0.5) * least(lit(1.0), n / 200.0) + lit(0.5) * (d / n), 6)
+    // NULL for empty text: no tokens to score (0/0 throws under ANSI)
+    when(n === 0, lit(null).cast("double"))
+      .otherwise(round(lit(0.5) * least(lit(1.0), n / 200.0) + lit(0.5) * (d / n), 6))
   }
 
   /** Content-defined document fingerprint: md5 of the sorted token bag.

@@ -110,8 +110,11 @@ object VectorFunctions {
     column(DotProductExpr(expression(a), expression(b)))
   def vec_norm2(a: Column): Column = column(Norm2Expr(expression(a)))
   def vec_cosine(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.functions.sqrt
-    vec_dot(a, b) / (sqrt(vec_norm2(a)) * sqrt(vec_norm2(b)))
+    import org.apache.spark.sql.functions.{lit, sqrt, when}
+    // a zero-norm (corrupt/padded) vector must yield NULL, not an ANSI
+    // division-by-zero error that kills the whole scan
+    val denom = sqrt(vec_norm2(a)) * sqrt(vec_norm2(b))
+    when(denom === 0, lit(null).cast("double")).otherwise(vec_dot(a, b) / denom)
   }
   def hyperplane_bucket(a: Column, planes: Seq[Array[Double]]): Column = {
     require(planes.nonEmpty)

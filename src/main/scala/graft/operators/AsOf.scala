@@ -67,12 +67,17 @@ object AsOf {
     val ties = if (tieBreakCols.nonEmpty) tieBreakCols else payloadCols.take(1)
     val payload = struct((ties ++ payloadCols.filterNot(ties.contains)).map(col): _*)
 
-    val r = right.select(
-      col(rightKey).as("_k"),
-      col(rightTime).as("_t"),
-      payload.as("_p"),
-      lit(0).as("_tag")
-    )
+    // a NULL right time sorts FIRST under ascending order, which would
+    // make that row a universal fallback match; as-of semantics for an
+    // unknown time are "matches nothing" — drop such rows up front
+    val r = right
+      .where(col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("_k"),
+        col(rightTime).as("_t"),
+        payload.as("_p"),
+        lit(0).as("_tag")
+      )
     val l = left
       .withColumn("_k", col(leftKey))
       .withColumn("_t", col(leftTime))
@@ -84,7 +89,11 @@ object AsOf {
       .partitionBy(col("_k"))
       .orderBy(timeOrder, col("_tag"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = u.withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
+    // a NULL LEFT time also matches nothing (it would sort to one end of
+    // the window and pick up an arbitrary neighbor otherwise)
+    val filled = u.withColumn(
+      "_match",
+      when(col("_t").isNotNull, last(col("_p"), ignoreNulls = true).over(w)))
 
     val base = filled.where(col("_tag") === 1)
     val kept = if (inner) base.where(col("_match").isNotNull) else base

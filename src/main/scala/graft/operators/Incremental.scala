@@ -101,6 +101,7 @@ object Incremental {
       pk: String,
       updates: Boolean
   ): DataFrame = {
+    recoverInterruptedSwap(spark, lakePath)
     val exists = {
       val p = new org.apache.hadoop.fs.Path(lakePath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -156,6 +157,33 @@ object Incremental {
            else s"no previous table existed; new data remains at $staging"))
     }
     fs.delete(old, true) // best effort; a leftover _old is a complete old copy
+  }
+
+  /** Recover from a crash that interrupted [[swapInStaging]]: if the live
+    * path is missing but a complete `_old` (pre-swap table) or `_staging`
+    * (fully-written replacement) directory survives, rename it back into
+    * place. Callers that treat "live path absent" as "table empty" MUST
+    * run this first — otherwise a replayed batch silently re-initializes
+    * the table from one micro-batch and strands the full history in the
+    * leftover directory. Returns true if a recovery rename happened.
+    */
+  def recoverInterruptedSwap(
+      spark: org.apache.spark.sql.SparkSession,
+      livePath: String
+  ): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(livePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(live)) return false
+    // prefer the new data (staging was fully written before any rename)
+    val candidates = Option(fs.globStatus(new org.apache.hadoop.fs.Path(livePath + "_staging*")))
+      .map(_.toSeq).getOrElse(Nil).map(_.getPath) :+ new org.apache.hadoop.fs.Path(livePath + "_old")
+    candidates.find(fs.exists) match {
+      case Some(src) =>
+        if (!fs.rename(src, live))
+          throw new java.io.IOException(s"recoverInterruptedSwap: rename $src -> $live failed")
+        true
+      case None => false
+    }
   }
 
   /** One row per key, deterministically (greatest full-row struct wins). */

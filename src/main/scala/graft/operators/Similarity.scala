@@ -48,6 +48,9 @@ object Similarity {
         col(idCol),
         round(cosine(col(vecCol), col("q_vec")), 6).as("cos_sim")
       )
+      // a zero-norm (corrupt/padded) vector yields NULL (see
+      // vec_cosine) — it must not occupy a top-k slot
+      .where(col("cos_sim").isNotNull)
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -121,6 +124,7 @@ object Similarity {
       .join(broadcast(qb), col("t") === col("qt") && col("bkt") === col("qbkt"))
       .where(col(idCol) =!= queryId)
       .select(col(idCol), round(cosine(col(vecCol), col("q_vec")), 6).as("cos_sim"))
+      .where(col("cos_sim").isNotNull) // zero-norm vectors must not occupy slots
       .distinct()
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
@@ -159,7 +163,11 @@ object Similarity {
       .select(
         col("a.id").as("id_a"),
         col("b.id").as("id_b"),
-        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))).as("cs")
+        // zero-norm vectors → NULL (ANSI would throw on the division);
+        // the threshold filter below then drops them
+        when(col("a.nrm") * col("b.nrm") === 0, lit(null).cast("double"))
+          .otherwise(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          .as("cs")
       )
       .where(col("cs") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cs"), 6).as("cos_sim"))

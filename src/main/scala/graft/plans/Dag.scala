@@ -18,8 +18,16 @@ object Dag {
 
   def dependenciesFrom(df: DataFrame): Seq[Dependency] =
     df.collect().toSeq.map { r =>
-      val parent = Option(r.getAs[String]("Parent Table")).map(_.trim).filter(_.nonEmpty)
-      Dependency(r.getAs[String]("Table").trim, parent, r.getAs[String]("Layer").trim.toInt)
+      // CSV rows with missing cells arrive as nulls — fail with a
+      // row-identifying message, not an NPE deep inside the driver
+      def cell(name: String): Option[String] =
+        Option(r.getAs[String](name)).map(_.trim).filter(_.nonEmpty)
+      val table = cell("Table").getOrElse(
+        throw new IllegalArgumentException(s"dependency CSV row missing Table: $r"))
+      val layer = cell("Layer").getOrElse(
+        throw new IllegalArgumentException(s"dependency CSV row missing Layer: $r"))
+      require(layer.forall(_.isDigit), s"dependency CSV row has non-numeric Layer '$layer': $r")
+      Dependency(table, cell("Parent Table"), layer.toInt)
     }
 
   /** Layer → ordered distinct job names, keeping only registered jobs. */

@@ -129,21 +129,37 @@ object Runner {
   /** Layered execution (E1 loop, `driver_ingestions.py:58-61`): layers in
     * ascending order, each layer split into ≤`maxBatchSize` batches run in
     * parallel; metadata appended per batch via `record`.
+    *
+    * Layer ordering exists so children run AFTER their parents — so once
+    * any job has failed, later layers are recorded SUSPENDED instead of
+    * executed (a child running over its failed parent's stale overwrite
+    * would report SUCCESS on wrong data). This is the layered analogue of
+    * the serial runner's cascade and the reference's stop-on-failure
+    * driver loop; within the failing layer, already-launched parallel
+    * siblings still complete and are recorded individually. Set
+    * `suspendAfterFailure = false` to restore run-everything behavior.
     */
   def runLayers(
       spark: SparkSession,
       layers: Map[Int, Seq[String]],
       registry: Map[String, Job],
       maxBatchSize: Int = 25,
-      record: Seq[JobRunRecord] => Unit = _ => ()
+      record: Seq[JobRunRecord] => Unit = _ => (),
+      suspendAfterFailure: Boolean = true
   ): Seq[JobRunRecord] = {
     val all = Seq.newBuilder[JobRunRecord]
+    var failed = false
     layers.keys.toSeq.sorted.foreach { layer =>
       Dag.batches(layers(layer), maxBatchSize).foreach { batch =>
         val jobs = batch.flatMap(n => registry.get(n).map(n -> _))
-        val recs = runParallel(spark, jobs, maxParallel = maxBatchSize)
+        val recs =
+          if (failed && suspendAfterFailure) {
+            val t = now()
+            jobs.map { case (name, _) => JobRunRecord(name, "", Suspended, t, t, 0) }
+          } else runParallel(spark, jobs, maxParallel = maxBatchSize)
         record(recs)
         all ++= recs
+        if (recs.exists(_.job_status == Failure_)) failed = true
       }
     }
     all.result()

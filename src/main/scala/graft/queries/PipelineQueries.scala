@@ -314,7 +314,7 @@ object PipelineQueries {
   // Shared CTE fragments for the word-trigram dedup oracles (n = 3, the
   // corpus setting): distinct shingles per doc + per-doc shingle counts.
   private val ShinglesCte =
-    """tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+    """tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       |       FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
@@ -339,7 +339,7 @@ object PipelineQueries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "q24_dedup_ngram_jaccard" ->
-      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
         |       FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -461,7 +461,7 @@ object PipelineQueries {
          |$RescoreSql""".stripMargin,
     "q42_dedup_simhash_md5" ->
       """WITH tokd AS (SELECT DISTINCT doc_id, tok FROM (
-        |        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS tok
         |        FROM documents)),
         |hv AS (SELECT doc_id, tok,
         |         CAST(sum((CAST(strpos('0123456789abcdef',
@@ -479,7 +479,7 @@ object PipelineQueries {
         |SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_members
         |FROM sig GROUP BY simhash HAVING count(*) >= 2 ORDER BY keep_id""".stripMargin,
     "q43_array_funcs" ->
-      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+      """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w FROM documents)
         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n, w[1] AS first_tok, w[-1] AS last_tok,
         |  list_contains(w, 'the') AS has_the,
         |  array_to_string(w[1:3], '-') AS first3,
@@ -527,7 +527,7 @@ object PipelineQueries {
          |)
          |SELECT node, min(r) AS label FROM reach GROUP BY node ORDER BY node""".stripMargin,
     "q57_tfidf_topterms" ->
-      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS tok
         |              FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
@@ -550,7 +550,7 @@ object PipelineQueries {
         |JOIN iv ON iv.user_id = e.user_id AND e.ts >= iv.w_start AND e.ts <= iv.w_end
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
     "q49_chunking" ->
-      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
         |c AS (SELECT doc_id, w,
         |        GREATEST(1, CAST(CEIL((len(w) - 8) / 24.0) AS BIGINT)) AS n_chunks
         |      FROM tok)
@@ -560,7 +560,7 @@ object PipelineQueries {
         |       AS BIGINT) AS last_chunk_tokens
         |FROM c ORDER BY doc_id""".stripMargin,
     "q50_quality_filter" ->
-      """WITH t AS (SELECT doc_id, n_chars, regexp_split_to_array(trim(text), '\s+') AS w, text
+      """WITH t AS (SELECT doc_id, n_chars, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w, text
         |           FROM documents),
         |m AS (SELECT doc_id, n_chars, len(w) AS n,
         |        CAST(len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
@@ -593,7 +593,7 @@ object PipelineQueries {
         |FROM c ORDER BY vec_id""".stripMargin,
     "q47_token_packing" ->
       """WITH tk AS (SELECT doc_id,
-        |              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |              CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |            FROM documents),
         |c AS (SELECT doc_id, n_tokens,
         |        sum(n_tokens) OVER (ORDER BY doc_id
@@ -613,7 +613,7 @@ object PipelineQueries {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
     "q45_map_funcs" ->
-      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
         |m AS (SELECT doc_id,
         |        map(['n', 'nd'],
         |            [CAST(len(w) AS BIGINT), CAST(len(list_distinct(w)) AS BIGINT)]) AS mm
@@ -623,7 +623,7 @@ object PipelineQueries {
         |  array_to_string(map_keys(mm), ',') AS m_keys
         |FROM m ORDER BY doc_id""".stripMargin,
     "q44_posexplode_topk" ->
-      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
         |x AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[CAST(i AS INT)] AS tok
         |      FROM tok, UNNEST(range(1, len(w) + 1)) AS t(i))
         |SELECT tok, count(*) AS n, min(doc_id) AS keep_id, min(pos) AS min_pos

@@ -21,6 +21,24 @@ object Lake {
   def lakePath(root: String, tablePath: String): String =
     s"$root/datalake/$tablePath"
 
+  /** Temp views are SESSION-scoped, and the parallel runner shares one
+    * session across up to 25 concurrent jobs — two jobs using the same
+    * view name would interleave create/sql/drop and silently query each
+    * other's data. All scoped view-create → analyze → drop sequences in
+    * this library serialize on this lock (analysis happens eagerly inside
+    * `spark.sql`, so the critical section is short; execution stays
+    * parallel).
+    */
+  private val viewLock = new Object
+
+  def withScopedView[T](spark: SparkSession, name: String, df: DataFrame)(
+      body: => T): T =
+    viewLock.synchronized {
+      df.createOrReplaceTempView(name)
+      try body
+      finally spark.catalog.dropTempView(name)
+    }
+
   // ----------------------------------------------------------------- sources
 
   /** S1 — JDBC scan with optional source-side pushdown query
@@ -67,10 +85,7 @@ object Lake {
       case None => df
       case Some(q) =>
         val view = tableNameFromPath(path.stripSuffix(".parquet"))
-        df.createOrReplaceTempView(view)
-        val out = spark.sql(q)
-        spark.catalog.dropTempView(view)
-        out
+        withScopedView(spark, view, df)(spark.sql(q))
     }
   }
 
@@ -147,11 +162,7 @@ object Lake {
       query match {
         case None => d
         case Some(q) =>
-          val view = tableNameFromPath(path)
-          d.createOrReplaceTempView(view)
-          val out = spark.sql(q)
-          spark.catalog.dropTempView(view)
-          out
+          withScopedView(spark, tableNameFromPath(path), d)(spark.sql(q))
       }
     }
   }
@@ -244,6 +255,7 @@ object Lake {
       partitionCols: Seq[String] = Nil
   ): Int = {
     require(targetFileBytes > 0)
+    graft.operators.Incremental.recoverInterruptedSwap(spark, path)
     // size via the Hadoop FS of the path itself — a local-filesystem walk
     // would read 0 bytes for hdfs://, s3a://, ... and compact to ONE file
     val p = new org.apache.hadoop.fs.Path(path)

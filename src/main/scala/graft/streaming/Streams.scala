@@ -63,6 +63,10 @@ object Streams {
   ): Unit = {
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash between swap renames leaves the table only in _old/_staging;
+    // restore it before deciding the table is "new" (else one replayed
+    // micro-batch would silently become the whole table)
+    Incremental.recoverInterruptedSwap(spark, targetPath)
     if (fs.exists(target) && fs.listStatus(target).nonEmpty) {
       val merged = Incremental.merge(spark.read.parquet(targetPath), batch, pk)
       val staging = targetPath + s"_staging_$batchId"
@@ -141,7 +145,13 @@ object Streams {
         e =>
           cur match {
             case Some(s) if e.sec - s.lastSec <= gapSec =>
-              cur = Some(SessionState(s.startSec, e.sec, s.nEvents + 1, s.valueSum + e.value))
+              // a cross-batch LATE event (e.sec < state's lastSec) must
+              // extend the session's bounds, never move them backwards —
+              // a regressed lastSec would shrink the timeout and emit
+              // negative durations
+              cur = Some(SessionState(
+                math.min(s.startSec, e.sec), math.max(s.lastSec, e.sec),
+                s.nEvents + 1, s.valueSum + e.value))
             case Some(s) =>
               closed += close(uid, s)
               cur = Some(SessionState(e.sec, e.sec, 1, e.value))

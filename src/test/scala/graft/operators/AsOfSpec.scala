@@ -50,6 +50,24 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(out(13L).isEmpty) // key with no quotes
   }
 
+  test("NULL times match nothing (neither as fallback rows nor as probes)") {
+    val dirtyQuotes = Seq(
+      (1L, Option.empty[Timestamp], 666.0), // unknown-time quote: must never match
+      (1L, Some(ts("2024-01-01 10:05:00")), 101.0)
+    ).toDF("q_key", "q_ts", "price")
+    val dirtyTrades = Seq(
+      (20L, 1L, Some(ts("2024-01-01 10:00:00"))), // before any timed quote
+      (21L, 1L, Option.empty[Timestamp]) // unknown-time trade: no match
+    ).toDF("trade_id", "t_key", "t_ts")
+    val out = AsOf
+      .joinBackward(dirtyTrades, dirtyQuotes, "t_key", "q_key", "t_ts", "q_ts", Seq("price"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("price"))) None else Some(r.getDouble(r.fieldIndex("price")))))
+      .toMap
+    assert(out(20L).isEmpty, "null-time quote must not act as universal fallback")
+    assert(out(21L).isEmpty, "null-time trade must match nothing")
+  }
+
   test("inner variant drops unmatched left rows") {
     val out = AsOf.joinBackward(
       trades, quotes, "t_key", "q_key", "t_ts", "q_ts", Seq("price"), inner = true)

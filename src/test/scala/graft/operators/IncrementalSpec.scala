@@ -119,4 +119,18 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     val m = Incremental.merge(target, source, "id").as[(Long, String)].collect().toSet
     assert(m == Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
   }
+
+  test("recoverInterruptedSwap restores a table stranded mid-swap") {
+    val base = Files.createTempDirectory("recov").toString
+    val live = base + "/t"
+    // simulate a crash between the two swap renames: live missing,
+    // complete new data left in _staging, old copy in _old
+    df(1L -> "old").write.parquet(live + "_old")
+    df(2L -> "new").write.parquet(live + "_staging_7")
+    assert(Incremental.recoverInterruptedSwap(spark, live))
+    // staging (the fully-written replacement) wins
+    assert(spark.read.parquet(live).as[(Long, String)].collect().toSeq == Seq(2L -> "new"))
+    // no-op when live exists
+    assert(!Incremental.recoverInterruptedSwap(spark, live))
+  }
 }

@@ -55,4 +55,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(p1.flatten == p2.flatten)
     assert(p1.flatten.forall(v => v >= -1.0 && v <= 1.0))
   }
+
+  test("zero-norm vectors never top the ranking (NaN guard)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f), "a"),
+      (1L, Array(0.9f, 0.1f), "a"),
+      (2L, Array(0f, 0f), "a") // corrupt: zero norm -> NaN cosine
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.cosineTopK(vecs, "vec_id", "embedding", 0L, 2).collect()
+    assert(top.head.getLong(0) == 1L, "real neighbor must rank first")
+    assert(!top.map(_.getLong(0)).contains(2L), "NaN row must be excluded")
+  }
 }

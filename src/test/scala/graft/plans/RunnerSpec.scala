@@ -84,4 +84,16 @@ class RunnerSpec extends AnyFunSuite with SparkSpec {
     assert(Runner.durationSecs(t0, new java.sql.Timestamp(3500)) == 3)
     assert(Runner.durationSecs(t0, t0) == 0)
   }
+
+  test("layered runner suspends later layers after a failure (cascade across layers)") {
+    val registry: Map[String, Job] = Map("p" -> boom, "c" -> ok)
+    val recs = Runner.runLayers(spark, Map(0 -> Seq("p"), 1 -> Seq("c")), registry)
+    assert(recs.map(r => r.job_name -> r.job_status).toMap ==
+      Map("p" -> "FAILURE", "c" -> "SUSPENDED"))
+    // opt-out restores run-everything
+    val loose = Runner.runLayers(spark, Map(0 -> Seq("p"), 1 -> Seq("c")), registry,
+      suspendAfterFailure = false)
+    assert(loose.map(r => r.job_name -> r.job_status).toMap ==
+      Map("p" -> "FAILURE", "c" -> "SUCCESS"))
+  }
 }
