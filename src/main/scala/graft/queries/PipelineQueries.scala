@@ -109,17 +109,19 @@ object PipelineQueries {
     // expressions over the token array, no explode, no shuffle.
     "q43_array_funcs" -> { (s, dir) =>
       val tok = Text.tokens(col("text"))
+      // try_element_at: NULL on an empty token array (plain element_at
+      // throws under ANSI; the oracle's w[1] returns NULL)
       t(s, dir, "documents")
         .select(
           col("doc_id"),
           size(tok).cast("long").as("n"),
-          element_at(tok, 1).as("first_tok"),
-          element_at(tok, -1).as("last_tok"),
+          try_element_at(tok, lit(1)).as("first_tok"),
+          try_element_at(tok, lit(-1)).as("last_tok"),
           array_contains(tok, "the").as("has_the"),
           concat_ws("-", slice(tok, 1, 3)).as("first3"),
           size(array_intersect(tok, array(lit("the"), lit("a"), lit("of"))))
             .cast("long").as("n_stop_kinds"),
-          element_at(array_sort(tok), 1).as("min_tok")
+          try_element_at(array_sort(tok), lit(1)).as("min_tok")
         )
         .orderBy("doc_id")
     },
@@ -269,6 +271,10 @@ object PipelineQueries {
     // column construction, partition-wise mapPartitions decode, feature
     // array shape, metadata join — is oracle-checkable. Bin counts are
     // recovered from the L1-normalized features (hist = feature × n_bytes).
+    // NOTE: the q38/q61 DuckDB oracles index CHARACTERS (ascii/substring),
+    // which equals the Spark side's UTF-8 BYTES only for ASCII corpora —
+    // verified for these fixtures (length == strlen for every document);
+    // the Spark operators themselves are byte-correct for any input.
     "q38_multimodal_features" -> { (s, dir) =>
       val media = Multimodal.fromDocuments(s, t(s, dir, "documents"))
       val bins = (0 until 16).map(i =>
@@ -304,10 +310,11 @@ object PipelineQueries {
     }
   )
 
-  // Tokenize exactly like Spark-side Text.tokens: trim, then split on
-  // whitespace RUNS (string_split on ' ' would diverge on tabs/newlines/
-  // multi-space inputs even though the test corpus is single-spaced).
-  private val TokensSql = "regexp_split_to_array(trim(text), '\\s+')"
+  // Tokenize exactly like Spark-side Text.tokens: trim, split on
+  // whitespace RUNS, and drop empty tokens (split of an empty string
+  // yields [''] on both engines otherwise — a phantom token).
+  private val TokensSql =
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
   private val StopFilterSql =
     s"list_filter($TokensSql, x -> x IN ('the', 'a', 'and', 'of', 'to'))"
 
@@ -364,7 +371,8 @@ object PipelineQueries {
         |   FROM (SELECT unnest(q.qe) AS y) z) AS n2b
         | FROM embeddings e, q WHERE e.vec_id <> 0)
         |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim
-        |FROM sc ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+        |FROM sc WHERE n2a > 0 AND n2b > 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
     // Full ANN pipeline replicated: the LCG plane coefficients are pure
     // integer arithmetic, bucket = sign bits of zip-unnest dot products
     // (the q27-proven bit-identical summation form), candidates share any
@@ -398,7 +406,8 @@ object PipelineQueries {
         |   FROM (SELECT unnest(qv.qe) AS y) z) AS n2b
         | FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, qv)
         |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim
-        |FROM sc ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+        |FROM sc WHERE n2a > 0 AND n2b > 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q29_text_stats" ->
       s"""SELECT doc_id,
          |  len($TokensSql) AS n_tokens,
@@ -663,7 +672,7 @@ object PipelineQueries {
     "q39_multimodal_frames" ->
       """WITH v AS (SELECT doc_id AS media_id,
         |             CAST(CEIL(strlen(text) / 64.0) AS BIGINT) AS nchunks
-        |           FROM documents WHERE doc_id % 3 = 2)
+        |           FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0)
         |SELECT media_id,
         |  CAST((nchunks - 1) // 4 + 1 AS BIGINT) AS n_frames,
         |  CAST(((nchunks - 1) // 4) * 4 AS BIGINT) AS max_idx

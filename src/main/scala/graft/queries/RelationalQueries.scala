@@ -231,14 +231,23 @@ object RelationalQueries {
       val cust = t(s, dir, "customer")
       val nat = t(s, dir, "nation")
       val reg = t(s, dir, "region")
+      // grouping() distinguishes the subtotal rows from a genuine NULL
+      // (or literal 'ALL') group value — coalesce alone would collide
+      // them into identical ORDER BY keys with engine-dependent order
       cust
         .join(nat, cust("c_nationkey") === nat("n_nationkey"))
         .join(reg, nat("n_regionkey") === reg("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("acctbal_sum"),
+          grouping(col("r_name")).as("g_r"),
+          grouping(col("n_name")).as("g_n"))
         .select(
-          coalesce(col("r_name"), lit("ALL")).as("region_name"),
-          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          when(col("g_r") === 1, "ALL")
+            .otherwise(coalesce(col("r_name"), lit("<null>"))).as("region_name"),
+          when(col("g_n") === 1, "ALL")
+            .otherwise(coalesce(col("n_name"), lit("<null>"))).as("nation_name"),
           col("n_cust"),
           col("acctbal_sum")
         )
@@ -247,10 +256,16 @@ object RelationalQueries {
     "q19_cube" -> { (s, dir) =>
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          grouping(col("o_orderstatus")).as("g_s"),
+          grouping(col("o_orderpriority")).as("g_p"))
         .select(
-          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          when(col("g_s") === 1, "ALL")
+            .otherwise(coalesce(col("o_orderstatus"), lit("<null>"))).as("status"),
+          when(col("g_p") === 1, "ALL")
+            .otherwise(coalesce(col("o_orderpriority"), lit("<null>"))).as("priority"),
           col("n"),
           col("total")
         )
@@ -261,8 +276,10 @@ object RelationalQueries {
     "q59_grouping_sets" -> { (s, dir) =>
       t(s, dir, "orders").createOrReplaceTempView("v_gs_orders")
       val out = s.sql(
-        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-          |       coalesce(o_orderpriority, 'ALL') AS priority,
+        """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+          |            ELSE coalesce(o_orderstatus, '<null>') END AS status,
+          |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+          |            ELSE coalesce(o_orderpriority, '<null>') END AS priority,
           |       count(*) AS n, round(sum(o_totalprice), 2) AS total
           |FROM v_gs_orders
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -536,12 +553,14 @@ object RelationalQueries {
         |ORDER BY l_orderkey, l_linenumber, sqrt_price, pow_disc, floor_qty""".stripMargin,
     "q17_json_extract" ->
       """SELECT event_type,
-        |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q18_rollup" ->
-      """SELECT coalesce(r_name, 'ALL') AS region_name,
-        |  coalesce(n_name, 'ALL') AS nation_name,
+      """SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL'
+        |            ELSE coalesce(r_name, '<null>') END AS region_name,
+        |  CASE WHEN GROUPING(n_name) = 1 THEN 'ALL'
+        |       ELSE coalesce(n_name, '<null>') END AS nation_name,
         |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal_sum
         |FROM customer c
         |JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -549,14 +568,18 @@ object RelationalQueries {
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY region_name, nation_name""".stripMargin,
     "q19_cube" ->
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-        |  coalesce(o_orderpriority, 'ALL') AS priority,
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+        |            ELSE coalesce(o_orderstatus, '<null>') END AS status,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |       ELSE coalesce(o_orderpriority, '<null>') END AS priority,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "q59_grouping_sets" ->
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-        |       coalesce(o_orderpriority, 'ALL') AS priority,
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+        |            ELSE coalesce(o_orderstatus, '<null>') END AS status,
+        |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |            ELSE coalesce(o_orderpriority, '<null>') END AS priority,
         |       count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
