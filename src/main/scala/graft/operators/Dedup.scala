@@ -136,7 +136,14 @@ object Dedup {
     */
   private def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Partition-count heuristic WITHOUT touching df.rdd — materializing
+    // the RDD lineage forces physical planning (and, under AQE, can
+    // eagerly run upstream shuffle stages) just to learn a number. Leaf
+    // input files are known from the already-done scan listing: few files
+    // ⇒ few splits ⇒ single-threaded hashing. Non-file inputs (in-memory
+    // test relations) report zero files and also arrive as ~1 partition.
+    val files = df.inputFiles.length
+    if (files < target) df.repartition(target) else df
   }
 
   /** Exact-Jaccard rescore of a candidate pair set: `candidates` is
@@ -423,6 +430,14 @@ object Dedup {
       i += 1
     }
     release(symRdds)
+    if (changed > 0)
+      // surface non-convergence rather than silently returning split
+      // components (downstream dedupByPairs would keep extra "survivors")
+      org.slf4j.LoggerFactory
+        .getLogger(getClass)
+        .warn(
+          s"connectedComponents: NOT converged after $maxIter rounds " +
+            s"($changed labels still changing) — labels may split components; raise maxIter")
     labels.orderBy("node")
   }
 

@@ -144,12 +144,22 @@ object Incremental {
     if (fs.exists(old) && !fs.delete(old, true))
       throw new java.io.IOException(s"swapInStaging: could not clear stale backup $old")
     val hadLive = fs.exists(live)
-    if (hadLive && !fs.rename(live, old))
+    if (hadLive && !fs.rename(live, old)) {
+      // the live table is intact and the caller will retry (recomputing
+      // staging), so the staging dir is superseded data — leaving it
+      // behind would let a LATER crash recovery restore this stale copy
+      // over a newer table (recoverInterruptedSwap globs _staging*)
+      fs.delete(staging, true)
       throw new java.io.IOException(
         s"swapInStaging: rename $live -> $old failed; table untouched at $live")
+    }
     if (!fs.rename(staging, live)) {
       // roll the old table back into place so readers never see a gap
       val rolledBack = hadLive && fs.rename(old, live)
+      // same reasoning as above: once the previous table is restored the
+      // staging copy is superseded (the failed batch replays) — but if
+      // rollback ALSO failed, staging may be the only complete copy; keep it
+      if (rolledBack) fs.delete(staging, true)
       throw new java.io.IOException(
         s"swapInStaging: rename $staging -> $live failed; " +
           (if (rolledBack) s"previous table restored at $live"
@@ -174,13 +184,24 @@ object Incremental {
     val live = new org.apache.hadoop.fs.Path(livePath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(live)) return false
-    // prefer the new data (staging was fully written before any rename)
-    val candidates = Option(fs.globStatus(new org.apache.hadoop.fs.Path(livePath + "_staging*")))
-      .map(_.toSeq).getOrElse(Nil).map(_.getPath) :+ new org.apache.hadoop.fs.Path(livePath + "_old")
-    candidates.find(fs.exists) match {
-      case Some(src) =>
-        if (!fs.rename(src, live))
-          throw new java.io.IOException(s"recoverInterruptedSwap: rename $src -> $live failed")
+    // Prefer the NEWEST surviving copy. A lexicographic "first staging
+    // match" is wrong twice over: leftover staging dirs from older
+    // rolled-back batches would win over the batch that actually crashed
+    // mid-swap, and "_staging_10" sorts before "_staging_9". Rank all
+    // candidates by modification time (directory mtimes survive rename on
+    // every Hadoop FS we target), breaking ties in favor of staging —
+    // staging holds post-merge data, _old the pre-merge table.
+    val stagings = Option(fs.globStatus(new org.apache.hadoop.fs.Path(livePath + "_staging*")))
+      .map(_.toSeq).getOrElse(Nil)
+    val olds = Option(fs.globStatus(new org.apache.hadoop.fs.Path(livePath + "_old")))
+      .map(_.toSeq).getOrElse(Nil)
+    val ranked = (stagings.map(st => (st, 1)) ++ olds.map(st => (st, 0)))
+      .sortBy { case (st, isStaging) => (-st.getModificationTime, -isStaging) }
+    ranked.headOption match {
+      case Some((src, _)) =>
+        if (!fs.rename(src.getPath, live))
+          throw new java.io.IOException(
+            s"recoverInterruptedSwap: rename ${src.getPath} -> $live failed")
         true
       case None => false
     }

@@ -197,7 +197,10 @@ object PipelineQueries {
           col("doc_id"),
           size(ch).cast("long").as("n_chunks"),
           element_at(ch, 1).as("first_chunk"),
-          size(split(element_at(ch, -1), " ")).cast("long").as("last_chunk_tokens")
+          // Text.tokenCount, not raw split: split("", " ") is [""] (one
+          // phantom token) for the empty chunk a zero-token doc produces,
+          // where the oracle's list slice yields 0
+          Text.tokenCount(element_at(ch, -1)).as("last_chunk_tokens")
         )
         .orderBy("doc_id")
     },

@@ -233,12 +233,39 @@ object Lake {
     // brief not-found window for concurrent sessions, so the steady-state
     // re-sync stays a pure refresh.
     val exists = spark.catalog.tableExists(fq)
-    val schemaChanged = exists && spark.table(fq).schema != spark.read.parquet(path).schema
+    // Structural compare (names + dataTypes), NOT StructType equality:
+    // catalog schemas routinely differ from file-inferred ones in
+    // nullability/metadata only, and full equality would DROP+CREATE on
+    // every sync — churning the catalog and opening the not-found window
+    // this branch exists to avoid.
+    val schemaChanged =
+      exists && !sameStructure(spark.table(fq).schema, spark.read.parquet(path).schema)
     if (schemaChanged) spark.sql(s"DROP TABLE IF EXISTS $fq")
     if (!exists || schemaChanged)
       spark.sql(s"CREATE TABLE $fq USING parquet LOCATION '$path'")
     spark.catalog.refreshTable(fq)
     fq
+  }
+
+  /** Nullability/metadata-insensitive structural equality of two types:
+    * same field names and data types, recursively. The schema-change
+    * signal for catalog re-sync.
+    */
+  private[graft] def sameStructure(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType
+  ): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    (a, b) match {
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name == g.name && sameStructure(f.dataType, g.dataType)
+        }
+      case (x: ArrayType, y: ArrayType) => sameStructure(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameStructure(x.keyType, y.keyType) && sameStructure(x.valueType, y.valueType)
+      case _ => a == b
+    }
   }
 
   /** Small-file compaction (the OPTIMIZE of table formats, for a plain

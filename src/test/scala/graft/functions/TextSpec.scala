@@ -62,6 +62,19 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(short == Seq("a b"))
   }
 
+  test("chunks of an empty doc: one empty chunk whose tokenCount is 0 (q49 guard)") {
+    // raw split(chunk, ' ') would report 1 phantom token here — the q49
+    // corpus query must count the tail chunk with Text.tokenCount instead
+    val row = one("   ")
+      .select(
+        Text.chunks(col("text"), 4, 1).as("c"),
+        Text.tokenCount(org.apache.spark.sql.functions.element_at(
+          Text.chunks(col("text"), 4, 1), -1)).as("last_tokens"))
+      .head()
+    assert(row.getSeq[String](0) == Seq(""))
+    assert(row.getLong(1) == 0L)
+  }
+
   test("filterReason: first matching reason wins, keep otherwise") {
     def reason(t: String): String =
       one(t).select(Text.filterReason(col("text"), minTokens = 3, maxStopRatio = 0.5,

@@ -120,6 +120,37 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(m == Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
   }
 
+  test("recoverInterruptedSwap picks the NEWEST staging, not the lexicographic first") {
+    val base = Files.createTempDirectory("recov-mtime").toString
+    val live = base + "/t"
+    // "_staging_10" sorts lexicographically BEFORE "_staging_9"; the crash
+    // we recover from is the most recent swap, so mtime must decide
+    df(1L -> "older-batch").write.parquet(live + "_staging_10")
+    df(2L -> "newer-batch").write.parquet(live + "_staging_9")
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(live + "_staging_10"), 1000L, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(live + "_staging_9"), 2000L, -1)
+    assert(Incremental.recoverInterruptedSwap(spark, live))
+    assert(spark.read.parquet(live).as[(Long, String)].collect().toSeq == Seq(2L -> "newer-batch"))
+  }
+
+  test("recoverInterruptedSwap prefers a newer _old over a stale leftover staging") {
+    val base = Files.createTempDirectory("recov-old").toString
+    val live = base + "/t"
+    // stale staging from a long-rolled-back batch vs the _old stranded by
+    // the crash we are actually recovering from: _old is newer → wins
+    df(1L -> "stale-staging").write.parquet(live + "_staging_3")
+    df(2L -> "current-table").write.parquet(live + "_old")
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(live + "_staging_3"), 1000L, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(live + "_old"), 2000L, -1)
+    assert(Incremental.recoverInterruptedSwap(spark, live))
+    assert(
+      spark.read.parquet(live).as[(Long, String)].collect().toSeq == Seq(2L -> "current-table"))
+  }
+
   test("recoverInterruptedSwap restores a table stranded mid-swap") {
     val base = Files.createTempDirectory("recov").toString
     val live = base + "/t"

@@ -106,6 +106,26 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table(fq).columns.toSet == Set("x", "extra"))
   }
 
+  test("schema compare for catalog re-sync ignores nullability and metadata") {
+    import org.apache.spark.sql.types._
+    val a = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = true), nullable = true),
+      StructField("kv", MapType(StringType, LongType, valueContainsNull = true))))
+    val meta = new MetadataBuilder().putString("comment", "x").build()
+    val b = StructType(Seq(
+      StructField("id", LongType, nullable = false, metadata = meta),
+      StructField("tags", ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("kv", MapType(StringType, LongType, valueContainsNull = false))))
+    assert(Lake.sameStructure(a, b), "nullability/metadata-only drift must NOT recreate")
+    val c = StructType(Seq(
+      StructField("id", IntegerType), // different dataType
+      StructField("tags", ArrayType(StringType)),
+      StructField("kv", MapType(StringType, LongType))))
+    assert(!Lake.sameStructure(a, c), "a real type change must recreate")
+    assert(!Lake.sameStructure(a, StructType(a.fields :+ StructField("x", LongType))))
+  }
+
   test("parquet lake scan with SQL filtration over temp view (S3)") {
     val root = tmp()
     import spark.implicits._
