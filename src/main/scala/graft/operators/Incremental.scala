@@ -120,6 +120,166 @@ object Incremental {
     spark.read.parquet(lakePath)
   }
 
+  /** K4 at 100 TB — partition-pruned MERGE into a Hive-partitioned lake
+    * (`utils.py:222-230`; what Delta's MERGE with a partition predicate
+    * does at file granularity, here at partition granularity). The plain
+    * [[ingestIncremental]] merge path reads and rewrites the WHOLE table
+    * per batch — correct, but a 1 GB batch against a 100 TB table does
+    * 100 TB of IO. This variant:
+    *
+    *   1. derives the touched-partition set from the source batch
+    *      (driver-side DISTINCT of partition values — metadata-scale,
+    *      bounded by the batch, never by the table),
+    *   2. reads ONLY those partitions (partition pruning: the scan lists
+    *      just the matching `col=value` directories),
+    *   3. merges the batch into them (same [[merge]] semantics as q20),
+    *   4. writes the merged partitions to a staging root and swaps each
+    *      partition directory in via rename-aside.
+    *
+    * IO per batch is proportional to the touched partitions, not the
+    * table. Crash-safety is per-partition: every crash point leaves each
+    * partition either fully old or fully new (see
+    * [[recoverPartitionedMerge]]); a torn batch (some partitions swapped,
+    * some not) is repaired by replaying the batch — the merge is
+    * idempotent.
+    *
+    * REQUIREMENT: `partitionCol` must be stable per `pk` (a key never
+    * moves between partitions). That is the standard contract for
+    * partition-pruned merges — Delta users encode the same assumption
+    * when they add a partition predicate to the merge condition. A moved
+    * key would insert into its new partition and leave the stale row in
+    * the old one.
+    */
+  def mergePartitionPruned(
+      spark: org.apache.spark.sql.SparkSession,
+      source: DataFrame,
+      lakePath: String,
+      pk: String,
+      partitionCol: String
+  ): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(lakePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPartitionedMerge(spark, lakePath)
+
+    if (!fs.exists(live) || fs.listStatus(live).isEmpty) {
+      dedupByKey(source, pk).write.mode("overwrite").partitionBy(partitionCol).parquet(lakePath)
+      return spark.read.parquet(lakePath)
+    }
+
+    val touched = source.select(col(partitionCol)).distinct().collect().map(_.get(0))
+    require(
+      touched.forall(_ != null),
+      s"mergePartitionPruned: NULL $partitionCol values in the batch (Hive layout cannot " +
+        "address a null partition safely; route nulls to a sentinel value first)")
+    if (touched.isEmpty) return spark.read.parquet(lakePath)
+
+    // the scan prunes to the touched `col=value` directories — the only
+    // table IO this batch pays
+    val existingTouched =
+      spark.read.parquet(lakePath).where(col(partitionCol).isin(touched.toIndexedSeq: _*))
+    val merged = merge(existingTouched, source, pk)
+
+    val stagingRoot = new Path(lakePath + "_pstaging")
+    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(stagingRoot.toString)
+
+    // Swap each staged partition dir into the live table. Dir names come
+    // from the staging listing, so Hive value escaping is already done by
+    // the writer; the rename-aside dirs get a '_' prefix, which partition
+    // discovery ignores (same convention as _SUCCESS/_temporary).
+    fs.listStatus(stagingRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .foreach(st => swapPartitionDir(fs, live, st.getPath))
+    fs.delete(stagingRoot, true)
+    spark.read.parquet(lakePath)
+  }
+
+  /** Rename-aside swap of ONE staged partition directory into the live
+    * table: live/p=v → live/_old_p=v, staging/p=v → live/p=v, delete the
+    * aside. Same crash contract as [[swapInStaging]], at partition scope.
+    */
+  private def swapPartitionDir(
+      fs: org.apache.hadoop.fs.FileSystem,
+      liveTable: org.apache.hadoop.fs.Path,
+      stagedPart: org.apache.hadoop.fs.Path
+  ): Unit = {
+    val name = stagedPart.getName
+    val livePart = new org.apache.hadoop.fs.Path(liveTable, name)
+    val aside = new org.apache.hadoop.fs.Path(liveTable, "_old_" + name)
+    if (fs.exists(aside) && !fs.delete(aside, true))
+      throw new java.io.IOException(s"swapPartitionDir: could not clear stale aside $aside")
+    val hadLive = fs.exists(livePart)
+    if (hadLive && !fs.rename(livePart, aside)) {
+      // partition intact; the batch will replay and recompute staging —
+      // drop the superseded staged copy so recovery can never restore it
+      fs.delete(stagedPart, true)
+      throw new java.io.IOException(
+        s"swapPartitionDir: rename $livePart -> $aside failed; partition untouched")
+    }
+    if (!fs.rename(stagedPart, livePart)) {
+      val rolledBack = hadLive && fs.rename(aside, livePart)
+      if (rolledBack) fs.delete(stagedPart, true)
+      throw new java.io.IOException(
+        s"swapPartitionDir: rename $stagedPart -> $livePart failed; " +
+          (if (rolledBack) "previous partition restored"
+           else if (hadLive) s"MANUAL RECOVERY NEEDED: previous data at $aside, new at $stagedPart"
+           else s"no previous partition existed; new data remains at $stagedPart"))
+    }
+    fs.delete(aside, true) // best effort; recovery deletes a leftover aside
+  }
+
+  /** Repair a [[mergePartitionPruned]] interrupted mid-swap. Per
+    * partition, in preference order: a staged copy with no live dir is
+    * the fully-written replacement (staging is complete before any swap
+    * starts) — rename it in; an `_old_` aside with no live dir is the
+    * pre-merge table stranded between the two renames — restore it; an
+    * aside WITH a live dir is a completed swap's leftover — delete it.
+    * Remaining staged dirs duplicate already-swapped partitions or belong
+    * to a batch the caller will replay; the staging root is dropped.
+    * Returns true if anything was repaired.
+    */
+  def recoverPartitionedMerge(
+      spark: org.apache.spark.sql.SparkSession,
+      lakePath: String
+  ): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(lakePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var acted = false
+    val stagingRoot = new Path(lakePath + "_pstaging")
+    if (fs.exists(stagingRoot)) {
+      fs.listStatus(stagingRoot)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .foreach { st =>
+          val target = new Path(live, st.getPath.getName)
+          if (!fs.exists(target)) {
+            if (!fs.rename(st.getPath, target))
+              throw new java.io.IOException(
+                s"recoverPartitionedMerge: rename ${st.getPath} -> $target failed")
+            acted = true
+          }
+        }
+      fs.delete(stagingRoot, true)
+    }
+    if (fs.exists(live)) {
+      fs.listStatus(live)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_old_"))
+        .foreach { st =>
+          val target = new Path(live, st.getPath.getName.stripPrefix("_old_"))
+          if (!fs.exists(target)) {
+            if (!fs.rename(st.getPath, target))
+              throw new java.io.IOException(
+                s"recoverPartitionedMerge: rename ${st.getPath} -> $target failed")
+            acted = true
+          } else {
+            fs.delete(st.getPath, true) // completed swap's leftover aside
+            acted = true
+          }
+        }
+    }
+    acted
+  }
+
   /** Swap a fully-written staging directory into the live table path via
     * rename-aside: live → live`_old`, staging → live, delete `_old`. A
     * plain delete-then-rename leaves NO copy of the table if the process

@@ -53,6 +53,28 @@ object Streams {
       }
       .start()
 
+  /** [[upsertStream]] for a Hive-partitioned target: each micro-batch is
+    * merged through `Incremental.mergePartitionPruned`, so per-batch IO is
+    * proportional to the partitions the batch touches, not the table —
+    * the shape that survives a 100 TB target. Same per-partition
+    * crash-safety as the batch path (recovery runs inside the merge).
+    */
+  def upsertStreamPartitioned(
+      spark: SparkSession,
+      source: DataFrame,
+      pk: String,
+      partitionCol: String,
+      targetPath: String,
+      checkpoint: String
+  ): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Incremental.mergePartitionPruned(spark, batch, targetPath, pk, partitionCol): Unit
+      }
+      .start()
+
   /** One micro-batch of the upsert; also usable directly in tests. */
   def upsertBatch(
       spark: SparkSession,

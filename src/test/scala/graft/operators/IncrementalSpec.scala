@@ -120,6 +120,92 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(m == Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
   }
 
+  private def pdf(rows: (Long, String, Int)*) = rows.toDF("id", "v", "p")
+
+  /** (relative path, mtime) of every data file under `dir`, recursively. */
+  private def fileState(dir: String): Map[String, Long] = {
+    val root = java.nio.file.Paths.get(dir)
+    val out = scala.collection.mutable.Map[String, Long]()
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+        out(root.relativize(p).toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis
+    }
+    out.toMap
+  }
+
+  test("partition-pruned merge rewrites ONLY the touched partition directory") {
+    val dir = Files.createTempDirectory("pmerge").toString + "/t"
+    Incremental.mergePartitionPruned(
+      spark,
+      pdf((1L, "a", 0), (2L, "b", 1), (3L, "c", 2), (4L, "d", 1)),
+      dir, "id", "p")
+    val before = fileState(dir)
+    assert(before.keys.exists(_.startsWith("p=0")) && before.keys.exists(_.startsWith("p=2")))
+
+    // batch touches ONLY p=1: update id=2, insert id=9
+    val after = Incremental.mergePartitionPruned(
+      spark, pdf((2L, "B", 1), (9L, "z", 1)), dir, "id", "p")
+    assert(after.as[(Long, String, Int)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", 0), (2L, "B", 1), (3L, "c", 2), (4L, "d", 1), (9L, "z", 1)))
+
+    val now = fileState(dir)
+    val untouchedBefore = before.filter { case (k, _) => k.startsWith("p=0") || k.startsWith("p=2") }
+    val untouchedNow = now.filter { case (k, _) => k.startsWith("p=0") || k.startsWith("p=2") }
+    assert(untouchedNow == untouchedBefore,
+      "untouched partitions must keep identical file paths AND mtimes (no rewrite)")
+    assert(now.keys.filter(_.startsWith("p=1")).toSet !=
+      before.keys.filter(_.startsWith("p=1")).toSet, "touched partition must be rewritten")
+    assert(!now.keys.exists(_.contains("_pstaging")) && !now.keys.exists(_.contains("_old_")),
+      "no staging/aside residue after a clean swap")
+  }
+
+  test("partition-pruned merge: a batch with a NEW partition value only adds that directory") {
+    val dir = Files.createTempDirectory("pmerge-new").toString + "/t"
+    Incremental.mergePartitionPruned(spark, pdf((1L, "a", 0), (2L, "b", 1)), dir, "id", "p")
+    val before = fileState(dir)
+    Incremental.mergePartitionPruned(spark, pdf((7L, "n", 5)), dir, "id", "p")
+    val now = fileState(dir)
+    assert(now.filter(!_._1.startsWith("p=5")) == before, "existing partitions untouched")
+    assert(now.keys.exists(_.startsWith("p=5")))
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("partition-pruned merge is idempotent under batch replay") {
+    val dir = Files.createTempDirectory("pmerge-idem").toString + "/t"
+    Incremental.mergePartitionPruned(spark, pdf((1L, "a", 0), (2L, "b", 1)), dir, "id", "p")
+    val batch = pdf((2L, "B", 1), (3L, "c", 0))
+    Incremental.mergePartitionPruned(spark, batch, dir, "id", "p")
+    val once = spark.read.parquet(dir).as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    Incremental.mergePartitionPruned(spark, batch, dir, "id", "p")
+    val twice = spark.read.parquet(dir).as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(once == twice && once == Seq((1L, "a", 0), (2L, "B", 1), (3L, "c", 0)))
+  }
+
+  test("recoverPartitionedMerge repairs a crash between the per-partition renames") {
+    val dir = Files.createTempDirectory("pmerge-recov").toString + "/t"
+    Incremental.mergePartitionPruned(spark, pdf((1L, "a", 0), (2L, "b", 1)), dir, "id", "p")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate: crash after live p=1 was renamed aside but before the
+    // staged replacement moved in — live p=1 missing, staged copy complete
+    val liveP1 = new org.apache.hadoop.fs.Path(dir + "/p=1")
+    assert(fs.rename(liveP1, new org.apache.hadoop.fs.Path(dir + "/_old_p=1")))
+    pdf((2L, "B", 1)).drop("p").write.parquet(dir + "_pstaging/p=1")
+    assert(Incremental.recoverPartitionedMerge(spark, dir))
+    // staged (newest) copy wins; aside and staging cleaned up
+    val rows = spark.read.parquet(dir).as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", 0), (2L, "B", 1)))
+    assert(!Files.exists(java.nio.file.Paths.get(dir + "_pstaging")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir + "/_old_p=1")))
+    // crash AFTER the staged copy moved in: only the aside is left — delete it
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir + "/p=0"),
+      new org.apache.hadoop.fs.Path(dir + "/_old_p=0")))
+    pdf((1L, "a", 0)).drop("p").write.parquet(dir + "/p=0")
+    assert(Incremental.recoverPartitionedMerge(spark, dir))
+    assert(!Files.exists(java.nio.file.Paths.get(dir + "/_old_p=0")))
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("recoverInterruptedSwap picks the NEWEST staging, not the lexicographic first") {
     val base = Files.createTempDirectory("recov-mtime").toString
     val live = base + "/t"

@@ -43,6 +43,31 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(Set("b", "b2").contains(out.find(_._1 == 2L).get._2))
   }
 
+  test("partitioned streaming upsert merges by PK and leaves untouched partitions alone") {
+    val base = Files.createTempDirectory("streamp").toString
+    val in = s"$base/in"
+    val target = s"$base/target"
+
+    Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "p")
+      .coalesce(1).write.mode("append").parquet(in)
+    Seq((2L, "b2", 1), (3L, "c", 1)).toDF("id", "v", "p")
+      .coalesce(1).write.mode("append").parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    val q = Streams.upsertStreamPartitioned(
+      spark, Streams.fileStream(spark, in, schema), "id", "p", target, s"$base/ckpt")
+    q.awaitTermination(60000)
+
+    val out = spark.read.parquet(target).as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out.find(_._1 == 3L).map(_._2).contains("c"))
+    assert(Set("b", "b2").contains(out.find(_._1 == 2L).get._2))
+    // Hive layout with no residue
+    val names = new java.io.File(target).listFiles().map(_.getName).toSet
+    assert(names.exists(_.startsWith("p=0")) && names.exists(_.startsWith("p=1")))
+    assert(!names.exists(n => n.startsWith("_old_") || n.contains("pstaging")))
+  }
+
   test("streaming dedup drops repeated keys across micro-batches") {
     val base = Files.createTempDirectory("streamdd").toString
     val in = s"$base/in"
