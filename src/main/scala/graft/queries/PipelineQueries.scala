@@ -168,16 +168,19 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
     // Token-budget sequence packing (greedy running-sum bins): the batch
-    // assembly step of a pretraining pipeline. Single global window at
-    // corpus-query size; Pack.byTokenBudget takes a shard column at scale.
+    // assembly step of a pretraining pipeline. SHARDED — the running sum
+    // partitions by a shard key so no single ordered partition ever holds
+    // the whole corpus (the global-window shape is spec-only and opt-in).
     "q47_token_packing" -> { (s, dir) =>
-      val assigned = Pack.byTokenBudget(
-        t(s, dir, "documents").select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens")),
-        "doc_id", "n_tokens", 2000L)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(4)).as("shard"),
+        Text.tokenCount(col("text")).as("n_tokens"))
+      val assigned = Pack.byTokenBudget(docs, "doc_id", "n_tokens", 2000L, Some("shard"))
       assigned
-        .groupBy("bin")
+        .groupBy("shard", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_sum"))
-        .orderBy("bin")
+        .orderBy("shard", "bin")
     },
     // Deterministic md5-bucket train/val/test split — reproducible across
     // engines/runs with no RNG state; scan-only.
@@ -225,6 +228,20 @@ object PipelineQueries {
     "q63_dedup_survivors" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      Dedup.dedupByPairs(docs, "doc_id", pairs)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+    // The 100 TB dedup COMPOSITION, end-to-end: MinHash-LSH candidate
+    // generation (banded equi-join, never all-pairs) → exact-Jaccard
+    // rescore → connected components → survivor selection. q62/q63 prove
+    // clustering over the exact pair generator; this proves the whole
+    // scale path — the pipeline you'd actually run on a large corpus —
+    // against a DuckDB oracle (the q41 md5-LSH CTEs feeding the q62
+    // recursive-CTE closure).
+    "q64_dedup_scale_path" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairsMd5(docs, "doc_id", "text", 3, 0.8)
       Dedup.dedupByPairs(docs, "doc_id", pairs)
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
@@ -520,6 +537,38 @@ object PipelineQueries {
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM losers)
          |ORDER BY doc_id""".stripMargin,
+    "q64_dedup_scale_path" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |mh AS (SELECT doc_id, CAST(t.k AS INT) AS k,
+         |              min(md5(shingle || ':' || CAST(t.k AS VARCHAR))) AS h
+         |       FROM sh, UNNEST(range(0, 16)) AS t(k) GROUP BY doc_id, t.k),
+         |bands AS (SELECT doc_id, k // 2 AS band,
+         |                 md5(string_agg(h, '|' ORDER BY k)) AS bucket
+         |          FROM mh GROUP BY doc_id, k // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+         |           FROM cand c
+         |           JOIN sh a ON a.doc_id = c.doc_a
+         |           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |           GROUP BY c.doc_a, c.doc_b),
+         |pairs AS (SELECT m.doc_a, m.doc_b FROM common m
+         |          JOIN cnt ca ON ca.doc_id = m.doc_a
+         |          JOIN cnt cb ON cb.doc_id = m.doc_b
+         |          WHERE CAST(m.common AS DOUBLE) / (ca.n + cb.n - m.common) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst
+         |),
+         |losers AS (SELECT node FROM reach GROUP BY node HAVING node <> min(r))
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM losers)
+         |ORDER BY doc_id""".stripMargin,
     "q62_dedup_clusters" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
@@ -604,16 +653,16 @@ object PipelineQueries {
         |  CAST(list_max(codes) AS BIGINT) AS code_max
         |FROM c ORDER BY vec_id""".stripMargin,
     "q47_token_packing" ->
-      """WITH tk AS (SELECT doc_id,
+      """WITH tk AS (SELECT doc_id, doc_id % 4 AS shard,
         |              CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |            FROM documents),
-        |c AS (SELECT doc_id, n_tokens,
-        |        sum(n_tokens) OVER (ORDER BY doc_id
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM tk)
-        |SELECT CAST(FLOOR((cum - n_tokens) / 2000.0) AS BIGINT) AS bin,
+        |SELECT shard, CAST(FLOOR((cum - n_tokens) / 2000.0) AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_sum
-        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+        |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
     "q48_hash_split" ->
       """WITH h AS (SELECT doc_id, n_chars,
         |  ( CAST(strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS BIGINT) * 4096

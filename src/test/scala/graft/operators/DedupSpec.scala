@@ -29,6 +29,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.85, s"recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("xxhash64 and md5 LSH pipelines agree post-rescore (q25 ≡ q41 transitive chain)") {
+    // The xxhash64 fast path (q25) has no DuckDB oracle; the md5 variant
+    // (q41) is fully oracle-checked. Equality of their post-rescore pair
+    // sets on the fixture corpus gives q25 a transitive correctness chain
+    // to the oracle: candidate generation differs (hash family, band
+    // settings), but exact-Jaccard rescoring makes both converge to the
+    // recalled subset of the ground-truth pairs — identical here.
+    val fast = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val md5v = Dedup.minhashLshPairsMd5(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fast.keySet == md5v.keySet,
+      s"pair sets diverge: only-fast=${fast.keySet -- md5v.keySet} only-md5=${md5v.keySet -- fast.keySet}")
+    fast.foreach { case (k, v) => assert(md5v(k) == v, s"jaccard differs for $k") }
+  }
+
   test("simhash: identical texts share signatures; groups bucket them") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
