@@ -20,12 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Pack {
 
+  /** `shardCol` has NO default on purpose: `None` means a GLOBAL ordered
+    * window — every row flows through one task, which is only acceptable
+    * for small/driver-side corpora. Callers must opt into that shape
+    * explicitly; at scale pass the shard column so each shard packs
+    * independently in its own partition.
+    */
   def byTokenBudget(
       df: DataFrame,
       orderCol: String,
       tokensCol: String,
       budget: Long,
-      shardCol: Option[String] = None
+      shardCol: Option[String]
   ): DataFrame = {
     val w = shardCol
       .map(sc => Window.partitionBy(col(sc)))

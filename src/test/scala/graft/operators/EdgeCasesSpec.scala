@@ -34,7 +34,7 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
 
   test("pack / sessions / time-series on empty inputs") {
     val noToks = Seq.empty[(Long, Long)].toDF("id", "toks")
-    assert(Pack.byTokenBudget(noToks, "id", "toks", 100L).count() == 0)
+    assert(Pack.byTokenBudget(noToks, "id", "toks", 100L, shardCol = None).count() == 0)
     val noEv = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("user_id", "ts", "value")
     assert(TimeSeries.resampleForwardFill(noEv, "user_id", "ts", sum("value").as("v")).count() == 0)
     assert(Sessions.byGap(

@@ -10,7 +10,8 @@ class PackSpec extends AnyFunSuite with SparkSpec {
 
   test("byTokenBudget: bins are contiguous and start-offsets respect the budget") {
     val docs = (1 to 100).map(i => (i.toLong, (i % 7 + 1) * 10L)).toDF("id", "toks")
-    val out = Pack.byTokenBudget(docs, "id", "toks", budget = 100L)
+    // global window is explicit opt-in (shardCol = None): spec-only shape
+    val out = Pack.byTokenBudget(docs, "id", "toks", budget = 100L, shardCol = None)
       .select("id", "toks", "bin").as[(Long, Long, Long)].collect().sortBy(_._1)
     // bin ids are non-decreasing in pack order and start at 0
     assert(out.head._3 == 0L)
@@ -31,6 +32,17 @@ class PackSpec extends AnyFunSuite with SparkSpec {
     // second doc of each shard starts at offset 90 → bin 0; without
     // sharding doc 2 would start at 180 → bin 1
     assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("sharded packing plan has a partitioned window — no single-partition exchange") {
+    val docs = (1 to 100).map(i => (i.toLong, i % 4, 10L)).toDF("id", "shard", "toks")
+    val sharded = Pack.byTokenBudget(docs, "id", "toks", 100L, shardCol = Some("shard"))
+    val shardedPlan = sharded.queryExecution.executedPlan.toString
+    assert(!shardedPlan.contains("SinglePartition"),
+      s"sharded packing must not funnel all rows through one task:\n$shardedPlan")
+    // the global opt-in IS the single-partition shape (that's why it's opt-in)
+    val global = Pack.byTokenBudget(docs, "id", "toks", 100L, shardCol = None)
+    assert(global.queryExecution.executedPlan.toString.contains("SinglePartition"))
   }
 
   test("hashSplit: deterministic partition of rows into train/val/test") {
