@@ -41,11 +41,28 @@ object Lake {
 
   // ----------------------------------------------------------------- sources
 
+  /** Range-partitioned parallel JDBC extraction: Spark issues one query
+    * per stride of `[lowerBound, upperBound)` over `column`, so the scan
+    * runs `numPartitions` concurrent connections instead of one — how a
+    * multi-worker job actually drains a big source table (the reference's
+    * 12-DPU ingest jobs implicitly depend on this; a single-connection
+    * read caps at one core no matter the cluster). Bounds only steer the
+    * stride split; rows OUTSIDE them still land (first/last partition
+    * predicates are open-ended), so a stale bound skews balance, never
+    * correctness.
+    */
+  final case class JdbcPartitioning(
+      column: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int
+  )
+
   /** S1 — JDBC scan with optional source-side pushdown query
     * (`utils.py:83-104`). The pushdown query rides the same derived-table
     * trick the reference uses: `"(query) as pushdown_query"` as `dbtable`.
-    * Returned lazily-configured; no SQL Server exists in the test env, so
-    * tests assert on the configured options, not execution.
+    * Pass `partitioning` to split the scan into parallel range queries
+    * ([[JdbcPartitioning]]) — mandatory at real extraction sizes.
     */
   def jdbcReader(
       spark: SparkSession,
@@ -54,13 +71,14 @@ object Lake {
       user: String,
       password: String,
       driver: String = "com.microsoft.sqlserver.jdbc.SQLServerDriver",
-      pushdownQuery: Option[String] = None
+      pushdownQuery: Option[String] = None,
+      partitioning: Option[JdbcPartitioning] = None
   ): org.apache.spark.sql.DataFrameReader = {
     val dbtable = pushdownQuery match {
       case Some(q) => s"($q) as pushdown_query"
       case None    => schemaTable
     }
-    spark.read
+    val base = spark.read
       .format("jdbc")
       .option("url", url)
       .option("dbtable", dbtable)
@@ -69,6 +87,15 @@ object Lake {
       .option("driver", driver)
       // pushdown of filters Catalyst derives, on top of the manual query:
       .option("pushDownPredicate", "true")
+    partitioning.fold(base) { p =>
+      require(p.numPartitions > 0 && p.upperBound > p.lowerBound,
+        s"jdbcReader: invalid partitioning $p")
+      base
+        .option("partitionColumn", p.column)
+        .option("lowerBound", p.lowerBound.toString)
+        .option("upperBound", p.upperBound.toString)
+        .option("numPartitions", p.numPartitions.toString)
+    }
   }
 
   /** S3 — parquet lake scan with optional SQL filtration over a temp view

@@ -36,6 +36,32 @@ class JdbcSpec extends AnyFunSuite with SparkSpec {
     assert(full.columns.contains("job_status"))
   }
 
+  test("S1 at scale: partitioned JDBC read = N tasks, rows complete and disjoint") {
+    import spark.implicits._
+    val props = new java.util.Properties()
+    props.setProperty("driver", driver)
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.mode("append").jdbc(url, "PART_T", props)
+
+    val df = Lake
+      .jdbcReader(spark, url, "PART_T", "app", "app", driver,
+        partitioning = Some(Lake.JdbcPartitioning("id", 1, 101, 4)))
+      .load()
+    // the scan itself fans out into numPartitions range queries
+    assert(df.rdd.getNumPartitions == 4)
+    // complete AND disjoint: every id exactly once across the partitions
+    assert(df.select("id").as[Long].collect().sorted.toSeq == (1L to 100L))
+
+    // stale bounds skew balance but never drop rows (open-ended first/last
+    // stride predicates)
+    val narrow = Lake
+      .jdbcReader(spark, url, "PART_T", "app", "app", driver,
+        partitioning = Some(Lake.JdbcPartitioning("id", 40, 60, 3)))
+      .load()
+    assert(narrow.rdd.getNumPartitions == 3)
+    assert(narrow.count() == 100)
+  }
+
   test("S1: pushdown query executes source-side via the derived-table trick") {
     val pushed = Lake
       .jdbcReader(
