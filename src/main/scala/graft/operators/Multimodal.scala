@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus distributed decode / feature-extract
   * / frame-sample operators.
   *
-  * The actual media decode is STUBBED (no codec libraries in this
-  * environment): `fakeDecodeFeatures` derives deterministic features from
-  * the bytes themselves. Everything around it — schema, partition-wise
-  * batch processing via `mapPartitions` on a typed Dataset, feature
-  * column shape `ARRAY<FLOAT>`, downstream joinability — is real and
-  * tested; swapping in a JNI/FFmpeg decoder changes one function.
+  * IMAGE decode is REAL ([[decodeImageFeatures]]: `javax.imageio`, pure
+  * JVM — PNG/JPEG/BMP/GIF to pixel luminance histograms). Audio/video
+  * decode is STUBBED (no pure-JVM codec exists; none ships in this
+  * environment): `fakeDecodeFeatures` derives deterministic features
+  * from the bytes themselves. Everything around the kernels — schema,
+  * partition-wise batch processing via `mapPartitions` on a typed
+  * Dataset, feature column shape `ARRAY<FLOAT>`, downstream joinability
+  * — is shared; the imageio path proves swapping in a real decoder
+  * changes exactly one function.
   */
 object Multimodal {
 
@@ -54,6 +57,64 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(m =>
       MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, fakeDecodeFeatures(m.payload))))
+  }
+
+  final case class DecodedImageFeatures(
+      media_id: Long,
+      kind: String,
+      decoded: Boolean, // true = real pixel decode; false = byte-histogram fallback
+      width: Int,
+      height: Int,
+      features: Array[Float]
+  )
+
+  /** REAL image decode for the `image` kind via `javax.imageio` (pure
+    * JVM — PNG/JPEG/BMP/GIF, no native codecs needed): the payload
+    * decodes to pixels and the features are an L1-normalized `bins`-bin
+    * LUMINANCE histogram (ITU-R BT.601 integer weights), with the actual
+    * decoded width/height. Same partition-wise `mapPartitions` shape as
+    * the stubbed [[extractFeatures]] — swapping decoders changes one
+    * function, as that stub's contract promised. Non-image kinds and
+    * payloads ImageIO cannot parse fall back to the byte histogram with
+    * `decoded = false`, so one bad blob in a 100 TB corpus degrades that
+    * row instead of failing the task (audio/video stay stubbed: no pure
+    * JVM codec exists for them).
+    */
+  def decodeImageFeatures(
+      media: Dataset[MediaRecord],
+      bins: Int = 16
+  ): Dataset[DecodedImageFeatures] = {
+    import media.sparkSession.implicits._
+    require(bins > 0 && bins <= 256)
+    media.mapPartitions(_.map { m =>
+      val img =
+        if (m.kind != "image") None
+        else
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload)))
+          catch { case _: Throwable => None }
+      img match {
+        case Some(im) =>
+          val hist = new Array[Float](bins)
+          var y = 0
+          while (y < im.getHeight) {
+            var x = 0
+            while (x < im.getWidth) {
+              val rgb = im.getRGB(x, y)
+              val lum =
+                (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              hist(lum * bins / 256) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val total = math.max(1, im.getWidth * im.getHeight).toFloat
+          DecodedImageFeatures(m.media_id, m.kind, decoded = true, im.getWidth, im.getHeight,
+            hist.map(_ / total))
+        case None =>
+          DecodedImageFeatures(m.media_id, m.kind, decoded = false, m.width, m.height,
+            fakeDecodeFeatures(m.payload))
+      }
+    })
   }
 
   /** STUB frame sampling for "video" payloads: every `stride`-th

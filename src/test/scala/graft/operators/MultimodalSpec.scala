@@ -38,6 +38,42 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(frames.forall(f => kinds(f.media_id) == "video"))
   }
 
+  /** A real PNG, generated in-memory: 2×2 with two black and two white
+    * pixels (known luminance histogram).
+    */
+  private def pngFixture(): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    im.setRGB(0, 0, 0x000000); im.setRGB(1, 0, 0xffffff)
+    im.setRGB(0, 1, 0x000000); im.setRGB(1, 1, 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", out)
+    out.toByteArray
+  }
+
+  test("real image decode: a PNG payload decodes to pixel features via javax.imageio") {
+    val png = pngFixture()
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, "image", png, 0, 0, 0L),
+      Multimodal.MediaRecord(2L, "image", Array[Byte](1, 2, 3), 7, 9, 0L), // not an image
+      Multimodal.MediaRecord(3L, "audio", png, 0, 0, 0L) // wrong kind: no decode
+    ).toDS()
+    val out = Multimodal.decodeImageFeatures(ds).collect().map(f => f.media_id -> f).toMap
+
+    val decoded = out(1L)
+    assert(decoded.decoded && decoded.width == 2 && decoded.height == 2)
+    // luminance: 2 black pixels (bin 0) + 2 white (bin 15), L1-normalized
+    assert(decoded.features.length == 16)
+    assert(math.abs(decoded.features(0) - 0.5f) < 1e-6)
+    assert(math.abs(decoded.features(15) - 0.5f) < 1e-6)
+    assert(decoded.features.slice(1, 15).forall(_ == 0f))
+
+    // unparseable payload degrades to the byte-histogram fallback, keeps metadata
+    assert(!out(2L).decoded && out(2L).width == 7 && out(2L).height == 9)
+    assert(math.abs(out(2L).features.map(_.toDouble).sum - 1.0) < 1e-5)
+    // non-image kinds never go through ImageIO even if the bytes are a PNG
+    assert(!out(3L).decoded)
+  }
+
   test("resize: exact target size, nearest-neighbor samples from the source") {
     val resized = Multimodal.resizePayload(media, targetBytes = 64).collect()
     assert(resized.forall(_.payload.length == 64))
