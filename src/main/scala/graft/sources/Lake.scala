@@ -166,7 +166,13 @@ object Lake {
   }
 
   /** S6 — Delta lake scan with the same optional-SQL shape as S3
-    * (`utils.py:177-192`). No Delta jar ships in this environment, so the
+    * (`utils.py:177-192`). No Delta jar ships in this environment — and
+    * none can: `io.delta` is absent from /opt/spark/jars and from the
+    * offline coursier/ivy caches (re-verified; the build has zero
+    * egress), so `format("delta")` can never bind here. The reader
+    * therefore tries Delta and falls back; deployments WITH
+    * delta-spark on the classpath get the real transaction-log read,
+    * and the staging-swap upsert below covers merge semantics. The
     * reader tries `format("delta")` and falls back to the parquet files
     * of the table directory (same rows for an append-only table; merge
     * history is handled by our own staging-swap upsert, see
