@@ -135,15 +135,37 @@ object Dedup {
     * scale inputs already carry thousands of splits and this is a no-op.
     */
   private def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // Partition-count heuristic WITHOUT touching df.rdd — materializing
-    // the RDD lineage forces physical planning (and, under AQE, can
-    // eagerly run upstream shuffle stages) just to learn a number. Leaf
-    // input files are known from the already-done scan listing: few files
-    // ⇒ few splits ⇒ single-threaded hashing. Non-file inputs (in-memory
-    // test relations) report zero files and also arrive as ~1 partition.
-    val files = df.inputFiles.length
-    if (files < target) df.repartition(target) else df
+    // Split-count heuristic WITHOUT touching df.rdd — materializing the
+    // RDD lineage forces physical planning (and, under AQE, can eagerly
+    // run upstream shuffle stages) just to learn a number. For
+    // file-backed inputs the scan listing is already done, so estimate
+    // splits the way FilePartition packs them: bytes-weighted with the
+    // per-file open cost, capped at one split per file. Derived
+    // (post-shuffle / in-memory) inputs report no files; those already
+    // carry the upstream operator's parallelism, so they are left alone
+    // rather than forcibly re-shuffled to a possibly LOWER count.
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty) return df
+    val conf = spark.sessionState.conf
+    val maxSplit = math.max(1L, conf.filesMaxPartitionBytes)
+    val openCost = math.max(1L, conf.filesOpenCostInBytes)
+    // each file weighs at least openCost, so this many files guarantees
+    // >= target splits — skip the per-file size lookups entirely
+    if (files.length.toLong * openCost >= target.toLong * maxSplit) return df
+    val totalBytes =
+      try {
+        val hconf = spark.sparkContext.hadoopConfiguration
+        files.iterator.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          math.max(p.getFileSystem(hconf).getFileStatus(p).getLen, openCost)
+        }.sum
+      } catch { case _: Throwable => Long.MaxValue } // unknown ⇒ assume big
+    // large files split at maxSplit boundaries, so splits are NOT capped
+    // at one per file
+    val estSplits = 1L + totalBytes / maxSplit
+    if (estSplits < target) df.repartition(target) else df
   }
 
   /** Exact-Jaccard rescore of a candidate pair set: `candidates` is

@@ -162,22 +162,55 @@ object Incremental {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverPartitionedMerge(spark, lakePath)
 
-    if (!fs.exists(live) || fs.listStatus(live).isEmpty) {
-      dedupByKey(source, pk).write.mode("overwrite").partitionBy(partitionCol).parquet(lakePath)
-      return spark.read.parquet(lakePath)
-    }
-
+    // The NULL guard runs BEFORE any branch: a null partition value
+    // admitted at initial load would land in __HIVE_DEFAULT_PARTITION__
+    // and (by the stable-partition contract) be un-upsertable forever.
     val touched = source.select(col(partitionCol)).distinct().collect().map(_.get(0))
     require(
       touched.forall(_ != null),
       s"mergePartitionPruned: NULL $partitionCol values in the batch (Hive layout cannot " +
         "address a null partition safely; route nulls to a sentinel value first)")
-    if (touched.isEmpty) return spark.read.parquet(lakePath)
+
+    // "Table exists" = has at least one partition directory. A bare
+    // _SUCCESS marker (what a zero-row partitioned write leaves — dynamic
+    // partitioning emits one file per partition VALUE, so zero rows emit
+    // zero data files) must not count: reading it back throws, and
+    // treating it as a live table would wedge every later batch.
+    def hasData: Boolean =
+      fs.exists(live) && fs.listStatus(live).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+
+    // Read-back with the partition column PINNED to the source's type.
+    // Bare partition-type inference corrupts non-canonical string values
+    // ('01' infers as int 1, and the rewrite would emit a NEW p=1
+    // directory alongside the replaced p=01); pinning makes the dir
+    // string cast to the declared type instead.
+    def readPinned(): DataFrame = {
+      val inferred = spark.read.parquet(lakePath).schema
+      val srcPType = source.schema(partitionCol).dataType
+      val pinned = org.apache.spark.sql.types.StructType(
+        inferred.map(f => if (f.name == partitionCol) f.copy(dataType = srcPType) else f))
+      spark.read.schema(pinned).parquet(lakePath)
+    }
+
+    if (touched.isEmpty) {
+      // empty batch: nothing to merge, and an initial load must NOT
+      // create the unreadable zero-data-file directory described above
+      return if (hasData) readPinned() else dedupByKey(source, pk)
+    }
+    if (!hasData) {
+      // clear a bare-marker directory a previous zero-row write may have left
+      if (fs.exists(live)) fs.delete(live, true)
+      dedupByKey(source, pk).write.mode("overwrite").partitionBy(partitionCol).parquet(lakePath)
+      return readPinned()
+    }
 
     // the scan prunes to the touched `col=value` directories — the only
     // table IO this batch pays
     val existingTouched =
-      spark.read.parquet(lakePath).where(col(partitionCol).isin(touched.toIndexedSeq: _*))
+      readPinned().where(col(partitionCol).isin(touched.toIndexedSeq: _*))
     val merged = merge(existingTouched, source, pk)
 
     val stagingRoot = new Path(lakePath + "_pstaging")
@@ -191,7 +224,7 @@ object Incremental {
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .foreach(st => swapPartitionDir(fs, live, st.getPath))
     fs.delete(stagingRoot, true)
-    spark.read.parquet(lakePath)
+    readPinned()
   }
 
   /** Rename-aside swap of ONE staged partition directory into the live

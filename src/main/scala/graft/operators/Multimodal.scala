@@ -86,35 +86,46 @@ object Multimodal {
   ): Dataset[DecodedImageFeatures] = {
     import media.sparkSession.implicits._
     require(bins > 0 && bins <= 256)
-    media.mapPartitions(_.map { m =>
-      val img =
-        if (m.kind != "image") None
-        else
-          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload)))
-          catch { case _: Throwable => None }
-      img match {
-        case Some(im) =>
-          val hist = new Array[Float](bins)
-          var y = 0
-          while (y < im.getHeight) {
-            var x = 0
-            while (x < im.getWidth) {
-              val rgb = im.getRGB(x, y)
-              val lum =
-                (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-              hist(lum * bins / 256) += 1f
-              x += 1
+    media.mapPartitions { it =>
+      // the payload is already in memory — without this, ImageIO's default
+      // disk cache spools EVERY blob through an executor temp file (one
+      // create/write/delete per row, contention on java.io.tmpdir)
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img =
+          if (m.kind != "image") None
+          else
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload)))
+            catch { case _: Throwable => None }
+        img match {
+          case Some(im) =>
+            val w = im.getWidth
+            val h = im.getHeight
+            val hist = new Array[Float](bins)
+            val row = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              // row-bulk fetch: one ColorModel conversion call per ROW,
+              // not per pixel
+              im.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val rgb = row(x)
+                val lum =
+                  (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                hist(lum * bins / 256) += 1f
+                x += 1
+              }
+              y += 1
             }
-            y += 1
-          }
-          val total = math.max(1, im.getWidth * im.getHeight).toFloat
-          DecodedImageFeatures(m.media_id, m.kind, decoded = true, im.getWidth, im.getHeight,
-            hist.map(_ / total))
-        case None =>
-          DecodedImageFeatures(m.media_id, m.kind, decoded = false, m.width, m.height,
-            fakeDecodeFeatures(m.payload))
+            val total = math.max(1, w * h).toFloat
+            DecodedImageFeatures(m.media_id, m.kind, decoded = true, w, h, hist.map(_ / total))
+          case None =>
+            DecodedImageFeatures(m.media_id, m.kind, decoded = false, m.width, m.height,
+              fakeDecodeFeatures(m.payload))
+        }
       }
-    })
+    }
   }
 
   /** STUB frame sampling for "video" payloads: every `stride`-th

@@ -126,9 +126,12 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
   private def fileState(dir: String): Map[String, Long] = {
     val root = java.nio.file.Paths.get(dir)
     val out = scala.collection.mutable.Map[String, Long]()
-    java.nio.file.Files.walk(root).forEach { p =>
-      if (java.nio.file.Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
-        out(root.relativize(p).toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis
+    // Files.walk holds open directory handles until closed
+    scala.util.Using.resource(java.nio.file.Files.walk(root)) { stream =>
+      stream.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+          out(root.relativize(p).toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      }
     }
     out.toMap
   }
@@ -179,6 +182,37 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     Incremental.mergePartitionPruned(spark, batch, dir, "id", "p")
     val twice = spark.read.parquet(dir).as[(Long, String, Int)].collect().sortBy(_._1).toSeq
     assert(once == twice && once == Seq((1L, "a", 0), (2L, "B", 1), (3L, "c", 0)))
+  }
+
+  test("partition-pruned merge: an empty first batch does not wedge the table") {
+    val dir = Files.createTempDirectory("pmerge-empty").toString + "/t"
+    val empty = pdf().where(lit(false))
+    // empty initial batch: no unreadable zero-data-file directory created
+    val out0 = Incremental.mergePartitionPruned(spark, empty, dir, "id", "p")
+    assert(out0.count() == 0)
+    // a real first batch afterwards initializes normally
+    Incremental.mergePartitionPruned(spark, pdf((1L, "a", 0)), dir, "id", "p")
+    assert(spark.read.parquet(dir).count() == 1)
+    // an empty LATER batch is a no-op, not an error
+    val after = Incremental.mergePartitionPruned(spark, empty, dir, "id", "p")
+    assert(after.count() == 1)
+  }
+
+  test("partition-pruned merge preserves non-canonical STRING partition values") {
+    val dir = Files.createTempDirectory("pmerge-str").toString + "/t"
+    def sdf(rows: (Long, String, String)*) = rows.toDF("id", "v", "month")
+    // '01' would infer as int 1 on read-back; the pinned-schema read keeps
+    // it a string so the rewrite lands in the SAME p=01 directory
+    Incremental.mergePartitionPruned(spark, sdf((1L, "a", "01"), (2L, "b", "02")), dir, "id", "month")
+    // the merge's returned DataFrame reads with the pinned schema (a bare
+    // spark.read would itself re-infer '01' as int — the user-facing reads
+    // of a string-partitioned table must pin the schema the same way)
+    val out = Incremental.mergePartitionPruned(spark, sdf((1L, "A", "01")), dir, "id", "month")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "A", "01"), (2L, "b", "02")),
+      s"partition values must survive verbatim, got $out")
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.contains("=")).toSet
+    assert(dirs == Set("month=01", "month=02"), s"no rewritten/duplicate partition dirs: $dirs")
   }
 
   test("recoverPartitionedMerge repairs a crash between the per-partition renames") {
