@@ -43,6 +43,30 @@ object TextOps {
     new GenericArrayData(seen.iterator.map(s => UTF8String.fromString(s)).toArray[Any])
   }
 
+  /** ALL word n-gram shingles in document order, duplicates KEPT — the
+    * variant repetition scoring needs ([[shingles]] dedups, which erases
+    * exactly the signal a repetition ratio measures).
+    */
+  def shinglesAll(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature over a shingle array: element k is
     * `min over shingles of XXH64(shingleBytes, seed = k)`. Empty input →
     * Long.MaxValue sentinel per slot.
@@ -214,6 +238,16 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All word n-gram shingles, duplicates kept (repetition scoring). */
+case class ShinglesAllExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextOps.shinglesAll(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.shinglesAll($t, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MinHash signature of a shingle array, ARRAY<BIGINT> of length `numHashes`. */
 case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -257,6 +291,8 @@ case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
 object TextExpressions {
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), n))
+  def word_shingles_all(text: Column, n: Int): Column =
+    ColumnBridge.column(ShinglesAllExpr(ColumnBridge.expression(text), n))
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
   def simhash64(tokens: Column): Column =

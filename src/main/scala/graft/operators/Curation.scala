@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingestion and batch assembly: benchmark decontamination,
+  * per-domain capping, vocabulary construction, and repetition scoring.
+  *
+  * Scale shapes: decontamination is an equi-join on shingles with the
+  * (small) benchmark side broadcast; capping is a per-group window;
+  * repetition is computed row-wise by a codegen'd shingle expression
+  * followed by one grouped aggregation. No all-pairs or driver-side
+  * stage anywhere.
+  */
+object Curation {
+
+  /** Benchmark DECONTAMINATION report: for every training document, the
+    * fraction of its distinct word n-gram shingles that also appear
+    * anywhere in the benchmark set (the standard eval-contamination
+    * check run before pretraining). Candidates come from a shingle
+    * equi-join; the benchmark shingle set is distinct-reduced and
+    * broadcast — benchmarks are tiny next to a training corpus, so the
+    * 100 TB scan never shuffles.
+    *
+    * Returns (id, n_sh, n_overlap, overlap_ratio) for every train doc
+    * that HAS shingles; `flagThreshold` adds a boolean `contaminated`.
+    */
+  def decontaminationReport(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      flagThreshold: Double
+  ): DataFrame = {
+    val trainSh = Dedup.shingleTable(train, idCol, textCol, n)
+    val benchSh = Dedup.shingleTable(bench, idCol, textCol, n).select("shingle").distinct()
+    val counts = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val overlap = trainSh
+      .join(broadcast(benchSh), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    counts
+      .join(overlap, Seq("doc_id"), "left")
+      .select(
+        col("doc_id").as(idCol),
+        col("n_sh"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_sh"), 6)
+          .as("overlap_ratio"))
+      .withColumn("contaminated", col("overlap_ratio") >= flagThreshold)
+      .orderBy(idCol)
+  }
+
+  /** Per-group cap (domain balancing): keep at most `k` rows per group,
+    * preferring by `rankCols` order (ties must be broken to a total
+    * order for determinism). One window per group partition — the
+    * standard "no domain may dominate the corpus" curation step.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      rankCols: Seq[Column],
+      k: Int
+  ): DataFrame = {
+    require(k > 0)
+    val w = Window.partitionBy(col(groupCol)).orderBy(rankCols: _*)
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Frequency-ranked VOCABULARY build: tokens occurring at least
+    * `minCount` times, each with its corpus count and a dense id in
+    * (count desc, token asc) order. The final ranking window is global
+    * over the VOCABULARY (distinct surviving tokens) — bounded by the
+    * language, not the corpus, so the single ordered partition holds at
+    * most a few million rows regardless of input size; the corpus-sized
+    * work (token counting) is an ordinary grouped aggregation.
+    */
+  def buildVocab(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long
+  ): DataFrame = {
+    val counts = docs
+      .select(explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+    counts
+      .withColumn(
+        "token_id",
+        row_number().over(Window.orderBy(col("n").desc, col("tok"))).cast("long"))
+      .orderBy("token_id")
+  }
+
+  /** REPETITION score per document (Gopher/C4-style quality signal): the
+    * most frequent word n-gram's share of all n-grams. Shingles with
+    * duplicates KEPT are computed row-wise by a codegen'd expression
+    * (`word_shingles_all`); the rest is one explode + two aggregations.
+    * Documents with fewer than `n` tokens have no n-grams and are
+    * omitted (no 0/0 row).
+    */
+  def repetitionScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    val grams = docs.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.TextExpressions.word_shingles_all(col(textCol), n)).as("gram"))
+    grams
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_grams"))
+      .select(
+        col("doc_id").as(idCol),
+        col("n_grams"),
+        col("max_rep"),
+        round(col("max_rep").cast("double") / col("n_grams"), 6).as("rep_ratio"))
+      .orderBy(idCol)
+  }
+}

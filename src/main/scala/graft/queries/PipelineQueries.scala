@@ -246,6 +246,38 @@ object PipelineQueries {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     },
+    // Benchmark decontamination: per-train-doc share of distinct word
+    // trigrams that appear anywhere in the benchmark set (docs 0-19 stand
+    // in for the eval benchmark). Shingle equi-join, benchmark side
+    // broadcast — the pretraining decontamination pass.
+    "q65_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Curation.decontaminationReport(
+        docs.where(col("doc_id") >= 20),
+        docs.where(col("doc_id") < 20),
+        "doc_id", "text", 3, flagThreshold = 0.5)
+    },
+    // Domain balancing: keep at most 5 docs per source, preferring the
+    // longest (ties to lowest doc_id) — per-group window, no global sort.
+    "q66_domain_cap" -> { (s, dir) =>
+      graft.operators.Curation
+        .capPerGroup(
+          t(s, dir, "documents"), "source",
+          Seq(col("n_chars").desc, col("doc_id").asc), 5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    // Frequency-ranked vocabulary: tokens with corpus count >= 10, dense
+    // ids in (count desc, token) order.
+    "q67_vocab" -> { (s, dir) =>
+      graft.operators.Curation.buildVocab(t(s, dir, "documents"), "text", minCount = 10L)
+    },
+    // Repetition scoring (Gopher/C4-style): most frequent trigram's share
+    // of all trigrams per doc — duplicates-kept shingles via a codegen'd
+    // expression, then one grouped aggregation.
+    "q68_repetition" -> { (s, dir) =>
+      graft.operators.Curation.repetitionScore(t(s, dir, "documents"), "doc_id", "text", 3)
+    },
     // TF-IDF top terms per document: tf from posexplode counts, df from a
     // distinct-doc aggregate, idf broadcast back, top-3 by windowed rank.
     "q57_tfidf_topterms" -> { (s, dir) =>
@@ -537,6 +569,40 @@ object PipelineQueries {
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM losers)
          |ORDER BY doc_id""".stripMargin,
+    "q65_decontaminate" ->
+      s"""WITH $ShinglesCte,
+         |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20),
+         |be AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+         |c AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY doc_id),
+         |ov AS (SELECT t.doc_id, count(*) AS n_ov
+         |       FROM tr t JOIN be b ON b.shingle = t.shingle GROUP BY t.doc_id)
+         |SELECT c.doc_id, CAST(c.n AS BIGINT) AS n_sh,
+         |  CAST(coalesce(o.n_ov, 0) AS BIGINT) AS n_overlap,
+         |  round(CAST(coalesce(o.n_ov, 0) AS DOUBLE) / c.n, 6) AS overlap_ratio,
+         |  round(CAST(coalesce(o.n_ov, 0) AS DOUBLE) / c.n, 6) >= 0.5 AS contaminated
+         |FROM c LEFT JOIN ov o ON o.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
+    "q66_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY n_chars DESC, doc_id) AS rn
+        |           FROM documents)
+        |SELECT doc_id, source, n_chars FROM r WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+    "q67_vocab" ->
+      """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS tok
+        |              FROM documents),
+        |c AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok HAVING count(*) >= 10)
+        |SELECT tok, CAST(n AS BIGINT) AS n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS token_id
+        |FROM c ORDER BY token_id""".stripMargin,
+    "q68_repetition" ->
+      """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
+        |tri AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |        FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+        |g AS (SELECT doc_id, gram, count(*) AS c FROM tri GROUP BY doc_id, gram)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, CAST(max(c) AS BIGINT) AS max_rep,
+        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q64_dedup_scale_path" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |mh AS (SELECT doc_id, CAST(t.k AS INT) AS k,

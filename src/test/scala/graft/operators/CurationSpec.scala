@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class CurationSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("decontamination: full overlap flags, disjoint text scores zero") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // identical → ratio 1.0
+      (2L, "zeta eta theta iota kappa lambda"), // disjoint → 0.0
+      (3L, "alpha beta gamma nu xi omicron") // shares 1 of 4 trigrams
+    ).toDF("doc_id", "text")
+    val out = Curation
+      .decontaminationReport(train, bench, "doc_id", "text", 3, flagThreshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(out(1L) == ((1.0, true)))
+    assert(out(2L) == ((0.0, false)))
+    assert(out(3L)._1 == 0.25 && !out(3L)._2)
+  }
+
+  test("capPerGroup keeps exactly k rows per group, preferring the rank order") {
+    val df = (1 to 30).map(i => (i.toLong, s"g${i % 3}", i * 10L)).toDF("id", "g", "score")
+    val out = Curation.capPerGroup(df, "g", Seq(col("score").desc, col("id")), 4)
+    val byGroup = out.as[(Long, String, Long)].collect().groupBy(_._2)
+    assert(byGroup.values.forall(_.length == 4))
+    // keeps the TOP scores of each group
+    assert(byGroup("g0").map(_._3).sorted.toSeq == Seq(240L, 270L, 300L).prepended(210L))
+  }
+
+  test("buildVocab: dense ids in (count desc, token) order, minCount enforced") {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b c d")
+    ).toDF("doc_id", "text")
+    val v = Curation.buildVocab(docs, "text", minCount = 2L)
+      .as[(String, Long, Long)].collect().toSeq
+    // a:4, b:3, c:2; d dropped (1 < 2)
+    assert(v == Seq(("a", 4L, 1L), ("b", 3L, 2L), ("c", 2L, 3L)))
+  }
+
+  test("repetitionScore: repeated trigram dominates; short docs omitted") {
+    val docs = Seq(
+      (1L, "x y z x y z x y z"), // 7 trigrams, 'x y z' ×3 → 3/7
+      (2L, "all distinct words here now"), // 3 trigrams, max 1 → 1/3
+      (3L, "too short") // < 3 tokens: no row
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionScore(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 7L && out(1L)._2 == 3L)
+    assert(math.abs(out(1L)._3 - 3.0 / 7.0) < 1e-5)
+    assert(out(2L) == ((3L, 1L, 0.333333)))
+    assert(!out.contains(3L))
+  }
+}
