@@ -119,4 +119,40 @@ object Scale {
       .write
       .mode("overwrite")
       .parquet(path)
+
+  /** TWO-dimension clustered write (Z-order): rows sort by the Morton
+    * interleave of both columns, so every output file covers a small
+    * rectangle of the (a, b) space and parquet min/max statistics prune
+    * row groups for range predicates on EITHER column — the property a
+    * 1-D range-cluster gives only its one column (filters on the other
+    * dimension hit every file). This is what table formats call
+    * `OPTIMIZE ZORDER BY (a, b)`, as a plain-parquet writer.
+    *
+    * Both columns must be non-negative and fit in 31 bits (bucketize or
+    * offset wider domains first — the interleave masks higher bits, which
+    * would silently fold distant values together, so this is enforced).
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      partitions: Int
+  ): Unit = {
+    val max31 = (1L << 31) - 1
+    def checked(c: String) = {
+      val v = col(c).cast("long")
+      when(v.isNull || v < 0 || v > max31,
+        raise_error(concat(lit(s"writeZOrdered: $c out of [0, 2^31) range: "), v.cast("string"))))
+        .otherwise(v)
+    }
+    val z = graft.functions.ScaleExpressions.zorder2(checked(colA), checked(colB))
+    df.withColumn("_z", z)
+      .repartitionByRange(partitions, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
 }

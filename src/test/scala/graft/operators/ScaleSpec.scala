@@ -80,6 +80,45 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == 2 && out.where(col("name").isNull).count() == 1)
   }
 
+  test("z-ordered write clusters BOTH dimensions; 1-D range-cluster only one") {
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+
+    def perFileSpans(dir: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col("x"), col("y"))
+        .groupBy("f")
+        .agg(
+          (max("x") - min("x")).as("sx"),
+          (max("y") - min("y")).as("sy"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+
+    val zdir = Files.createTempDirectory("zord").toString + "/t"
+    Scale.writeZOrdered(df, zdir, "x", "y", partitions = 16)
+    val zSpans = perFileSpans(zdir)
+    // every file covers a small rectangle: both dimension spans bounded
+    // well under the global span of 63 → min/max stats prune on EITHER col
+    assert(zSpans.forall { case (sx, sy) => sx <= 31 && sy <= 31 },
+      s"z-order must bound both dims per file, got $zSpans")
+
+    val rdir = Files.createTempDirectory("zord1d").toString + "/t"
+    Scale.writeRangeClustered(df, rdir, "x", partitions = 16)
+    val rSpans = perFileSpans(rdir)
+    // the 1-D cluster leaves the OTHER dimension unclustered (full span)
+    assert(rSpans.forall { case (_, sy) => sy == 63 },
+      s"1-D clustering should leave y at full span, got $rSpans")
+
+    // out-of-range dimension values fail loudly instead of folding together
+    val e = intercept[Exception] {
+      Scale.writeZOrdered(
+        Seq((-1L, 1L)).toDF("x", "y"),
+        Files.createTempDirectory("zbad").toString + "/t", "x", "y", 1)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("out of [0, 2^31) range")), e.toString)
+  }
+
   test("range-clustered write produces sorted, range-partitioned files") {
     val dir = Files.createTempDirectory("range").toString + "/t"
     Scale.writeRangeClustered(spark.read.parquet(s"$sf/orders.parquet"), dir, "o_orderkey", 4)
