@@ -44,4 +44,29 @@ object Profile {
         s"stack(${cols.size}, $stackArgs) AS (col_name, n, n_nulls, n_distinct, vmin, vmax, vsum)")
       .orderBy("col_name")
   }
+
+  /** KEY-SKEW report for a prospective join/aggregation key: the top-k
+    * heaviest keys with their row counts, share of the table, and the
+    * ratio to a perfectly uniform key (share × distinct-key count — the
+    * "how many tasks' worth of rows does this one key carry" number that
+    * decides between AQE skew handling and explicit salting, see
+    * `operators.Scale.saltedEquiJoin`). Two aggregations over one scan;
+    * the per-key counts shuffle once on the key itself.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK > 0)
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(
+      sum("n_rows").as("_total"),
+      count(lit(1)).as("_n_keys"))
+    counts
+      .crossJoin(broadcast(totals))
+      .withColumn("share", round(col("n_rows") / col("_total"), 6))
+      .withColumn(
+        "skew_vs_uniform",
+        round(col("n_rows") * col("_n_keys") / col("_total"), 6))
+      .orderBy(col("n_rows").desc, col(keyCol))
+      .limit(topK)
+      .select(col(keyCol), col("n_rows"), col("share"), col("skew_vs_uniform"))
+  }
 }

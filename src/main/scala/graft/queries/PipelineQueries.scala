@@ -318,6 +318,13 @@ object PipelineQueries {
           sum(round(col("value") * 100).cast("long")).as("cents_in_window"))
         .orderBy("user_id")
     },
+    // Key-skew diagnostics: top-10 heaviest join/agg keys with share and
+    // uniform-ratio — the report that decides between AQE skew handling
+    // and explicit salting before a big join ships.
+    "q69_key_skew" -> { (s, dir) =>
+      graft.plans.Profile.keySkewReport(
+        graft.queries.RelationalQueries.events(s, dir), "user_id", topK = 10)
+    },
     // Multimodal feature extraction over BINARY payloads: the byte-histogram
     // decode stub is deterministic arithmetic, so the whole path — binary
     // column construction, partition-wise mapPartitions decode, feature
@@ -569,6 +576,13 @@ object PipelineQueries {
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM losers)
          |ORDER BY doc_id""".stripMargin,
+    "q69_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+        |SELECT c.user_id, CAST(c.n_rows AS BIGINT) AS n_rows,
+        |  round(CAST(c.n_rows AS DOUBLE) / t.total, 6) AS share,
+        |  round(CAST(c.n_rows AS DOUBLE) * t.n_keys / t.total, 6) AS skew_vs_uniform
+        |FROM c, t ORDER BY n_rows DESC, c.user_id LIMIT 10""".stripMargin,
     "q65_decontaminate" ->
       s"""WITH $ShinglesCte,
          |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20),

@@ -29,4 +29,17 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
       .head().getAs[Long]("n_distinct")
     assert(math.abs(approx - exact).toDouble / exact < 0.1, s"approx $approx vs exact $exact")
   }
+
+  test("keySkewReport surfaces the hot key with its share and uniform ratio") {
+    import spark.implicits._
+    // key 7 carries 8 of 12 rows across 5 distinct keys
+    val df = (Seq.fill(8)(7L) ++ Seq(1L, 2L, 3L, 4L)).map(k => (k, "v")).toDF("k", "v")
+    val top = Profile.keySkewReport(df, "k", topK = 2).collect()
+    assert(top.length == 2)
+    assert(top(0).getLong(0) == 7L && top(0).getLong(1) == 8L)
+    assert(math.abs(top(0).getDouble(2) - 8.0 / 12.0) < 1e-4)
+    // share × n_keys: 8/12 × 5 ≈ 3.33 tasks' worth of rows on one key
+    assert(math.abs(top(0).getDouble(3) - 3.333333) < 1e-9)
+    assert(top(1).getLong(1) == 1L && top(1).getLong(0) == 1L) // tie → lowest key
+  }
 }
