@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -39,6 +40,15 @@ object ScaleOps {
   */
 case class ZOrder2Expr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
+  // typed input check makes non-long children an ANALYSIS error — without
+  // it, the interpreted path ClassCastExceptions on ints while codegen
+  // silently widens them (same query, two behaviors)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"zorder2 requires BIGINT inputs, got ${left.dataType.sql} and ${right.dataType.sql}")
   override def nullSafeEval(a: Any, b: Any): Any =
     ScaleOps.interleaveBits(a.asInstanceOf[Long], b.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -37,13 +37,14 @@ object Curation {
   ): DataFrame = {
     val trainSh = Dedup.shingleTable(train, idCol, textCol, n)
     val benchSh = Dedup.shingleTable(bench, idCol, textCol, n).select("shingle").distinct()
-    val counts = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val overlap = trainSh
-      .join(broadcast(benchSh), "shingle")
+    // ONE pass over the training corpus: the broadcast LEFT join marks
+    // benchmark hits, and a single aggregation counts total and matched
+    // shingles together (a counts⋈overlap formulation would tokenize and
+    // shingle the 100 TB side twice)
+    trainSh
+      .join(broadcast(benchSh.withColumn("_hit", lit(1))), Seq("shingle"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_overlap"))
-    counts
-      .join(overlap, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_sh"), count(col("_hit")).as("n_overlap"))
       .select(
         col("doc_id").as(idCol),
         col("n_sh"),
@@ -66,6 +67,8 @@ object Curation {
       k: Int
   ): DataFrame = {
     require(k > 0)
+    require(!df.columns.contains("_rn"),
+      "capPerGroup: reserved working column '_rn' already exists in the input")
     val w = Window.partitionBy(col(groupCol)).orderBy(rankCols: _*)
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }

@@ -146,22 +146,22 @@ object Dedup {
     // rather than forcibly re-shuffled to a possibly LOWER count.
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    val files = df.inputFiles
-    if (files.isEmpty) return df
     val conf = spark.sessionState.conf
     val maxSplit = math.max(1L, conf.filesMaxPartitionBytes)
     val openCost = math.max(1L, conf.filesOpenCostInBytes)
-    // each file weighs at least openCost, so this many files guarantees
-    // >= target splits — skip the per-file size lookups entirely
-    if (files.length.toLong * openCost >= target.toLong * maxSplit) return df
-    val totalBytes =
-      try {
-        val hconf = spark.sparkContext.hadoopConfiguration
-        files.iterator.map { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          math.max(p.getFileSystem(hconf).getFileStatus(p).getLen, openCost)
-        }.sum
-      } catch { case _: Throwable => Long.MaxValue } // unknown ⇒ assume big
+    // File statuses (with lengths) are already cached in each scan's
+    // FileIndex — no filesystem RPCs needed to estimate split counts.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val fileRelations = df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation]
+    }
+    if (fileRelations.isEmpty) return df // derived input: keep its parallelism
+    val files = fileRelations.iterator.map(_.location.inputFiles.length.toLong).sum
+    if (files == 0L) return df
+    // bytes from the cached index, plus the per-file open cost FilePartition
+    // packing charges — the same weighting the scheduler uses
+    val totalBytes = fileRelations.iterator.map(_.location.sizeInBytes).sum + files * openCost
     // large files split at maxSplit boundaries, so splits are NOT capped
     // at one per file
     val estSplits = 1L + totalBytes / maxSplit

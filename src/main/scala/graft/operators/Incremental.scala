@@ -171,46 +171,79 @@ object Incremental {
       s"mergePartitionPruned: NULL $partitionCol values in the batch (Hive layout cannot " +
         "address a null partition safely; route nulls to a sentinel value first)")
 
-    // "Table exists" = has at least one partition directory. A bare
-    // _SUCCESS marker (what a zero-row partitioned write leaves — dynamic
-    // partitioning emits one file per partition VALUE, so zero rows emit
-    // zero data files) must not count: reading it back throws, and
-    // treating it as a live table would wedge every later batch.
-    def hasData: Boolean =
-      fs.exists(live) && fs.listStatus(live).exists { st =>
+    // Spark's partition discovery ignores '_'/'.'-prefixed paths, so a
+    // partition column producing such directory names can never be read
+    // back — reject it up front rather than misclassify its data below.
+    require(!partitionCol.startsWith("_") && !partitionCol.startsWith("."),
+      s"mergePartitionPruned: partition column '$partitionCol' would produce " +
+        "directories Spark's partition discovery ignores")
+
+    // "Table exists" = has at least one partition directory (`col=value`,
+    // excluding the `_old_` swap asides). A bare _SUCCESS marker (what a
+    // zero-row partitioned write leaves — dynamic partitioning emits one
+    // file per partition VALUE, so zero rows emit zero data files) must
+    // not count: reading it back throws, and treating it as a live table
+    // would wedge every later batch.
+    def partitionDirs: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(live)) Nil
+      else fs.listStatus(live).toSeq.filter { st =>
         val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
+        st.isDirectory && n.contains("=") && !n.startsWith("_old_")
+      }
+    def hasData: Boolean = partitionDirs.nonEmpty
+    // the ONLY directory state that may be silently cleared before an
+    // initial load: marker FILES alone (e.g. _SUCCESS). Anything else
+    // unrecognized (data files, odd directories) must surface an error,
+    // not be deleted.
+    def bareMarkerOnly: Boolean =
+      fs.exists(live) && fs.listStatus(live).forall { st =>
+        val n = st.getPath.getName
+        st.isFile && (n.startsWith("_") || n.startsWith("."))
       }
 
-    // Read-back with the partition column PINNED to the source's type.
-    // Bare partition-type inference corrupts non-canonical string values
-    // ('01' infers as int 1, and the rewrite would emit a NEW p=1
+    // Read-back schema with the partition column PINNED to the source's
+    // type. Bare partition-type inference corrupts non-canonical string
+    // values ('01' infers as int 1, and the rewrite would emit a NEW p=1
     // directory alongside the replaced p=01); pinning makes the dir
-    // string cast to the declared type instead.
-    def readPinned(): DataFrame = {
-      val inferred = spark.read.parquet(lakePath).schema
-      val srcPType = source.schema(partitionCol).dataType
-      val pinned = org.apache.spark.sql.types.StructType(
-        inferred.map(f => if (f.name == partitionCol) f.copy(dataType = srcPType) else f))
-      spark.read.schema(pinned).parquet(lakePath)
+    // string cast to the declared type instead. Built from a known schema
+    // where one is available — footer inference re-lists the whole table,
+    // which a metadata-scale merge must not do more than once per batch.
+    def pinOf(sch: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+      val others = sch.fields.filterNot(_.name == partitionCol)
+      val p = sch.fields.find(_.name == partitionCol)
+        .getOrElse(source.schema(partitionCol))
+      org.apache.spark.sql.types.StructType(
+        others :+ p.copy(dataType = source.schema(partitionCol).dataType))
     }
 
     if (touched.isEmpty) {
       // empty batch: nothing to merge, and an initial load must NOT
       // create the unreadable zero-data-file directory described above
-      return if (hasData) readPinned() else dedupByKey(source, pk)
+      return if (hasData)
+        spark.read.schema(pinOf(spark.read.parquet(lakePath).schema)).parquet(lakePath)
+      else dedupByKey(source, pk)
     }
     if (!hasData) {
-      // clear a bare-marker directory a previous zero-row write may have left
-      if (fs.exists(live)) fs.delete(live, true)
+      if (fs.exists(live)) {
+        // the only state cleared silently is marker files alone; anything
+        // else unrecognized is surfaced, never deleted
+        require(bareMarkerOnly,
+          s"mergePartitionPruned: $lakePath exists but contains no 'col=value' partition " +
+            "directories and is not a bare marker dir — refusing to overwrite it")
+        fs.delete(live, true)
+      }
       dedupByKey(source, pk).write.mode("overwrite").partitionBy(partitionCol).parquet(lakePath)
-      return readPinned()
+      // the just-written table's schema is the (deduped) source's — no
+      // footer inference needed
+      return spark.read.schema(pinOf(source.schema)).parquet(lakePath)
     }
 
     // the scan prunes to the touched `col=value` directories — the only
-    // table IO this batch pays
-    val existingTouched =
-      readPinned().where(col(partitionCol).isin(touched.toIndexedSeq: _*))
+    // table IO this batch pays. ONE footer inference per batch; both the
+    // pre-merge read and the post-swap return reuse known schemas.
+    val inferred = spark.read.parquet(lakePath).schema
+    val existingTouched = spark.read.schema(pinOf(inferred)).parquet(lakePath)
+      .where(col(partitionCol).isin(touched.toIndexedSeq: _*))
     val merged = merge(existingTouched, source, pk)
 
     val stagingRoot = new Path(lakePath + "_pstaging")
@@ -224,7 +257,8 @@ object Incremental {
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .foreach(st => swapPartitionDir(fs, live, st.getPath))
     fs.delete(stagingRoot, true)
-    readPinned()
+    // post-swap files carry the merged schema — reuse it, don't re-infer
+    spark.read.schema(pinOf(merged.schema)).parquet(lakePath)
   }
 
   /** Rename-aside swap of ONE staged partition directory into the live

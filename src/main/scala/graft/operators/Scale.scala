@@ -139,6 +139,8 @@ object Scale {
       colB: String,
       partitions: Int
   ): Unit = {
+    require(!df.columns.contains("_z"),
+      "writeZOrdered: reserved working column '_z' already exists in the input")
     val max31 = (1L << 31) - 1
     def checked(c: String) = {
       val v = col(c).cast("long")

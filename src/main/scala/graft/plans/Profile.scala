@@ -64,7 +64,10 @@ object Profile {
       .withColumn("share", round(col("n_rows") / col("_total"), 6))
       .withColumn(
         "skew_vs_uniform",
-        round(col("n_rows") * col("_n_keys") / col("_total"), 6))
+        // double BEFORE multiplying: n_rows × n_keys as long×long overflows
+        // on exactly the huge skewed tables this diagnostic exists for
+        // (ANSI mode turns that into a query-killing exception)
+        round(col("n_rows").cast("double") * col("_n_keys") / col("_total"), 6))
       .orderBy(col("n_rows").desc, col(keyCol))
       .limit(topK)
       .select(col(keyCol), col("n_rows"), col("share"), col("skew_vs_uniform"))

@@ -215,6 +215,25 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(dirs == Set("month=01", "month=02"), s"no rewritten/duplicate partition dirs: $dirs")
   }
 
+  test("partition-pruned merge refuses hazardous directory/column states loudly") {
+    // a '_'-prefixed partition column can never be read back (discovery
+    // ignores such dirs) — rejected up front
+    intercept[IllegalArgumentException] {
+      Incremental.mergePartitionPruned(
+        spark, Seq((1L, "a", 0)).toDF("id", "v", "_p"),
+        Files.createTempDirectory("pmerge-badcol").toString + "/t", "id", "_p")
+    }
+    // a directory with unrecognized content (no col=value dirs, not a bare
+    // marker) is surfaced, never silently deleted
+    val dir = Files.createTempDirectory("pmerge-odd").toString + "/t"
+    pdf((1L, "x", 0)).drop("p").write.parquet(dir) // plain files, no partition layout
+    val e = intercept[IllegalArgumentException] {
+      Incremental.mergePartitionPruned(spark, pdf((2L, "y", 1)), dir, "id", "p")
+    }
+    assert(e.getMessage.contains("refusing to overwrite"))
+    assert(spark.read.parquet(dir).count() == 1, "pre-existing data must be untouched")
+  }
+
   test("recoverPartitionedMerge repairs a crash between the per-partition renames") {
     val dir = Files.createTempDirectory("pmerge-recov").toString + "/t"
     Incremental.mergePartitionPruned(spark, pdf((1L, "a", 0), (2L, "b", 1)), dir, "id", "p")

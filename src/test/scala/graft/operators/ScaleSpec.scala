@@ -117,6 +117,15 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("out of [0, 2^31) range")), e.toString)
+
+    // the raw expression rejects non-BIGINT inputs at analysis time
+    // (interpreted vs codegen would otherwise disagree on int children)
+    val typeErr = intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b")
+        .select(graft.functions.ScaleExpressions.zorder2(col("a"), col("b")))
+        .collect()
+    }
+    assert(messages(typeErr).exists(_.contains("zorder2 requires BIGINT")), typeErr.toString)
   }
 
   test("range-clustered write produces sorted, range-partitioned files") {
