@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductExpr, MinHashMd5SigExpr, MinHashSigExpr, Norm2Expr, ShinglesExpr, SimHash64Expr, SimHashMd5Expr}
+import graft.functions.{DotProductExpr, MinHashMd5SigExpr, MinHashSigExpr, Norm2Expr, ShinglesAllExpr, ShinglesExpr, SimHash64Expr, SimHashMd5Expr, ZOrder2Expr}
 
 /** SparkSessionExtensions registering graft's custom Catalyst expressions
   * as SQL functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works the
@@ -53,7 +53,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashMd5SigExpr(args(0), intArg(args(1), "numHashes"))),
     ("simhash_md5_60",
       new ExpressionInfo(classOf[SimHashMd5Expr].getName, "simhash_md5_60"),
-      (args: Seq[Expression]) => SimHashMd5Expr(args(0)))
+      (args: Seq[Expression]) => SimHashMd5Expr(args(0))),
+    ("word_shingles_all",
+      new ExpressionInfo(classOf[ShinglesAllExpr].getName, "word_shingles_all"),
+      (args: Seq[Expression]) => ShinglesAllExpr(args(0), intArg(args(1), "n"))),
+    ("zorder2",
+      new ExpressionInfo(classOf[ZOrder2Expr].getName, "zorder2"),
+      (args: Seq[Expression]) => ZOrder2Expr(args(0), args(1)))
   )
 
   /** Register on an already-built session (tests, REPL). */

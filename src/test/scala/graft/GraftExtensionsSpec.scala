@@ -15,7 +15,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         |  size(minhash_signature(word_shingles('a b c d', 3), 16)) AS sig_len,
         |  simhash64(word_shingles('a b c', 1)) AS sh64,
         |  minhash_md5_signature(word_shingles('a b c d', 3), 4)[0] AS mh_md5,
-        |  simhash_md5_60(word_shingles('a b c', 1)) AS sh_md5
+        |  simhash_md5_60(word_shingles('a b c', 1)) AS sh_md5,
+        |  word_shingles_all('a b a b', 2) AS sh_all,
+        |  zorder2(CAST(3 AS BIGINT), CAST(5 AS BIGINT)) AS z
         |""".stripMargin).head()
     assert(row.getAs[Double]("d") == 11.0)
     assert(row.getAs[Double]("n2") == 25.0)
@@ -23,6 +25,11 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Int]("sig_len") == 16)
     assert(row.getAs[String]("mh_md5").length == 32)
     assert(row.getAs[Long]("sh_md5") >= 0L && row.getAs[Long]("sh_md5") < (1L << 60))
+    // duplicates kept, in order (the distinct variant would return 2)
+    assert(row.getSeq[String](row.fieldIndex("sh_all")).toList ==
+      List("a b", "b a", "a b"))
+    // 3 = 0b011, 5 = 0b101 → interleave(a=3→even, b=5→odd) = 0b100111 = 39
+    assert(row.getAs[Long]("z") == 39L)
   }
 
   test("delta reader falls back to parquet when no delta jar is present") {
