@@ -87,6 +87,33 @@ object Incremental {
     joined.select(outCols.toIndexedSeq: _*)
   }
 
+  /** K4 extension — CDC merge with DELETES (`whenMatchedDelete` parity,
+    * the third leg of a full MERGE alongside update/insert): source rows
+    * whose `deleteFlagCol` is true remove the matching target key; the
+    * rest upsert with [[merge]]'s source-wins semantics. The flag column
+    * itself never lands in the output. Requires the source unique per
+    * key after [[dedupByKey]] (a key both deleted and re-inserted in ONE
+    * batch is ambiguous without an ordering column — split such batches
+    * upstream).
+    *
+    * Same scale shape as [[merge]]: one shuffle-on-key join plus a
+    * left-anti join against the (typically tiny) delete set.
+    */
+  def mergeWithDeletes(
+      target: DataFrame,
+      source: DataFrame,
+      pk: String,
+      deleteFlagCol: String
+  ): DataFrame = {
+    require(source.columns.contains(deleteFlagCol),
+      s"mergeWithDeletes: flag column '$deleteFlagCol' missing from source")
+    val oneRowPerKey = dedupByKey(source, pk)
+    val flagged = coalesce(col(deleteFlagCol).cast("boolean"), lit(false))
+    val deletes = oneRowPerKey.where(flagged).select(col(pk))
+    val upserts = oneRowPerKey.where(!flagged).drop(deleteFlagCol)
+    merge(target, upserts, pk).join(deletes, Seq(pk), "left_anti")
+  }
+
   /** E4 — the reference's whole incremental entry point
     * (`utils.py:212-246`): read the existing lake table, keep only source
     * rows above its PK high watermark, then either append them or

@@ -113,6 +113,25 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mergeWithDeletes: flagged keys vanish, others upsert, flag column dropped") {
+    val target = df(1L -> "t1", 2L -> "t2", 3L -> "t3")
+    val source = Seq(
+      (2L, "s2", false), // update
+      (3L, null.asInstanceOf[String], true), // delete (payload ignored)
+      (4L, "s4", false), // insert
+      (9L, "x", true) // delete of a key the target never had: no-op
+    ).toDF("id", "v", "_deleted")
+    val out = Incremental.mergeWithDeletes(target, source, "id", "_deleted")
+    assert(out.columns.toSeq == Seq("id", "v"))
+    assert(out.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq(1L -> "t1", 2L -> "s2", 4L -> "s4"))
+    // a NULL flag means "not deleted", not a crash or a delete
+    val nullFlag = Seq((1L, "n1", null.asInstanceOf[java.lang.Boolean]))
+      .toDF("id", "v", "_deleted")
+    val out2 = Incremental.mergeWithDeletes(target, nullFlag, "id", "_deleted")
+    assert(out2.where(col("id") === 1L).head().getString(1) == "n1")
+  }
+
   test("merge on disjoint keys equals union (append equivalence)") {
     val target = df(1L -> "a", 2L -> "b")
     val source = df(3L -> "c", 4L -> "d")
