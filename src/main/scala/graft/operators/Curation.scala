@@ -44,13 +44,13 @@ object Curation {
     trainSh
       .join(broadcast(benchSh.withColumn("_hit", lit(1))), Seq("shingle"), "left")
       .groupBy("doc_id")
+      // count(_hit) is never NULL — 0 when no benchmark shingle matched
       .agg(count(lit(1)).as("n_sh"), count(col("_hit")).as("n_overlap"))
       .select(
         col("doc_id").as(idCol),
         col("n_sh"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_sh"), 6)
-          .as("overlap_ratio"))
+        col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_sh"), 6).as("overlap_ratio"))
       .withColumn("contaminated", col("overlap_ratio") >= flagThreshold)
       .orderBy(idCol)
   }

@@ -156,12 +156,26 @@ object Dedup {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         lr.relation.asInstanceOf[HadoopFsRelation]
     }
-    if (fileRelations.isEmpty) return df // derived input: keep its parallelism
+    if (fileRelations.isEmpty) {
+      // not a V1 file scan (DSv2 / Hive / in-memory): Dataset.inputFiles
+      // still knows file counts for V2 FileScans and Hive tables — fall
+      // back to the count-only heuristic there; with no files at all the
+      // input is derived and keeps its upstream parallelism
+      val files = df.inputFiles.length
+      return if (files > 0 && files < target) df.repartition(target) else df
+    }
     val files = fileRelations.iterator.map(_.location.inputFiles.length.toLong).sum
     if (files == 0L) return df
     // bytes from the cached index, plus the per-file open cost FilePartition
-    // packing charges — the same weighting the scheduler uses
-    val totalBytes = fileRelations.iterator.map(_.location.sizeInBytes).sum + files * openCost
+    // packing charges — the same weighting the scheduler uses. A stats-less
+    // catalog index reports defaultSizeInBytes (Long.MaxValue): treat any
+    // such sentinel as "huge, leave alone" and sum saturating — an overflow
+    // wrap here would force-repartition exactly the tables that must not be.
+    val sizes = fileRelations.map(_.location.sizeInBytes)
+    if (sizes.exists(_ >= Long.MaxValue / 2)) return df
+    val rawBytes = sizes.foldLeft(0L)((a, b) => if (a > Long.MaxValue - b) Long.MaxValue else a + b)
+    val pad = files * openCost
+    val totalBytes = if (rawBytes > Long.MaxValue - pad) Long.MaxValue else rawBytes + pad
     // large files split at maxSplit boundaries, so splits are NOT capped
     // at one per file
     val estSplits = 1L + totalBytes / maxSplit

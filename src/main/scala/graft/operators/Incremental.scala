@@ -62,8 +62,15 @@ object Incremental {
     * Output column order/types follow `target`; columns only present on one
     * side are preserved (nulls on the other).
     */
-  def merge(target: DataFrame, source: DataFrame, pk: String): DataFrame = {
-    val srcCols = source.columns.toSet
+  def merge(target: DataFrame, source: DataFrame, pk: String): DataFrame =
+    mergeUnique(target, dedupByKey(source, pk), pk)
+
+  /** [[merge]] for a source ALREADY unique on `pk` — skips the dedup
+    * aggregation (callers that just produced a one-row-per-key set, like
+    * [[mergeWithDeletes]], must not pay it twice).
+    */
+  private def mergeUnique(target: DataFrame, sourceUnique: DataFrame, pk: String): DataFrame = {
+    val srcCols = sourceUnique.columns.toSet
     val tgtCols = target.columns.toSet
     require(srcCols.contains(pk) && tgtCols.contains(pk), s"merge key $pk missing")
 
@@ -74,11 +81,11 @@ object Incremental {
     val marker = "__graft_matched"
     require(!srcCols.contains(marker) && !tgtCols.contains(marker),
       s"merge: reserved marker column '$marker' already exists in the input")
-    val s = dedupByKey(source, pk).withColumn(marker, lit(true)).alias("s")
+    val s = sourceUnique.withColumn(marker, lit(true)).alias("s")
     val joined = t.join(s, col(s"t.$pk") === col(s"s.$pk"), "full_outer")
 
     val takeSource = col(s"s.$marker") // NULL → otherwise-branch (target row kept)
-    val outCols = (target.columns ++ source.columns.filterNot(tgtCols)).map {
+    val outCols = (target.columns ++ sourceUnique.columns.filterNot(tgtCols)).map {
       case c if srcCols.contains(c) && tgtCols.contains(c) =>
         when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
       case c if srcCols.contains(c) => col(s"s.$c").as(c)
@@ -111,7 +118,8 @@ object Incremental {
     val flagged = coalesce(col(deleteFlagCol).cast("boolean"), lit(false))
     val deletes = oneRowPerKey.where(flagged).select(col(pk))
     val upserts = oneRowPerKey.where(!flagged).drop(deleteFlagCol)
-    merge(target, upserts, pk).join(deletes, Seq(pk), "left_anti")
+    // upserts are already unique per key — skip merge()'s re-dedup pass
+    mergeUnique(target, upserts, pk).join(deletes, Seq(pk), "left_anti")
   }
 
   /** E4 — the reference's whole incremental entry point
@@ -219,13 +227,15 @@ object Incremental {
       }
     def hasData: Boolean = partitionDirs.nonEmpty
     // the ONLY directory state that may be silently cleared before an
-    // initial load: marker FILES alone (e.g. _SUCCESS). Anything else
-    // unrecognized (data files, odd directories) must surface an error,
-    // not be deleted.
+    // initial load: writer residue invisible to Spark reads — '_'/'.'
+    // prefixed entries, files OR directories (_SUCCESS markers, and the
+    // _temporary dir a crashed initial write leaves; replaying that crash
+    // must recover, not wedge). Anything Spark could actually read must
+    // surface an error, never be deleted.
     def bareMarkerOnly: Boolean =
       fs.exists(live) && fs.listStatus(live).forall { st =>
         val n = st.getPath.getName
-        st.isFile && (n.startsWith("_") || n.startsWith("."))
+        n.startsWith("_") || n.startsWith(".")
       }
 
     // Read-back schema with the partition column PINNED to the source's
@@ -266,9 +276,13 @@ object Incremental {
     }
 
     // the scan prunes to the touched `col=value` directories — the only
-    // table IO this batch pays. ONE footer inference per batch; both the
-    // pre-merge read and the post-swap return reuse known schemas.
-    val inferred = spark.read.parquet(lakePath).schema
+    // table DATA IO this batch pays. ONE schema inference per batch, and
+    // it must MERGE footers: partitions rewritten by earlier batches can
+    // carry evolved columns, and a single arbitrary footer could miss one
+    // — the subsequent pinned read would then silently drop that column
+    // from the partitions this batch rewrites. (Footer reads are
+    // distributed and tiny; the data scan below stays pruned.)
+    val inferred = spark.read.option("mergeSchema", "true").parquet(lakePath).schema
     val existingTouched = spark.read.schema(pinOf(inferred)).parquet(lakePath)
       .where(col(partitionCol).isin(touched.toIndexedSeq: _*))
     val merged = merge(existingTouched, source, pk)

@@ -253,6 +253,15 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() == 1, "pre-existing data must be untouched")
   }
 
+  test("partition-pruned merge: replaying a crashed INITIAL write recovers") {
+    // a crash mid-initial-write leaves only writer residue (_temporary);
+    // the replay must clear it and initialize, not wedge on the guard
+    val dir = Files.createTempDirectory("pmerge-tmpres").toString + "/t"
+    Files.createDirectories(java.nio.file.Paths.get(dir + "/_temporary/0"))
+    val out = Incremental.mergePartitionPruned(spark, pdf((1L, "a", 0)), dir, "id", "p")
+    assert(out.as[(Long, String, Int)].collect().toSeq == Seq((1L, "a", 0)))
+  }
+
   test("recoverPartitionedMerge repairs a crash between the per-partition renames") {
     val dir = Files.createTempDirectory("pmerge-recov").toString + "/t"
     Incremental.mergePartitionPruned(spark, pdf((1L, "a", 0), (2L, "b", 1)), dir, "id", "p")
