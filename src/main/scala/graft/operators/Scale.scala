@@ -120,6 +120,56 @@ object Scale {
       .mode("overwrite")
       .parquet(path)
 
+  /** Bloom-filter SEMI-JOIN REDUCTION: filter the huge probe side down to
+    * rows whose key MIGHT match the (small) build side before the join's
+    * shuffle ever runs — the classic way to avoid shuffling 100 TB when
+    * only a sliver survives the join. The filter is built driver-side
+    * from the build keys (one aggregation; the build side is small by
+    * contract), broadcast implicitly as a task binary, and applied as a
+    * scan-side predicate.
+    *
+    * Guarantees NO false negatives (every matching row passes); false
+    * positives at rate `fpp` pass through and are eliminated by the real
+    * join afterwards — results are exact, only the shuffled volume is
+    * probabilistic. AQE's runtime bloom filters do this automatically for
+    * eligible shapes; this explicit operator covers the shapes it misses
+    * (pre-aggregated builds, reuse across several joins, non-equi tails).
+    */
+  def bloomPrefilter(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      expectedBuildKeys: Long = 1000000L,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    require(expectedBuildKeys > 0)
+    // Spark's OWN bloom expressions (what AQE's runtime filter injects) —
+    // native eval, no UDF: build with BloomFilterAggregate over xxhash64
+    // of the key, probe with BloomFilterMightContain on a serialized-
+    // filter literal.
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val numBits = math.max(
+      64L,
+      math.ceil(-expectedBuildKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val buildHash = XxHash64(Seq(ColumnBridge.expression(col(buildKey))), 42L)
+    val agg = new BloomFilterAggregate(
+      buildHash, Literal(expectedBuildKeys), Literal(numBits))
+    val bloomBytes = build
+      .select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (bloomBytes == null) return probe.where(lit(false)) // empty build side
+    val probeHash = XxHash64(Seq(ColumnBridge.expression(col(probeKey))), 42L)
+    val might = ColumnBridge.column(
+      BloomFilterMightContain(
+        Literal(bloomBytes, org.apache.spark.sql.types.BinaryType), probeHash))
+    // NULL probe keys can never equi-match; drop them like the join would
+    probe.where(col(probeKey).isNotNull && might)
+  }
+
   /** TWO-dimension clustered write (Z-order): rows sort by the Morton
     * interleave of both columns, so every output file covers a small
     * rectangle of the (a, b) space and parquet min/max statistics prune

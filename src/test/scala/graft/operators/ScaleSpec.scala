@@ -80,6 +80,29 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == 2 && out.where(col("name").isNull).count() == 1)
   }
 
+  test("bloom prefilter: no false negatives, real volume reduction, exact after join") {
+    val probe = (1L to 10000L).map(k => (k, s"p$k")).toDF("k", "v")
+    val build = Seq(3L, 500L, 9999L).map(k => (k, "d")).toDF("bk", "d")
+
+    val filtered = Scale.bloomPrefilter(probe, build, "k", "bk", expectedBuildKeys = 10L)
+    val kept = filtered.select("k").as[Long].collect().toSet
+    // NO false negatives: every genuinely matching key survives
+    assert(Set(3L, 500L, 9999L).subsetOf(kept))
+    // real reduction: false positives are rare at this fpp
+    assert(kept.size < 200, s"expected a sliver, kept ${kept.size}")
+    // the actual join on the filtered probe equals the join on the full probe
+    val full = probe.join(build, probe("k") === build("bk")).select("k").as[Long].collect().toSet
+    val viaFilter = filtered.join(build, filtered("k") === build("bk"))
+      .select("k").as[Long].collect().toSet
+    assert(viaFilter == full)
+
+    // empty build side → empty probe (nothing can match)
+    assert(Scale.bloomPrefilter(probe, build.where(lit(false)), "k", "bk").count() == 0)
+    // NULL probe keys are dropped like the equi-join would drop them
+    val withNull = Seq((Some(3L), "a"), (None: Option[Long], "b")).toDF("k", "v")
+    assert(Scale.bloomPrefilter(withNull, build, "k", "bk").count() == 1)
+  }
+
   test("z-ordered write clusters BOTH dimensions; 1-D range-cluster only one") {
     val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
     val df = grid.toDF("x", "y")
