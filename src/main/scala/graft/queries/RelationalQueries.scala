@@ -448,6 +448,21 @@ object RelationalQueries {
         .groupBy("table_name")
         .agg(count(lit(1)).as("row_cnt"))
         .orderBy("table_name")
+    },
+    // Bloom semi-join reduction exercised end-to-end: the lineitem probe
+    // is pre-shrunk by a bloom of one nation's supplier keys BEFORE the
+    // join shuffles. The post-join result is EXACT (false positives wash
+    // out in the real join), so the probabilistic pre-filter still gets a
+    // full hash-checked oracle.
+    "q70_bloom_join" -> { (s, dir) =>
+      val build = t(s, dir, "supplier").where(col("s_nationkey") === 3)
+      val probe = graft.operators.Scale.bloomPrefilter(
+        t(s, dir, "lineitem"), build, "l_suppkey", "s_suppkey", expectedBuildKeys = 1000L)
+      probe
+        .join(broadcast(build), probe("l_suppkey") === build("s_suppkey"))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("s_suppkey")
     }
   )
 
@@ -700,6 +715,11 @@ object RelationalQueries {
         |UNION ALL SELECT 'orders', count(*) FROM orders
         |UNION ALL SELECT 'region', count(*) FROM region
         |UNION ALL SELECT 'supplier', count(*) FROM supplier
-        |ORDER BY table_name""".stripMargin
+        |ORDER BY table_name""".stripMargin,
+    "q70_bloom_join" ->
+      """SELECT s_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE s_nationkey = 3
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
   )
 }
