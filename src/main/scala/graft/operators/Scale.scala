@@ -134,6 +134,17 @@ object Scale {
     * probabilistic. AQE's runtime bloom filters do this automatically for
     * eligible shapes; this explicit operator covers the shapes it misses
     * (pre-aggregated builds, reuse across several joins, non-equi tails).
+    *
+    * Contract limits:
+    *   - INNER / (LEFT-)SEMI joins of the filtered probe only. If the
+    *     probe is the PRESERVED side of an outer join, prefiltering drops
+    *     rows that should surface null-padded.
+    *   - Key columns must share one data type (enforced): the hashes are
+    *     computed pre-coercion, so an int-vs-long pair would silently
+    *     hash differently and break the no-false-negative guarantee.
+    *   - The serialized filter rides the plan as a binary literal
+    *     (~1.2 MB/million keys at 1%): explain output and event logs
+    *     carry it, so size `expectedBuildKeys` to the real build side.
     */
   def bloomPrefilter(
       probe: DataFrame,
@@ -145,6 +156,15 @@ object Scale {
   ): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     require(expectedBuildKeys > 0)
+    // the hashes are computed PRE-coercion: differently-typed keys the
+    // join would happily coerce (int 5 == bigint 5) hash to different
+    // values and would silently drop every genuine match
+    val pt = probe.schema(probeKey).dataType
+    val bt = build.schema(buildKey).dataType
+    require(pt == bt,
+      s"bloomPrefilter: key types must match exactly (probe $probeKey: ${pt.sql}, " +
+        s"build $buildKey: ${bt.sql}) — cast one side first, or the bloom silently " +
+        "rejects genuine matches")
     // Spark's OWN bloom expressions (what AQE's runtime filter injects) —
     // native eval, no UDF: build with BloomFilterAggregate over xxhash64
     // of the key, probe with BloomFilterMightContain on a serialized-
@@ -152,9 +172,20 @@ object Scale {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    // the same sizing function BloomFilterAggregate uses internally
     val numBits = math.max(
       64L,
-      math.ceil(-expectedBuildKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedBuildKeys, fpp))
+    // BloomFilterAggregate silently CLAMPS items/bits to these confs; a
+    // clamped filter saturates (effective fpp → 1) and the "avoid the
+    // shuffle" purpose silently dies — fail loudly instead
+    val conf = build.sparkSession.conf
+    val maxItems = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedBuildKeys <= maxItems && numBits <= maxBits,
+      s"bloomPrefilter: $expectedBuildKeys keys need $numBits bits at fpp=$fpp, beyond " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems/maxNumBits=$maxBits " +
+        "(the aggregate would silently clamp and saturate) — raise the confs or the fpp")
     val buildHash = XxHash64(Seq(ColumnBridge.expression(col(buildKey))), 42L)
     val agg = new BloomFilterAggregate(
       buildHash, Literal(expectedBuildKeys), Literal(numBits))

@@ -98,6 +98,17 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
 
     // empty build side → empty probe (nothing can match)
     assert(Scale.bloomPrefilter(probe, build.where(lit(false)), "k", "bk").count() == 0)
+    // mismatched key types would hash differently pre-coercion and drop
+    // genuine matches — rejected loudly
+    val intBuild = Seq((3, "d")).toDF("bk", "d")
+    val typeErr = intercept[IllegalArgumentException] {
+      Scale.bloomPrefilter(probe, intBuild, "k", "bk")
+    }
+    assert(typeErr.getMessage.contains("key types must match"))
+    // over-sized filters would be silently clamped (and saturate) — rejected
+    intercept[IllegalArgumentException] {
+      Scale.bloomPrefilter(probe, build, "k", "bk", expectedBuildKeys = 100000000L)
+    }
     // NULL probe keys are dropped like the equi-join would drop them
     val withNull = Seq((Some(3L), "a"), (None: Option[Long], "b")).toDF("k", "v")
     assert(Scale.bloomPrefilter(withNull, build, "k", "bk").count() == 1)
