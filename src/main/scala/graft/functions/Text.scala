@@ -10,15 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokenization (collapses runs; trims first). Empty and
-    * whitespace-only text yields an EMPTY array — `split` alone returns
-    * `[""]` there, which would count one phantom token and diverge from
-    * the native TextOps tokenizer used on the dedup hot paths.
+  /** Whitespace tokenization (collapses runs; empties dropped; empty and
+    * whitespace-only text yields an EMPTY array). Backed by the same
+    * single-pass codegen'd tokenizer the dedup hot paths use
+    * (`TextExpressions.TokensExpr`) — the previous
+    * `filter(split(trim(regexp_replace(...))))` composition evaluated an
+    * interpreted lambda plus two regexes per row across the dozen corpus
+    * queries that tokenize every document.
     */
-  def tokens(text: Column): Column =
-    filter(
-      split(trim(regexp_replace(text, "\\s+", " ")), " "),
-      t => length(t) > 0)
+  def tokens(text: Column): Column = TextExpressions.word_tokens(text)
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

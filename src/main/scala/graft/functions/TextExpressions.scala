@@ -214,6 +214,14 @@ object TextOps {
     sig
   }
 
+  /** Whitespace tokens as ArrayData — the codegen-callable face of
+    * [[tokenize]] (one pass, no regex, empties dropped).
+    */
+  def tokensArray(text: UTF8String): ArrayData = {
+    val toks = tokenize(text.toString)
+    new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any))
+  }
+
   private def tokenize(s: String): Array[String] = {
     val out = mutable.ArrayBuffer[String]()
     var i = 0
@@ -226,6 +234,20 @@ object TextOps {
     }
     out.toArray
   }
+}
+
+/** Whitespace tokens (runs collapsed, empties dropped), ARRAY<STRING> —
+  * single-pass scan, no regex, whole-stage-codegen'd. Replaces the
+  * interpreted `filter(split(trim(regexp_replace(...))))` composition on
+  * the dozen corpus queries that tokenize every document.
+  */
+case class TokensExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextOps.tokensArray(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.tokensArray($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Distinct word n-gram shingles, ARRAY<STRING>. */
@@ -289,6 +311,8 @@ case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
 }
 
 object TextExpressions {
+  def word_tokens(text: Column): Column =
+    ColumnBridge.column(TokensExpr(ColumnBridge.expression(text)))
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), n))
   def word_shingles_all(text: Column, n: Int): Column =
