@@ -200,6 +200,47 @@ object Lake {
     }
   }
 
+  /** JSON-lines scan (one object per line — the usual raw-ingest landing
+    * format). Schema inferred unless declared; with `corruptCol` set, the
+    * reader runs PERMISSIVE and rows that fail to parse land whole in
+    * that column instead of failing the 100 TB batch (triage the column,
+    * don't re-run the job; note Spark disallows queries referencing ONLY
+    * the corrupt column on the raw scan — cache or write the parsed
+    * result first). Schema inference costs a full extra pass over the
+    * data — declare the schema for anything big.
+    */
+  def readJsonLines(
+      spark: SparkSession,
+      path: String,
+      schemaDdl: Option[String] = None,
+      corruptCol: Option[String] = None
+  ): DataFrame = {
+    val base = spark.read
+    val withSchema = (schemaDdl, corruptCol) match {
+      case (Some(ddl), Some(cc)) =>
+        // the corrupt-record column must exist in the declared schema or
+        // PERMISSIVE has nowhere to put the bad line
+        base
+          .schema(StructType.fromDDL(ddl).add(cc, org.apache.spark.sql.types.StringType))
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", cc)
+      case (Some(ddl), None) => base.schema(StructType.fromDDL(ddl))
+      case (None, Some(cc)) =>
+        base.option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", cc)
+      case (None, None) => base
+    }
+    withSchema.json(path)
+  }
+
+  /** ORC scan/write — the columnar alternative where a lake standardizes
+    * on ORC instead of parquet; same pushdown/pruning story.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
   /** S7 — dependency-metadata CSV (`Table, Parent Table, Layer`),
     * `dependency_utils.py:22`.
     */
