@@ -75,11 +75,12 @@ object Curation {
 
   /** Frequency-ranked VOCABULARY build: tokens occurring at least
     * `minCount` times, each with its corpus count and a dense id in
-    * (count desc, token asc) order. The final ranking window is global
-    * over the VOCABULARY (distinct surviving tokens) — bounded by the
-    * language, not the corpus, so the single ordered partition holds at
-    * most a few million rows regardless of input size; the corpus-sized
-    * work (token counting) is an ordinary grouped aggregation.
+    * (count desc, token asc) order. The corpus-sized work (token
+    * counting) is an ordinary grouped aggregation; the ranking runs
+    * through [[Scale.globalDenseRank]] — range-partitioned local ranks
+    * plus broadcast partition offsets — so no single ordered partition
+    * ever holds the whole vocabulary (the previous global
+    * `Window.orderBy` funnelled every surviving token through one task).
     */
   def buildVocab(
       docs: DataFrame,
@@ -91,11 +92,34 @@ object Curation {
       .groupBy("tok")
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
-    counts
-      .withColumn(
-        "token_id",
-        row_number().over(Window.orderBy(col("n").desc, col("tok"))).cast("long"))
+    Scale
+      .globalDenseRank(counts, Seq(col("n").desc, col("tok").asc), "token_id")
       .orderBy("token_id")
+  }
+
+  /** One BPE-style adjacent-pair counting round — the core step of a
+    * byte-pair-encoding tokenizer build: within every token occurrence,
+    * each adjacent character pair is a merge candidate; pairs are counted
+    * corpus-wide, filtered to `minCount`, and ranked (count desc, pair
+    * asc) into the merge table the next BPE round would apply. Pair
+    * extraction is row-wise (no shuffle), counting is one grouped
+    * aggregation, and the ranking goes through [[Scale.globalDenseRank]]
+    * so no single ordered partition holds the pair vocabulary.
+    */
+  def bpeMergePairs(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val toks = docs.select(explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
+    val pairs = toks
+      // the length guard runs BEFORE sequence(): sequence(1, 0) counts
+      // DOWN ([1, 0]) rather than returning empty, which would fabricate
+      // phantom pairs for single-character tokens
+      .where(length(col("tok")) >= 2)
+      .select(
+        explode(expr(
+          "transform(sequence(1, char_length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+    val counts = pairs.groupBy("pair").agg(count(lit(1)).as("n")).where(col("n") >= minCount)
+    Scale
+      .globalDenseRank(counts, Seq(col("n").desc, col("pair").asc), "merge_rank")
+      .orderBy("merge_rank")
   }
 
   /** REPETITION score per document (Gopher/C4-style quality signal): the

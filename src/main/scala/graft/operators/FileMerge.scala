@@ -1,0 +1,254 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** FILE-granular MERGE on a plain-parquet, PK-range-clustered table —
+  * the granularity Delta Lake's MERGE gives the reference's flagship
+  * incremental op (`utils.py:222-230`: only files whose key range
+  * intersects the batch are rewritten), recreated without a table
+  * format:
+  *
+  *   - the table's files are kept PK-range-clustered
+  *     ([[Scale.writeRangeClustered]] layout), so each parquet footer's
+  *     min/max statistics describe a narrow PK interval;
+  *   - a merge batch reads ONLY footers (distributed, metadata-sized) to
+  *     learn per-file key ranges, then range-joins its keys against the
+  *     broadcast range table to find the files it intersects;
+  *   - intersecting files are read, merged ([[Incremental.merge]]
+  *     source-wins semantics), and rewritten range-clustered; every
+  *     other file is NEVER read, copied, or rewritten — byte-identical
+  *     after the batch;
+  *   - batch keys inside no file's range are pure inserts and land in
+  *     the rewritten output (ranges may then interleave with untouched
+  *     files' ranges, which weakens pruning but never correctness — a
+  *     key can only live in a file whose range covers it, and that file
+  *     is always in the touched set).
+  *
+  * IO per batch is proportional to intersected-files + batch, not the
+  * table: the [[Incremental.ingestIncremental]] merge path rewrites
+  * 100 TB to apply a 1 GB batch; [[Incremental.mergePartitionPruned]]
+  * cuts that to the touched partitions; this cuts it to the touched
+  * FILES of an unpartitioned (or single-partition) table. Degradation
+  * is graceful: on a table that is not range-clustered the file ranges
+  * overlap, more files intersect, and the merge approaches a full
+  * rewrite — correct, just no longer file-granular. Files whose footer
+  * lacks usable PK statistics are conservatively treated as touched.
+  *
+  * Crash contract (single writer; like [[Incremental.swapInStaging]],
+  * concurrent readers may observe a torn listing during the commit
+  * window itself): replacement files are fully written to a staging
+  * directory first, then a manifest naming every file to be replaced is
+  * atomically renamed into place, and only then do live files move
+  * aside. A manifest present means staging is complete, so recovery
+  * ([[recoverFileMerge]]) always rolls FORWARD; no manifest means the
+  * batch never started committing, so staging is discarded and the
+  * caller's replay recomputes it. Both the commit and its recovery are
+  * idempotent, and a replayed batch re-merges the same data (source-wins
+  * merge is idempotent), so every crash point converges to a consistent
+  * table.
+  */
+object FileMerge {
+
+  /** Per-file PK interval from the parquet footer. `known = false` means
+    * the footer carried no usable statistics for `pk` — the file must be
+    * treated as intersecting every batch.
+    */
+  final case class FileRange(file: String, lo: Long, hi: Long, known: Boolean)
+
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(dir)) Nil
+    else
+      fs.listStatus(dir).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+
+  /** Distributed footer scan: one task per slice of the file list, each
+    * reading only footers (a few KB per file) — the same metadata-scale
+    * pass a table format does against its transaction log. Returns one
+    * [[FileRange]] per data file.
+    */
+  def fileRanges(spark: SparkSession, lakePath: String, pk: String): Seq[FileRange] = {
+    val live = new Path(lakePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = dataFiles(fs, live).map(_.getPath.toString)
+    if (files.isEmpty) return Nil
+    val confBc = org.apache.spark.sql.graftbridge.ConfBridge.broadcast(spark.sparkContext)
+    val slices = math.min(files.size, math.max(1, spark.sparkContext.defaultParallelism))
+    spark.sparkContext
+      .parallelize(files, slices)
+      .map { f =>
+        val p = new Path(f)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            p, org.apache.spark.sql.graftbridge.ConfBridge.value(confBc)))
+        try {
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          var known = true
+          reader.getFooter.getBlocks.asScala.foreach { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == pk) match {
+              case Some(c) =>
+                val st = c.getStatistics
+                if (st == null || !st.hasNonNullValue) {
+                  // all-null or stats-less chunk: no key bound derivable
+                  known = known && b.getRowCount == 0
+                } else
+                  (st.genericGetMin, st.genericGetMax) match {
+                    case (mn: Number, mx: Number) =>
+                      lo = math.min(lo, mn.longValue)
+                      hi = math.max(hi, mx.longValue)
+                    case _ => known = false
+                  }
+              case None => known = false
+            }
+          }
+          // a file with zero rows keeps lo > hi: intersects nothing
+          FileRange(p.getName, lo, hi, known)
+        } finally reader.close()
+      }
+      .collect()
+      .toSeq
+  }
+
+  /** The merge itself. `source` may carry duplicate keys (last-write-wins
+    * reduction, as [[Incremental.merge]]); `pk` must be an integral
+    * column (the footer-statistics comparison is done in BIGINT).
+    * `initialFiles` sizes the range-clustered INITIAL load (0 = the
+    * cluster's default parallelism); later batches rewrite about as many
+    * files as they touch. Returns the post-merge table.
+    */
+  def mergeFileGranular(
+      spark: SparkSession,
+      source: DataFrame,
+      lakePath: String,
+      pk: String,
+      initialFiles: Int = 0
+  ): DataFrame = {
+    val pkType = source.schema(pk).dataType
+    require(
+      Seq(LongType, IntegerType, ShortType, ByteType).contains(pkType),
+      s"mergeFileGranular: integral PK required for footer min/max pruning, got ${pkType.sql}")
+    val live = new Path(lakePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverFileMerge(spark, lakePath)
+    require(
+      !fs.exists(live) || !fs.listStatus(live).exists(st =>
+        st.isDirectory && st.getPath.getName.contains("=")),
+      s"mergeFileGranular: $lakePath has a Hive-partitioned layout — use mergePartitionPruned")
+
+    val batch = Incremental.dedupByKey(source, pk)
+    if (dataFiles(fs, live).isEmpty) {
+      // initial load (or bare-marker dir): lay the table out range-
+      // clustered so every later batch can prune on footer stats
+      val files =
+        if (initialFiles > 0) initialFiles
+        else math.max(1, spark.sparkContext.defaultParallelism)
+      Scale.writeRangeClustered(batch, lakePath, pk, files)
+      return spark.read.parquet(lakePath)
+    }
+    if (batch.isEmpty) return spark.read.parquet(lakePath)
+
+    val ranges = fileRanges(spark, lakePath, pk)
+    val statless = ranges.filter(!_.known).map(_.file)
+    val rangeDf = spark.createDataFrame(ranges.filter(_.known))
+    // bounded collect: one row per INTERSECTED FILE, never per key/row
+    val hit = batch
+      .select(col(pk).cast("long").as("_k"))
+      .where(col("_k").isNotNull)
+      .join(broadcast(rangeDf), col("_k") >= col("lo") && col("_k") <= col("hi"))
+      .select("file")
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+    val touched = (hit ++ statless).distinct.sorted
+
+    val merged =
+      if (touched.isEmpty) batch // pure insert: no live file intersects
+      else
+        Incremental.mergeUnique(
+          spark.read.parquet(touched.map(f => s"$lakePath/$f"): _*),
+          batch,
+          pk)
+
+    val staging = new Path(lakePath + "_fmerge")
+    if (fs.exists(staging) && !fs.delete(staging, true))
+      throw new java.io.IOException(s"mergeFileGranular: could not clear stale staging $staging")
+    merged
+      .repartitionByRange(math.max(1, touched.size), col(pk))
+      .sortWithinPartitions(pk)
+      .write
+      .mode("overwrite")
+      .parquet(staging.toString)
+
+    // manifest LAST, atomically: its presence certifies staging complete
+    val tmp = new Path(staging, "_touched.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(touched.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(staging, "_touched")))
+      throw new java.io.IOException(s"mergeFileGranular: could not publish manifest in $staging")
+
+    commitStaged(fs, live, staging)
+    spark.read.parquet(lakePath)
+  }
+
+  /** Phases A (hide touched) / B (publish staged) / C (clean) of the
+    * commit; idempotent, also the recovery roll-forward. Caller
+    * guarantees the manifest exists.
+    */
+  private def commitStaged(fs: FileSystem, live: Path, staging: Path): Unit = {
+    val manifest = new Path(staging, "_touched")
+    val touched = {
+      val in = fs.open(manifest)
+      try new String(in.readAllBytes(), "UTF-8").split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      finally in.close()
+    }
+    touched.foreach { name =>
+      val liveF = new Path(live, name)
+      if (fs.exists(liveF) && !fs.rename(liveF, new Path(live, "_old_" + name)))
+        throw new java.io.IOException(s"mergeFileGranular: could not move $liveF aside")
+    }
+    dataFiles(fs, staging).foreach { st =>
+      if (!fs.rename(st.getPath, new Path(live, st.getPath.getName)))
+        throw new java.io.IOException(s"mergeFileGranular: could not publish ${st.getPath}")
+    }
+    fs.listStatus(live)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_old_"))
+      .foreach(st => fs.delete(st.getPath, false))
+    fs.delete(staging, true)
+  }
+
+  /** Repair an interrupted [[mergeFileGranular]] commit. A staging
+    * directory WITH a manifest is a complete replacement — roll the
+    * commit forward (hide any still-live touched files, publish the
+    * remaining staged files, clean up). A staging directory WITHOUT a
+    * manifest never started committing — discard it (the caller replays
+    * the batch). Leftover `_old_` asides with no staging directory are a
+    * finished commit's debris — delete them. Returns true if anything
+    * was repaired.
+    */
+  def recoverFileMerge(spark: SparkSession, lakePath: String): Boolean = {
+    val live = new Path(lakePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(lakePath + "_fmerge")
+    var acted = false
+    if (fs.exists(staging)) {
+      if (fs.exists(new Path(staging, "_touched"))) commitStaged(fs, live, staging)
+      else fs.delete(staging, true)
+      acted = true
+    }
+    if (fs.exists(live)) {
+      val asides =
+        fs.listStatus(live).filter(st => st.isFile && st.getPath.getName.startsWith("_old_"))
+      asides.foreach(st => fs.delete(st.getPath, false))
+      acted ||= asides.nonEmpty
+    }
+    acted
+  }
+}

@@ -67,9 +67,9 @@ object Incremental {
 
   /** [[merge]] for a source ALREADY unique on `pk` — skips the dedup
     * aggregation (callers that just produced a one-row-per-key set, like
-    * [[mergeWithDeletes]], must not pay it twice).
+    * [[mergeWithDeletes]] and [[FileMerge]], must not pay it twice).
     */
-  private def mergeUnique(target: DataFrame, sourceUnique: DataFrame, pk: String): DataFrame = {
+  private[operators] def mergeUnique(target: DataFrame, sourceUnique: DataFrame, pk: String): DataFrame = {
     val srcCols = sourceUnique.columns.toSet
     val tgtCols = target.columns.toSet
     require(srcCols.contains(pk) && tgtCols.contains(pk), s"merge key $pk missing")

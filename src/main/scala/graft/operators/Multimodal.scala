@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * / frame-sample operators.
   *
   * IMAGE decode is REAL ([[decodeImageFeatures]]: `javax.imageio`, pure
-  * JVM — PNG/JPEG/BMP/GIF to pixel luminance histograms). Audio/video
-  * decode is STUBBED (no pure-JVM codec exists; none ships in this
+  * JVM — PNG/JPEG/BMP/GIF to pixel luminance histograms). AUDIO decode
+  * is REAL ([[decodeAudioFeatures]]: `javax.sound.sampled`, pure JVM —
+  * WAV/PCM, AIFF, AU to sample-domain RMS/peak features). VIDEO decode
+  * is STUBBED (no pure-JVM codec exists; none ships in this
   * environment): `fakeDecodeFeatures` derives deterministic features
   * from the bytes themselves. Everything around the kernels — schema,
   * partition-wise batch processing via `mapPartitions` on a typed
-  * Dataset, feature column shape `ARRAY<FLOAT>`, downstream joinability
-  * — is shared; the imageio path proves swapping in a real decoder
+  * Dataset, feature column shape, downstream joinability — is shared;
+  * the imageio and sampled-audio paths prove swapping in a real decoder
   * changes exactly one function.
   */
 object Multimodal {
@@ -126,6 +128,97 @@ object Multimodal {
         }
       }
     }
+  }
+
+  final case class DecodedAudioFeatures(
+      media_id: Long,
+      kind: String,
+      decoded: Boolean, // true = real PCM decode; false = byte-derived fallback
+      sample_rate: Int,
+      n_samples: Long,
+      rms: Double,
+      peak: Long
+  )
+
+  /** Minimal canonical WAV container (RIFF / PCM16 little-endian mono)
+    * around raw bytes: the payload truncated to an even length becomes
+    * the 16-bit sample stream. The builder half of the audio round trip —
+    * [[decodeAudioFeatures]] parses it back through the real decoder.
+    */
+  def wavPcm16(raw: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    require(sampleRate > 0)
+    val dataLen = raw.length & ~1
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1) // PCM, mono
+    bb.putInt(sampleRate).putInt(sampleRate * 2) // byte rate = rate * blockAlign
+    bb.putShort(2).putShort(16) // blockAlign, bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen).put(raw, 0, dataLen)
+    bb.array()
+  }
+
+  /** REAL audio decode for the `audio` kind via `javax.sound.sampled`
+    * (pure JVM — WAV/PCM, AIFF, AU; no native codecs needed): frames
+    * decode to 16-bit samples and the features are the sample count, RMS
+    * amplitude, and peak sample value, with the container's actual sample
+    * rate. Replaces the byte-histogram stub as the audio leg the same way
+    * [[decodeImageFeatures]] replaced the image leg: identical
+    * partition-wise `mapPartitions` shape, per-row fallback (non-audio
+    * kinds, non-PCM16-mono payloads, parse failures degrade to
+    * byte-derived features with `decoded = false` instead of failing the
+    * task).
+    */
+  def decodeAudioFeatures(media: Dataset[MediaRecord]): Dataset[DecodedAudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      def fallback: DecodedAudioFeatures = {
+        var ss = 0L
+        var peak = 0L
+        var i = 0
+        while (i < m.payload.length) {
+          val v = (m.payload(i) & 0xff).toLong
+          ss += v * v
+          if (v > peak) peak = v
+          i += 1
+        }
+        val n = m.payload.length.toLong
+        DecodedAudioFeatures(m.media_id, m.kind, decoded = false, 0, n,
+          if (n == 0) 0.0 else math.sqrt(ss.toDouble / n), peak)
+      }
+      if (m.kind != "audio") fallback
+      else {
+        try {
+          val in = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(m.payload))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) fallback
+            else {
+              val bytes = in.readAllBytes()
+              val n = bytes.length / 2
+              var ss = 0L
+              var peak = Long.MinValue
+              var i = 0
+              while (i < n) {
+                val s: Long =
+                  if (fmt.isBigEndian) ((bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)).toLong
+                  else ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toLong
+                ss += s * s
+                if (s > peak) peak = s
+                i += 1
+              }
+              DecodedAudioFeatures(m.media_id, m.kind, decoded = true, fmt.getSampleRate.toInt,
+                n.toLong, if (n == 0) 0.0 else math.sqrt(ss.toDouble / n),
+                if (n == 0) 0L else peak)
+            }
+          } finally in.close()
+        } catch { case _: Throwable => fallback }
+      }
+    })
   }
 
   /** STUB frame sampling for "video" payloads: every `stride`-th

@@ -120,6 +120,66 @@ object Scale {
       .mode("overwrite")
       .parquet(path)
 
+  /** Global 1-based dense rank in `order` WITHOUT funnelling the data
+    * through a single ordered partition (the `row_number().over(
+    * Window.orderBy(...))` shape every executor-bottleneck audit flags):
+    *
+    *   1. range-repartition on the sort keys — partitions hold disjoint,
+    *      partition-id-ordered key ranges (RangePartitioning respects the
+    *      sort directions, so partition 0 holds the first rows of the
+    *      requested order);
+    *   2. rank locally per partition (`row_number` over the partition id);
+    *   3. add each partition's starting offset, computed from per-partition
+    *      COUNTS — one row per partition, bounded by the cluster's
+    *      parallelism, never by the data, so the cumulative-sum window
+    *      over them is metadata-scale.
+    *
+    * The ranked subtree feeds both the counts and the final join from one
+    * plan, so the range exchange is computed once (ReuseExchange) and both
+    * sides see identical partition boundaries. `order` must be a TOTAL
+    * order for the rank to be deterministic. Appends `outCol` (BIGINT).
+    */
+  def globalDenseRank(
+      df: DataFrame,
+      order: Seq[Column],
+      outCol: String,
+      partitions: Int = 0
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(order.nonEmpty, "globalDenseRank: empty sort order")
+    val reserved = Seq("_gdr_pid", "_gdr_rn", "_gdr_c", "_gdr_off")
+    require(reserved.forall(c => !df.columns.contains(c)),
+      s"globalDenseRank: reserved working column already exists in the input (${reserved.mkString(", ")})")
+    val parts =
+      if (partitions > 0) partitions
+      else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val ranged = df
+      .repartitionByRange(parts, order: _*)
+      .withColumn("_gdr_pid", spark_partition_id())
+    val local = ranged.withColumn(
+      "_gdr_rn",
+      row_number().over(Window.partitionBy("_gdr_pid").orderBy(order: _*)))
+    // cumulative count of all EARLIER partitions; this window runs over
+    // ONE ROW PER PARTITION (metadata-scale), not over the data — the
+    // constant partition key just declares that single-group shape
+    // explicitly (and spares the "no partition defined" log noise)
+    val offsets = ranged
+      .groupBy("_gdr_pid")
+      .agg(count(lit(1)).as("_gdr_c"))
+      .withColumn(
+        "_gdr_off",
+        coalesce(
+          sum("_gdr_c").over(
+            Window.partitionBy(lit(0)).orderBy("_gdr_pid")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_gdr_pid", "_gdr_off")
+    local
+      .join(broadcast(offsets), "_gdr_pid")
+      .withColumn(outCol, (col("_gdr_off") + col("_gdr_rn")).cast("long"))
+      .drop("_gdr_pid", "_gdr_rn", "_gdr_off")
+  }
+
   /** Bloom-filter SEMI-JOIN REDUCTION: filter the huge probe side down to
     * rows whose key MIGHT match the (small) build side before the join's
     * shuffle ever runs — the classic way to avoid shuffling 100 TB when
