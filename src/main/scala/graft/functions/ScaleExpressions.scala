@@ -30,6 +30,28 @@ object ScaleOps {
     * stays in the positive BIGINT range, so it sorts correctly.
     */
   def interleaveBits(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+
+  /** K-way Morton interleave: bit `i` of dimension `d` lands at output
+    * position `i*k + d`, using `bitsPer` low bits of each value. With
+    * `bitsPer = 62 / k` the result stays in the positive BIGINT range
+    * (sorts correctly); for k = 2 it produces exactly [[interleaveBits]].
+    * Plain nested loop (≤ 62 iterations) — still branch-predictable and
+    * codegen-inlined via a static call.
+    */
+  def interleaveK(vals: Array[Long], bitsPer: Int): Long = {
+    val k = vals.length
+    var out = 0L
+    var bit = 0
+    while (bit < bitsPer) {
+      var d = 0
+      while (d < k) {
+        out |= ((vals(d) >>> bit) & 1L) << (bit * k + d)
+        d += 1
+      }
+      bit += 1
+    }
+    out
+  }
 }
 
 /** Z-order sort key from two non-negative dimension values (each must
@@ -57,7 +79,65 @@ case class ZOrder2Expr(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** N-dimension Z-order sort key: the k-way Morton interleave of
+  * `62 / k` low bits of each non-negative dimension (bucketize wider
+  * domains first). Generalizes [[ZOrder2Expr]] — for k = 2 the bit
+  * layout is identical — so multi-column clustered writes get parquet
+  * min/max pruning on ANY of the k columns.
+  */
+case class ZOrderNExpr(children: Seq[Expression]) extends Expression {
+  private val k = children.size
+  /** low bits kept per dimension; k * bitsPer ≤ 62 keeps the key in the
+    * positive BIGINT range so it sorts correctly
+    */
+  val bitsPerDim: Int = 62 / math.max(1, k)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 2 || k > 8)
+      TypeCheckResult.TypeCheckFailure(s"zorderN requires 2 to 8 columns, got $k")
+    else if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"zorderN requires BIGINT inputs, got ${children.map(_.dataType.sql).mkString(", ")}")
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vals(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    ScaleOps.interleaveK(vals, bitsPerDim)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("zvals")
+    val anyNull =
+      if (nullable) evals.map(_.isNull).mkString(" || ") else "false"
+    val code =
+      s"""
+         |${evals.map(_.code).mkString("\n")}
+         |boolean ${ev.isNull} = $anyNull;
+         |long ${ev.value} = 0L;
+         |if (!${ev.isNull}) {
+         |  long[] $arr = new long[]{${evals.map(_.value).mkString(", ")}};
+         |  ${ev.value} = graft.functions.ScaleOps.interleaveK($arr, $bitsPerDim);
+         |}
+       """.stripMargin
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+      .BlockHelper(new StringContext(code)).code())
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 object ScaleExpressions {
   def zorder2(a: Column, b: Column): Column =
     ColumnBridge.column(ZOrder2Expr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def zorderN(cols: Seq[Column]): Column =
+    ColumnBridge.column(ZOrderNExpr(cols.map(ColumnBridge.expression)))
 }

@@ -298,4 +298,43 @@ object Scale {
       .mode("overwrite")
       .parquet(path)
   }
+
+  /** N-dimension clustered write (k-way Z-order, 2 ≤ k ≤ 8): rows sort
+    * by the k-way Morton interleave with `62 / k` bits per column, so
+    * every output file covers a small k-dimensional box and parquet
+    * min/max statistics prune row groups for range predicates on ANY of
+    * the k columns. Each column must be non-negative and fit in `62 / k`
+    * bits (enforced — the interleave masks higher bits, which would
+    * silently fold distant values together); bucketize wider domains
+    * first. More dimensions = fewer bits each = coarser per-dimension
+    * clustering: the usual Z-order trade-off.
+    */
+  def writeZOrderedN(
+      df: DataFrame,
+      path: String,
+      cols: Seq[String],
+      partitions: Int
+  ): Unit = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"writeZOrderedN: 2 to 8 cluster columns required, got ${cols.size}")
+    require(!df.columns.contains("_z"),
+      "writeZOrderedN: reserved working column '_z' already exists in the input")
+    val bits = 62 / cols.size
+    val maxV = (1L << bits) - 1
+    def checked(c: String) = {
+      val v = col(c).cast("long")
+      when(v.isNull || v < 0 || v > maxV,
+        raise_error(concat(
+          lit(s"writeZOrderedN: $c out of [0, 2^$bits) range: "), v.cast("string"))))
+        .otherwise(v)
+    }
+    val z = graft.functions.ScaleExpressions.zorderN(cols.map(checked))
+    df.withColumn("_z", z)
+      .repartitionByRange(partitions, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
 }

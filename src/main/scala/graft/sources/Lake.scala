@@ -254,17 +254,22 @@ object Lake {
     * registers a session temp view by default; pass `database` to also
     * register a durable external-catalog table ([[syncCatalogTable]]),
     * matching the crawler's "queryable by name after the job dies"
-    * semantics.
+    * semantics. `partitionBy` lays the table out Hive-partitioned
+    * (`path/col=value/...`) and routes through the same registration —
+    * [[syncCatalogTable]] recovers the partition list, which is the Glue
+    * crawler's real job on partitioned tables (`utils.py:319-328`).
     */
   def writeToDatalake(
       spark: SparkSession,
       df: DataFrame,
       root: String,
       tablePath: String,
-      database: Option[String] = None
+      database: Option[String] = None,
+      partitionBy: Seq[String] = Nil
   ): String = {
     val path = lakePath(root, tablePath)
-    df.write.mode("overwrite").parquet(path)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
     syncCatalog(spark, path)
     database.foreach(db => syncCatalogTable(spark, path, db))
     path
@@ -318,6 +323,13 @@ object Lake {
     if (!exists || schemaChanged)
       spark.sql(s"CREATE TABLE $fq USING parquet LOCATION '$path'")
     spark.catalog.refreshTable(fq)
+    // Partitioned LOCATIONs: the catalog tracks the partition LIST, so a
+    // `col=value` directory appended after registration stays invisible
+    // to name-based reads until recovered — discovering it is the Glue
+    // crawler's actual job on partitioned tables (`utils.py:319-328`).
+    // Partition-count-bounded metadata work; a no-op for flat tables.
+    if (spark.catalog.listColumns(fq).collect().exists(_.isPartition))
+      spark.sql(s"ALTER TABLE $fq RECOVER PARTITIONS")
     fq
   }
 

@@ -45,6 +45,32 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(v == Seq(("a", 4L, 1L), ("b", 3L, 2L), ("c", 2L, 3L)))
   }
 
+  test("bpeMergePairs counts adjacent character pairs and ranks them") {
+    val docs = Seq((1L, "aba ab x"), (2L, "ba")).toDF("doc_id", "text")
+    // "aba" → ab, ba; "ab" → ab; "ba" → ba; "x" → nothing ⇒ ab:2, ba:2
+    val out = Curation
+      .bpeMergePairs(docs, "text", minCount = 1L)
+      .as[(String, Long, Long)]
+      .collect()
+      .toSeq
+    assert(out == Seq(("ab", 2L, 1L), ("ba", 2L, 2L)))
+    // single-character tokens contribute no pairs
+    assert(
+      Curation.bpeMergePairs(Seq((1L, "a b c")).toDF("doc_id", "text"), "text", 1L).count() == 0L)
+  }
+
+  test("vocab ranking never funnels the data through one ordered partition") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val plan = Curation.buildVocab(docs, "text", 1L).queryExecution.executedPlan.toString
+    // the token-level rank window must be partitioned; only the
+    // partition-count cumulative sum (one row per partition) may run in
+    // a single partition
+    assert(plan.contains("row_number() windowspecdefinition(_gdr_pid"), plan.take(1200))
+    val dataWindowUnpartitioned = plan.linesIterator.exists(l =>
+      l.contains("row_number() windowspecdefinition(") && !l.contains("_gdr_pid"))
+    assert(!dataWindowUnpartitioned, plan.take(1200))
+  }
+
   test("repetitionScore: repeated trigram dominates; short docs omitted") {
     val docs = Seq(
       (1L, "x y z x y z x y z"), // 7 trigrams, 'x y z' ×3 → 3/7

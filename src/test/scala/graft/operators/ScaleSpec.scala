@@ -177,4 +177,70 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       case _ =>
     }
   }
+
+  test("globalDenseRank matches a global sort, ranks dense, no single-partition funnel") {
+    val df = spark.range(10000).select((col("id") * 2654435761L % 100003L).as("k"))
+    val ranked = Scale.globalDenseRank(df, Seq(col("k").asc), "rk", partitions = 7)
+    val got = ranked.orderBy("rk").select("k").as[Long].collect().toSeq
+    val want = df.select("k").as[Long].collect().sorted.toSeq
+    assert(got == want)
+    assert(ranked.select("rk").as[Long].collect().sorted.toSeq == (1L to 10000L))
+    // the DATA-sized window is partitioned (by _gdr_pid) — the only
+    // single-partition stage left is the cumulative sum over the
+    // per-partition COUNTS (one row per partition, like any count()'s
+    // final stage), never the ranked rows themselves
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("row_number() windowspecdefinition(_gdr_pid"), plan.take(1200))
+    val dataWindowUnpartitioned = plan.linesIterator.exists(l =>
+      l.contains("row_number() windowspecdefinition(") && !l.contains("_gdr_pid"))
+    assert(!dataWindowUnpartitioned, plan.take(1200))
+  }
+
+  test("k-way Morton interleave: bit layout + exact 2-dim equivalence") {
+    import graft.functions.ScaleOps
+    // dimension d's bit i lands at position i*k + d
+    assert(ScaleOps.interleaveK(Array(1L, 0L, 0L), 20) == 1L)
+    assert(ScaleOps.interleaveK(Array(0L, 1L, 0L), 20) == 2L)
+    assert(ScaleOps.interleaveK(Array(0L, 0L, 1L), 20) == 4L)
+    assert(ScaleOps.interleaveK(Array(2L, 0L, 0L), 20) == 8L)
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val a = rnd.nextLong() & ((1L << 31) - 1)
+      val b = rnd.nextLong() & ((1L << 31) - 1)
+      assert(ScaleOps.interleaveK(Array(a, b), 31) == ScaleOps.interleaveBits(a, b))
+    }
+  }
+
+  test("3-dim z-ordered write clusters EVERY dimension (span rectangles)") {
+    val dir = Files.createTempDirectory("zn").toString + "/t"
+    val n = 16
+    val rows = (for { x <- 0 until n; y <- 0 until n; z <- 0 until n }
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+    Scale.writeZOrderedN(rows, dir, Seq("x", "y", "z"), partitions = 8)
+    val spans = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg(
+        (max("x") - min("x")).as("sx"),
+        (max("y") - min("y")).as("sy"),
+        (max("z") - min("z")).as("sz"))
+      .collect()
+    assert(spans.length >= 4)
+    // each file covers a small box in ALL THREE dims (global span is 15;
+    // perfect octants would be ~8 — range-boundary sampling lets a file
+    // straddle two octants, so assert clearly-below-global, not perfect)
+    Seq("sx", "sy", "sz").foreach { c =>
+      val vals = spans.map(_.getAs[Long](c).toDouble)
+      val mean = vals.sum / vals.length
+      assert(mean <= 12.5, s"$c mean file span $mean of 15 — not clustered")
+    }
+    // control: a 1-D range-cluster on x leaves y essentially unclustered
+    val dir1 = Files.createTempDirectory("zn1").toString + "/t"
+    Scale.writeRangeClustered(rows, dir1, "x", 8)
+    val spans1 = spark.read.parquet(dir1)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg((max("y") - min("y")).as("sy"))
+      .collect().map(_.getAs[Long]("sy").toDouble)
+    assert(spans1.sum / spans1.length >= 14.0)
+  }
 }

@@ -195,4 +195,31 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     Lake.writeToDatalake(spark, Seq(1, 2, 3).toDF("x"), root, "t2")
     assert(spark.read.parquet(s"$root/datalake/t2").count() == 3)
   }
+
+  test("partitioned registration discovers partitions appended after the crawl (O8)") {
+    import spark.implicits._
+    val dir = tmp() + "/ptab"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p").write.partitionBy("p").parquet(dir)
+    val fq = Lake.syncCatalogTable(spark, dir, "pdb")
+    assert(spark.table(fq).count() == 2)
+    // a NEW partition directory appended after registration is invisible
+    // to name-based reads until the next crawl recovers the partition list
+    Seq((3L, "c")).toDF("id", "p").write.mode("append").partitionBy("p").parquet(dir)
+    Lake.syncCatalogTable(spark, dir, "pdb")
+    assert(spark.table(fq).select("id", "p").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // and the partition column still prunes
+    assert(spark.table(fq).where(col("p") === "c").count() == 1)
+  }
+
+  test("writeToDatalake with partitionBy lays out Hive dirs and registers them (K1+O8)") {
+    import spark.implicits._
+    val root = tmp()
+    val df = Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "v", "p")
+    val path =
+      Lake.writeToDatalake(spark, df, root, "ptable", Some("pdb"), partitionBy = Seq("p"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$path/p=a")))
+    assert(spark.table("`pdb`.`ptable`").count() == 2)
+    assert(spark.table("`pdb`.`ptable`").where(col("p") === "b").count() == 1)
+  }
 }

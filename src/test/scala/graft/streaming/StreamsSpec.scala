@@ -174,4 +174,20 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(rows.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
+
+  test("replaying an already-committed micro-batch is a no-op (at-least-once contract)") {
+    val target = Files.createTempDirectory("replay").toString + "/t"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Streams.upsertBatch(spark, b0, "id", target, batchId = 0L)
+    val once = spark.read.parquet(target).as[(Long, String)].collect().toSet
+    // foreachBatch delivers at-least-once: after a crash between the
+    // merge and the checkpoint commit, the SAME batch id is redelivered —
+    // the source-wins merge must absorb it without changing the table
+    Streams.upsertBatch(spark, b0, "id", target, batchId = 0L)
+    assert(spark.read.parquet(target).as[(Long, String)].collect().toSet == once)
+    // and the stream continues correctly after the replay
+    Streams.upsertBatch(spark, Seq((2L, "b2")).toDF("id", "v"), "id", target, batchId = 1L)
+    assert(spark.read.parquet(target).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2")))
+  }
 }
