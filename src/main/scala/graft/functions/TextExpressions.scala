@@ -222,6 +222,24 @@ object TextOps {
     new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any))
   }
 
+  /** Adjacent character pairs of one token, duplicates kept — the BPE
+    * merge-candidate generator ([[graft.operators.Curation.bpeMergePairs]]).
+    * Single pass, one 2-char string per pair; empty for 0/1-char tokens
+    * (the `sequence(1, len-1)` SQL route counts DOWN for those and
+    * fabricates phantom pairs unless guarded).
+    */
+  def charPairs(tok: UTF8String): ArrayData = {
+    val s = tok.toString
+    if (s.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](s.length - 1)
+    var i = 0
+    while (i < s.length - 1) {
+      out(i) = UTF8String.fromString(s.substring(i, i + 2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def tokenize(s: String): Array[String] = {
     val out = mutable.ArrayBuffer[String]()
     var i = 0
@@ -247,6 +265,16 @@ case class TokensExpr(child: Expression) extends UnaryExpression {
     TextOps.tokensArray(t.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.tokensArray($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Adjacent character pairs of a token (BPE candidates), ARRAY<STRING>. */
+case class CharPairsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextOps.charPairs(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.charPairs($t)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -325,4 +353,6 @@ object TextExpressions {
     ColumnBridge.column(MinHashMd5SigExpr(ColumnBridge.expression(shingles), numHashes))
   def simhash_md5_60(tokens: Column): Column =
     ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(tokens)))
+  def char_pairs(tok: Column): Column =
+    ColumnBridge.column(CharPairsExpr(ColumnBridge.expression(tok)))
 }

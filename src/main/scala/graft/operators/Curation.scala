@@ -102,20 +102,17 @@ object Curation {
     * each adjacent character pair is a merge candidate; pairs are counted
     * corpus-wide, filtered to `minCount`, and ranked (count desc, pair
     * asc) into the merge table the next BPE round would apply. Pair
-    * extraction is row-wise (no shuffle), counting is one grouped
-    * aggregation, and the ranking goes through [[Scale.globalDenseRank]]
-    * so no single ordered partition holds the pair vocabulary.
+    * extraction is row-wise by a codegen'd single-pass expression (the
+    * `transform(sequence(...))` built-in route evaluates an interpreted
+    * lambda per token — the hot-path shape this codebase's custom text
+    * expressions exist to avoid), counting is one grouped aggregation,
+    * and the ranking goes through [[Scale.globalDenseRank]] so no single
+    * ordered partition holds the pair vocabulary.
     */
   def bpeMergePairs(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
     val toks = docs.select(explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
-    val pairs = toks
-      // the length guard runs BEFORE sequence(): sequence(1, 0) counts
-      // DOWN ([1, 0]) rather than returning empty, which would fabricate
-      // phantom pairs for single-character tokens
-      .where(length(col("tok")) >= 2)
-      .select(
-        explode(expr(
-          "transform(sequence(1, char_length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+    val pairs =
+      toks.select(explode(graft.functions.TextExpressions.char_pairs(col("tok"))).as("pair"))
     val counts = pairs.groupBy("pair").agg(count(lit(1)).as("n")).where(col("n") >= minCount)
     Scale
       .globalDenseRank(counts, Seq(col("n").desc, col("pair").asc), "merge_rank")

@@ -142,7 +142,30 @@ object FileMerge {
         st.isDirectory && st.getPath.getName.contains("=")),
       s"mergeFileGranular: $lakePath has a Hive-partitioned layout — use mergePartitionPruned")
 
-    val batch = Incremental.dedupByKey(source, pk)
+    // The batch is evaluated by THREE actions (emptiness probe, touched-
+    // file probe, merged write): pin it so a nondeterministic source
+    // (sample/limit/changing input) cannot yield a touched set that
+    // disagrees with the rows actually written — an unpinned re-roll
+    // could write a key into the output while its old row survives in an
+    // untouched file, breaking the one-file-per-key invariant. (Delta
+    // materializes nondeterministic MERGE sources for the same reason.)
+    val batch = Incremental
+      .dedupByKey(source, pk)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      mergePinned(spark, batch, lakePath, pk, initialFiles, fs, live)
+    } finally batch.unpersist(blocking = false)
+  }
+
+  private def mergePinned(
+      spark: SparkSession,
+      batch: DataFrame,
+      lakePath: String,
+      pk: String,
+      initialFiles: Int,
+      fs: FileSystem,
+      live: Path
+  ): DataFrame = {
     if (dataFiles(fs, live).isEmpty) {
       // initial load (or bare-marker dir): lay the table out range-
       // clustered so every later batch can prune on footer stats

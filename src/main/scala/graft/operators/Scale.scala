@@ -273,23 +273,25 @@ object Scale {
     * offset wider domains first — the interleave masks higher bits, which
     * would silently fold distant values together, so this is enforced).
     */
-  def writeZOrdered(
-      df: DataFrame,
-      path: String,
-      colA: String,
-      colB: String,
-      partitions: Int
-  ): Unit = {
+  /** Range-checked BIGINT dimension for the Z-order writers:
+    * NULL/negative/overflow values fail loudly — the interleave masks
+    * higher bits, which would silently fold distant values together.
+    */
+  private def checkedDim(opName: String, c: String, bits: Int): Column = {
+    val maxV = (1L << bits) - 1
+    val v = col(c).cast("long")
+    when(v.isNull || v < 0 || v > maxV,
+      raise_error(concat(
+        lit(s"$opName: $c out of [0, 2^$bits) range: "), v.cast("string"))))
+      .otherwise(v)
+  }
+
+  /** Shared tail of the Z-order writers: attach the sort key,
+    * range-cluster on it, drop it, write.
+    */
+  private def zClusteredWrite(df: DataFrame, path: String, z: Column, partitions: Int): Unit = {
     require(!df.columns.contains("_z"),
-      "writeZOrdered: reserved working column '_z' already exists in the input")
-    val max31 = (1L << 31) - 1
-    def checked(c: String) = {
-      val v = col(c).cast("long")
-      when(v.isNull || v < 0 || v > max31,
-        raise_error(concat(lit(s"writeZOrdered: $c out of [0, 2^31) range: "), v.cast("string"))))
-        .otherwise(v)
-    }
-    val z = graft.functions.ScaleExpressions.zorder2(checked(colA), checked(colB))
+      "z-ordered write: reserved working column '_z' already exists in the input")
     df.withColumn("_z", z)
       .repartitionByRange(partitions, col("_z"))
       .sortWithinPartitions("_z")
@@ -297,6 +299,18 @@ object Scale {
       .write
       .mode("overwrite")
       .parquet(path)
+  }
+
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      partitions: Int
+  ): Unit = {
+    val z = graft.functions.ScaleExpressions.zorder2(
+      checkedDim("writeZOrdered", colA, 31), checkedDim("writeZOrdered", colB, 31))
+    zClusteredWrite(df, path, z, partitions)
   }
 
   /** N-dimension clustered write (k-way Z-order, 2 ≤ k ≤ 8): rows sort
@@ -317,24 +331,9 @@ object Scale {
   ): Unit = {
     require(cols.size >= 2 && cols.size <= 8,
       s"writeZOrderedN: 2 to 8 cluster columns required, got ${cols.size}")
-    require(!df.columns.contains("_z"),
-      "writeZOrderedN: reserved working column '_z' already exists in the input")
     val bits = 62 / cols.size
-    val maxV = (1L << bits) - 1
-    def checked(c: String) = {
-      val v = col(c).cast("long")
-      when(v.isNull || v < 0 || v > maxV,
-        raise_error(concat(
-          lit(s"writeZOrderedN: $c out of [0, 2^$bits) range: "), v.cast("string"))))
-        .otherwise(v)
-    }
-    val z = graft.functions.ScaleExpressions.zorderN(cols.map(checked))
-    df.withColumn("_z", z)
-      .repartitionByRange(partitions, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
-      .write
-      .mode("overwrite")
-      .parquet(path)
+    val z = graft.functions.ScaleExpressions.zorderN(
+      cols.map(c => checkedDim("writeZOrderedN", c, bits)))
+    zClusteredWrite(df, path, z, partitions)
   }
 }

@@ -31,14 +31,21 @@ object PipelineQueries {
     * candidate path that survives 100 TB, unlike the uncapped exact
     * join), and the closure's result is localCheckpoint-materialized
     * inside connectedComponents, so reuse replays no lineage. The cache
-    * is keyed by session so a stopped test session never leaks a stale
-    * plan into a new one; entries are bounded by the number of corpora a
-    * session touches (labels themselves are cluster-count-sized).
+    * is keyed by session (stopped sessions are evicted on access) and
+    * bounded by the number of corpora a session touches. Caveat shared
+    * with every localCheckpoint intermediate: the blocks are not
+    * recomputable after an executor loss, so on a lossy cluster a reused
+    * entry can fail where a fresh computation would succeed — callers
+    * there should recompute rather than cache across long gaps.
     */
   private val nearDupLabelCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def nearDupLabels(s: SparkSession, dir: String): DataFrame =
+  private def nearDupLabels(s: SparkSession, dir: String): DataFrame = {
+    // evict entries of stopped sessions: their checkpoint blocks are gone
+    // and the dead SparkSession reference would otherwise pin them (and
+    // itself) for the life of the JVM
+    nearDupLabelCache.keySet.removeIf(_._1.sparkContext.isStopped)
     nearDupLabelCache.computeIfAbsent(
       (s, dir),
       { key =>
@@ -46,6 +53,7 @@ object PipelineQueries {
           t(key._1, key._2, "documents"), "doc_id", "text", 3, 0.8, maxDocsPerShingle = 5)
         Dedup.connectedComponents(pairs)
       })
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_dedup_exact" -> { (s, dir) =>
@@ -442,6 +450,18 @@ object PipelineQueries {
       |       FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** Frequency-capped candidate generation (cap = 5 docs per shingle):
+    * ONE text shared by the q40 oracle and [[CappedClosureCte]], so the
+    * cap can never drift between the scored-pairs query and the
+    * cluster/survivor queries that are defined as "q40's pairs, closed".
+    */
+  private val CappedCandCte =
+    """rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5),
+      |capped AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare r ON r.shingle = s.shingle),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM capped a JOIN capped b
+      |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id)""".stripMargin
+
   /** Capped candidate generation (q40's semantics: shingles in > 5 docs
     * excluded from candidates, exact-Jaccard rescore over FULL shingle
     * sets) feeding the recursive transitive closure — the shared oracle
@@ -449,11 +469,7 @@ object PipelineQueries {
     * append the final SELECT (and any trailing CTEs) per query.
     */
   private val CappedClosureCte =
-    """rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5),
-      |capped AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare r ON r.shingle = s.shingle),
-      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |         FROM capped a JOIN capped b
-      |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    s"""$CappedCandCte,
       |common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
       |           FROM cand c
       |           JOIN sh a ON a.doc_id = c.doc_a
@@ -596,11 +612,7 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q40_dedup_jaccard_capped" ->
       s"""WITH $ShinglesCte,
-         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5),
-         |capped AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare r ON r.shingle = s.shingle),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM capped a JOIN capped b
-         |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |$CappedCandCte,
          |$RescoreSql""".stripMargin,
     "q41_dedup_minhash_md5" ->
       s"""WITH $ShinglesCte,

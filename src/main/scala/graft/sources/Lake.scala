@@ -268,6 +268,15 @@ object Lake {
       partitionBy: Seq[String] = Nil
   ): String = {
     val path = lakePath(root, tablePath)
+    // A zero-row PARTITIONED write emits no data files at all (dynamic
+    // partitioning writes one file per partition VALUE), leaving an
+    // unreadable _SUCCESS-only directory that the catalog sync below
+    // would crash on — fail loudly up front instead. Flat writes are
+    // fine: they emit a schema-bearing empty part file.
+    require(partitionBy.isEmpty || !df.isEmpty,
+      s"writeToDatalake: zero-row partitioned write of $tablePath would produce no " +
+        "readable files (plain parquet cannot represent an empty partitioned table); " +
+        "write at least one row or use the flat layout")
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
     syncCatalog(spark, path)
