@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductExpr, MinHashMd5SigExpr, MinHashSigExpr, Norm2Expr, ShinglesAllExpr, ShinglesExpr, SimHash64Expr, SimHashMd5Expr, ZOrder2Expr}
+import graft.functions.{CharPairsExpr, DotProductExpr, MinHashMd5SigExpr, MinHashSigExpr, Norm2Expr, ShinglesAllExpr, ShinglesExpr, SimHash64Expr, SimHashMd5Expr, ZOrder2Expr, ZOrderNExpr}
 
 /** SparkSessionExtensions registering graft's custom Catalyst expressions
   * as SQL functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works the
@@ -59,7 +59,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => ShinglesAllExpr(args(0), intArg(args(1), "n"))),
     ("zorder2",
       new ExpressionInfo(classOf[ZOrder2Expr].getName, "zorder2"),
-      (args: Seq[Expression]) => ZOrder2Expr(args(0), args(1)))
+      (args: Seq[Expression]) => ZOrder2Expr(args(0), args(1))),
+    ("zorder_n",
+      new ExpressionInfo(classOf[ZOrderNExpr].getName, "zorder_n"),
+      (args: Seq[Expression]) => ZOrderNExpr(args)),
+    ("char_pairs",
+      new ExpressionInfo(classOf[CharPairsExpr].getName, "char_pairs"),
+      (args: Seq[Expression]) => CharPairsExpr(args(0)))
   )
 
   /** Register on an already-built session (tests, REPL). */

@@ -75,6 +75,29 @@ object Streams {
       }
       .start()
 
+  /** [[upsertStream]] for an UNPARTITIONED, PK-range-clustered target:
+    * each micro-batch merges through `FileMerge.mergeFileGranular`, so
+    * per-batch IO is proportional to the FILES whose key range the batch
+    * intersects — the finest granularity available without a table
+    * format, and the right shape when the target has no natural
+    * partition column. Replay-safe: the merge recovers its own
+    * interrupted commits and re-merging a delivered batch is idempotent.
+    */
+  def upsertStreamFileGranular(
+      spark: SparkSession,
+      source: DataFrame,
+      pk: String,
+      targetPath: String,
+      checkpoint: String
+  ): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.FileMerge.mergeFileGranular(spark, batch, targetPath, pk): Unit
+      }
+      .start()
+
   /** One micro-batch of the upsert; also usable directly in tests. */
   def upsertBatch(
       spark: SparkSession,

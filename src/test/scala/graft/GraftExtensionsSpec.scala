@@ -17,7 +17,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         |  minhash_md5_signature(word_shingles('a b c d', 3), 4)[0] AS mh_md5,
         |  simhash_md5_60(word_shingles('a b c', 1)) AS sh_md5,
         |  word_shingles_all('a b a b', 2) AS sh_all,
-        |  zorder2(CAST(3 AS BIGINT), CAST(5 AS BIGINT)) AS z
+        |  zorder2(CAST(3 AS BIGINT), CAST(5 AS BIGINT)) AS z,
+        |  zorder_n(CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)) AS zn,
+        |  char_pairs('abc') AS cp
         |""".stripMargin).head()
     assert(row.getAs[Double]("d") == 11.0)
     assert(row.getAs[Double]("n2") == 25.0)
@@ -30,6 +32,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       List("a b", "b a", "a b"))
     // 3 = 0b011, 5 = 0b101 → interleave(a=3→even, b=5→odd) = 0b100111 = 39
     assert(row.getAs[Long]("z") == 39L)
+    // bit 0 of dims 0/1/2 land at positions 0/1/2 → 0b111 = 7
+    assert(row.getAs[Long]("zn") == 7L)
+    assert(row.getSeq[String](row.fieldIndex("cp")).toList == List("ab", "bc"))
   }
 
   test("delta reader falls back to parquet when no delta jar is present") {

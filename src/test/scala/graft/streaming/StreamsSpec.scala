@@ -175,6 +175,37 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
 
+  test("file-granular streaming upsert merges by PK and leaves non-intersecting files alone") {
+    val base = Files.createTempDirectory("fgstream").toString
+    val in = s"$base/in"
+    val target = s"$base/t"
+    // initial range-clustered table: keys 0..99 in 4 files
+    graft.operators.FileMerge.mergeFileGranular(
+      spark,
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"),
+      target, "id", initialFiles = 4)
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(): Map[String, Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(target))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val before = files()
+
+    // two micro-batches: an update inside one file's range, then an insert
+    Seq((10L, "u10")).toDF("id", "v").coalesce(1).write.mode("append").parquet(in)
+    Seq((500L, "new")).toDF("id", "v").coalesce(1).write.mode("append").parquet(in)
+    val q = Streams.upsertStreamFileGranular(
+      spark, Streams.fileStream(spark, in, spark.read.parquet(in).schema), "id", target, s"$base/ck")
+    q.awaitTermination(60000)
+
+    val out = spark.read.parquet(target).as[(Long, String)].collect().toMap
+    assert(out.size == 101 && out(10L) == "u10" && out(500L) == "new")
+    // at least half the original files were never rewritten by either batch
+    val surviving = before.count { case (n, m) => files().get(n).contains(m) }
+    assert(surviving >= 2, s"only $surviving of ${before.size} files survived")
+  }
+
   test("replaying an already-committed micro-batch is a no-op (at-least-once contract)") {
     val target = Files.createTempDirectory("replay").toString + "/t"
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
