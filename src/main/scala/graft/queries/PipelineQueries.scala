@@ -431,6 +431,32 @@ object PipelineQueries {
     // two-level rank, no global window.
     "q72_bpe_pairs" -> { (s, dir) =>
       graft.operators.Curation.bpeMergePairs(t(s, dir, "documents"), "text", minCount = 50L)
+    },
+    // FILE-granular merge, end-to-end against the oracle: initial-load a
+    // range-clustered orders slice, merge a doctored update+insert batch
+    // through the footer-stats path (distributed footer scan → broadcast
+    // range join → only intersected files rewritten → manifest commit),
+    // read the table back. The oracle is the same source-wins FULL OUTER
+    // merge in SQL — so the whole physical machinery must reproduce the
+    // declarative semantics exactly. The scratch table rebuilds per run
+    // (delete + initial load) for determinism.
+    "q73_filemerge_e2e" -> { (s, dir) =>
+      import graft.operators.FileMerge
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q73_${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(tmp, tmp + "_fmerge").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      FileMerge.mergeFileGranular(
+        s, orders.where(col("o_orderkey") <= 10000L), tmp, "o_orderkey", initialFiles = 8)
+      val batch = orders
+        .where(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+      FileMerge
+        .mergeFileGranular(s, batch, tmp, "o_orderkey")
+        .orderBy("o_orderkey")
     }
   )
 
@@ -907,6 +933,19 @@ object PipelineQueries {
         |c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair HAVING count(*) >= 50)
         |SELECT pair, CAST(n AS BIGINT) AS n,
         |  CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS merge_rank
-        |FROM c ORDER BY merge_rank""".stripMargin
+        |FROM c ORDER BY merge_rank""".stripMargin,
+    // source-wins merge: a matched key takes the source row WHOLESALE
+    "q73_filemerge_e2e" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |           WHERE o_orderkey <= 10000),
+        |s AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus FROM orders
+        |      WHERE o_orderkey % 97 = 0)
+        |SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END
+        |    AS o_custkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END
+        |    AS o_orderstatus
+        |FROM t FULL OUTER JOIN s ON s.o_orderkey = t.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -374,7 +374,8 @@ object Lake {
       spark: SparkSession,
       path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      partitionCols: Seq[String] = Nil
+      partitionCols: Seq[String] = Nil,
+      clusterBy: Option[String] = None
   ): Int = {
     require(targetFileBytes > 0)
     graft.operators.Incremental.recoverInterruptedSwap(spark, path)
@@ -387,12 +388,20 @@ object Lake {
     val staging = path + "_staging_compact"
     val df = spark.read.parquet(path)
     // a Hive-partitioned table must be rewritten with the same layout or
-    // the directory structure (and pruning) is silently lost
-    val writer =
-      if (partitionCols.isEmpty) df.repartition(nFiles).write
-      else
+    // the directory structure (and pruning) is silently lost; likewise a
+    // range-clustered table (FileMerge's layout) must be re-clustered or
+    // compaction destroys the disjoint per-file key ranges that footer
+    // min/max pruning — and every later file-granular merge — depends on
+    val writer = clusterBy match {
+      case Some(c) =>
+        require(partitionCols.isEmpty,
+          "compact: clusterBy applies to unpartitioned range-clustered tables")
+        df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c).write
+      case None if partitionCols.isEmpty => df.repartition(nFiles).write
+      case None =>
         df.repartition(nFiles, partitionCols.map(col): _*)
           .write.partitionBy(partitionCols: _*)
+    }
     writer.mode("overwrite").parquet(staging)
     graft.operators.Incremental.swapInStaging(spark, path, staging)
     nFiles

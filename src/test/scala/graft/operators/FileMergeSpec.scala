@@ -139,6 +139,23 @@ class FileMergeSpec extends AnyFunSuite with SparkSpec {
     assert(content(dir) === before)
   }
 
+  test("clustered compaction preserves disjoint per-file key ranges") {
+    val dir = tmp()
+    FileMerge.mergeFileGranular(spark, base(500), dir, "id", initialFiles = 8)
+    FileMerge.mergeFileGranular(spark, Seq((600L, "a")).toDF("id", "v"), dir, "id")
+    FileMerge.mergeFileGranular(spark, Seq((700L, "b")).toDF("id", "v"), dir, "id")
+    graft.sources.Lake.compact(spark, dir, targetFileBytes = 4096, clusterBy = Some("id"))
+    val ranges = FileMerge.fileRanges(spark, dir, "id").sortBy(_.lo)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a.hi < b.lo, s"overlapping post-compaction ranges: $a $b")
+      case _         =>
+    }
+    // the compacted table is still file-granular mergeable
+    FileMerge.mergeFileGranular(spark, Seq((5L, "up")).toDF("id", "v"), dir, "id")
+    assert(content(dir).exists(_ == (5L, "up")))
+    assert(content(dir).size == 502)
+  }
+
   test("stat-less or non-integral inputs are rejected or handled conservatively") {
     val dir = tmp()
     val err = intercept[IllegalArgumentException] {
