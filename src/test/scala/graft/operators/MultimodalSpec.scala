@@ -74,6 +74,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!out(3L).decoded)
   }
 
+  test("audio decode: WAV round trip with known samples, signedness, fallback") {
+    import spark.implicits._
+    // PCM16LE bytes 01 00 02 00 → samples 1, 2 → rms = sqrt(2.5), peak = 2
+    val rec = Multimodal.MediaRecord(
+      1L, "audio", Multimodal.wavPcm16(Array[Byte](1, 0, 2, 0), 8000), 0, 0, 0L)
+    val out = Multimodal.decodeAudioFeatures(Seq(rec).toDS()).collect().head
+    assert(out.decoded && out.sample_rate == 8000 && out.n_samples == 2L)
+    assert(math.abs(out.rms - math.sqrt(2.5)) < 1e-9 && out.peak == 2L)
+    // FF FF → sample -1: the high byte's sign must propagate
+    val neg = rec.copy(media_id = 2L, payload = Multimodal.wavPcm16(Array[Byte](-1, -1)))
+    val o2 = Multimodal.decodeAudioFeatures(Seq(neg).toDS()).collect().head
+    assert(o2.decoded && o2.n_samples == 1L && o2.peak == -1L && math.abs(o2.rms - 1.0) < 1e-9)
+    // odd-length raw data truncates to whole samples; junk payloads degrade
+    val odd = rec.copy(media_id = 3L, payload = Multimodal.wavPcm16(Array[Byte](1, 0, 9)))
+    assert(Multimodal.decodeAudioFeatures(Seq(odd).toDS()).collect().head.n_samples == 1L)
+    val junk = rec.copy(media_id = 4L, payload = Array[Byte](1, 2, 3))
+    val o4 = Multimodal.decodeAudioFeatures(Seq(junk).toDS()).collect().head
+    assert(!o4.decoded)
+    // non-audio kinds never reach the sound API even with valid WAV bytes
+    val img = rec.copy(media_id = 5L, kind = "image")
+    assert(!Multimodal.decodeAudioFeatures(Seq(img).toDS()).collect().head.decoded)
+  }
+
   test("resize: exact target size, nearest-neighbor samples from the source") {
     val resized = Multimodal.resizePayload(media, targetBytes = 64).collect()
     assert(resized.forall(_.payload.length == 64))
