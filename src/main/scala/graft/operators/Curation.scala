@@ -119,6 +119,22 @@ object Curation {
       .orderBy("merge_rank")
   }
 
+  /** Deterministic MIXTURE SAMPLING (training-data mixing): keep each
+    * document with probability `rateCol` (typically derived from its
+    * source/domain — the "data mixing weights" step of corpus assembly),
+    * decided by a CONTENT hash rather than an RNG: the first 8 md5 hex
+    * chars of `textCol`, scaled to [0, 1). Reproducible across engines,
+    * runs, and retried tasks (an rand()-based sample re-rolls under
+    * partial stage recompute — the same trap as RNG salts), and purely
+    * scan-side: a codegen'd filter, no shuffle, no state.
+    */
+  def mixtureSample(docs: DataFrame, textCol: String, rateCol: Column): DataFrame = {
+    val frac = conv(substring(md5(col(textCol)), 1, 8), 16, 10)
+      .cast("long")
+      .cast("double") / 4294967296.0
+    docs.where(frac < rateCol)
+  }
+
   /** REPETITION score per document (Gopher/C4-style quality signal): the
     * most frequent word n-gram's share of all n-grams. Shingles with
     * duplicates KEPT are computed row-wise by a codegen'd expression

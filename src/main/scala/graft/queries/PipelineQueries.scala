@@ -457,6 +457,18 @@ object PipelineQueries {
       FileMerge
         .mergeFileGranular(s, batch, tmp, "o_orderkey")
         .orderBy("o_orderkey")
+    },
+    // Deterministic mixture sampling (data-mixing weights): per-source
+    // keep rates decided by a content hash — reproducible across engines
+    // and retried tasks, scan-side only. Rates are derived formulaically
+    // from the source name so the oracle can compute the identical rate.
+    "q74_mixture_sample" -> { (s, dir) =>
+      val rate = ((ascii(substring(col("source"), 1, 1)) % 4 + 1).cast("double") / 5.0)
+      graft.operators.Curation
+        .mixtureSample(t(s, dir, "documents"), "text", rate)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"))
+        .orderBy("source")
     }
   )
 
@@ -946,6 +958,21 @@ object PipelineQueries {
         |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END
         |    AS o_orderstatus
         |FROM t FULL OUTER JOIN s ON s.o_orderkey = t.o_orderkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    // hash fraction = first 8 md5 hex chars as a 32-bit int / 2^32 (the
+    // q42 hex→int idiom); rate = (ascii(source[0]) % 4 + 1) / 5 on both
+    // engines, so the kept set is bit-identical
+    "q74_mixture_sample" ->
+      """WITH h AS (SELECT doc_id, source, md5(text) AS m FROM documents),
+        |f AS (SELECT doc_id, source,
+        |        CAST(sum((CAST(strpos('0123456789abcdef',
+        |                              substring(m, CAST(p AS INT), 1)) - 1 AS BIGINT))
+        |                 << (CAST(4 * (8 - p) AS INT))) AS BIGINT) AS hv
+        |      FROM h, UNNEST(range(1, 9)) AS t(p) GROUP BY doc_id, source),
+        |k AS (SELECT doc_id, source FROM f
+        |      WHERE CAST(hv AS DOUBLE) / 4294967296.0
+        |            < CAST(ascii(substring(source, 1, 1)) % 4 + 1 AS DOUBLE) / 5.0)
+        |SELECT source, count(*) AS n_kept, CAST(min(doc_id) AS BIGINT) AS first_kept
+        |FROM k GROUP BY source ORDER BY source""".stripMargin
   )
 }
