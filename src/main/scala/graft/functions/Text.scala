@@ -20,6 +20,19 @@ object Text {
     */
   def tokens(text: Column): Column = TextExpressions.word_tokens(text)
 
+  /** First `hexChars` md5 hex chars of `key` as a BIGINT — the shared
+    * content-hash primitive behind every deterministic keep/route
+    * decision (hash-split buckets, mixture-sampling fractions):
+    * reproducible across engines (md5 is the one hash Spark and DuckDB
+    * share) and across retried tasks (rand() re-rolls under partial
+    * stage recompute). `hexChars` ≤ 15 keeps the value in a positive
+    * BIGINT.
+    */
+  def md5PrefixLong(key: Column, hexChars: Int): Column = {
+    require(hexChars >= 1 && hexChars <= 15, s"md5PrefixLong: 1..15 hex chars, got $hexChars")
+    conv(substring(md5(key), 1, hexChars), 16, 10).cast("long")
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   def distinctTokenCount(text: Column): Column =

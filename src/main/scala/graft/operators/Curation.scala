@@ -129,9 +129,8 @@ object Curation {
     * scan-side: a codegen'd filter, no shuffle, no state.
     */
   def mixtureSample(docs: DataFrame, textCol: String, rateCol: Column): DataFrame = {
-    val frac = conv(substring(md5(col(textCol)), 1, 8), 16, 10)
-      .cast("long")
-      .cast("double") / 4294967296.0
+    val frac =
+      graft.functions.Text.md5PrefixLong(col(textCol), 8).cast("double") / 4294967296.0
     docs.where(frac < rateCol)
   }
 

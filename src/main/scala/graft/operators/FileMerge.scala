@@ -137,6 +137,11 @@ object FileMerge {
     val live = new Path(lakePath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverFileMerge(spark, lakePath)
+    // A crashed WHOLE-TABLE swap (Lake.compact's rename-aside) leaves the
+    // live dir absent with the real table in `_old`/`_staging*` — without
+    // this repair the empty-dir probe below would treat one batch as the
+    // entire table and orphan the history (same guard as Streams.upsertBatch).
+    Incremental.recoverInterruptedSwap(spark, lakePath)
     require(
       !fs.exists(live) || !fs.listStatus(live).exists(st =>
         st.isDirectory && st.getPath.getName.contains("=")),

@@ -45,7 +45,7 @@ object Pack {
 
   /** md5-bucket in [0, 100): first 4 hex chars of md5(key) mod 100. */
   def hashBucket(key: Column): Column =
-    conv(substring(md5(key), 1, 4), 16, 10).cast("long") % 100
+    graft.functions.Text.md5PrefixLong(key, 4) % 100
 
   def hashSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     val b = hashBucket(key)

@@ -442,7 +442,11 @@ object PipelineQueries {
     // (delete + initial load) for determinism.
     "q73_filemerge_e2e" -> { (s, dir) =>
       import graft.operators.FileMerge
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q73_${math.abs(dir.hashCode)}"
+      // scratch path keyed by the SANITIZED dir (no hash collisions) and
+      // the JVM pid, so concurrent harness runs can never delete each
+      // other's table mid-query
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q73_" +
+        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${ProcessHandle.current().pid()}"
       val fs = new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       Seq(tmp, tmp + "_fmerge").foreach(p =>

@@ -378,7 +378,15 @@ object Lake {
       clusterBy: Option[String] = None
   ): Int = {
     require(targetFileBytes > 0)
+    // A compaction must repair EVERY writer's interrupted state first, not
+    // just the whole-table swap's: a torn file-granular or partition-pruned
+    // merge leaves rows only in hidden asides/staging that the read below
+    // skips — compacting over that bakes in the missing rows and the
+    // leftover staging would later roll forward ONTO the compacted table,
+    // resurrecting stale rows as duplicate keys.
     graft.operators.Incremental.recoverInterruptedSwap(spark, path)
+    graft.operators.Incremental.recoverPartitionedMerge(spark, path)
+    graft.operators.FileMerge.recoverFileMerge(spark, path)
     // size via the Hadoop FS of the path itself — a local-filesystem walk
     // would read 0 bytes for hdfs://, s3a://, ... and compact to ONE file
     val p = new org.apache.hadoop.fs.Path(path)
@@ -396,6 +404,13 @@ object Lake {
       case Some(c) =>
         require(partitionCols.isEmpty,
           "compact: clusterBy applies to unpartitioned range-clustered tables")
+        // the ON-DISK layout must agree, not just the argument: compacting
+        // a Hive-partitioned table through this branch would silently
+        // flatten its directories (and partition-type inference corrupts
+        // non-canonical values like '01' on the way)
+        require(!fs.listStatus(p).exists(st =>
+            st.isDirectory && st.getPath.getName.contains("=")),
+          s"compact: $path has a Hive-partitioned layout — pass partitionCols, not clusterBy")
         df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c).write
       case None if partitionCols.isEmpty => df.repartition(nFiles).write
       case None =>

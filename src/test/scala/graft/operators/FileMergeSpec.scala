@@ -156,6 +156,51 @@ class FileMergeSpec extends AnyFunSuite with SparkSpec {
     assert(content(dir).size == 502)
   }
 
+  test("compact repairs a torn file-merge commit instead of baking it in") {
+    val dir = tmp()
+    FileMerge.mergeFileGranular(spark, base(100), dir, "id", initialFiles = 2)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // torn commit: manifest published, victim already hidden, staged
+    // replacement not yet moved in — a crash between phases A and B
+    val victim = snapshot(dir).keys.head
+    val victimIds = spark.read.parquet(s"$dir/$victim").select("id").as[Long].collect().toSet
+    val staging = dir + "_fmerge"
+    spark.read.parquet(s"$dir/$victim").withColumn("v", concat(lit("R"), col("id")))
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val out = fs.create(new Path(staging, "_touched"), true)
+    out.write((victim + "\n").getBytes("UTF-8")); out.close()
+    assert(fs.rename(new Path(dir, victim), new Path(dir, "_old_" + victim)))
+
+    // compacting now must roll the commit FORWARD first — not persist the
+    // torn view (which silently drops the victim's rows) nor leave the
+    // staging behind to resurrect stale rows later
+    graft.sources.Lake.compact(spark, dir, targetFileBytes = 4096, clusterBy = Some("id"))
+    assert(!fs.exists(new Path(staging)))
+    val expected = (0L until 100L).map(i => if (victimIds(i)) (i, s"R$i") else (i, s"v$i")).toSet
+    assert(content(dir) === expected)
+  }
+
+  test("merge after a torn whole-table swap recovers the table first") {
+    val dir = tmp()
+    FileMerge.mergeFileGranular(spark, base(50), dir, "id", initialFiles = 2)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crashed compact: live renamed aside, replacement never moved in
+    assert(fs.rename(new Path(dir), new Path(dir + "_old")))
+    // the next merge must restore the table, NOT initial-load the batch
+    FileMerge.mergeFileGranular(spark, Seq((5L, "up")).toDF("id", "v"), dir, "id")
+    val expected = (0L until 50L).map(i => if (i == 5L) (i, "up") else (i, s"v$i")).toSet
+    assert(content(dir) === expected)
+  }
+
+  test("clustered compaction refuses a Hive-partitioned layout") {
+    val dir = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p").write.partitionBy("p").parquet(dir)
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.Lake.compact(spark, dir, clusterBy = Some("id"))
+    }
+    assert(err.getMessage.contains("Hive-partitioned"))
+  }
+
   test("stat-less or non-integral inputs are rejected or handled conservatively") {
     val dir = tmp()
     val err = intercept[IllegalArgumentException] {
