@@ -138,6 +138,77 @@ object Similarity {
       }
     }
 
+  /** IVF (inverted-file) INDEX BUILD: every vector is assigned to its
+    * nearest centroid by cosine (ties to the lowest centroid id) — the
+    * coarse-quantization step of IVF ANN. The centroid set is broadcast
+    * (coarse quantizers are tiny by construction), so assignment is one
+    * scan plus a grouped argmax with map-side partial aggregation; the
+    * shuffle carries (id, similarity, centroid) triples, never vectors.
+    * Zero-norm vectors (NULL cosine) get no assignment and are therefore
+    * unreachable by probes — the same exclusion every other similarity
+    * path applies. Returns (idCol, centroid_id).
+    */
+  def ivfAssign(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centIdCol: String,
+      centVecCol: String
+  ): DataFrame = {
+    val c = broadcast(centroids.select(col(centIdCol).as("_cid"), col(centVecCol).as("_cvec")))
+    emb
+      .select(col(idCol), col(vecCol))
+      .crossJoin(c)
+      .select(col(idCol), col("_cid"), cosine(col(vecCol), col("_cvec")).as("_cs"))
+      .where(col("_cs").isNotNull)
+      .groupBy(col(idCol))
+      // argmax by (similarity desc, centroid id asc): the negated id in
+      // the struct makes the lexicographic max break ties to the LOWEST id
+      .agg(max(struct(col("_cs"), (-col("_cid")).as("_ncid"), col("_cid"))).as("_b"))
+      .select(col(idCol), col("_b._cid").as("centroid_id"))
+  }
+
+  /** IVF ANN top-k: rank the centroids against the query, probe only the
+    * `nprobe` nearest buckets, exact-cosine re-rank inside them. The
+    * probed list is centroid-count-sized and broadcast; candidates come
+    * from one join on the assignment table ([[ivfAssign]] — in a real
+    * deployment that index is built once and reused across queries).
+    * Recall is tunable: nprobe = centroid count makes it exact.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centIdCol: String,
+      centVecCol: String,
+      queryId: Long,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    require(k > 0 && nprobe > 0)
+    val q = emb.where(col(idCol) === queryId).select(col(vecCol).as("_qvec"))
+    val probed = centroids
+      .select(col(centIdCol).as("centroid_id"), col(centVecCol).as("_cvec"))
+      .crossJoin(broadcast(q))
+      .select(col("centroid_id"), cosine(col("_cvec"), col("_qvec")).as("_cs"))
+      .where(col("_cs").isNotNull)
+      .orderBy(col("_cs").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+    val assign = ivfAssign(emb, idCol, vecCol, centroids, centIdCol, centVecCol)
+    emb
+      .select(col(idCol), col(vecCol))
+      .join(assign.join(broadcast(probed), "centroid_id"), Seq(idCol))
+      .where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col(vecCol), col("_qvec")), 6).as("cos_sim"))
+      .where(col("cos_sim").isNotNull)
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs within coarse partitions
     * (IVF-style): pairs are only compared when they share `blockCol` (e.g.
     * a cluster/label id), making the pair space linear-ish in corpus size.

@@ -473,6 +473,18 @@ object PipelineQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"))
         .orderBy("source")
+    },
+    // IVF ANN: vectors 0-15 serve as the deterministic coarse quantizer;
+    // every vector is bucketed to its nearest centroid, the query probes
+    // its 4 nearest buckets, exact cosine re-ranks inside them. The whole
+    // path — assignment argmax, probe ranking, re-rank — replicates in
+    // DuckDB via the q27-proven zip-unnest summation.
+    "q75_ann_ivf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 16), "vec_id", "embedding",
+        queryId = 0L, k = 10, nprobe = 4)
     }
   )
 
@@ -977,6 +989,40 @@ object PipelineQueries {
         |      WHERE CAST(hv AS DOUBLE) / 4294967296.0
         |            < CAST(ascii(substring(source, 1, 1)) % 4 + 1 AS DOUBLE) / 5.0)
         |SELECT source, count(*) AS n_kept, CAST(min(doc_id) AS BIGINT) AS first_kept
-        |FROM k GROUP BY source ORDER BY source""".stripMargin
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    // assignment argmax and probe ranking use UNROUNDED similarities on
+    // both engines (bit-identical doubles); only the reported cos_sim is
+    // rounded, like q27
+    "q75_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |sim AS (SELECT e.vec_id, c.cid,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x, unnest(c.cvec) AS y) z) AS dot,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
+        |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(c.cvec) AS y) z) AS n2b
+        | FROM embeddings e, c),
+        |cs AS (SELECT vec_id, cid, dot / (sqrt(n2a) * sqrt(n2b)) AS cs
+        |       FROM sim WHERE n2a > 0 AND n2b > 0),
+        |asg AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |         FROM cs) WHERE rn = 1),
+        |probe AS (SELECT cid FROM cs WHERE vec_id = 0 ORDER BY cs DESC, cid LIMIT 4),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sc AS (SELECT e.vec_id,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x, unnest(q.qe) AS y) z) AS dot,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
+        |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(q.qe) AS y) z) AS n2b
+        | FROM embeddings e, q
+        | WHERE e.vec_id <> 0
+        |   AND e.vec_id IN (SELECT a.vec_id FROM asg a JOIN probe p ON p.cid = a.cid))
+        |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim
+        |FROM sc WHERE n2a > 0 AND n2b > 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
   )
 }

@@ -56,6 +56,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(p1.flatten.forall(v => v >= -1.0 && v <= 1.0))
   }
 
+  test("IVF with a full probe equals brute force; assignment is total over non-degenerate vectors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = emb.where(org.apache.spark.sql.functions.col("vec_id") < 16)
+    // probing every centroid bucket must reduce to the exact scan
+    val full = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", cents, "vec_id", "embedding", 0L, 10, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity
+      .cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute)
+    // every vector lands in exactly one bucket
+    val n = emb.count()
+    val asg = Similarity.ivfAssign(emb, "vec_id", "embedding", cents, "vec_id", "embedding")
+    assert(asg.count() == n && asg.select("vec_id").distinct().count() == n)
+    // a narrow probe returns at most k rows drawn from its own buckets
+    val narrow = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", cents, "vec_id", "embedding", 0L, 10, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(narrow.size <= 10 && !narrow.contains(0L))
+  }
+
   test("zero-norm vectors never top the ranking (NaN guard)") {
     import spark.implicits._
     val vecs = Seq(
