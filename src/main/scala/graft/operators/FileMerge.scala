@@ -136,12 +136,12 @@ object FileMerge {
       s"mergeFileGranular: integral PK required for footer min/max pruning, got ${pkType.sql}")
     val live = new Path(lakePath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverFileMerge(spark, lakePath)
-    // A crashed WHOLE-TABLE swap (Lake.compact's rename-aside) leaves the
-    // live dir absent with the real table in `_old`/`_staging*` — without
-    // this repair the empty-dir probe below would treat one batch as the
-    // entire table and orphan the history (same guard as Streams.upsertBatch).
-    Incremental.recoverInterruptedSwap(spark, lakePath)
+    // ALL writers' recoveries, swap FIRST: a crashed whole-table swap
+    // (compaction) leaves the live dir absent, and rolling a torn file
+    // merge forward into a nonexistent directory would wedge — the
+    // ordering inside recoverAll restores the live dir before the
+    // file-scoped repair renames into it.
+    Incremental.recoverAll(spark, lakePath)
     require(
       !fs.exists(live) || !fs.listStatus(live).exists(st =>
         st.isDirectory && st.getPath.getName.contains("=")),

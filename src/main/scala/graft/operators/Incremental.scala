@@ -16,6 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
+  /** Run EVERY writer's crash recovery on `path`, in dependency order:
+    * the whole-table swap first (it restores an absent live directory,
+    * which the other recoveries rename INTO), then the partition-scoped
+    * and file-scoped merge repairs. Each is a cheap no-op when its writer
+    * left no residue, and each ignores the others' artifacts — so any
+    * read-then-rewrite of a table with an unknown writer history MUST
+    * call this, not its own writer's recovery alone: a real table's
+    * lifecycle mixes writers (merge variants + compaction), and a repair
+    * that only knows its own crash states bakes another writer's torn
+    * commit into the rewrite. Returns true if anything was repaired.
+    */
+  def recoverAll(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val swap = recoverInterruptedSwap(spark, path)
+    val part = recoverPartitionedMerge(spark, path)
+    val file = FileMerge.recoverFileMerge(spark, path)
+    swap || part || file
+  }
+
   /** A1 — global max of the primary key (`utils.py:219`). None on empty. */
   def highWatermark(existing: DataFrame, pk: String): Option[Long] = {
     val row = existing.agg(max(col(pk)).cast("long")).head()
@@ -136,7 +154,7 @@ object Incremental {
       pk: String,
       updates: Boolean
   ): DataFrame = {
-    recoverInterruptedSwap(spark, lakePath)
+    recoverAll(spark, lakePath)
     val exists = {
       val p = new org.apache.hadoop.fs.Path(lakePath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -195,7 +213,10 @@ object Incremental {
     import org.apache.hadoop.fs.Path
     val live = new Path(lakePath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverPartitionedMerge(spark, lakePath)
+    // ALL writers' recoveries: a crashed whole-table swap (compaction)
+    // leaves the live dir absent — without repairing it first, the
+    // hasData probe below would initial-load one batch as the table
+    recoverAll(spark, lakePath)
 
     // The NULL guard runs BEFORE any branch: a null partition value
     // admitted at initial load would land in __HIVE_DEFAULT_PARTITION__

@@ -156,6 +156,14 @@ object Similarity {
       centIdCol: String,
       centVecCol: String
   ): DataFrame = {
+    // the argmax tie-break negates the centroid id; a non-numeric id
+    // would throw under ANSI (or silently invert the documented
+    // lowest-id tie-break with ANSI off) — fail fast instead
+    require(
+      centroids.schema(centIdCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"ivfAssign: centroid id '$centIdCol' must be numeric, got " +
+        centroids.schema(centIdCol).dataType.sql)
     val c = broadcast(centroids.select(col(centIdCol).as("_cid"), col(centVecCol).as("_cvec")))
     emb
       .select(col(idCol), col(vecCol))

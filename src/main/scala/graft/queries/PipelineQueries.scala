@@ -41,6 +41,9 @@ object PipelineQueries {
   private val nearDupLabelCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** q73 scratch paths with a registered exit-time cleanup hook. */
+  private val q73Scratch = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def nearDupLabels(s: SparkSession, dir: String): DataFrame = {
     // evict entries of stopped sessions: their checkpoint blocks are gone
     // and the dead SparkSession reference would otherwise pin them (and
@@ -442,15 +445,27 @@ object PipelineQueries {
     // (delete + initial load) for determinism.
     "q73_filemerge_e2e" -> { (s, dir) =>
       import graft.operators.FileMerge
-      // scratch path keyed by the SANITIZED dir (no hash collisions) and
-      // the JVM pid, so concurrent harness runs can never delete each
-      // other's table mid-query
+      // scratch path keyed by the sanitized dir AND the JVM pid, so
+      // concurrent harness runs never delete each other's table
+      // mid-query (the pid is what guarantees isolation; sanitized names
+      // alone can collide); a shutdown hook reclaims it so repeated runs
+      // don't accumulate scratch tables in the temp dir
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q73_" +
         s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${ProcessHandle.current().pid()}"
       val fs = new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       Seq(tmp, tmp + "_fmerge").foreach(p =>
         fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      if (q73Scratch.add(tmp)) sys.addShutdownHook {
+        // fresh Configuration: the session may already be stopped at exit
+        try {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          Seq(tmp, tmp + "_fmerge").foreach { p =>
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(conf).delete(hp, true)
+          }
+        } catch { case _: Throwable => () }
+      }
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
       FileMerge.mergeFileGranular(

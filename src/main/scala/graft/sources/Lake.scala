@@ -378,15 +378,13 @@ object Lake {
       clusterBy: Option[String] = None
   ): Int = {
     require(targetFileBytes > 0)
-    // A compaction must repair EVERY writer's interrupted state first, not
-    // just the whole-table swap's: a torn file-granular or partition-pruned
+    // EVERY writer's interrupted state must be repaired first, not just
+    // the whole-table swap's: a torn file-granular or partition-pruned
     // merge leaves rows only in hidden asides/staging that the read below
     // skips — compacting over that bakes in the missing rows and the
     // leftover staging would later roll forward ONTO the compacted table,
     // resurrecting stale rows as duplicate keys.
-    graft.operators.Incremental.recoverInterruptedSwap(spark, path)
-    graft.operators.Incremental.recoverPartitionedMerge(spark, path)
-    graft.operators.FileMerge.recoverFileMerge(spark, path)
+    graft.operators.Incremental.recoverAll(spark, path)
     // size via the Hadoop FS of the path itself — a local-filesystem walk
     // would read 0 bytes for hdfs://, s3a://, ... and compact to ONE file
     val p = new org.apache.hadoop.fs.Path(path)
@@ -394,6 +392,14 @@ object Lake {
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val staging = path + "_staging_compact"
+    // the ON-DISK layout decides, not the arguments: compacting a
+    // Hive-partitioned table without partitionCols would silently flatten
+    // its directories (and partition-type inference corrupts
+    // non-canonical values like '01' → 1 on the way)
+    require(
+      partitionCols.nonEmpty || !fs.listStatus(p).exists(st =>
+        st.isDirectory && st.getPath.getName.contains("=")),
+      s"compact: $path has a Hive-partitioned layout — pass partitionCols to preserve it")
     val df = spark.read.parquet(path)
     // a Hive-partitioned table must be rewritten with the same layout or
     // the directory structure (and pruning) is silently lost; likewise a
@@ -404,13 +410,6 @@ object Lake {
       case Some(c) =>
         require(partitionCols.isEmpty,
           "compact: clusterBy applies to unpartitioned range-clustered tables")
-        // the ON-DISK layout must agree, not just the argument: compacting
-        // a Hive-partitioned table through this branch would silently
-        // flatten its directories (and partition-type inference corrupts
-        // non-canonical values like '01' on the way)
-        require(!fs.listStatus(p).exists(st =>
-            st.isDirectory && st.getPath.getName.contains("=")),
-          s"compact: $path has a Hive-partitioned layout — pass partitionCols, not clusterBy")
         df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c).write
       case None if partitionCols.isEmpty => df.repartition(nFiles).write
       case None =>

@@ -108,10 +108,11 @@ object Streams {
   ): Unit = {
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a crash between swap renames leaves the table only in _old/_staging;
-    // restore it before deciding the table is "new" (else one replayed
-    // micro-batch would silently become the whole table)
-    Incremental.recoverInterruptedSwap(spark, targetPath)
+    // EVERY writer's recovery, not just the swap's: a crash between swap
+    // renames leaves the table only in _old/_staging (one replayed batch
+    // would silently become the whole table), and a torn file-granular
+    // merge hides rows in _-prefixed asides this read would skip
+    Incremental.recoverAll(spark, targetPath)
     if (fs.exists(target) && fs.listStatus(target).nonEmpty) {
       val merged = Incremental.merge(spark.read.parquet(targetPath), batch, pk)
       val staging = targetPath + s"_staging_$batchId"

@@ -201,6 +201,44 @@ class FileMergeSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("Hive-partitioned"))
   }
 
+  test("every whole-table rewriter repairs a torn file-merge commit first") {
+    // the cross-writer invariant: upsertBatch (streaming) and compact
+    // both read-then-rewrite; over a torn file-merge commit both must
+    // roll it FORWARD, not bake the torn view in
+    val dir = tmp()
+    FileMerge.mergeFileGranular(spark, base(100), dir, "id", initialFiles = 2)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = snapshot(dir).keys.head
+    val victimIds = spark.read.parquet(s"$dir/$victim").select("id").as[Long].collect().toSet
+    val staging = dir + "_fmerge"
+    spark.read.parquet(s"$dir/$victim").withColumn("v", concat(lit("R"), col("id")))
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val out = fs.create(new Path(staging, "_touched"), true)
+    out.write((victim + "\n").getBytes("UTF-8")); out.close()
+    assert(fs.rename(new Path(dir, victim), new Path(dir, "_old_" + victim)))
+
+    graft.streaming.Streams.upsertBatch(
+      spark, Seq((1000L, "new")).toDF("id", "v"), "id", dir, batchId = 0L)
+    val expected = (0L until 100L)
+      .map(i => if (victimIds(i)) (i, s"R$i") else (i, s"v$i")).toSet + ((1000L, "new"))
+    assert(content(dir) === expected)
+    assert(!fs.exists(new Path(staging)))
+  }
+
+  test("partition-pruned merge repairs a torn whole-table swap first") {
+    val dir = tmp()
+    val t0 = Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "p")
+    Incremental.mergePartitionPruned(spark, t0, dir, "id", "p")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crashed compact: live renamed aside, replacement never moved in
+    assert(fs.rename(new Path(dir), new Path(dir + "_old")))
+    Incremental.mergePartitionPruned(
+      spark, Seq((2L, "b2", "p2")).toDF("id", "v", "p"), dir, "id", "p")
+    val rows = spark.read.parquet(dir).select("id", "v", "p")
+      .as[(Long, String, String)].collect().toSet
+    assert(rows === Set((1L, "a", "p1"), (2L, "b2", "p2")))
+  }
+
   test("stat-less or non-integral inputs are rejected or handled conservatively") {
     val dir = tmp()
     val err = intercept[IllegalArgumentException] {
