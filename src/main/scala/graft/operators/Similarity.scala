@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an `ARRAY<FLOAT>` embedding column.
@@ -180,9 +180,12 @@ object Similarity {
   /** IVF ANN top-k: rank the centroids against the query, probe only the
     * `nprobe` nearest buckets, exact-cosine re-rank inside them. The
     * probed list is centroid-count-sized and broadcast; candidates come
-    * from one join on the assignment table ([[ivfAssign]] — in a real
-    * deployment that index is built once and reused across queries).
-    * Recall is tunable: nprobe = centroid count makes it exact.
+    * from one join on the assignment table, recomputed inline — the
+    * one-shot form. For build-once/probe-many (the shape that matters at
+    * scale) use [[ivfBuild]] + [[ivfTopKIndexed]], which persist the
+    * assignment range-clustered on `centroid_id` and probe only the
+    * intersecting files. Recall is tunable: nprobe = centroid count
+    * makes it exact.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -215,6 +218,263 @@ object Similarity {
       .where(col("cos_sim").isNotNull)
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted IVF index: build once, probe many.
+  //
+  // [[ivfTopK]] recomputes the full corpus assignment inside every call —
+  // fine for a one-shot query, wrong at scale, where the entire point of
+  // IVF is that the coarse quantization is paid ONCE. The persisted form
+  // is a plain-parquet layout under one index directory:
+  //
+  //   <indexPath>/postings/   (centroid_id BIGINT, <id>, <vec>)
+  //       range-clustered on centroid_id ([[Scale.writeRangeClustered]]),
+  //       so each file's parquet footer min/max describes a narrow
+  //       centroid interval — a probe selects only the files whose
+  //       interval intersects its probed buckets (the same footer-stats
+  //       pruning [[FileMerge]] uses for merges);
+  //   <indexPath>/centroids/  (centroid_id BIGINT, centroid ARRAY<FLOAT>)
+  //       the coarse quantizer itself, tiny by construction, stored
+  //       alongside so the index is self-contained.
+  //
+  // Both tables commit via [[Incremental.swapInStaging]] and probes run
+  // [[Incremental.recoverAll]] first, like every other read-then-rewrite
+  // site — a crashed rebuild or compaction of the postings table heals
+  // before any file listing.
+  // ---------------------------------------------------------------------
+
+  private def postingsPath(indexPath: String): String = s"$indexPath/postings"
+  private def centroidsPath(indexPath: String): String = s"$indexPath/centroids"
+
+  /** Build (or rebuild) the persisted IVF index at `indexPath`: one
+    * corpus scan assigns every vector to its nearest centroid
+    * ([[ivfAssign]]), and the (centroid_id, id, vector) postings land
+    * range-clustered on `centroid_id` across `files` files (0 = the
+    * cluster's default parallelism). Crash-safe: both tables are staged
+    * fully and swapped in ([[Incremental.swapInStaging]]) — a crash
+    * leaves either the previous index or the new one, never a torn mix.
+    */
+  def ivfBuild(
+      spark: SparkSession,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centIdCol: String,
+      centVecCol: String,
+      indexPath: String,
+      files: Int = 0
+  ): Unit = {
+    val nFiles =
+      if (files > 0) files else math.max(1, spark.sparkContext.defaultParallelism)
+    val postings = emb
+      .select(col(idCol), col(vecCol))
+      .join(ivfAssign(emb, idCol, vecCol, centroids, centIdCol, centVecCol), idCol)
+      .select(col("centroid_id").cast("long").as("centroid_id"), col(idCol), col(vecCol))
+    // heal any prior writer's torn commit before replacing the tables
+    Incremental.recoverAll(spark, postingsPath(indexPath))
+    Incremental.recoverAll(spark, centroidsPath(indexPath))
+    val pStaging = postingsPath(indexPath) + "_staging"
+    postings
+      .repartitionByRange(nFiles, col("centroid_id"))
+      .sortWithinPartitions("centroid_id")
+      .write
+      .mode("overwrite")
+      .parquet(pStaging)
+    Incremental.swapInStaging(spark, postingsPath(indexPath), pStaging)
+    val cStaging = centroidsPath(indexPath) + "_staging"
+    centroids
+      .select(col(centIdCol).cast("long").as("centroid_id"), col(centVecCol).as("centroid"))
+      .write
+      .mode("overwrite")
+      .parquet(cStaging)
+    Incremental.swapInStaging(spark, centroidsPath(indexPath), cStaging)
+  }
+
+  /** IVF ANN top-k against the PERSISTED index — build-once/probe-many,
+    * the shape [[ivfTopK]]'s docstring promises. `query` must be a
+    * one-row DataFrame whose single column is the query vector
+    * (`ARRAY<FLOAT>`); `excludeId` drops the query row itself when the
+    * query vector came from the indexed corpus.
+    *
+    * Probe IO is proportional to the probed buckets, not the corpus:
+    *   1. rank the stored centroids against the query, keep the `nprobe`
+    *      nearest bucket ids (an nprobe-bounded collect — metadata-scale,
+    *      like [[FileMerge]]'s touched-file list);
+    *   2. footer-stats file selection ([[FileMerge.fileRanges]]): only
+    *      postings files whose centroid interval intersects a probed
+    *      bucket are read at all (stats-less files are conservatively
+    *      included);
+    *   3. inside the selected files, `centroid_id IN (probed)` prunes
+    *      remaining row groups, then exact cosine re-ranks candidates.
+    */
+  def ivfTopKIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      k: Int,
+      nprobe: Int,
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    require(k > 0 && nprobe > 0)
+    require(query.columns.length == 1, "ivfTopKIndexed: query must be a one-row, one-column DataFrame")
+    val post = postingsPath(indexPath)
+    Incremental.recoverAll(spark, post)
+    Incremental.recoverAll(spark, centroidsPath(indexPath))
+    val q = query.select(col(query.columns.head).as("_qvec"))
+    val probed = spark.read
+      .parquet(centroidsPath(indexPath))
+      .crossJoin(broadcast(q))
+      .select(col("centroid_id"), cosine(col("centroid"), col("_qvec")).as("_cs"))
+      .where(col("_cs").isNotNull)
+      .orderBy(col("_cs").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    val selected = FileMerge
+      .fileRanges(spark, post, "centroid_id")
+      .filter(r => !r.known || probed.exists(c => c >= r.lo && c <= r.hi))
+      .map(r => s"$post/${r.file}")
+    val cand =
+      if (selected.isEmpty)
+        // schema-stable empty result: no bucket holds any vector
+        spark.read.parquet(post).where(lit(false))
+      else spark.read.parquet(selected: _*)
+    val excluded = excludeId match {
+      case Some(id) => cand.where(col(idCol) =!= id)
+      case None     => cand
+    }
+    excluded
+      .where(col("centroid_id").isin(probed.map(Long.box): _*))
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col(vecCol), col("_qvec")), 6).as("cos_sim"))
+      .where(col("cos_sim").isNotNull)
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------------
+  // k-means centroid training (Lloyd's algorithm, cosine assignment) —
+  // trains the coarse quantizer [[ivfBuild]] consumes instead of taking
+  // centroids as a fixture input.
+  // ---------------------------------------------------------------------
+
+  /** One Lloyd update round as a pure DataFrame (no driver collection):
+    * assign every vector to its nearest centroid by cosine
+    * ([[ivfAssign]] semantics), then recompute each centroid as the
+    * element-wise MEAN of its assigned vectors, in double precision.
+    * Returns (centroid_id, n_assigned, centroid ARRAY<DOUBLE>) — empty
+    * clusters simply emit no row. The per-dimension shuffle rows are
+    * (cid, pos, x) triples, the same volume as shuffling the vectors
+    * themselves; the final assembly sorts each centroid's dimension
+    * means back into an array with a size-`dim` in-group sort.
+    */
+  def kmeansUpdate(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centIdCol: String,
+      centVecCol: String
+  ): DataFrame = {
+    val assign = ivfAssign(emb, idCol, vecCol, centroids, centIdCol, centVecCol)
+    emb
+      .select(col(idCol), col(vecCol))
+      .join(assign, idCol)
+      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "_x")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(avg(col("_x").cast("double")).as("_m"), count(lit(1)).as("_n"))
+      .groupBy(col("centroid_id"))
+      .agg(
+        max(col("_n")).as("n_assigned"),
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("_m")))),
+          s => s.getField("_m")
+        ).as("centroid"))
+  }
+
+  final case class KMeansResult(centroids: DataFrame, iterations: Int, converged: Boolean)
+
+  /** Lloyd's k-means over an embedding column: deterministic
+    * initialization (the `k` lowest-id non-degenerate vectors), then up
+    * to `maxIter` rounds of assign + mean-update, stopping when no
+    * centroid moves by more than `tol` in cosine distance.
+    *
+    * Each round is ONE distributed job ([[kmeansUpdate]]); the centroids
+    * themselves are k×dim — driver-sized by definition — so they are
+    * collected and re-broadcast as literals every round, which also
+    * resets the plan lineage for free (no checkpoint discipline needed,
+    * unlike [[Dedup.connectedComponents]] whose per-round state is
+    * data-sized). This is the same structure MLlib's KMeans uses.
+    * Returns the trained centroids as (centroid_id BIGINT, centroid
+    * ARRAY<FLOAT>) — directly consumable by [[ivfBuild]] / [[ivfTopK]].
+    */
+  def kmeansTrain(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxIter: Int = 20,
+      tol: Double = 1e-4
+  ): KMeansResult = {
+    require(k > 0 && maxIter > 0)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var current: Array[(Long, Array[Float])] = emb
+      .select(col(idCol).cast("long"), col(vecCol))
+      .where(norm2(col(vecCol)) > 0) // a zero vector can never attract assignments
+      .orderBy(col(idCol).cast("long"))
+      .limit(k)
+      .as[(Long, Array[Float])]
+      .collect()
+      .zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }
+    require(current.nonEmpty, "kmeansTrain: no non-degenerate vectors to initialize from")
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val centDf = spark.createDataset(current.toIndexedSeq).toDF("centroid_id", "centroid")
+      val updated = kmeansUpdate(emb, idCol, vecCol, centDf, "centroid_id", "centroid")
+        .select(col("centroid_id"), col("centroid"))
+        .as[(Long, Array[Double])]
+        .collect()
+        .map { case (cid, v) => cid -> v.map(_.toFloat) }
+        .toMap
+      val next = current.map { case (cid, oldV) =>
+        (cid, updated.getOrElse(cid, oldV)) // empty cluster keeps its centroid
+      }
+      val shift = current
+        .zip(next)
+        .map { case ((_, a), (_, b)) => 1.0 - localCosine(a, b) }
+        .max
+      current = next
+      iter += 1
+      converged = shift <= tol
+    }
+    val centroids =
+      spark.createDataset(current.toIndexedSeq).toDF("centroid_id", "centroid")
+    KMeansResult(centroids, iter, converged)
+  }
+
+  /** Driver-side cosine for the k×k convergence check (k centroids, not
+    * data — never used on a distributed path).
+    */
+  private def localCosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
   /** Embedding-cosine near-duplicate pairs within coarse partitions

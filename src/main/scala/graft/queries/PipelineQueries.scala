@@ -41,8 +41,41 @@ object PipelineQueries {
   private val nearDupLabelCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** q73 scratch paths with a registered exit-time cleanup hook. */
+  /** Scratch paths with a registered exit-time cleanup hook (q73/q76). */
   private val q73Scratch = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Fresh per-(corpus, JVM) scratch path for queries that exercise real
+    * write paths: deletes any residue of a previous run of THIS pid
+    * (determinism), and registers one exit-time cleanup hook per path so
+    * repeated runs don't accumulate scratch tables. The pid in the name
+    * is what isolates concurrent harness runs from each other;
+    * `suffixes` covers sibling dirs the operator creates next to the
+    * main path (e.g. FileMerge's `_fmerge` staging).
+    */
+  private def freshScratch(
+      s: SparkSession,
+      dir: String,
+      tag: String,
+      suffixes: Seq[String] = Nil
+  ): String = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${ProcessHandle.current().pid()}"
+    val all = tmp +: suffixes.map(tmp + _)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    all.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    if (q73Scratch.add(tmp)) sys.addShutdownHook {
+      // fresh Configuration: the session may already be stopped at exit
+      try {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        all.foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).delete(hp, true)
+        }
+      } catch { case _: Throwable => () }
+    }
+    tmp
+  }
 
   private def nearDupLabels(s: SparkSession, dir: String): DataFrame = {
     // evict entries of stopped sessions: their checkpoint blocks are gone
@@ -445,27 +478,7 @@ object PipelineQueries {
     // (delete + initial load) for determinism.
     "q73_filemerge_e2e" -> { (s, dir) =>
       import graft.operators.FileMerge
-      // scratch path keyed by the sanitized dir AND the JVM pid, so
-      // concurrent harness runs never delete each other's table
-      // mid-query (the pid is what guarantees isolation; sanitized names
-      // alone can collide); a shutdown hook reclaims it so repeated runs
-      // don't accumulate scratch tables in the temp dir
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q73_" +
-        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${ProcessHandle.current().pid()}"
-      val fs = new org.apache.hadoop.fs.Path(tmp)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      Seq(tmp, tmp + "_fmerge").foreach(p =>
-        fs.delete(new org.apache.hadoop.fs.Path(p), true))
-      if (q73Scratch.add(tmp)) sys.addShutdownHook {
-        // fresh Configuration: the session may already be stopped at exit
-        try {
-          val conf = new org.apache.hadoop.conf.Configuration()
-          Seq(tmp, tmp + "_fmerge").foreach { p =>
-            val hp = new org.apache.hadoop.fs.Path(p)
-            hp.getFileSystem(conf).delete(hp, true)
-          }
-        } catch { case _: Throwable => () }
-      }
+      val tmp = freshScratch(s, dir, "q73", Seq("_fmerge"))
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
       FileMerge.mergeFileGranular(
@@ -500,6 +513,44 @@ object PipelineQueries {
         emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 16), "vec_id", "embedding",
         queryId = 0L, k = 10, nprobe = 4)
+    },
+    // IVF ANN against the PERSISTED index (q75's semantics, build-once/
+    // probe-many shape): ivfBuild writes the (centroid_id, id, vector)
+    // postings range-clustered on centroid_id + the centroid table, then
+    // the probe ranks stored centroids, footer-selects only the probed
+    // buckets' files, and exact-cosine re-ranks inside them. Same oracle
+    // as q75 — the physical index round trip must not change a single
+    // neighbor. The index rebuilds per run (scratch dir) for determinism.
+    "q76_ann_ivf_indexed" -> { (s, dir) =>
+      val tmp = freshScratch(s, dir, "q76")
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfBuild(
+        s, emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 16), "vec_id", "embedding",
+        tmp, files = 8)
+      Similarity.ivfTopKIndexed(
+        s, tmp, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0L).select("embedding"),
+        k = 10, nprobe = 4, excludeId = Some(0L))
+    },
+    // One Lloyd k-means round (the step kmeansTrain iterates): cosine
+    // argmax assignment to the 16 seed centroids, then per-dimension
+    // MEAN of each cluster's vectors in double precision. Assignment
+    // argmax is unrounded on both engines (q75's asg CTE); only the
+    // reported means are rounded.
+    "q77_kmeans_step" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .kmeansUpdate(
+          emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 16), "vec_id", "embedding")
+        .select(
+          col("centroid_id"), col("n_assigned"),
+          posexplode(col("centroid")).as(Seq("pos", "_m")))
+        .select(
+          col("centroid_id"), col("n_assigned"), col("pos"),
+          round(col("_m"), 6).as("mean_r"))
+        .orderBy("centroid_id", "pos")
     }
   )
 
@@ -1007,8 +1058,46 @@ object PipelineQueries {
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     // assignment argmax and probe ranking use UNROUNDED similarities on
     // both engines (bit-identical doubles); only the reported cos_sim is
-    // rounded, like q27
-    "q75_ann_ivf" ->
+    // rounded, like q27. Shared by q75 (inline index) and q76 (persisted
+    // index) — the physical round trip must reproduce identical rows.
+    "q75_ann_ivf" -> IvfAnnOracleSql,
+    "q76_ann_ivf_indexed" -> IvfAnnOracleSql,
+    // q77: the asg CTE is q75's assignment argmax verbatim; means are
+    // per-(centroid, dimension) averages over DOUBLE-cast floats,
+    // rounded at 6 (sum-order noise ~1e-13 for ~1e2 unit-scale values).
+    // DuckDB has no UNNEST WITH ORDINALITY — positions come from
+    // range() + 1-based list indexing, minus 1 to match posexplode.
+    "q77_kmeans_step" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |sim AS (SELECT e.vec_id, c.cid,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x, unnest(c.cvec) AS y) z) AS dot,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
+        |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(c.cvec) AS y) z) AS n2b
+        | FROM embeddings e, c),
+        |cs AS (SELECT vec_id, cid, dot / (sqrt(n2a) * sqrt(n2b)) AS cs
+        |       FROM sim WHERE n2a > 0 AND n2b > 0),
+        |asg AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |         FROM cs) WHERE rn = 1)
+        |SELECT a.cid AS centroid_id,
+        |       count(*) AS n_assigned,
+        |       CAST(t.i - 1 AS INT) AS pos,
+        |       round(avg(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)), 6) AS mean_r
+        |FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id,
+        |     UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+        |GROUP BY a.cid, t.i
+        |ORDER BY centroid_id, pos""".stripMargin
+  )
+
+  /** ANN-over-IVF oracle (q75/q76): coarse assignment by cosine argmax,
+    * probe the query's 4 nearest of the 16 seed centroids, exact cosine
+    * re-rank inside the probed buckets, top 10.
+    */
+  private lazy val IvfAnnOracleSql =
       """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
         |sim AS (SELECT e.vec_id, c.cid,
         |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
@@ -1039,5 +1128,4 @@ object PipelineQueries {
         |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim
         |FROM sc WHERE n2a > 0 AND n2b > 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
-  )
 }

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Persisted IVF index (build-once/probe-many) + k-means training. */
+class IvfIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def scratch(tag: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivfspec_${tag}_" +
+      ProcessHandle.current().pid()
+    val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(p), true)
+    p
+  }
+
+  private def buildCorpusIndex(tag: String, files: Int): String = {
+    val idx = scratch(tag)
+    Similarity.ivfBuild(
+      spark, emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 16), "vec_id", "embedding", idx, files = files)
+    idx
+  }
+
+  private def queryVec = emb.where(col("vec_id") === 0L).select("embedding")
+
+  test("indexed probe returns exactly the inline ivfTopK rows") {
+    val idx = buildCorpusIndex("roundtrip", files = 8)
+    val inline = Similarity
+      .ivfTopK(
+        emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 16), "vec_id", "embedding",
+        queryId = 0L, k = 10, nprobe = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val indexed = Similarity
+      .ivfTopKIndexed(spark, idx, "vec_id", "embedding", queryVec,
+        k = 10, nprobe = 4, excludeId = Some(0L))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(indexed.toSeq == inline.toSeq)
+  }
+
+  test("probe scans only the files whose centroid range intersects the probed buckets") {
+    val idx = buildCorpusIndex("pruning", files = 8)
+    val post = s"$idx/postings"
+    val fs = new Path(post).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val allFiles = fs.listStatus(new Path(post))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName)
+    assert(allFiles.length > 1, "pruning test needs a multi-file postings table")
+
+    // probed bucket ids, recomputed independently of the operator: rank
+    // stored centroids against the query vector by cosine
+    val q = queryVec.as[Array[Float]].head()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until math.min(a.length, b.length)).foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val probed = spark.read.parquet(s"$idx/centroids")
+      .as[(Long, Array[Float])].collect()
+      .sortBy { case (cid, v) => (-cos(v, q), cid) }
+      .take(1).map(_._1)
+
+    val result = Similarity.ivfTopKIndexed(
+      spark, idx, "vec_id", "embedding", queryVec, k = 5, nprobe = 1)
+    val scanned = result.inputFiles.filter(_.contains("/postings/")).map(_.split('/').last)
+    assert(scanned.nonEmpty && scanned.length < allFiles.length,
+      s"probe scanned ${scanned.length} of ${allFiles.length} files — no pruning")
+    // every scanned file's footer range must actually cover a probed bucket
+    val ranges = FileMerge.fileRanges(spark, post, "centroid_id")
+      .map(r => r.file -> r).toMap
+    scanned.foreach { f =>
+      val r = ranges(f)
+      assert(!r.known || probed.exists(c => c >= r.lo && c <= r.hi),
+        s"file $f (range ${r.lo}..${r.hi}) scanned but no probed bucket ${probed.mkString(",")} intersects")
+    }
+  }
+
+  test("a crashed index rebuild heals before the probe (recoverAll plumbing)") {
+    val idx = buildCorpusIndex("recovery", files = 4)
+    val before = Similarity
+      .ivfTopKIndexed(spark, idx, "vec_id", "embedding", queryVec, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // simulate a swap crashed between rename-aside and publish: live
+    // postings dir gone, complete _old copy left behind
+    val post = new Path(s"$idx/postings")
+    val fs = post.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(post, new Path(s"$idx/postings_old")))
+    val after = Similarity
+      .ivfTopKIndexed(spark, idx, "vec_id", "embedding", queryVec, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before)
+    assert(fs.exists(post), "recovery should have restored the live postings dir")
+  }
+
+  // deterministic 3-cluster synthetic set: tight cones around three
+  // orthogonal axes — k-means must recover the grouping exactly
+  private def syntheticClusters: org.apache.spark.sql.DataFrame = {
+    val rows = (0 until 60).map { i =>
+      val g = i % 3
+      val v = Array.fill(6)(0.05f * ((i * 7 + 3) % 5))
+      v(g * 2) = 10f + (i % 4)
+      (i.toLong, v)
+    }
+    rows.toDF("id", "vec")
+  }
+
+  test("kmeansTrain converges and recovers well-separated clusters") {
+    val data = syntheticClusters
+    val res = Similarity.kmeansTrain(data, "id", "vec", k = 3, maxIter = 15)
+    assert(res.converged, s"did not converge in ${res.iterations} iterations")
+    assert(res.iterations < 15)
+    val assign = Similarity
+      .ivfAssign(data, "id", "vec", res.centroids, "centroid_id", "centroid")
+      .as[(Long, Long)].collect().toMap
+    assert(assign.size == 60)
+    // same group → same centroid; different group → different centroid
+    (0 until 60).foreach(i => assert(assign(i.toLong) == assign((i % 3).toLong)))
+    assert(Set(assign(0L), assign(1L), assign(2L)).size == 3)
+  }
+
+  test("trained centroids feed the index: full probe equals brute force") {
+    val data = syntheticClusters
+    val res = Similarity.kmeansTrain(data, "id", "vec", k = 3, maxIter = 15)
+    val idx = scratch("kmeans")
+    Similarity.ivfBuild(spark, data, "id", "vec", res.centroids, "centroid_id", "centroid",
+      idx, files = 3)
+    val brute = Similarity.cosineTopK(data, "id", "vec", 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = Similarity
+      .ivfTopKIndexed(spark, idx, "id", "vec",
+        data.where(col("id") === 0L).select("vec"), k = 5, nprobe = 3,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed == brute)
+  }
+
+  test("kmeansUpdate: per-dimension means over the assigned vectors") {
+    val data = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(3f, 0f)), // → centroid 0 (x-axis)
+      (2L, Array(0f, 2f)), (3L, Array(0f, 4f))  // → centroid 1 (y-axis)
+    ).toDF("id", "vec")
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("cid", "cvec")
+    val got = Similarity
+      .kmeansUpdate(data, "id", "vec", cents, "cid", "cvec")
+      .as[(Long, Long, Array[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3.toSeq))).toMap
+    assert(got(0L) == ((2L, Seq(2.0, 0.0))))
+    assert(got(1L) == ((2L, Seq(0.0, 3.0))))
+  }
+}
