@@ -429,17 +429,28 @@ object PipelineQueries {
         .select(col("media_id"), col("kind"), md5(col("payload")).as("resized_md5"))
         .orderBy("media_id")
     },
-    // Frame sampling over "video" payloads: chunked payload stands in for
-    // decoded frames; stride-4 sampling over 64-byte chunks. Frame counts
-    // and indices are pure arithmetic on payload length → oracle-checkable.
+    // REAL video decode round trip: video-kind payloads are wrapped as a
+    // concatenated-PNG stream (8x8 grayscale frames of the text bytes,
+    // zero-padded), split back on PNG signatures, every 2nd frame decoded
+    // through javax.imageio, reduced to mean pixel intensity + temporal
+    // delta. Gray PNG is lossless and raster samples skip color-model
+    // conversion, so the oracle recomputes each frame's mean from the
+    // source bytes directly (ASCII corpus, same caveat as q61/q71).
     "q39_multimodal_frames" -> { (s, dir) =>
-      val media = Multimodal.fromDocuments(s, t(s, dir, "documents"))
+      import s.implicits._
+      val vids = Multimodal
+        .fromDocuments(s, t(s, dir, "documents"))
+        .filter(_.kind == "video")
+        .map(m => m.copy(payload = Multimodal.concatPngVideo(m.payload, 8, 8)))
       Multimodal
-        .sampleFrames(media, stride = 4, chunkBytes = 64)
+        .decodeVideoFeatures(vids, stride = 2)
         .toDF()
-        .groupBy("media_id")
-        .agg(count(lit(1)).as("n_frames"), max(col("frame_idx")).cast("long").as("max_idx"))
-        .orderBy("media_id")
+        .where(col("decoded"))
+        .select(
+          col("media_id"), col("frame_idx"),
+          round(col("mean_lum"), 6).as("mean_r"),
+          round(col("delta_lum"), 6).as("delta_r"))
+        .orderBy("media_id", "frame_idx")
     },
     // REAL audio decode round trip: audio-kind payloads wrapped as
     // PCM16LE mono WAV, parsed back through javax.sound.sampled, features
@@ -992,14 +1003,28 @@ object PipelineQueries {
         |FROM base, UNNEST(range(0, 64)) AS t(i)
         |GROUP BY media_id, kind
         |ORDER BY media_id""".stripMargin,
+    // Each 8x8 frame holds 64 source bytes zero-padded; gray-PNG round
+    // trip is lossless, so frame mean = (sum of the slice's ASCII
+    // bytes)/64 — a dyadic rational with ≤6 decimals, making round(_,6)
+    // the identity on both engines. Deltas compare consecutive EMITTED
+    // (stride-2) frames via lag; first frame's delta is 0 by definition.
     "q39_multimodal_frames" ->
-      """WITH v AS (SELECT doc_id AS media_id,
-        |             CAST(CEIL(strlen(text) / 64.0) AS BIGINT) AS nchunks
-        |           FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0)
-        |SELECT media_id,
-        |  CAST((nchunks - 1) // 4 + 1 AS BIGINT) AS n_frames,
-        |  CAST(((nchunks - 1) // 4) * 4 AS BIGINT) AS max_idx
-        |FROM v ORDER BY media_id""".stripMargin,
+      """WITH v AS (SELECT doc_id AS media_id, text, strlen(text) AS n,
+        |             CAST(CEIL(strlen(text) / 64.0) AS BIGINT) AS nf
+        |           FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0),
+        |f AS (SELECT media_id, CAST(t.f AS INT) AS frame_idx,
+        |        sum(CASE WHEN 64 * t.f + u.i <= n
+        |                 THEN ascii(substring(text, CAST(64 * t.f + u.i AS INT), 1))
+        |                 ELSE 0 END) / 64.0 AS mean_lum
+        |      FROM v, UNNEST(range(0, nf, 2)) AS t(f), UNNEST(range(1, 65)) AS u(i)
+        |      GROUP BY media_id, t.f),
+        |d AS (SELECT media_id, frame_idx, mean_lum,
+        |        mean_lum - lag(mean_lum, 1, mean_lum)
+        |          OVER (PARTITION BY media_id ORDER BY frame_idx) AS delta
+        |      FROM f)
+        |SELECT media_id, frame_idx, round(mean_lum, 6) AS mean_r,
+        |       round(delta, 6) AS delta_r
+        |FROM d ORDER BY media_id, frame_idx""".stripMargin,
     // Every PCM16LE sample is lo + 256*hi over consecutive text bytes
     // (ASCII corpus ⇒ hi < 0x80, always positive); sum-of-squares stays
     // exact in BIGINT, the sqrt/round happens once on each engine.

@@ -97,6 +97,47 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!Multimodal.decodeAudioFeatures(Seq(img).toDS()).collect().head.decoded)
   }
 
+  test("video decode: concatenated-PNG round trip recovers exact frame means and deltas") {
+    import spark.implicits._
+    // 100 bytes → frames of 64: frame0 = bytes 0..63, frame1 = bytes
+    // 64..99 zero-padded to 64
+    val raw = Array.tabulate[Byte](100)(i => ((i * 7 + 11) % 128).toByte)
+    val payload = Multimodal.concatPngVideo(raw, 8, 8)
+    val media = Seq(Multimodal.MediaRecord(1L, "video", payload, 8, 8, 0L)).toDS()
+    val frames = Multimodal.decodeVideoFeatures(media).collect().sortBy(_.frame_idx)
+    assert(frames.length == 2 && frames.forall(f => f.decoded && f.width == 8 && f.height == 8))
+    val mean0 = raw.take(64).map(b => (b & 0xff).toDouble).sum / 64
+    val mean1 = raw.drop(64).map(b => (b & 0xff).toDouble).sum / 64 // pad zeros count
+    assert(frames(0).mean_lum == mean0 && frames(0).delta_lum == 0.0)
+    assert(frames(1).mean_lum == mean1 && frames(1).delta_lum == mean1 - mean0)
+  }
+
+  test("video decode: stride samples frames; deltas compare emitted frames") {
+    import spark.implicits._
+    val raw = Array.tabulate[Byte](64 * 5)(i => (i / 64 * 10).toByte) // frame f = constant 10f
+    val media = Seq(Multimodal.MediaRecord(2L, "video",
+      Multimodal.concatPngVideo(raw, 8, 8), 8, 8, 0L)).toDS()
+    val frames = Multimodal.decodeVideoFeatures(media, stride = 2).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(frames.map(_.mean_lum).toSeq == Seq(0.0, 20.0, 40.0))
+    assert(frames.map(_.delta_lum).toSeq == Seq(0.0, 20.0, 20.0)) // vs previous EMITTED
+  }
+
+  test("video decode: garbage payloads and non-video kinds degrade to byte-chunk fallback") {
+    import spark.implicits._
+    val garbage = Array.tabulate[Byte](130)(i => (i % 97).toByte)
+    val media = Seq(
+      Multimodal.MediaRecord(3L, "video", garbage, 0, 0, 0L), // no PNG signature
+      Multimodal.MediaRecord(4L, "audio", Multimodal.concatPngVideo(garbage), 0, 0, 0L)
+    ).toDS()
+    val rows = Multimodal.decodeVideoFeatures(media, fallbackChunkBytes = 64).collect()
+    assert(rows.nonEmpty && rows.forall(!_.decoded))
+    val g3 = rows.filter(_.media_id == 3L)
+    assert(g3.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2))
+    assert(g3.find(_.frame_idx == 0).get.mean_lum ==
+      garbage.take(64).map(b => (b & 0xff).toDouble).sum / 64)
+  }
+
   test("resize: exact target size, nearest-neighbor samples from the source") {
     val resized = Multimodal.resizePayload(media, targetBytes = 64).collect()
     assert(resized.forall(_.payload.length == 64))
