@@ -49,7 +49,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        upsertBatch(spark, batch, pk, targetPath, batchId)
+        upsertBatch(spark, batch, pk, targetPath, batchId): Unit
       }
       .start()
 
@@ -80,8 +80,9 @@ object Streams {
     * per-batch IO is proportional to the FILES whose key range the batch
     * intersects — the finest granularity available without a table
     * format, and the right shape when the target has no natural
-    * partition column. Replay-safe: the merge recovers its own
-    * interrupted commits and re-merging a delivered batch is idempotent.
+    * partition column. Replay-safe twice over: a batch recorded in the
+    * `_commits` ledger is skipped outright ([[upsertBatchFileGranular]]),
+    * and an unrecorded replay re-merges idempotently.
     */
   def upsertStreamFileGranular(
       spark: SparkSession,
@@ -93,19 +94,69 @@ object Streams {
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.FileMerge.mergeFileGranular(spark, batch, targetPath, pk): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatchFileGranular(spark, batch, pk, targetPath, batchId): Unit
       }
       .start()
 
-  /** One micro-batch of the upsert; also usable directly in tests. */
+  /** Name of the committed-batch ledger inside the table directory.
+    * `_`-prefixed, so Spark parquet reads never see it as data.
+    */
+  private val CommitsLedger = "_commits"
+
+  private def readLedger(fs: org.apache.hadoop.fs.FileSystem, table: Path): Set[Long] = {
+    val ledger = new Path(table, CommitsLedger)
+    if (!fs.exists(ledger)) Set.empty
+    else {
+      val in = fs.open(ledger)
+      try new String(in.readAllBytes(), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    }
+  }
+
+  private def writeLedger(
+      fs: org.apache.hadoop.fs.FileSystem,
+      table: Path,
+      ids: Set[Long]
+  ): Unit = {
+    val tmp = new Path(table, CommitsLedger + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(ids.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val ledger = new Path(table, CommitsLedger)
+    // rename-over-existing returns false on most Hadoop FSs: clear first.
+    // A crash between delete and rename loses the ledger — replayed
+    // batches then re-merge, which is idempotent (degraded, not wrong).
+    if (fs.exists(ledger) && !fs.delete(ledger, false))
+      throw new java.io.IOException(s"writeLedger: could not clear $ledger")
+    if (!fs.rename(tmp, ledger))
+      throw new java.io.IOException(s"writeLedger: could not publish $ledger")
+  }
+
+  /** One micro-batch of the upsert; also usable directly in tests.
+    *
+    * EXACTLY-ONCE, not just replay-idempotent: committed batch ids live
+    * in a `_commits` ledger file INSIDE the table directory, and each
+    * batch writes the updated ledger (including its own id) into the
+    * staging copy BEFORE the swap — the swap rename is the single commit
+    * point covering data and ledger together. A redelivered batch whose
+    * id is already in the ledger returns false having written NOTHING
+    * (the merge-recompute-and-swap of the pre-ledger design is skipped
+    * entirely). A crash before the swap leaves the old table + old
+    * ledger, so the replay re-executes; a crash after the swap leaves
+    * the id committed, so the replay is a no-op. Writers that rebuild
+    * the directory wholesale without carrying `_`-files forward (e.g. a
+    * compaction) drop the ledger — replayed batches then fall back to
+    * the idempotent re-merge, degraded but never wrong.
+    */
   def upsertBatch(
       spark: SparkSession,
       batch: DataFrame,
       pk: String,
       targetPath: String,
       batchId: Long
-  ): Unit = {
+  ): Boolean = {
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // EVERY writer's recovery, not just the swap's: a crash between swap
@@ -113,14 +164,42 @@ object Streams {
     // would silently become the whole table), and a torn file-granular
     // merge hides rows in _-prefixed asides this read would skip
     Incremental.recoverAll(spark, targetPath)
-    if (fs.exists(target) && fs.listStatus(target).nonEmpty) {
-      val merged = Incremental.merge(spark.read.parquet(targetPath), batch, pk)
-      val staging = targetPath + s"_staging_$batchId"
-      merged.write.mode("overwrite").parquet(staging)
-      Incremental.swapInStaging(spark, targetPath, staging)
-    } else {
-      Incremental.dedupByKey(batch, pk).write.mode("overwrite").parquet(targetPath)
-    }
+    val committed = readLedger(fs, target)
+    if (committed.contains(batchId)) return false
+    val hasData = fs.exists(target) && fs.listStatus(target).nonEmpty
+    val merged =
+      if (hasData) Incremental.merge(spark.read.parquet(targetPath), batch, pk)
+      else Incremental.dedupByKey(batch, pk)
+    val staging = targetPath + s"_staging_$batchId"
+    merged.write.mode("overwrite").parquet(staging)
+    writeLedger(fs, new Path(staging), committed + batchId)
+    Incremental.swapInStaging(spark, targetPath, staging)
+    true
+  }
+
+  /** [[upsertBatch]]'s exactly-once skip for the FILE-granular merge
+    * path ([[upsertStreamFileGranular]]): same `_commits` ledger, but
+    * the merge commits file-by-file in place (no whole-directory swap to
+    * piggyback on), so the ledger is updated AFTER the merge's own
+    * manifest commit. A crash in between re-executes the merge on replay
+    * — idempotent, so the effect is still exactly-once; a recorded id
+    * skips the batch with zero file writes.
+    */
+  def upsertBatchFileGranular(
+      spark: SparkSession,
+      batch: DataFrame,
+      pk: String,
+      targetPath: String,
+      batchId: Long
+  ): Boolean = {
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.FileMerge.recoverFileMerge(spark, targetPath)
+    val committed = readLedger(fs, target)
+    if (committed.contains(batchId)) return false
+    graft.operators.FileMerge.mergeFileGranular(spark, batch, targetPath, pk)
+    writeLedger(fs, target, committed + batchId)
+    true
   }
 
   /** Streaming exact dedup on key columns: a row is dropped if its key

@@ -206,19 +206,60 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(surviving >= 2, s"only $surviving of ${before.size} files survived")
   }
 
-  test("replaying an already-committed micro-batch is a no-op (at-least-once contract)") {
+  /** Every file under `dir` (data + `_`-prefixed), name → (len, mtime):
+    * identical maps ⇔ the operation wrote NOTHING.
+    */
+  private def fileState(dir: String): Map[String, (Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else
+      fs.listStatus(p)
+        .filter(_.isFile)
+        .map(st => st.getPath.getName -> ((st.getLen, st.getModificationTime)))
+        .toMap
+  }
+
+  test("redelivered micro-batch is skipped with ZERO file writes (exactly-once ledger)") {
     val target = Files.createTempDirectory("replay").toString + "/t"
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
-    Streams.upsertBatch(spark, b0, "id", target, batchId = 0L)
+    assert(Streams.upsertBatch(spark, b0, "id", target, batchId = 0L))
     val once = spark.read.parquet(target).as[(Long, String)].collect().toSet
+    val state = fileState(target)
     // foreachBatch delivers at-least-once: after a crash between the
     // merge and the checkpoint commit, the SAME batch id is redelivered —
-    // the source-wins merge must absorb it without changing the table
-    Streams.upsertBatch(spark, b0, "id", target, batchId = 0L)
+    // the _commits ledger must skip it without touching a single file
+    assert(!Streams.upsertBatch(spark, b0, "id", target, batchId = 0L))
+    assert(fileState(target) == state, "redelivery wrote files")
     assert(spark.read.parquet(target).as[(Long, String)].collect().toSet == once)
-    // and the stream continues correctly after the replay
-    Streams.upsertBatch(spark, Seq((2L, "b2")).toDF("id", "v"), "id", target, batchId = 1L)
+    // the stream continues correctly after the replay
+    assert(Streams.upsertBatch(spark, Seq((2L, "b2")).toDF("id", "v"), "id", target, batchId = 1L))
     assert(spark.read.parquet(target).as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "b2")))
+    // a lost ledger (e.g. a compaction rebuilt the dir) degrades to the
+    // idempotent re-merge: re-executed, but the table is unchanged
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(target, "_commits"), false)
+    assert(Streams.upsertBatch(spark, Seq((2L, "b2")).toDF("id", "v"), "id", target, batchId = 1L))
+    assert(spark.read.parquet(target).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2")))
+  }
+
+  test("file-granular redelivery is skipped with zero file writes; ledger survives merges") {
+    val target = Files.createTempDirectory("replayfg").toString + "/t"
+    val b0 = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
+    assert(Streams.upsertBatchFileGranular(spark, b0, "id", target, batchId = 0L))
+    val state = fileState(target)
+    assert(!Streams.upsertBatchFileGranular(spark, b0, "id", target, batchId = 0L))
+    assert(fileState(target) == state, "redelivery wrote files")
+    // a NEW batch merges file-granularly and the ledger keeps both ids
+    assert(Streams.upsertBatchFileGranular(
+      spark, Seq((1L, "v1x")).toDF("id", "v"), "id", target, batchId = 1L))
+    assert(!Streams.upsertBatchFileGranular(
+      spark, Seq((1L, "v1x")).toDF("id", "v"), "id", target, batchId = 1L))
+    assert(!Streams.upsertBatchFileGranular(spark, b0, "id", target, batchId = 0L))
+    val got = spark.read.parquet(target).as[(Long, String)].collect().toMap
+    assert(got(1L) == "v1x" && got(2L) == "v2" && got.size == 50)
   }
 }
