@@ -180,7 +180,7 @@ object FileMerge {
       Scale.writeRangeClustered(batch, lakePath, pk, files)
       return spark.read.parquet(lakePath)
     }
-    if (batch.isEmpty) return spark.read.parquet(lakePath)
+    if (batch.isEmpty) return Incremental.readEvolved(spark, lakePath)
 
     val ranges = fileRanges(spark, lakePath, pk)
     val statless = ranges.filter(!_.known).map(_.file)
@@ -199,8 +199,12 @@ object FileMerge {
     val merged =
       if (touched.isEmpty) batch // pure insert: no live file intersects
       else
+        // schema-merging read: the touched set can mix pre- and
+        // post-evolution footers, and the batch may add columns —
+        // mergeUnique unions both sides (additive evolution; old rows
+        // surface the new column as NULL)
         Incremental.mergeUnique(
-          spark.read.parquet(touched.map(f => s"$lakePath/$f"): _*),
+          Incremental.readEvolved(spark, touched.map(f => s"$lakePath/$f"): _*),
           batch,
           pk)
 
@@ -223,7 +227,9 @@ object FileMerge {
       throw new java.io.IOException(s"mergeFileGranular: could not publish manifest in $staging")
 
     commitStaged(fs, live, staging)
-    spark.read.parquet(lakePath)
+    // evolved batches leave untouched files on the old schema — the
+    // read-back must merge footers or it may drop the new column
+    Incremental.readEvolved(spark, lakePath)
   }
 
   /** Phases A (hide touched) / B (publish staged) / C (clean) of the

@@ -140,6 +140,20 @@ object Incremental {
     mergeUnique(target, upserts, pk).join(deletes, Seq(pk), "left_anti")
   }
 
+  /** Schema-merging read of a possibly schema-EVOLVED table: a
+    * file-granular or partition-scoped merge that introduced a column
+    * rewrites only the files it touched, leaving the table's footers
+    * heterogeneous — and a plain `spark.read.parquet` infers the schema
+    * from ONE footer, silently dropping the new column whenever it picks
+    * an old file (the round-3 heterogeneous-footer trap). `mergeSchema`
+    * unions all footers (a distributed metadata-scale job) so evolved
+    * columns always surface, with NULLs for rows from pre-evolution
+    * files. Evolution is ADDITIVE only: a column present with two
+    * incompatible types fails the read, by design.
+    */
+  def readEvolved(spark: org.apache.spark.sql.SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** E4 — the reference's whole incremental entry point
     * (`utils.py:212-246`): read the existing lake table, keep only source
     * rows above its PK high watermark, then either append them or
@@ -163,14 +177,17 @@ object Incremental {
     if (!exists) {
       dedupByKey(source, pk).write.mode("overwrite").parquet(lakePath)
     } else if (updates) {
-      val merged = merge(spark.read.parquet(lakePath), source, pk)
+      // schema-merging reads throughout: the table may be heterogeneous
+      // after an evolved file-granular/partition-scoped merge, and the
+      // batch itself may add columns (mergeUnique unions them)
+      val merged = merge(readEvolved(spark, lakePath), source, pk)
       val staging = lakePath + "_staging"
       merged.write.mode("overwrite").parquet(staging)
       swapInStaging(spark, lakePath, staging)
     } else {
-      appendIncrement(source, spark.read.parquet(lakePath), pk, lakePath)
+      appendIncrement(source, readEvolved(spark, lakePath), pk, lakePath)
     }
-    spark.read.parquet(lakePath)
+    readEvolved(spark, lakePath)
   }
 
   /** K4 at 100 TB — partition-pruned MERGE into a Hive-partitioned lake

@@ -239,6 +239,33 @@ class FileMergeSpec extends AnyFunSuite with SparkSpec {
     assert(rows === Set((1L, "a", "p1"), (2L, "b2", "p2")))
   }
 
+  test("schema evolution: batch adds a column; old rows read NULL; untouched files byte-identical") {
+    val t = tmp()
+    FileMerge.mergeFileGranular(spark, base(200), t, "id", initialFiles = 8)
+    val before = snapshot(t)
+    // low-id updates + one pure insert, all carrying a NEW column
+    val batch = Seq((1L, "v1x", "w1"), (3L, "v3x", "w3"), (500L, "v500", "w500"))
+      .toDF("id", "v", "w")
+    val out = FileMerge.mergeFileGranular(spark, batch, t, "id")
+    assert(out.columns.sorted.toSeq == Seq("id", "v", "w"))
+    val got = out.select("id", "v", "w").as[(Long, String, Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 201)
+    assert(got(1L) == (("v1x", Some("w1"))) && got(500L) == (("v500", Some("w500"))))
+    // rows from pre-evolution files surface the new column as NULL
+    assert(got(0L) == (("v0", None)) && got(199L) == (("v199", None)))
+    // files the batch's key range missed were never rewritten
+    val after = snapshot(t)
+    val survived = before.count { case (n, s) => after.get(n).contains(s) }
+    assert(survived >= 6, s"only $survived of ${before.size} files survived evolution")
+    // a LATER batch WITHOUT the evolved column must not drop it
+    FileMerge.mergeFileGranular(spark, Seq((2L, "v2y")).toDF("id", "v"), t, "id")
+    val again = Incremental.readEvolved(spark, t)
+      .select("id", "v", "w").as[(Long, String, Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again(2L) == (("v2y", None)) && again(1L) == (("v1x", Some("w1"))))
+  }
+
   test("stat-less or non-integral inputs are rejected or handled conservatively") {
     val dir = tmp()
     val err = intercept[IllegalArgumentException] {

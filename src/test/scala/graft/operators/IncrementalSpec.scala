@@ -253,6 +253,20 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() == 1, "pre-existing data must be untouched")
   }
 
+  test("ingestIncremental evolves the schema when the batch adds a column") {
+    val lake = Files.createTempDirectory("evolve").toString + "/t"
+    Incremental.ingestIncremental(spark, df(1L -> "a", 2L -> "b"), lake, "id", updates = true)
+    val out = Incremental.ingestIncremental(
+      spark, Seq((2L, "b2", "x2"), (3L, "c", "x3")).toDF("id", "v", "w"),
+      lake, "id", updates = true)
+    val got = out.select("id", "v", "w").as[(Long, String, Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> (("a", None)), // pre-evolution row: NULL in the new column
+      2L -> (("b2", Some("x2"))),
+      3L -> (("c", Some("x3")))))
+  }
+
   test("partition-pruned merge: replaying a crashed INITIAL write recovers") {
     // a crash mid-initial-write leaves only writer residue (_temporary);
     // the replay must clear it and initialize, not wedge on the guard
