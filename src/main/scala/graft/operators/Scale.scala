@@ -336,4 +336,50 @@ object Scale {
       cols.map(c => checkedDim("writeZOrderedN", c, bits)))
     zClusteredWrite(df, path, z, partitions)
   }
+
+  /** MEASURED skew-aware equi-join: probe the skewed side's key
+    * distribution ([[graft.plans.Profile.keySkewReport]]) and pick the
+    * strategy from the numbers instead of asking the caller to know
+    * their skew —
+    *
+    *   - top key's share < `saltThreshold`: plain equi-join. Moderate
+    *     imbalance is AQE's job (runtime skew-split needs no replica
+    *     explosion of the other side);
+    *   - at/above: [[saltedEquiJoin]], with the factor sized from the
+    *     measurement — about `share × parallelism`, so the hot key
+    *     splits into roughly task-sized slices — capped at `maxFactor`
+    *     (each unit of factor replicates the other side once).
+    *
+    * The probe is one count-aggregation over the skewed side: map-side
+    * partial combine means the shuffle carries one row per (partition,
+    * distinct key), metadata-scale next to the join it is sizing. On a
+    * table too hot to probe exactly, pass a `.sample(...)` of the
+    * skewed side as your own probe via `probeOverride`.
+    */
+  def joinSkewAware(
+      skewed: DataFrame,
+      other: DataFrame,
+      skewedKey: String,
+      otherKey: String,
+      joinType: String = "inner",
+      saltThreshold: Double = 0.2,
+      maxFactor: Int = 32,
+      probeOverride: Option[DataFrame] = None
+  ): DataFrame = {
+    require(saltThreshold > 0 && saltThreshold <= 1, s"bad saltThreshold $saltThreshold")
+    require(maxFactor >= 2, s"maxFactor must allow at least one split, got $maxFactor")
+    val top = graft.plans.Profile
+      .keySkewReport(probeOverride.getOrElse(skewed), skewedKey, topK = 1)
+      .select("share")
+      .collect()
+    val share = if (top.isEmpty) 0.0 else top.head.getDouble(0)
+    if (share < saltThreshold)
+      skewed.join(other, skewed(skewedKey) === other(otherKey), joinType)
+    else {
+      val parallelism = skewed.sparkSession.sparkContext.defaultParallelism
+      val factor =
+        math.min(maxFactor, math.max(2, math.ceil(share * parallelism).toInt))
+      saltedEquiJoin(skewed, other, skewedKey, otherKey, factor, joinType)
+    }
+  }
 }

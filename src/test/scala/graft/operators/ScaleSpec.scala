@@ -80,6 +80,31 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == 2 && out.where(col("name").isNull).count() == 1)
   }
 
+  test("skew-aware join salts a measured 30%-hot key and matches the plain join") {
+    // 30% of rows share key 1; the rest spread over 700 keys
+    val skewed = (1 to 1000)
+      .map(i => (if (i <= 300) 1L else (i % 700).toLong + 2L, i))
+      .toDF("k", "v")
+    val dim = (1 to 800).map(i => (i.toLong, s"d$i")).toDF("dk", "name")
+    val aware = Scale.joinSkewAware(skewed, dim, "k", "dk", saltThreshold = 0.2)
+    // the measured 0.3 share must engage the salted plan: the other side
+    // is replicated via explode, which a plain equi-join never has
+    assert(aware.queryExecution.executedPlan.toString.toLowerCase.contains("explode"),
+      "30% hot key did not engage salting")
+    val plain = skewed.join(dim, skewed("k") === dim("dk")).select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    assert(aware.select("k", "v", "name").collect().map(_.toSeq).toSet == plain)
+  }
+
+  test("skew-aware join leaves a near-uniform key to the plain/AQE path") {
+    val uniform = (1 to 1000).map(i => ((i % 500).toLong, i)).toDF("k", "v")
+    val dim = (1 to 500).map(i => (i.toLong, s"d$i")).toDF("dk", "name")
+    val aware = Scale.joinSkewAware(uniform, dim, "k", "dk", saltThreshold = 0.2)
+    assert(!aware.queryExecution.executedPlan.toString.toLowerCase.contains("explode"),
+      "uniform keys must not pay the salt replication")
+    assert(aware.count() == uniform.join(dim, uniform("k") === dim("dk")).count())
+  }
+
   test("bloom prefilter: no false negatives, real volume reduction, exact after join") {
     val probe = (1L to 10000L).map(k => (k, s"p$k")).toDF("k", "v")
     val build = Seq(3L, 500L, 9999L).map(k => (k, "d")).toDF("bk", "d")
