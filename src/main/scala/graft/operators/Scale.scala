@@ -368,8 +368,22 @@ object Scale {
   ): DataFrame = {
     require(saltThreshold > 0 && saltThreshold <= 1, s"bad saltThreshold $saltThreshold")
     require(maxFactor >= 2, s"maxFactor must allow at least one split, got $maxFactor")
+    // fail fast on join types the salted branch cannot serve — otherwise
+    // an outer join works for as long as the data stays uniform and
+    // crashes the first day the measured share crosses the threshold
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(
+      Set("inner", "left", "leftouter").contains(jt),
+      s"joinSkewAware supports inner/left joins only (got '$joinType'): " +
+        "salting explodes the other side, which would null-pad outer variants per replica")
+    // For an INNER join, NULL keys never match and Spark drops them
+    // before the shuffle — measuring them would engage salting for
+    // nothing. A LEFT join keeps (and shuffles) its null-key rows, so
+    // there they are a genuine skew source and stay in the probe.
+    val base = probeOverride.getOrElse(skewed)
+    val probe = if (jt == "inner") base.where(col(skewedKey).isNotNull) else base
     val top = graft.plans.Profile
-      .keySkewReport(probeOverride.getOrElse(skewed), skewedKey, topK = 1)
+      .keySkewReport(probe, skewedKey, topK = 1)
       .select("share")
       .collect()
     val share = if (top.isEmpty) 0.0 else top.head.getDouble(0)

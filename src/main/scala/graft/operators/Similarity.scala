@@ -251,9 +251,13 @@ object Similarity {
     * corpus scan assigns every vector to its nearest centroid
     * ([[ivfAssign]]), and the (centroid_id, id, vector) postings land
     * range-clustered on `centroid_id` across `files` files (0 = the
-    * cluster's default parallelism). Crash-safe: both tables are staged
-    * fully and swapped in ([[Incremental.swapInStaging]]) — a crash
-    * leaves either the previous index or the new one, never a torn mix.
+    * cluster's default parallelism). Crash-safe as a UNIT: postings and
+    * centroids are both written under one staging directory and the
+    * whole index directory is swapped in with a single
+    * [[Incremental.swapInStaging]] — two separate swaps would open a
+    * window where new postings (bucketed against new centroids) pair
+    * with old centroid vectors, a torn state no recovery could detect
+    * because each half looks individually healthy.
     */
   def ivfBuild(
       spark: SparkSession,
@@ -272,24 +276,26 @@ object Similarity {
       .select(col(idCol), col(vecCol))
       .join(ivfAssign(emb, idCol, vecCol, centroids, centIdCol, centVecCol), idCol)
       .select(col("centroid_id").cast("long").as("centroid_id"), col(idCol), col(vecCol))
-    // heal any prior writer's torn commit before replacing the tables
-    Incremental.recoverAll(spark, postingsPath(indexPath))
-    Incremental.recoverAll(spark, centroidsPath(indexPath))
-    val pStaging = postingsPath(indexPath) + "_staging"
+    // heal a prior build's torn whole-index swap before replacing it
+    Incremental.recoverAll(spark, indexPath)
+    val staging = indexPath + "_staging"
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(staging)) &&
+      !fs.delete(new org.apache.hadoop.fs.Path(staging), true))
+      throw new java.io.IOException(s"ivfBuild: could not clear stale staging $staging")
     postings
       .repartitionByRange(nFiles, col("centroid_id"))
       .sortWithinPartitions("centroid_id")
       .write
       .mode("overwrite")
-      .parquet(pStaging)
-    Incremental.swapInStaging(spark, postingsPath(indexPath), pStaging)
-    val cStaging = centroidsPath(indexPath) + "_staging"
+      .parquet(postingsPath(staging))
     centroids
       .select(col(centIdCol).cast("long").as("centroid_id"), col(centVecCol).as("centroid"))
       .write
       .mode("overwrite")
-      .parquet(cStaging)
-    Incremental.swapInStaging(spark, centroidsPath(indexPath), cStaging)
+      .parquet(centroidsPath(staging))
+    Incremental.swapInStaging(spark, indexPath, staging)
   }
 
   /** IVF ANN top-k against the PERSISTED index — build-once/probe-many,
@@ -321,14 +327,21 @@ object Similarity {
   ): DataFrame = {
     require(k > 0 && nprobe > 0)
     require(query.columns.length == 1, "ivfTopKIndexed: query must be a one-row, one-column DataFrame")
+    // whole-index swap recovery first (a crashed ivfBuild), then the
+    // postings table's own writers (a future compaction/file merge)
+    Incremental.recoverAll(spark, indexPath)
     val post = postingsPath(indexPath)
     Incremental.recoverAll(spark, post)
-    Incremental.recoverAll(spark, centroidsPath(indexPath))
-    val q = query.select(col(query.columns.head).as("_qvec"))
+    // enforce the ONE-row contract: a multi-row query would silently
+    // pair every candidate with every query vector and return a top-k
+    // of mixed similarities (possibly the same id twice)
+    val qRows = query.limit(2).collect()
+    require(qRows.length == 1,
+      s"ivfTopKIndexed: query must have exactly one row, got ${qRows.length}")
+    val qVec = typedLit(qRows.head.getSeq[Float](0).toArray)
     val probed = spark.read
       .parquet(centroidsPath(indexPath))
-      .crossJoin(broadcast(q))
-      .select(col("centroid_id"), cosine(col("centroid"), col("_qvec")).as("_cs"))
+      .select(col("centroid_id"), cosine(col("centroid"), qVec).as("_cs"))
       .where(col("_cs").isNotNull)
       .orderBy(col("_cs").desc, col("centroid_id"))
       .limit(nprobe)
@@ -351,8 +364,7 @@ object Similarity {
     }
     excluded
       .where(col("centroid_id").isin(probed.map(Long.box): _*))
-      .crossJoin(broadcast(q))
-      .select(col(idCol), round(cosine(col(vecCol), col("_qvec")), 6).as("cos_sim"))
+      .select(col(idCol), round(cosine(col(vecCol), qVec), 6).as("cos_sim"))
       .where(col("cos_sim").isNotNull)
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)

@@ -533,7 +533,7 @@ object PipelineQueries {
     // as q75 — the physical index round trip must not change a single
     // neighbor. The index rebuilds per run (scratch dir) for determinism.
     "q76_ann_ivf_indexed" -> { (s, dir) =>
-      val tmp = freshScratch(s, dir, "q76")
+      val tmp = freshScratch(s, dir, "q76", Seq("_staging"))
       val emb = t(s, dir, "embeddings")
       Similarity.ivfBuild(
         s, emb, "vec_id", "embedding",

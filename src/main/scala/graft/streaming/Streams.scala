@@ -104,34 +104,59 @@ object Streams {
     */
   private val CommitsLedger = "_commits"
 
-  private def readLedger(fs: org.apache.hadoop.fs.FileSystem, table: Path): Set[Long] = {
+  /** Committed-batch set with a FLOOR: every id <= `floor` is committed,
+    * plus the explicit ids above it. Streaming batch ids are contiguous
+    * (0, 1, 2, ...), so [[compacted]] folds them into the floor and the
+    * ledger file stays O(1) over a stream's lifetime instead of growing
+    * (and being reparsed) per batch forever. The floor only ever
+    * advances through a CONTIGUOUS run — skipping a gap would mark a
+    * never-applied id as committed and silently drop its batch, so
+    * non-contiguous (manual) id schemes degrade to explicit ids, never
+    * to wrong skips.
+    */
+  private[streaming] final case class CommitLedger(floor: Long, ids: Set[Long]) {
+    def contains(id: Long): Boolean = id <= floor || ids(id)
+    def add(id: Long): CommitLedger = copy(ids = ids + id)
+    def compacted: CommitLedger = {
+      var f = floor
+      while (ids.contains(f + 1)) f += 1
+      CommitLedger(f, ids.filter(_ > f))
+    }
+  }
+
+  private def readLedger(fs: org.apache.hadoop.fs.FileSystem, table: Path): CommitLedger = {
     val ledger = new Path(table, CommitsLedger)
-    if (!fs.exists(ledger)) Set.empty
+    if (!fs.exists(ledger)) CommitLedger(-1L, Set.empty)
     else {
       val in = fs.open(ledger)
-      try new String(in.readAllBytes(), "UTF-8")
-        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
-      finally in.close()
+      val lines =
+        try new String(in.readAllBytes(), "UTF-8").split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+        finally in.close()
+      val floor = lines.collectFirst { case l if l.startsWith("floor:") => l.stripPrefix("floor:").toLong }
+      CommitLedger(floor.getOrElse(-1L), lines.filterNot(_.startsWith("floor:")).map(_.toLong).toSet)
     }
   }
 
   private def writeLedger(
       fs: org.apache.hadoop.fs.FileSystem,
       table: Path,
-      ids: Set[Long]
+      ledger: CommitLedger
   ): Unit = {
+    val c = ledger.compacted
     val tmp = new Path(table, CommitsLedger + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(ids.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    try out.write(
+      (s"floor:${c.floor}" +: c.ids.toSeq.sorted.map(_.toString))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    val ledger = new Path(table, CommitsLedger)
+    val target = new Path(table, CommitsLedger)
     // rename-over-existing returns false on most Hadoop FSs: clear first.
     // A crash between delete and rename loses the ledger — replayed
     // batches then re-merge, which is idempotent (degraded, not wrong).
-    if (fs.exists(ledger) && !fs.delete(ledger, false))
-      throw new java.io.IOException(s"writeLedger: could not clear $ledger")
-    if (!fs.rename(tmp, ledger))
-      throw new java.io.IOException(s"writeLedger: could not publish $ledger")
+    if (fs.exists(target) && !fs.delete(target, false))
+      throw new java.io.IOException(s"writeLedger: could not clear $target")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"writeLedger: could not publish $target")
   }
 
   /** One micro-batch of the upsert; also usable directly in tests.
@@ -168,11 +193,15 @@ object Streams {
     if (committed.contains(batchId)) return false
     val hasData = fs.exists(target) && fs.listStatus(target).nonEmpty
     val merged =
-      if (hasData) Incremental.merge(spark.read.parquet(targetPath), batch, pk)
+      // schema-merging read: the target may carry heterogeneous footers
+      // (an evolved file-granular merge ran on it earlier), and this
+      // path rewrites the WHOLE table — a single-footer read here would
+      // make the dropped column permanent
+      if (hasData) Incremental.merge(Incremental.readEvolved(spark, targetPath), batch, pk)
       else Incremental.dedupByKey(batch, pk)
     val staging = targetPath + s"_staging_$batchId"
     merged.write.mode("overwrite").parquet(staging)
-    writeLedger(fs, new Path(staging), committed + batchId)
+    writeLedger(fs, new Path(staging), committed.add(batchId))
     Incremental.swapInStaging(spark, targetPath, staging)
     true
   }
@@ -194,11 +223,16 @@ object Streams {
   ): Boolean = {
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.operators.FileMerge.recoverFileMerge(spark, targetPath)
+    // EVERY writer's recovery BEFORE the ledger read: after a crashed
+    // whole-table swap (compaction) the table — ledger included — sits
+    // in _staging/_old; a file-merge-only repair would read an absent
+    // ledger here and the final writeLedger would then overwrite the
+    // recovered one with a single id, discarding committed history
+    Incremental.recoverAll(spark, targetPath)
     val committed = readLedger(fs, target)
     if (committed.contains(batchId)) return false
     graft.operators.FileMerge.mergeFileGranular(spark, batch, targetPath, pk)
-    writeLedger(fs, target, committed + batchId)
+    writeLedger(fs, target, committed.add(batchId))
     true
   }
 

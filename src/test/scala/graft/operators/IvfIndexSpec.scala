@@ -103,6 +103,32 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(fs.exists(post), "recovery should have restored the live postings dir")
   }
 
+  test("a build that crashed mid-swap of the WHOLE index heals before the probe") {
+    val idx = buildCorpusIndex("tornswap", files = 4)
+    val before = Similarity
+      .ivfTopKIndexed(spark, idx, "vec_id", "embedding", queryVec, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // simulate ivfBuild's single swap crashing between rename-aside and
+    // publish: the index dir (postings AND centroids together) is gone,
+    // a complete _old copy remains
+    val p = new Path(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new Path(idx + "_old")))
+    val after = Similarity
+      .ivfTopKIndexed(spark, idx, "vec_id", "embedding", queryVec, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before)
+  }
+
+  test("a multi-row query is rejected instead of silently mixing similarities") {
+    val idx = buildCorpusIndex("multiq", files = 2)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed(
+        spark, idx, "vec_id", "embedding",
+        emb.where(col("vec_id") < 2).select("embedding"), k = 5, nprobe = 2)
+    }
+  }
+
   // deterministic 3-cluster synthetic set: tight cones around three
   // orthogonal axes — k-means must recover the grouping exactly
   private def syntheticClusters: org.apache.spark.sql.DataFrame = {

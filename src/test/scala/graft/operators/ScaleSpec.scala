@@ -96,6 +96,28 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(aware.select("k", "v", "name").collect().map(_.toSeq).toSet == plain)
   }
 
+  test("skew-aware join rejects outer join types up front, not at threshold-crossing time") {
+    val a = Seq((1L, 1)).toDF("k", "v")
+    val b = Seq((1L, "x")).toDF("dk", "name")
+    intercept[IllegalArgumentException] {
+      Scale.joinSkewAware(a, b, "k", "dk", joinType = "full_outer")
+    }
+  }
+
+  test("skew-aware inner join ignores NULL keys in the probe (they never match)") {
+    // 30% NULL keys, otherwise uniform: an inner join drops the nulls
+    // before the shuffle, so salting would pay replication for nothing
+    val withNulls = (1 to 1000)
+      .map(i => (if (i <= 300) None else Some((i % 500).toLong), i))
+      .toDF("k", "v")
+    val dim = (1 to 500).map(i => (i.toLong, s"d$i")).toDF("dk", "name")
+    val aware = Scale.joinSkewAware(withNulls, dim, "k", "dk", saltThreshold = 0.2)
+    assert(!aware.queryExecution.executedPlan.toString.toLowerCase.contains("explode"),
+      "null keys engaged salting on an inner join")
+    assert(aware.count() ==
+      withNulls.join(dim, withNulls("k") === dim("dk")).count())
+  }
+
   test("skew-aware join leaves a near-uniform key to the plain/AQE path") {
     val uniform = (1 to 1000).map(i => ((i % 500).toLong, i)).toDF("k", "v")
     val dim = (1 to 500).map(i => (i.toLong, s"d$i")).toDF("dk", "name")

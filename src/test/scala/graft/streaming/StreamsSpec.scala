@@ -246,6 +246,45 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       Set((1L, "a"), (2L, "b2")))
   }
 
+  test("ledger compacts contiguous batch ids into a floor (O(1) file on a long stream)") {
+    val target = Files.createTempDirectory("ledger").toString + "/t"
+    (0L until 12L).foreach { b =>
+      assert(Streams.upsertBatch(spark, Seq((b, s"v$b")).toDF("id", "v"), "id", target, b))
+    }
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(target, "_commits"))
+    val lines =
+      try new String(in.readAllBytes(), "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+      finally in.close()
+    assert(lines == Seq("floor:11"), s"ledger not compacted: $lines")
+    // floor-covered ids still skip with zero writes
+    assert(!Streams.upsertBatch(spark, Seq((0L, "x")).toDF("id", "v"), "id", target, 0L))
+    assert(!Streams.upsertBatch(spark, Seq((5L, "x")).toDF("id", "v"), "id", target, 5L))
+    // the floor never advances across a GAP: id 40 commits explicitly
+    assert(Streams.upsertBatch(spark, Seq((40L, "g")).toDF("id", "v"), "id", target, 40L))
+    assert(!Streams.upsertBatch(spark, Seq((40L, "g")).toDF("id", "v"), "id", target, 40L))
+    assert(Streams.upsertBatch(spark, Seq((13L, "h")).toDF("id", "v"), "id", target, 13L))
+  }
+
+  test("upsertBatch preserves a column evolved by an earlier file-granular merge") {
+    val target = Files.createTempDirectory("evostream").toString + "/t"
+    assert(Streams.upsertBatch(spark, (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"),
+      "id", target, batchId = 0L))
+    // another writer evolves the table: file-granular merge adds column w,
+    // rewriting only the files it touches (heterogeneous footers remain)
+    graft.operators.FileMerge.mergeFileGranular(
+      spark, Seq((1L, "v1x", "w1")).toDF("id", "v", "w"), target, "id")
+    // the next micro-batch rewrites the WHOLE table — the evolved column
+    // must survive the read-merge-swap round trip
+    assert(Streams.upsertBatch(spark, Seq((2L, "v2y")).toDF("id", "v"), "id", target, batchId = 1L))
+    val got = spark.read.option("mergeSchema", "true").parquet(target)
+    assert(got.columns.contains("w"), "evolved column dropped by streaming upsert")
+    val rows = got.select("id", "v", "w").as[(Long, String, Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) == (("v1x", Some("w1"))) && rows(2L) == (("v2y", None)))
+  }
+
   test("file-granular redelivery is skipped with zero file writes; ledger survives merges") {
     val target = Files.createTempDirectory("replayfg").toString + "/t"
     val b0 = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
