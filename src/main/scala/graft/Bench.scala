@@ -44,6 +44,12 @@ object Bench {
     // above-sf0.1 bench)
     val skip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // fail fast on a misspelled skip name: silently ignoring it would run
+    // the very query (e.g. the quadratic q24 generator) the skip list
+    // exists to avoid
+    val unknownSkips = skip -- SparkEntry.queries.keySet
+    require(unknownSkips.isEmpty,
+      s"SPARK_GRAFT_SKIP names not in the corpus: ${unknownSkips.toSeq.sorted.mkString(",")}")
     val failMsgs = scala.collection.mutable.LinkedHashMap[String, String]()
     def onePass(): Seq[(String, Double, Boolean)] = SparkEntry.queries.toSeq
       .filterNot(q => skip.contains(q._1)).map {
@@ -81,8 +87,11 @@ object Bench {
     val total = best.map(_._2).sum
     val t1 = pass1.map(_._2).sum
     val t2 = pass2.map(_._2).sum
+    // a skip-run's totals are not comparable to a full run's: record the
+    // skip set so the artifact carries that evidence itself
+    val skipJson = skip.toSeq.sorted.map(JsonUtil.quote).mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"pass1_total":$t1,"pass2_total":$t2,"loadavg_start":${JsonUtil.quote(loadStart)},"loadavg_end":${JsonUtil.quote(loadEnd)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"skipped":$skipJson,"pass1_total":$t1,"pass2_total":$t2,"loadavg_start":${JsonUtil.quote(loadStart)},"loadavg_end":${JsonUtil.quote(loadEnd)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -284,12 +284,7 @@ object Similarity {
     if (fs.exists(new org.apache.hadoop.fs.Path(staging)) &&
       !fs.delete(new org.apache.hadoop.fs.Path(staging), true))
       throw new java.io.IOException(s"ivfBuild: could not clear stale staging $staging")
-    postings
-      .repartitionByRange(nFiles, col("centroid_id"))
-      .sortWithinPartitions("centroid_id")
-      .write
-      .mode("overwrite")
-      .parquet(postingsPath(staging))
+    Scale.writeRangeClustered(postings, postingsPath(staging), "centroid_id", nFiles)
     centroids
       .select(col(centIdCol).cast("long").as("centroid_id"), col(centVecCol).as("centroid"))
       .write
@@ -327,17 +322,32 @@ object Similarity {
   ): DataFrame = {
     require(k > 0 && nprobe > 0)
     require(query.columns.length == 1, "ivfTopKIndexed: query must be a one-row, one-column DataFrame")
-    // whole-index swap recovery first (a crashed ivfBuild), then the
-    // postings table's own writers (a future compaction/file merge)
+    query.schema.fields(0).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => ()
+      case other =>
+        throw new IllegalArgumentException(
+          s"ivfTopKIndexed: query column must be ARRAY<FLOAT>, got ${other.simpleString}")
+    }
+    // whole-index swap recovery first (a crashed ivfBuild), then each
+    // sub-table's own writers (a future compaction/file merge on either)
     Incremental.recoverAll(spark, indexPath)
     val post = postingsPath(indexPath)
     Incremental.recoverAll(spark, post)
+    Incremental.recoverAll(spark, centroidsPath(indexPath))
     // enforce the ONE-row contract: a multi-row query would silently
     // pair every candidate with every query vector and return a top-k
     // of mixed similarities (possibly the same id twice)
     val qRows = query.limit(2).collect()
     require(qRows.length == 1,
       s"ivfTopKIndexed: query must have exactly one row, got ${qRows.length}")
+    if (qRows.head.isNullAt(0))
+      // a NULL query vector has no defined neighbours: schema-stable
+      // empty result, matching the cosine-NULL-filter behaviour of the
+      // non-indexed paths
+      return spark.read
+        .parquet(post)
+        .where(lit(false))
+        .select(col(idCol), lit(null).cast("double").as("cos_sim"))
     val qVec = typedLit(qRows.head.getSeq[Float](0).toArray)
     val probed = spark.read
       .parquet(centroidsPath(indexPath))

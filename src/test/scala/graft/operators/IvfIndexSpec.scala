@@ -129,6 +129,25 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a NULL query vector yields a schema-stable empty result, not an NPE") {
+    val idx = buildCorpusIndex("nullq", files = 2)
+    val nullQ = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS embedding")
+    val res = Similarity.ivfTopKIndexed(
+      spark, idx, "vec_id", "embedding", nullQ, k = 5, nprobe = 2)
+    assert(res.columns.toSeq == Seq("vec_id", "cos_sim"))
+    assert(res.count() == 0L)
+  }
+
+  test("a non-ARRAY<FLOAT> query column is rejected with a typed error") {
+    val idx = buildCorpusIndex("badtype", files = 2)
+    val doubleQ = spark.sql("SELECT ARRAY(CAST(1.0 AS DOUBLE)) AS embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed(
+        spark, idx, "vec_id", "embedding", doubleQ, k = 5, nprobe = 2)
+    }
+    assert(ex.getMessage.contains("ARRAY<FLOAT>"))
+  }
+
   // deterministic 3-cluster synthetic set: tight cones around three
   // orthogonal axes — k-means must recover the grouping exactly
   private def syntheticClusters: org.apache.spark.sql.DataFrame = {
