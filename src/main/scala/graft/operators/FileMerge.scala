@@ -232,6 +232,61 @@ object FileMerge {
     Incremental.readEvolved(spark, lakePath)
   }
 
+  /** Crash-safe APPEND to a range-clustered plain-parquet table via the
+    * same staging+manifest commit as [[mergeFileGranular]]: an append is
+    * a merge whose touched set is EMPTY — the batch is fully written to
+    * the staging directory range-clustered on `clusterCol` (so its files
+    * carry footer min/max stats and probes/merges keep per-file
+    * pruning), an empty manifest then certifies staging complete, and
+    * the commit publishes the staged files into the live directory
+    * without moving any existing file aside. Every crash point is
+    * already covered by [[recoverFileMerge]]: staging without a
+    * manifest is discarded (the caller replays the batch), staging with
+    * one rolls forward. Appended file ranges may interleave with
+    * existing files' ranges — that widens later probes'/merges' touched
+    * sets but never their correctness; a clustered compaction
+    * ([[graft.sources.Lake.compact]] with `clusterBy`) restores
+    * disjoint ranges.
+    *
+    * The CALLER owns key uniqueness: appended rows' keys must be new.
+    * Verifying that here would cost a full-table anti-join — at lake
+    * scale exactly the scan this path exists to avoid; use
+    * [[mergeFileGranular]] when the batch may update existing keys.
+    */
+  def appendStaged(
+      spark: SparkSession,
+      batch: DataFrame,
+      lakePath: String,
+      clusterCol: String,
+      files: Int = 0
+  ): Unit = {
+    Incremental.recoverAll(spark, lakePath)
+    val live = new Path(lakePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(live),
+      s"appendStaged: $lakePath does not exist — lay out the initial table first")
+    val staging = new Path(lakePath + "_fmerge")
+    if (fs.exists(staging) && !fs.delete(staging, true))
+      throw new java.io.IOException(s"appendStaged: could not clear stale staging $staging")
+    val n = if (files > 0) files else math.max(1, spark.sparkContext.defaultParallelism)
+    Scale.writeRangeClustered(batch, staging.toString, clusterCol, n)
+    // staged names are job-UUID-unique, but a collision with a live file
+    // would make the publish rename fail mid-commit — fail BEFORE the
+    // manifest, while recovery still discards the staging cleanly
+    val liveNames = dataFiles(fs, live).map(_.getPath.getName).toSet
+    val clash = dataFiles(fs, staging).map(_.getPath.getName).filter(liveNames)
+    if (clash.nonEmpty)
+      throw new java.io.IOException(
+        s"appendStaged: staged file name(s) already live: ${clash.mkString(",")}")
+    val tmp = new Path(staging, "_touched.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(Array.empty[Byte])
+    finally out.close()
+    if (!fs.rename(tmp, new Path(staging, "_touched")))
+      throw new java.io.IOException(s"appendStaged: could not publish manifest in $staging")
+    commitStaged(fs, live, staging)
+  }
+
   /** Phases A (hide touched) / B (publish staged) / C (clean) of the
     * commit; idempotent, also the recovery roll-forward. Caller
     * guarantees the manifest exists.

@@ -293,6 +293,61 @@ object Similarity {
     Incremental.swapInStaging(spark, indexPath, staging)
   }
 
+  /** Incrementally extend the persisted IVF index with a batch of NEW
+    * vectors — the maintenance half of build-once/probe-many: a daily
+    * ingest must not pay [[ivfBuild]]'s full corpus rewrite. The batch
+    * is assigned against the PERSISTED coarse quantizer (so its bucket
+    * ids agree with every existing posting) and appended crash-safely
+    * via [[FileMerge.appendStaged]]: appended files are range-clustered
+    * on `centroid_id` WITHIN the batch, so probes keep footer pruning
+    * per file; batch ranges interleave with the initial layout's, which
+    * widens a probe's file set but never its results. Run
+    * [[ivfCompact]] periodically to restore disjoint per-file ranges.
+    *
+    * Caller contract (as any lake append): the batch's ids are new to
+    * the index. Re-assigning under the STORED centroids — not a batch-
+    * local quantizer — is what keeps probe recall stable as the index
+    * grows; retrain + [[ivfBuild]] when drift accumulates.
+    */
+  def ivfAppend(
+      spark: SparkSession,
+      newEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      files: Int = 0
+  ): Unit = {
+    // whole-index swap first, then each sub-table's writers — same
+    // recovery order as the probe
+    Incremental.recoverAll(spark, indexPath)
+    Incremental.recoverAll(spark, postingsPath(indexPath))
+    Incremental.recoverAll(spark, centroidsPath(indexPath))
+    val cents = spark.read.parquet(centroidsPath(indexPath))
+    val postings = newEmb
+      .select(col(idCol), col(vecCol))
+      .join(ivfAssign(newEmb, idCol, vecCol, cents, "centroid_id", "centroid"), idCol)
+      .select(col("centroid_id").cast("long").as("centroid_id"), col(idCol), col(vecCol))
+    FileMerge.appendStaged(spark, postings, postingsPath(indexPath), "centroid_id", files)
+  }
+
+  /** Re-cluster the postings table after a run of [[ivfAppend]] batches:
+    * appended files' centroid ranges interleave with the initial
+    * layout's, so probes read more files than the probed buckets strictly
+    * need. A clustered compaction ([[graft.sources.Lake.compact]], same
+    * crash-safe staging swap) restores disjoint per-file ranges — and
+    * probe IO proportional to the probed buckets. Returns the new file
+    * count.
+    */
+  def ivfCompact(
+      spark: SparkSession,
+      indexPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): Int = {
+    Incremental.recoverAll(spark, indexPath)
+    graft.sources.Lake.compact(
+      spark, postingsPath(indexPath), targetFileBytes, clusterBy = Some("centroid_id"))
+  }
+
   /** IVF ANN top-k against the PERSISTED index — build-once/probe-many,
     * the shape [[ivfTopK]]'s docstring promises. `query` must be a
     * one-row DataFrame whose single column is the query vector

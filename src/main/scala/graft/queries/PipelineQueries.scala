@@ -562,6 +562,27 @@ object PipelineQueries {
           col("centroid_id"), col("n_assigned"), col("pos"),
           round(col("_m"), 6).as("mean_r"))
         .orderBy("centroid_id", "pos")
+    },
+    // The index MAINTENANCE lifecycle, end to end: build on half the
+    // corpus, ivfAppend the other half (assigned under the STORED
+    // centroids, committed via the staged-append manifest protocol),
+    // ivfCompact to restore disjoint per-file centroid ranges, then
+    // probe. Must match q75/q76's oracle exactly — growing the index
+    // incrementally may not change a single neighbor vs a full rebuild.
+    "q78_ann_ivf_append" -> { (s, dir) =>
+      val tmp = freshScratch(s, dir, "q78", Seq("_staging"))
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfBuild(
+        s, emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        emb.where(col("vec_id") < 16), "vec_id", "embedding",
+        tmp, files = 8)
+      Similarity.ivfAppend(
+        s, emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", tmp, files = 4)
+      Similarity.ivfCompact(s, tmp, targetFileBytes = 4L * 1024 * 1024)
+      Similarity.ivfTopKIndexed(
+        s, tmp, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0L).select("embedding"),
+        k = 10, nprobe = 4, excludeId = Some(0L))
     }
   )
 
@@ -1087,6 +1108,10 @@ object PipelineQueries {
     // index) — the physical round trip must reproduce identical rows.
     "q75_ann_ivf" -> IvfAnnOracleSql,
     "q76_ann_ivf_indexed" -> IvfAnnOracleSql,
+    // q78 probes the incrementally-grown index; an append under the
+    // stored centroids is observationally a full build, so the oracle is
+    // q75/q76's verbatim
+    "q78_ann_ivf_append" -> IvfAnnOracleSql,
     // q77: the asg CTE is q75's assignment argmax verbatim; means are
     // per-(centroid, dimension) averages over DOUBLE-cast floats,
     // rounded at 6 (sum-order noise ~1e-13 for ~1e2 unit-scale values).

@@ -129,6 +129,79 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // --- incremental maintenance: ivfAppend / ivfCompact -----------------
+
+  private def halfCorpusIndex(tag: String): String = {
+    val idx = scratch(tag)
+    Similarity.ivfBuild(
+      spark, emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      emb.where(col("vec_id") < 16), "vec_id", "embedding", idx, files = 4)
+    idx
+  }
+
+  private def probe(idx: String) = Similarity
+    .ivfTopKIndexed(spark, idx, "vec_id", "embedding", queryVec,
+      k = 10, nprobe = 4, excludeId = Some(0L))
+    .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("ivfAppend: appended vectors probe identically to a full build") {
+    val idx = halfCorpusIndex("append")
+    Similarity.ivfAppend(
+      spark, emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, files = 2)
+    val full = buildCorpusIndex("appendfull", files = 4)
+    assert(probe(idx) == probe(full))
+  }
+
+  test("an append that crashed before its manifest is discarded; after it, rolled forward") {
+    val idx = halfCorpusIndex("appendcrash")
+    val baseline = probe(idx)
+    val post = s"$idx/postings"
+    val staging = new Path(post + "_fmerge")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // crash BEFORE the manifest: staged data files, no _touched — the
+    // batch never started committing; the probe must discard it and
+    // return the pre-append result
+    emb.where(col("vec_id") % 2 === 1)
+      .join(
+        Similarity.ivfAssign(
+          emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          spark.read.parquet(s"$idx/centroids"), "centroid_id", "centroid"),
+        "vec_id")
+      .selectExpr("CAST(centroid_id AS LONG) AS centroid_id", "vec_id", "embedding")
+      .write.mode("overwrite").parquet(staging.toString)
+    assert(probe(idx) == baseline)
+    assert(!fs.exists(staging), "discarded staging should be gone")
+
+    // a real append interrupted AFTER the manifest: recovery rolls it
+    // forward — the probe sees the appended rows
+    Similarity.ivfAppend(
+      spark, emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, files = 2)
+    val appended = probe(idx)
+    assert(appended != baseline)
+    assert(appended == probe(buildCorpusIndex("appendcrashfull", files = 4)))
+  }
+
+  test("ivfCompact restores disjoint clustering and pruning after appends") {
+    val idx = halfCorpusIndex("compact")
+    Similarity.ivfAppend(
+      spark, emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, files = 2)
+    val before = probe(idx)
+    val nFiles = Similarity.ivfCompact(spark, idx, targetFileBytes = 64L * 1024)
+    assert(probe(idx) == before, "compaction must not change probe results")
+    // post-compaction ranges must be pairwise disjoint again (equal keys
+    // never split across range partitions, so ranges cannot even touch)
+    val ranges = FileMerge.fileRanges(spark, s"$idx/postings", "centroid_id")
+      .filter(r => r.known && r.lo <= r.hi) // drop empty files
+      .sortBy(_.lo)
+    assert(ranges.size <= nFiles)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.hi < b.lo, s"overlapping ranges after compact: $a vs $b")
+      case _ => ()
+    }
+  }
+
   test("a NULL query vector yields a schema-stable empty result, not an NPE") {
     val idx = buildCorpusIndex("nullq", files = 2)
     val nullQ = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS embedding")
