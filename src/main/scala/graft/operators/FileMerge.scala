@@ -209,8 +209,7 @@ object FileMerge {
           pk)
 
     val staging = new Path(lakePath + "_fmerge")
-    if (fs.exists(staging) && !fs.delete(staging, true))
-      throw new java.io.IOException(s"mergeFileGranular: could not clear stale staging $staging")
+    clearStaging(fs, staging, "mergeFileGranular")
     merged
       .repartitionByRange(math.max(1, touched.size), col(pk))
       .sortWithinPartitions(pk)
@@ -218,14 +217,7 @@ object FileMerge {
       .mode("overwrite")
       .parquet(staging.toString)
 
-    // manifest LAST, atomically: its presence certifies staging complete
-    val tmp = new Path(staging, "_touched.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(touched.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!fs.rename(tmp, new Path(staging, "_touched")))
-      throw new java.io.IOException(s"mergeFileGranular: could not publish manifest in $staging")
-
+    publishManifest(fs, staging, touched, "mergeFileGranular")
     commitStaged(fs, live, staging)
     // evolved batches leave untouched files on the old schema — the
     // read-back must merge footers or it may drop the new column
@@ -240,34 +232,62 @@ object FileMerge {
     * pruning), an empty manifest then certifies staging complete, and
     * the commit publishes the staged files into the live directory
     * without moving any existing file aside. Every crash point is
-    * already covered by [[recoverFileMerge]]: staging without a
-    * manifest is discarded (the caller replays the batch), staging with
-    * one rolls forward. Appended file ranges may interleave with
-    * existing files' ranges — that widens later probes'/merges' touched
-    * sets but never their correctness; a clustered compaction
+    * covered by [[recoverFileMerge]]: staging without a manifest is
+    * discarded (the caller replays the batch), staging with one rolls
+    * forward. Appended file ranges may interleave with existing files'
+    * ranges — that widens later probes'/merges' touched sets but never
+    * their correctness; a clustered compaction
     * ([[graft.sources.Lake.compact]] with `clusterBy`) restores
     * disjoint ranges.
+    *
+    * REPLAY safety: unlike [[mergeFileGranular]] (source-wins merge —
+    * re-running a batch is idempotent), re-running an append duplicates
+    * its rows, and after a crash the caller cannot know whether the
+    * batch committed. Pass `commitId` (any stable per-batch id): a
+    * committed append records a `_append_committed_<id>` marker in the
+    * live directory AS PART OF the commit's roll-forward — before the
+    * staging dir disappears — and a replay of an already-committed id
+    * returns false having written nothing. Markers are `_`-prefixed
+    * (invisible to reads/merges) and survive file-granular merges, but a
+    * whole-table rewrite (compaction) drops them — retries must not
+    * straddle a compaction (same documented degradation as the streaming
+    * `_commits` ledger, except an undetected append replay DUPLICATES,
+    * so schedule compaction only when no append is in flight).
     *
     * The CALLER owns key uniqueness: appended rows' keys must be new.
     * Verifying that here would cost a full-table anti-join — at lake
     * scale exactly the scan this path exists to avoid; use
     * [[mergeFileGranular]] when the batch may update existing keys.
+    *
+    * @return true if the batch was appended, false if `commitId` was
+    *         already committed (nothing written)
     */
   def appendStaged(
       spark: SparkSession,
       batch: DataFrame,
       lakePath: String,
       clusterCol: String,
-      files: Int = 0
-  ): Unit = {
+      files: Int = 0,
+      commitId: Option[String] = None
+  ): Boolean = {
+    commitId.foreach(id =>
+      require(id.matches("[A-Za-z0-9._-]+"),
+        s"appendStaged: commitId must match [A-Za-z0-9._-]+, got '$id'"))
     Incremental.recoverAll(spark, lakePath)
     val live = new Path(lakePath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(live),
       s"appendStaged: $lakePath does not exist — lay out the initial table first")
+    // same guard as mergeFileGranular: flat staged files published into a
+    // Hive-partitioned root would break partition discovery for EVERY
+    // reader, and the bad commit would already be durable
+    require(
+      !fs.listStatus(live).exists(st => st.isDirectory && st.getPath.getName.contains("=")),
+      s"appendStaged: $lakePath has a Hive-partitioned layout — append into the partition directories instead")
+    val marker = commitId.map(id => s"_append_committed_$id")
+    if (marker.exists(m => fs.exists(new Path(live, m)))) return false
     val staging = new Path(lakePath + "_fmerge")
-    if (fs.exists(staging) && !fs.delete(staging, true))
-      throw new java.io.IOException(s"appendStaged: could not clear stale staging $staging")
+    clearStaging(fs, staging, "appendStaged")
     val n = if (files > 0) files else math.max(1, spark.sparkContext.defaultParallelism)
     Scale.writeRangeClustered(batch, staging.toString, clusterCol, n)
     // staged names are job-UUID-unique, but a collision with a live file
@@ -278,13 +298,35 @@ object FileMerge {
     if (clash.nonEmpty)
       throw new java.io.IOException(
         s"appendStaged: staged file name(s) already live: ${clash.mkString(",")}")
+    // the replay marker rides INSIDE staging, before the manifest: the
+    // manifest certifies staging complete, and commitStaged makes the
+    // marker durable in the live dir before staging disappears — so every
+    // crash point either discards the batch (no manifest) or rolls both
+    // the data AND the marker forward together
+    marker.foreach { m =>
+      val out = fs.create(new Path(staging, AppendIdFile), true)
+      try out.write((m + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    publishManifest(fs, staging, Nil, "appendStaged")
+    commitStaged(fs, live, staging)
+    true
+  }
+
+  private val AppendIdFile = "_append_id"
+
+  private def clearStaging(fs: FileSystem, staging: Path, op: String): Unit =
+    if (fs.exists(staging) && !fs.delete(staging, true))
+      throw new java.io.IOException(s"$op: could not clear stale staging $staging")
+
+  /** Manifest LAST, atomically: its presence certifies staging complete. */
+  private def publishManifest(fs: FileSystem, staging: Path, touched: Seq[String], op: String): Unit = {
     val tmp = new Path(staging, "_touched.tmp")
     val out = fs.create(tmp, true)
-    try out.write(Array.empty[Byte])
+    try out.write(touched.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, new Path(staging, "_touched")))
-      throw new java.io.IOException(s"appendStaged: could not publish manifest in $staging")
-    commitStaged(fs, live, staging)
+      throw new java.io.IOException(s"$op: could not publish manifest in $staging")
   }
 
   /** Phases A (hide touched) / B (publish staged) / C (clean) of the
@@ -301,11 +343,22 @@ object FileMerge {
     touched.foreach { name =>
       val liveF = new Path(live, name)
       if (fs.exists(liveF) && !fs.rename(liveF, new Path(live, "_old_" + name)))
-        throw new java.io.IOException(s"mergeFileGranular: could not move $liveF aside")
+        throw new java.io.IOException(s"FileMerge.commitStaged: could not move $liveF aside")
     }
     dataFiles(fs, staging).foreach { st =>
       if (!fs.rename(st.getPath, new Path(live, st.getPath.getName)))
-        throw new java.io.IOException(s"mergeFileGranular: could not publish ${st.getPath}")
+        throw new java.io.IOException(s"FileMerge.commitStaged: could not publish ${st.getPath}")
+    }
+    // an append's replay marker becomes durable BEFORE staging (and its
+    // manifest) disappears: a crash right after this line re-runs the
+    // whole commit (idempotent), a crash right before it still leaves
+    // the manifest to roll forward from — no window where the data is
+    // live but a replay would go undetected
+    val idFile = new Path(staging, AppendIdFile)
+    if (fs.exists(idFile)) {
+      val in = fs.open(idFile)
+      val m = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      if (m.nonEmpty) fs.create(new Path(live, m), true).close()
     }
     fs.listStatus(live)
       .filter(st => st.isFile && st.getPath.getName.startsWith("_old_"))

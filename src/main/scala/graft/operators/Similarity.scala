@@ -308,6 +308,14 @@ object Similarity {
     * the index. Re-assigning under the STORED centroids — not a batch-
     * local quantizer — is what keeps probe recall stable as the index
     * grows; retrain + [[ivfBuild]] when drift accumulates.
+    *
+    * Pass `commitId` (a stable per-batch id) to make retries safe: a
+    * crashed append rolls forward on the next index operation, and a
+    * replay of an already-committed id returns false having written
+    * nothing ([[FileMerge.appendStaged]]'s replay marker).
+    *
+    * @return true if the batch was appended, false if `commitId` was
+    *         already committed
     */
   def ivfAppend(
       spark: SparkSession,
@@ -315,19 +323,29 @@ object Similarity {
       idCol: String,
       vecCol: String,
       indexPath: String,
-      files: Int = 0
-  ): Unit = {
-    // whole-index swap first, then each sub-table's writers — same
-    // recovery order as the probe
+      files: Int = 0,
+      commitId: Option[String] = None
+  ): Boolean = {
+    // whole-index swap first, then the sub-tables' writers (appendStaged
+    // runs the postings recovery itself) — same order as the probe
     Incremental.recoverAll(spark, indexPath)
-    Incremental.recoverAll(spark, postingsPath(indexPath))
     Incremental.recoverAll(spark, centroidsPath(indexPath))
     val cents = spark.read.parquet(centroidsPath(indexPath))
-    val postings = newEmb
+    // pin the batch: it feeds BOTH sides of the assignment join and the
+    // clustered write's range-sampling pass — an unpinned
+    // nondeterministic source (sample/limit/changing input) could
+    // re-roll between scans and silently drop vectors from the index,
+    // the same failure class mergeFileGranular pins its batch against
+    val batch = newEmb
       .select(col(idCol), col(vecCol))
-      .join(ivfAssign(newEmb, idCol, vecCol, cents, "centroid_id", "centroid"), idCol)
-      .select(col("centroid_id").cast("long").as("centroid_id"), col(idCol), col(vecCol))
-    FileMerge.appendStaged(spark, postings, postingsPath(indexPath), "centroid_id", files)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val postings = batch
+        .join(ivfAssign(batch, idCol, vecCol, cents, "centroid_id", "centroid"), idCol)
+        .select(col("centroid_id").cast("long").as("centroid_id"), col(idCol), col(vecCol))
+      FileMerge.appendStaged(
+        spark, postings, postingsPath(indexPath), "centroid_id", files, commitId)
+    } finally batch.unpersist(blocking = false)
   }
 
   /** Re-cluster the postings table after a run of [[ivfAppend]] batches:

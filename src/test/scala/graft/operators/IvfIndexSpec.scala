@@ -152,6 +152,18 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(probe(idx) == probe(full))
   }
 
+  // the batch an interrupted append would have staged: odd vectors
+  // assigned under the index's stored centroids
+  private def stageOddBatch(idx: String, staging: Path): Unit =
+    emb.where(col("vec_id") % 2 === 1)
+      .join(
+        Similarity.ivfAssign(
+          emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          spark.read.parquet(s"$idx/centroids"), "centroid_id", "centroid"),
+        "vec_id")
+      .selectExpr("CAST(centroid_id AS LONG) AS centroid_id", "vec_id", "embedding")
+      .write.mode("overwrite").parquet(staging.toString)
+
   test("an append that crashed before its manifest is discarded; after it, rolled forward") {
     val idx = halfCorpusIndex("appendcrash")
     val baseline = probe(idx)
@@ -162,24 +174,48 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     // crash BEFORE the manifest: staged data files, no _touched — the
     // batch never started committing; the probe must discard it and
     // return the pre-append result
-    emb.where(col("vec_id") % 2 === 1)
-      .join(
-        Similarity.ivfAssign(
-          emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
-          spark.read.parquet(s"$idx/centroids"), "centroid_id", "centroid"),
-        "vec_id")
-      .selectExpr("CAST(centroid_id AS LONG) AS centroid_id", "vec_id", "embedding")
-      .write.mode("overwrite").parquet(staging.toString)
+    stageOddBatch(idx, staging)
     assert(probe(idx) == baseline)
     assert(!fs.exists(staging), "discarded staging should be gone")
 
-    // a real append interrupted AFTER the manifest: recovery rolls it
-    // forward — the probe sees the appended rows
-    Similarity.ivfAppend(
-      spark, emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", idx, files = 2)
+    // crash AFTER the manifest (and the replay marker): staged files +
+    // _append_id + _touched, commit never ran — the next probe must roll
+    // the whole append forward, data AND marker together
+    stageOddBatch(idx, staging)
+    val idOut = fs.create(new Path(staging, "_append_id"), true)
+    try idOut.write("_append_committed_batch1\n".getBytes("UTF-8"))
+    finally idOut.close()
+    fs.create(new Path(staging, "_touched"), true).close() // empty manifest
     val appended = probe(idx)
     assert(appended != baseline)
     assert(appended == probe(buildCorpusIndex("appendcrashfull", files = 4)))
+    assert(!fs.exists(staging), "rolled-forward staging should be gone")
+    assert(fs.exists(new Path(post, "_append_committed_batch1")),
+      "roll-forward must record the replay marker")
+
+    // the caller's retry of that same batch id is now a detected replay:
+    // nothing written, still one posting per vector
+    val applied = Similarity.ivfAppend(
+      spark, emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", idx,
+      files = 2, commitId = Some("batch1"))
+    assert(!applied)
+    assert(probe(idx) == appended)
+  }
+
+  test("ivfAppend with a commitId is exactly-once: the second call writes nothing") {
+    val idx = halfCorpusIndex("appendreplay")
+    val post = new Path(s"$idx/postings")
+    val fs = post.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val odd = emb.where(col("vec_id") % 2 === 1)
+    assert(Similarity.ivfAppend(
+      spark, odd, "vec_id", "embedding", idx, files = 2, commitId = Some("b7")))
+    val filesAfter = fs.listStatus(post).map(_.getPath.getName).toSet
+    val resultAfter = probe(idx)
+    assert(!Similarity.ivfAppend(
+      spark, odd, "vec_id", "embedding", idx, files = 2, commitId = Some("b7")))
+    assert(fs.listStatus(post).map(_.getPath.getName).toSet == filesAfter,
+      "a replayed commitId must write no files")
+    assert(probe(idx) == resultAfter)
   }
 
   test("ivfCompact restores disjoint clustering and pruning after appends") {
