@@ -99,6 +99,44 @@ object Streams {
       }
       .start()
 
+  /** Streaming maintenance of a persisted IVF index
+    * ([[graft.operators.Similarity.ivfBuild]] layout): each micro-batch
+    * of NEW vectors is assigned under the index's STORED centroids and
+    * appended exactly-once — the micro-batch id becomes the append's
+    * `commitId`, so a redelivered batch (restart between the append
+    * commit and the checkpoint write, or even a LOST checkpoint
+    * replaying the whole stream) is detected by its replay marker and
+    * writes nothing. The id is namespaced by a checkpoint-derived
+    * prefix: batch ids restart at 0 per checkpoint, and two sequential
+    * streams with different checkpoints must not shadow each other's
+    * markers. Single writer per index, like every staged commit here;
+    * run [[graft.operators.Similarity.ivfCompact]] only between streams
+    * — it is a whole-table rewrite and drops the replay markers.
+    */
+  def appendStreamIvf(
+      spark: SparkSession,
+      source: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      checkpoint: String,
+      filesPerBatch: Int = 0
+  ): StreamingQuery = {
+    // String.hashCode is spec-pinned in Java: stable across JVMs, so a
+    // restarted stream regenerates the same prefix and replay detection
+    // holds; distinct checkpoints get distinct namespaces
+    val prefix = s"s${java.lang.Integer.toUnsignedString(checkpoint.hashCode, 36)}"
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.ivfAppend(
+          spark, batch, idCol, vecCol, indexPath,
+          files = filesPerBatch, commitId = Some(s"${prefix}_b$batchId")): Unit
+      }
+      .start()
+  }
+
   /** Name of the committed-batch ledger inside the table directory.
     * `_`-prefixed, so Spark parquet reads never see it as data.
     */

@@ -220,6 +220,55 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
         .toMap
   }
 
+  test("streaming IVF append: index matches a full build and survives a LOST checkpoint exactly-once") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory("streamivf").toString
+    val in = s"$base/in"
+    val idx = s"$base/ivf"
+    val ckpt = s"$base/ckpt"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+    // initial build on the even half; the odd half arrives as two
+    // micro-batch files
+    Similarity.ivfBuild(
+      spark, emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      emb.where(col("vec_id") < 16), "vec_id", "embedding", idx, files = 4)
+    emb.where(col("vec_id") % 4 === 1).coalesce(1).write.mode("append").parquet(in)
+    emb.where(col("vec_id") % 4 === 3).coalesce(1).write.mode("append").parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    def runStream(): Unit =
+      Streams.appendStreamIvf(
+        spark, Streams.fileStream(spark, in, schema), "vec_id", "embedding",
+        idx, ckpt, filesPerBatch = 2)
+        .awaitTermination(120000): Unit
+    def probe(path: String) = Similarity
+      .ivfTopKIndexed(spark, path, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0L).select("embedding"),
+        k = 10, nprobe = 4, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    runStream()
+    val streamed = probe(idx)
+    val full = s"$base/full"
+    Similarity.ivfBuild(spark, emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 16), "vec_id", "embedding", full, files = 4)
+    assert(streamed == probe(full), "streamed index must probe like a full build")
+
+    // LOSE the checkpoint: recreating the stream on the same path
+    // replays every micro-batch — each must be detected by its replay
+    // marker (checkpoint-derived prefix + batch id) and write NOTHING
+    val post = new org.apache.hadoop.fs.Path(s"$idx/postings")
+    val fs = post.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    val filesBefore = fs.listStatus(post).map(_.getPath.getName).toSet
+    runStream()
+    assert(fs.listStatus(post).map(_.getPath.getName).toSet == filesBefore,
+      "a fully replayed stream must write no postings files")
+    assert(probe(idx) == streamed)
+  }
+
   test("redelivered micro-batch is skipped with ZERO file writes (exactly-once ledger)") {
     val target = Files.createTempDirectory("replay").toString + "/t"
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
