@@ -453,6 +453,95 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH ANN against the persisted index: top-k neighbours for EVERY
+    * query row in one pass — the nearest-neighbour JOIN a training
+    * pipeline actually runs (corpus dedup, retrieval eval, hard-negative
+    * mining), not Q sequential [[ivfTopKIndexed]] probes. Output:
+    * (query_id, <idCol>, cos_sim), up to k rows per query.
+    *
+    * Shape at scale:
+    *   1. per-query probe ranking: queries × the (tiny, broadcast)
+    *      centroid table, top-`nprobe` buckets per query via a windowed
+    *      rank — a narrow (query_id, centroid_id) probe table, no driver
+    *      loop over queries;
+    *   2. file selection: the UNION of probed bucket ids (bounded by the
+    *      centroid count, collected once) footer-selects postings files
+    *      — IO stays proportional to the probed buckets, shared across
+    *      the whole query batch;
+    *   3. candidates: selected postings equi-join the probe table on
+    *      centroid_id (each query meets only its own buckets' vectors),
+    *      join back the query vector on query id, exact cosine, then a
+    *      per-query rank-≤-k window (WindowGroupLimit pushes the limit
+    *      into the per-partition sort).
+    *
+    * The projected query set is `localCheckpoint`ed: it feeds BOTH the
+    * bucket-union collect and the candidate join, and a re-rolling
+    * nondeterministic source could otherwise probe buckets whose files
+    * were never selected — silently missing neighbours.
+    */
+  def ivfTopKIndexedBatch(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nprobe: Int,
+      excludeSelf: Boolean = false
+  ): DataFrame = {
+    require(k > 0 && nprobe > 0)
+    Incremental.recoverAll(spark, indexPath)
+    val post = postingsPath(indexPath)
+    Incremental.recoverAll(spark, post)
+    Incremental.recoverAll(spark, centroidsPath(indexPath))
+    val q = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("_qvec"))
+      .localCheckpoint()
+    val cents = broadcast(spark.read.parquet(centroidsPath(indexPath)))
+    val probeRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("_pcs").desc, col("centroid_id"))
+    val probeTable = q
+      .crossJoin(cents)
+      .select(
+        col("query_id"), col("centroid_id"),
+        cosine(col("_qvec"), col("centroid")).as("_pcs"))
+      .where(col("_pcs").isNotNull)
+      .withColumn("_pr", row_number().over(probeRank))
+      .where(col("_pr") <= nprobe)
+      .select("query_id", "centroid_id")
+    // bounded collect: one row per PROBED BUCKET (≤ centroid count),
+    // never per query or per row
+    val probedIds = probeTable
+      .select("centroid_id").distinct().collect().map(_.getLong(0)).sorted
+    val selected = FileMerge
+      .fileRanges(spark, post, "centroid_id")
+      .filter(r => !r.known || probedIds.exists(c => c >= r.lo && c <= r.hi))
+      .map(r => s"$post/${r.file}")
+    val cand =
+      if (selected.isEmpty) spark.read.parquet(post).where(lit(false))
+      else spark.read.parquet(selected: _*)
+    val scored = cand
+      .join(probeTable, "centroid_id")
+      .join(q, "query_id")
+      .select(
+        col("query_id"), col(idCol),
+        round(cosine(col(vecCol), col("_qvec")), 6).as("cos_sim"))
+      .where(col("cos_sim").isNotNull)
+    val kept =
+      if (excludeSelf) scored.where(col(idCol) =!= col("query_id")) else scored
+    val topk = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col(idCol))
+    kept
+      .withColumn("_rk", row_number().over(topk))
+      .where(col("_rk") <= k)
+      .drop("_rk")
+      .orderBy(col("query_id"), col("cos_sim").desc, col(idCol))
+  }
+
   // ---------------------------------------------------------------------
   // k-means centroid training (Lloyd's algorithm, cosine assignment) —
   // trains the coarse quantizer [[ivfBuild]] consumes instead of taking

@@ -583,6 +583,25 @@ object PipelineQueries {
         s, tmp, "vec_id", "embedding",
         emb.where(col("vec_id") === 0L).select("embedding"),
         k = 10, nprobe = 4, excludeId = Some(0L))
+    },
+    // BATCH ANN (nearest-neighbour join): top-5 neighbours for EVERY
+    // query in one pass over the persisted index — per-query probe
+    // ranking against the broadcast quantizer, ONE file selection from
+    // the union of probed buckets, per-query windowed top-k. The oracle
+    // replicates the whole per-query pipeline (probe rank, bucket
+    // candidates, rounded-cosine re-rank) for each of the 4 queries.
+    "q79_ann_ivf_batch" -> { (s, dir) =>
+      val tmp = freshScratch(s, dir, "q79", Seq("_staging"))
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfBuild(
+        s, emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 16), "vec_id", "embedding",
+        tmp, files = 8)
+      Similarity.ivfTopKIndexedBatch(
+        s, tmp, "vec_id", "embedding",
+        emb.where(col("vec_id") < 4).select("vec_id", "embedding"),
+        "vec_id", "embedding",
+        k = 5, nprobe = 4, excludeSelf = true)
     }
   )
 
@@ -1112,6 +1131,52 @@ object PipelineQueries {
     // stored centroids is observationally a full build, so the oracle is
     // q75/q76's verbatim
     "q78_ann_ivf_append" -> IvfAnnOracleSql,
+    // q79: the sim/cs/asg CTEs are IvfAnnOracleSql's verbatim; probe
+    // generalizes from one query's LIMIT 4 to a per-query rank ≤ 4 over
+    // the same corpus-vs-centroid cosines (queries ARE corpus rows), and
+    // the re-rank ranks by the ROUNDED cosine then id, exactly like the
+    // Spark window.
+    "q79_ann_ivf_batch" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |sim AS (SELECT e.vec_id, c.cid,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x, unnest(c.cvec) AS y) z) AS dot,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
+        |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(c.cvec) AS y) z) AS n2b
+        | FROM embeddings e, c),
+        |cs AS (SELECT vec_id, cid, dot / (sqrt(n2a) * sqrt(n2b)) AS cs
+        |       FROM sim WHERE n2a > 0 AND n2b > 0),
+        |asg AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |         FROM cs) WHERE rn = 1),
+        |probe AS (SELECT vec_id AS qid, cid FROM (
+        |           SELECT vec_id, cid,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |           FROM cs WHERE vec_id < 4) WHERE rn <= 4),
+        |cand AS (SELECT DISTINCT p.qid, a.vec_id
+        |         FROM probe p JOIN asg a ON a.cid = p.cid
+        |         WHERE a.vec_id <> p.qid),
+        |sc AS (SELECT cnd.qid, e.vec_id,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x, unnest(qe.embedding) AS y) z) AS dot,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
+        |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(qe.embedding) AS y) z) AS n2b
+        | FROM cand cnd
+        | JOIN embeddings e ON e.vec_id = cnd.vec_id
+        | JOIN embeddings qe ON qe.vec_id = cnd.qid),
+        |ranked AS (SELECT qid, vec_id,
+        |            round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim,
+        |            row_number() OVER (PARTITION BY qid
+        |              ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 6) DESC, vec_id) AS rk
+        |           FROM sc WHERE n2a > 0 AND n2b > 0)
+        |SELECT qid AS query_id, vec_id, cos_sim
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin,
     // q77: the asg CTE is q75's assignment argmax verbatim; means are
     // per-(centroid, dimension) averages over DOUBLE-cast floats,
     // rounded at 6 (sum-order noise ~1e-13 for ~1e2 unit-scale values).

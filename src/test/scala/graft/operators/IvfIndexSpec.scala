@@ -238,6 +238,35 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("batch ANN for a single query equals the one-query probe") {
+    val idx = buildCorpusIndex("batch", files = 8)
+    val single = Similarity
+      .ivfTopKIndexed(spark, idx, "vec_id", "embedding", queryVec,
+        k = 10, nprobe = 4, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Similarity
+      .ivfTopKIndexedBatch(spark, idx, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0L).select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 10, nprobe = 4, excludeSelf = true)
+    assert(batch.columns.toSeq == Seq("query_id", "vec_id", "cos_sim"))
+    val rows = batch.collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == single)
+  }
+
+  test("batch ANN returns up to k neighbours for every query") {
+    val idx = buildCorpusIndex("batchmulti", files = 8)
+    val res = Similarity
+      .ivfTopKIndexedBatch(spark, idx, "vec_id", "embedding",
+        emb.where(col("vec_id") < 4).select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 5, nprobe = 4, excludeSelf = true)
+      .collect()
+    val perQuery = res.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery.keySet == Set(0L, 1L, 2L, 3L))
+    assert(perQuery.values.forall(_ <= 5))
+    // no query may see itself among its neighbours
+    assert(res.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
   test("a NULL query vector yields a schema-stable empty result, not an NPE") {
     val idx = buildCorpusIndex("nullq", files = 2)
     val nullQ = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS embedding")
