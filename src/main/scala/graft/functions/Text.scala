@@ -141,6 +141,38 @@ object Text {
         lit("too_repetitive"))
       .otherwise(lit("keep"))
 
+  /** PII patterns for redaction — deliberately RE2-compatible (no
+    * lookaround, no backreferences) so Spark's Java regex and DuckDB's
+    * RE2 find the identical match set, and shared verbatim with the
+    * oracle. Simple by design: a production deployment would extend the
+    * pattern list, not the mechanism.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\+\\d{1,3}-\\d{3}-\\d{3,4}-\\d{4}"
+  val Ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count of PII matches of `pattern` in `text` (pre-redaction). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** PII REDACTION (the curation step every pretraining corpus runs
+    * before the data leaves quarantine): emails, then dashed
+    * international phone numbers, then IPv4 addresses are replaced by
+    * typed placeholder tokens. Order matters and is part of the
+    * contract: emails go first because their local part may embed
+    * digit/dot runs an IP pass would chew mid-address. Three codegen'd
+    * `regexp_replace`s over the scan — no shuffle, no UDF, applies at
+    * any corpus size.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern,
+        "<PHONE>"),
+      Ipv4Pattern,
+      "<IP>")
+
   /** Word n-gram shingles as an array column (null-free, distinct).
     * `transform` over `sequence` keeps it codegen'd; no explode until the
     * caller asks for one.

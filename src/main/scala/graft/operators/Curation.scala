@@ -134,6 +134,56 @@ object Curation {
     docs.where(frac < rateCol)
   }
 
+  /** Corpus BIGRAM LANGUAGE-MODEL score per document (a CCNet-style
+    * model-based quality signal, self-trained): the model is the
+    * corpus's own bigram table — `p(w2|w1) = c(w1 w2) / c(w1·)` with
+    * `c(w1·)` the count of bigrams starting with `w1`, so each
+    * conditional distribution sums to exactly 1 — and each document is
+    * scored by its bigram probabilities. All arithmetic is EXACT scaled
+    * integer math: per occurrence `p_scaled = (c2 * scale) div c1`
+    * (BIGINT floor division), per document the SUM and MIN of those —
+    * order-independent, so the result hash-matches any engine, unlike a
+    * float log-prob sum whose value depends on shuffle order. A document
+    * with a low `min_p_scaled` contains a corpus-rare transition (the
+    * "most surprising bigram"); `sum/n` is the mean transition
+    * probability. Documents with fewer than 2 tokens have no bigrams and
+    * are omitted.
+    *
+    * Scale shape: bigram extraction is the codegen'd duplicates-kept
+    * shingle expression; the model is one grouped count (map-side
+    * partial) re-aggregated once for the `w1` marginal; scoring is two
+    * shuffle equi-joins on bigram/word keys — no broadcast assumption,
+    * the model may be corpus-vocabulary-sized. Overflow headroom:
+    * `c2 * scale` at the default scale needs c2 < 9.2e12 — a single
+    * bigram repeated ~9 trillion times — before BIGINT overflows.
+    */
+  def lmBigramScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(scale > 0)
+    val grams = docs.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.TextExpressions.word_shingles_all(col(textCol), 2)).as("bg"))
+    val c2 = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = c2
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    grams
+      .join(c2, "bg")
+      .join(c1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col("doc_id"), expr(s"(c2 * ${scale}L) DIV c1").as("p"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("p")).as("sum_p_scaled"),
+        min(col("p")).as("min_p_scaled"))
+      .withColumnRenamed("doc_id", idCol)
+      .orderBy(idCol)
+  }
+
   /** REPETITION score per document (Gopher/C4-style quality signal): the
     * most frequent word n-gram's share of all n-grams. Shingles with
     * duplicates KEPT are computed row-wise by a codegen'd expression

@@ -602,6 +602,41 @@ object PipelineQueries {
         emb.where(col("vec_id") < 4).select("vec_id", "embedding"),
         "vec_id", "embedding",
         k = 5, nprobe = 4, excludeSelf = true)
+    },
+    // PII REDACTION (quarantine-exit curation): synthetic PII —
+    // an email, a dashed phone number, an IPv4 — is injected
+    // deterministically per doc (the corpus itself is clean), then
+    // counted and redacted to typed placeholders. Patterns are
+    // RE2-compatible so both engines find the identical match set; the
+    // oracle re-injects, re-counts, and re-redacts with the same
+    // patterns and compares the redacted text by md5.
+    "q80_pii_redact" -> { (s, dir) =>
+      val withPii = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via +1-555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-0199 at 10."), (col("doc_id") % 200).cast("string"), lit(".0.7")
+        ).as("text"))
+      withPii
+        .select(
+          col("doc_id"),
+          Text.piiCount(col("text"), Text.EmailPattern).as("n_emails"),
+          Text.piiCount(col("text"), Text.PhonePattern).as("n_phones"),
+          Text.piiCount(col("text"), Text.Ipv4Pattern).as("n_ips"),
+          md5(Text.redactPii(col("text"))).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+    // Corpus bigram LANGUAGE-MODEL quality score (CCNet-style,
+    // self-trained): p(w2|w1) from the corpus's own bigram counts, each
+    // doc scored by the SUM and MIN of its scaled-integer transition
+    // probabilities — exact BIGINT math end to end, so the hash matches
+    // regardless of either engine's aggregation order (a float log-prob
+    // sum would not).
+    "q81_lm_bigram" -> { (s, dir) =>
+      graft.operators.Curation.lmBigramScore(t(s, dir, "documents"), "doc_id", "text")
     }
   )
 
@@ -1205,7 +1240,41 @@ object PipelineQueries {
         |FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id,
         |     UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
         |GROUP BY a.cid, t.i
-        |ORDER BY centroid_id, pos""".stripMargin
+        |ORDER BY centroid_id, pos""".stripMargin,
+    // q80: same injection, same RE2-safe patterns, same replace order
+    // (emails → phones → IPs); DuckDB needs the explicit 'g' flag where
+    // Spark's regexp_replace is global by default
+    "q80_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via +1-555-' ||
+        |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 at 10.' ||
+        |  CAST(doc_id % 200 AS VARCHAR) || '.0.7' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+\d{1,3}-\d{3}-\d{3,4}-\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+\d{1,3}-\d{3}-\d{3,4}-\d{4}', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // q81: bigrams with duplicates KEPT (range over 1..len-1, 1-based
+    // list indexing); c1 is the count of bigrams STARTING with w1 so
+    // each conditional sums to 1; all integer math — `//` here, DIV in
+    // Spark — so aggregation order cannot perturb the hash
+    "q81_lm_bigram" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+        |              FROM documents),
+        |g AS (SELECT doc_id, ts[CAST(t.i AS INT)] || ' ' || ts[CAST(t.i + 1 AS INT)] AS bg
+        |      FROM toks, UNNEST(range(1, len(ts))) AS t(i)),
+        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM g GROUP BY bg),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |s AS (SELECT g.doc_id, (c2.c2 * 1000000) // c1.c1 AS p
+        |      FROM g JOIN c2 USING (bg) JOIN c1 ON c1.w1 = split_part(g.bg, ' ', 1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(p) AS BIGINT) AS sum_p_scaled, CAST(min(p) AS BIGINT) AS min_p_scaled
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** ANN-over-IVF oracle (q75/q76): coarse assignment by cosine argmax,

@@ -75,6 +75,26 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(row.getLong(1) == 0L)
   }
 
+  test("redactPii: all occurrences replaced, clean text untouched, idempotent") {
+    val dirty = "mail a@b.com and c.d+x@e.org call +44-123-456-7890 host 10.0.0.1 and 192.168.1.255 done"
+    val out = one(dirty).select(Text.redactPii(col("text"))).head().getString(0)
+    assert(out == "mail <EMAIL> and <EMAIL> call <PHONE> host <IP> and <IP> done")
+    // placeholders contain no @, digits, or dots — a second pass is a no-op
+    val twice = one(out).select(Text.redactPii(col("text"))).head().getString(0)
+    assert(twice == out)
+    val clean = "alpha beta gamma delta"
+    assert(one(clean).select(Text.redactPii(col("text"))).head().getString(0) == clean)
+  }
+
+  test("piiCount counts every match of each pattern") {
+    val dirty = "a@b.com x@y.net +1-555-012-0199 10.0.0.1"
+    val row = one(dirty).select(
+      Text.piiCount(col("text"), Text.EmailPattern),
+      Text.piiCount(col("text"), Text.PhonePattern),
+      Text.piiCount(col("text"), Text.Ipv4Pattern)).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((2L, 1L, 1L)))
+  }
+
   test("filterReason: first matching reason wins, keep otherwise") {
     def reason(t: String): String =
       one(t).select(Text.filterReason(col("text"), minTokens = 3, maxStopRatio = 0.5,

@@ -84,4 +84,39 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) == ((3L, 1L, 0.333333)))
     assert(!out.contains(3L))
   }
+
+  test("lmBigramScore: exact scaled conditionals, sub-2-token docs omitted") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b", "b a", "a b"
+      (2L, "a b c"), //   bigrams: "a b", "b c"
+      (3L, "solo") //     1 token: no row
+    ).toDF("doc_id", "text")
+    // corpus model: c2("a b")=3, c2("b a")=1, c2("b c")=1; c1(a)=3, c1(b)=2
+    // p_scaled: "a b" → 3e6 div 3 = 1000000; "b a"/"b c" → 1e6 div 2 = 500000
+    val out = Curation.lmBigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, 2500000L, 500000L)))
+    assert(out(2L) == ((2L, 1500000L, 500000L)))
+    assert(!out.contains(3L))
+  }
+
+  test("lmBigramScore: every w1's conditional distribution sums to scale") {
+    val docs = Seq((1L, "u v u w u v"), (2L, "v u w w u")).toDF("doc_id", "text")
+    // for each first-word w1, summing p_scaled over its DISTINCT bigrams
+    // (each counted once) must give ~scale (floor division loses < #w2
+    // per group)
+    val grams = docs.select(explode(
+      graft.functions.TextExpressions.word_shingles_all(col("text"), 2)).as("bg"))
+    val c2 = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val sums = c2
+      .join(c1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col("w1"), expr("(c2 * 1000000) DIV c1").as("p"))
+      .groupBy("w1").agg(sum("p").as("s"), count(lit(1)).as("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    sums.foreach { case (w1, s, k) =>
+      assert(s <= 1000000L && s > 1000000L - k, s"w1=$w1 sum=$s k=$k")
+    }
+  }
 }
