@@ -497,4 +497,60 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
       .where(col("n_members") >= 2)
       .orderBy("keep_id")
+
+  /** C4-style corpus-level LINE dedup: documents are segmented into
+    * fixed-`lineTokens` word windows ("lines" — this corpus has no
+    * newlines, so the window IS the line unit), a line that occurs
+    * anywhere else in the corpus survives only at its FIRST occurrence
+    * (ordered by document id, then position), and each document is
+    * reassembled from its surviving lines in order. This is the C4
+    * pipeline's "discard duplicated lines across the corpus" step —
+    * boilerplate (navbars, license headers, repeated intros) disappears
+    * from every copy but one while the host documents survive.
+    *
+    * Output: one row per input document —
+    * `(idCol, n_lines, n_kept, clean_md5)` with `clean_md5` the digest of
+    * the space-joined surviving lines ('' when every line was dropped).
+    *
+    * Scale shape: two shuffles, both narrow. (1) first-occurrence
+    * election: a `row_number` window PARTITIONED BY the line's 128-bit
+    * digest — the shuffle carries (digest, doc_id, line_no), never the
+    * corpus; groups are duplicate-sets, typically tiny (WindowGroupLimit
+    * cannot apply — rn participates in the count — but each partition
+    * group is one duplicate-set, so per-group sort cost is O(copies)).
+    * (2) document reassembly: groupBy doc_id over (line_no, line) structs
+    * re-sorted row-wise by `array_sort` — no ordered global window, no
+    * driver collection.
+    */
+  def lineDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lineTokens: Int
+  ): DataFrame = {
+    require(lineTokens > 0, "lineTokens must be positive")
+    val lines = docs.select(
+      col(idCol).as("doc_id"),
+      posexplode(Text.chunks(col(textCol), lineTokens, overlap = 0))
+        .as(Seq("line_no", "line")))
+    val firstWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("line")))
+      .orderBy(col("doc_id"), col("line_no"))
+    lines
+      .withColumn("rn", row_number().over(firstWin))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        md5(
+          array_join(
+            transform(
+              array_sort(
+                collect_list(
+                  when(col("rn") === 1, struct(col("line_no"), col("line"))))),
+              s => s.getField("line")),
+            " ")).as("clean_md5"))
+      .withColumnRenamed("doc_id", idCol)
+      .orderBy(idCol)
+  }
 }

@@ -637,6 +637,14 @@ object PipelineQueries {
     // sum would not).
     "q81_lm_bigram" -> { (s, dir) =>
       graft.operators.Curation.lmBigramScore(t(s, dir, "documents"), "doc_id", "text")
+    },
+    // C4-style corpus LINE dedup: 5-token word windows as the line unit,
+    // first occurrence corpus-wide (doc order, then position) survives,
+    // docs reassembled from surviving lines. The oracle replays the
+    // whole pipeline — same segmentation, same first-occurrence window,
+    // same in-order reassembly — and compares the rebuilt text by md5.
+    "q82_line_dedup" -> { (s, dir) =>
+      Dedup.lineDedup(t(s, dir, "documents"), "doc_id", "text", lineTokens = 5)
     }
   )
 
@@ -1274,7 +1282,22 @@ object PipelineQueries {
         |      FROM g JOIN c2 USING (bg) JOIN c1 ON c1.w1 = split_part(g.bg, ' ', 1))
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |       CAST(sum(p) AS BIGINT) AS sum_p_scaled, CAST(min(p) AS BIGINT) AS min_p_scaled
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q82: identical segmentation (ceil(len/5) windows, the empty doc
+    // yields one empty line — GREATEST(1, ...) matches Text.chunks),
+    // identical first-occurrence election, identical reassembly order
+    "q82_line_dedup" ->
+      """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
+        |c AS (SELECT doc_id, w, GREATEST(1, CAST(CEIL(len(w)/5.0) AS BIGINT)) AS n FROM tok),
+        |l AS (SELECT doc_id, t.i AS line_no,
+        |        array_to_string(w[CAST(t.i*5+1 AS INT):CAST(t.i*5+5 AS INT)], ' ') AS line
+        |      FROM c, UNNEST(range(0, n)) AS t(i)),
+        |r AS (SELECT doc_id, line_no, line,
+        |        row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn FROM l)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(line, ' ' ORDER BY line_no) FILTER (rn = 1), '')) AS clean_md5
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** ANN-over-IVF oracle (q75/q76): coarse assignment by cosine argmax,

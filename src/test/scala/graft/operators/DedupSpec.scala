@@ -146,4 +146,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val none = Dedup.shingleTable(Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 3)
     assert(none.count() == 0)
   }
+
+  test("lineDedup: first occurrence survives, docs reassembled in order") {
+    import org.apache.spark.sql.functions.md5
+    val corpus = Seq(
+      (1L, "a b c d x y"),   // lines: "a b", "c d", "x y"
+      (2L, "c d q r"),       //        "c d" (dup of doc1), "q r"
+      (3L, "a b c d")        //        "a b" (dup), "c d" (dup) → nothing left
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(corpus, "doc_id", "text", lineTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def h(s: String) = spark.range(1).select(md5(org.apache.spark.sql.functions.lit(s)))
+      .head().getString(0)
+    assert(out(1L) == ((3L, 3L, h("a b c d x y"))))
+    assert(out(2L) == ((2L, 1L, h("q r"))))
+    assert(out(3L) == ((2L, 0L, h("")))) // fully deduplicated doc still reported
+  }
+
+  test("lineDedup: within-doc repeated line keeps only its first position") {
+    val corpus = Seq((7L, "p q p q z")).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(corpus, "doc_id", "text", lineTokens = 2).head()
+    // lines "p q", "p q", "z" → second "p q" dropped
+    assert((r.getLong(1), r.getLong(2)) == ((3L, 2L)))
+  }
 }
