@@ -393,13 +393,71 @@ object Similarity {
       nprobe: Int,
       excludeId: Option[Long] = None
   ): DataFrame = {
-    require(k > 0 && nprobe > 0)
-    require(query.columns.length == 1, "ivfTopKIndexed: query must be a one-row, one-column DataFrame")
+    require(k > 0, "ivfTopKIndexed: k must be positive")
+    indexedProbeCandidates(
+      spark, indexPath, idCol, vecCol, query, nprobe, excludeId, "ivfTopKIndexed")
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF RADIUS search against the persisted index: every indexed
+    * neighbour with `cos_sim >= minSim` among the probed buckets — the
+    * "give me everything this close" probe (near-dup candidate pull,
+    * contamination sweep around a benchmark embedding) where top-k's
+    * fixed cutoff is the wrong contract: k too small silently drops true
+    * matches, k too large pads with noise.
+    *
+    * Same probe physics as [[ivfTopKIndexed]] (recovery, centroid
+    * ranking, footer-stats file selection, row-group pruning) — only the
+    * final predicate differs: a `cos_sim >= minSim` filter that Spark
+    * pushes into the candidate scan, instead of a global sort+limit. At
+    * 100 TB this shape matters twice over: the result needs no
+    * TakeOrdered over anything, and the output size is driven by the
+    * data's true neighbourhood density, not a guessed k. Like every IVF
+    * probe, recall is bounded by `nprobe` — a true neighbour whose
+    * bucket was not probed is not returned.
+    */
+  def ivfRadiusIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      minSim: Double,
+      nprobe: Int,
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    require(minSim >= -1.0 && minSim <= 1.0, "ivfRadiusIndexed: minSim must be in [-1, 1]")
+    indexedProbeCandidates(
+      spark, indexPath, idCol, vecCol, query, nprobe, excludeId, "ivfRadiusIndexed")
+      .where(col("cos_sim") >= minSim)
+      .orderBy(col("cos_sim").desc, col(idCol))
+  }
+
+  /** Shared single-query probe path of [[ivfTopKIndexed]] /
+    * [[ivfRadiusIndexed]]: heal the index, validate the one-row
+    * ARRAY<FLOAT> query contract, rank stored centroids, footer-select
+    * only the probed buckets' postings files, and return every candidate
+    * exact-cosine-scored as `(idCol, cos_sim)` — unsorted, uncapped; the
+    * callers apply their own final predicate.
+    */
+  private def indexedProbeCandidates(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      nprobe: Int,
+      excludeId: Option[Long],
+      caller: String
+  ): DataFrame = {
+    require(nprobe > 0, s"$caller: nprobe must be positive")
+    require(query.columns.length == 1, s"$caller: query must be a one-row, one-column DataFrame")
     query.schema.fields(0).dataType match {
       case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => ()
       case other =>
         throw new IllegalArgumentException(
-          s"ivfTopKIndexed: query column must be ARRAY<FLOAT>, got ${other.simpleString}")
+          s"$caller: query column must be ARRAY<FLOAT>, got ${other.simpleString}")
     }
     // whole-index swap recovery first (a crashed ivfBuild), then each
     // sub-table's own writers (a future compaction/file merge on either)
@@ -408,11 +466,11 @@ object Similarity {
     Incremental.recoverAll(spark, post)
     Incremental.recoverAll(spark, centroidsPath(indexPath))
     // enforce the ONE-row contract: a multi-row query would silently
-    // pair every candidate with every query vector and return a top-k
+    // pair every candidate with every query vector and return a result
     // of mixed similarities (possibly the same id twice)
     val qRows = query.limit(2).collect()
     require(qRows.length == 1,
-      s"ivfTopKIndexed: query must have exactly one row, got ${qRows.length}")
+      s"$caller: query must have exactly one row, got ${qRows.length}")
     if (qRows.head.isNullAt(0))
       // a NULL query vector has no defined neighbours: schema-stable
       // empty result, matching the cosine-NULL-filter behaviour of the
@@ -449,8 +507,6 @@ object Similarity {
       .where(col("centroid_id").isin(probed.map(Long.box): _*))
       .select(col(idCol), round(cosine(col(vecCol), qVec), 6).as("cos_sim"))
       .where(col("cos_sim").isNotNull)
-      .orderBy(col("cos_sim").desc, col(idCol))
-      .limit(k)
   }
 
   /** BATCH ANN against the persisted index: top-k neighbours for EVERY

@@ -645,6 +645,23 @@ object PipelineQueries {
     // same in-order reassembly — and compares the rebuilt text by md5.
     "q82_line_dedup" -> { (s, dir) =>
       Dedup.lineDedup(t(s, dir, "documents"), "doc_id", "text", lineTokens = 5)
+    },
+    // IVF RADIUS search against the persisted index: every neighbour
+    // with cos_sim >= 0.25 in the 4 probed buckets — the "give me
+    // everything this close" probe where top-k's fixed cutoff is the
+    // wrong contract. Same index build as q76; same oracle pipeline but
+    // a rounded-cosine threshold instead of LIMIT.
+    "q83_ann_ivf_radius" -> { (s, dir) =>
+      val tmp = freshScratch(s, dir, "q83", Seq("_staging"))
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfBuild(
+        s, emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 16), "vec_id", "embedding",
+        tmp, files = 8)
+      Similarity.ivfRadiusIndexed(
+        s, tmp, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0L).select("embedding"),
+        minSim = 0.25, nprobe = 4, excludeId = Some(0L))
     }
   )
 
@@ -1297,7 +1314,8 @@ object PipelineQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
         |  md5(coalesce(string_agg(line, ' ' ORDER BY line_no) FILTER (rn = 1), '')) AS clean_md5
-        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q83_ann_ivf_radius" -> IvfRadiusOracleSql
   )
 
   /** ANN-over-IVF oracle (q75/q76): coarse assignment by cosine argmax,
@@ -1335,4 +1353,17 @@ object PipelineQueries {
         |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim
         |FROM sc WHERE n2a > 0 AND n2b > 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Radius variant of [[IvfAnnOracleSql]] (q83): the probe pipeline is
+    * IDENTICAL — same assignment, same probed buckets, same exact-cosine
+    * re-rank — only the final predicate differs (rounded cosine >= 0.25
+    * instead of LIMIT 10), exactly mirroring how `ivfRadiusIndexed`
+    * shares `ivfTopKIndexed`'s candidate path in Scala.
+    */
+  private lazy val IvfRadiusOracleSql: String = {
+    val marker = "ORDER BY cos_sim DESC, vec_id LIMIT 10"
+    require(IvfAnnOracleSql.endsWith(marker), "IvfAnnOracleSql tail changed; update q83's derivation")
+    IvfAnnOracleSql.stripSuffix(marker) +
+      "  AND round(dot / (sqrt(n2a) * sqrt(n2b)), 6) >= 0.25\nORDER BY cos_sim DESC, vec_id"
+  }
 }

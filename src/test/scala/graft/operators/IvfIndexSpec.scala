@@ -47,6 +47,30 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(indexed.toSeq == inline.toSeq)
   }
 
+  test("radius probe equals the top-k probe filtered at the threshold") {
+    val idx = buildCorpusIndex("radius", files = 8)
+    // with k = corpus size the top-k probe returns EVERY probed candidate;
+    // the radius result must be exactly its >= minSim prefix
+    val minSim = 0.2
+    val all = Similarity
+      .ivfTopKIndexed(spark, idx, "vec_id", "embedding", queryVec,
+        k = emb.count().toInt, nprobe = 4, excludeId = Some(0L))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val radius = Similarity
+      .ivfRadiusIndexed(spark, idx, "vec_id", "embedding", queryVec,
+        minSim = minSim, nprobe = 4, excludeId = Some(0L))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(radius.toSeq == all.takeWhile(_._2 >= minSim).toSeq)
+    assert(radius.nonEmpty && radius.forall(_._2 >= minSim))
+    // an impossible radius is empty but schema-stable, not an error
+    val none = Similarity
+      .ivfRadiusIndexed(spark, idx, "vec_id", "embedding", queryVec,
+        minSim = 0.999999, nprobe = 4)
+    assert(none.columns.toSeq == Seq("vec_id", "cos_sim") && none.count() == 0)
+  }
+
   test("probe scans only the files whose centroid range intersects the probed buckets") {
     val idx = buildCorpusIndex("pruning", files = 8)
     val post = s"$idx/postings"
