@@ -79,7 +79,12 @@ object Bench {
     val errors = failMsgs.filter { case (n, _) =>
       !pass1.exists(p => p._1 == n && p._3) && !pass2.exists(p => p._1 == n && p._3)
     }
-    val qs = best.map { case (k, v) => JsonUtil.quote(k) + ":" + v }
+    // Millisecond precision keeps the whole line under the harness's
+    // output-tail capture window (~4 KB): 80+ queries at full double
+    // precision overflow it and the recorded artifact starts mid-line.
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = best.map { case (k, v) => JsonUtil.quote(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
     val errJson = errors
       .map { case (k, v) => JsonUtil.quote(k) + ":" + JsonUtil.quote(v) }
@@ -91,7 +96,7 @@ object Bench {
     // skip set so the artifact carries that evidence itself
     val skipJson = skip.toSeq.sorted.map(JsonUtil.quote).mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"skipped":$skipJson,"pass1_total":$t1,"pass2_total":$t2,"loadavg_start":${JsonUtil.quote(loadStart)},"loadavg_end":${JsonUtil.quote(loadEnd)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"skipped":$skipJson,"pass1_total":${r3(t1)},"pass2_total":${r3(t2)},"loadavg_start":${JsonUtil.quote(loadStart)},"loadavg_end":${JsonUtil.quote(loadEnd)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

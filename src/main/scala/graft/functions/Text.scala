@@ -149,9 +149,31 @@ object Text {
     */
   val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern: String = "\\+\\d{1,3}-\\d{3}-\\d{3,4}-\\d{4}"
-  val Ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** Count of PII matches of `pattern` in `text` (pre-redaction). */
+  /** One valid IPv4 octet, 0-255 — rejects 256-999 so version-like
+    * strings and garbage dotted runs ('999.999.999.999') don't redact.
+    * Alternation order matters under leftmost-first matching and is the
+    * same in both engines.
+    */
+  val Ipv4Octet: String = "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+
+  /** Known over-match, accepted and shared with the oracle: in a LONGER
+    * dotted run of valid octets ('1.2.3.4.5') the first four octets
+    * still match — `\b` can't see the trailing '.5' — so redaction
+    * yields '<IP>.5'. Excluding that would need lookaround, which RE2
+    * (the oracle engine) doesn't support.
+    */
+  val Ipv4Pattern: String = s"\\b$Ipv4Octet(\\.$Ipv4Octet){3}\\b"
+
+  /** Count of matches of `pattern` in `text`. Counts are evaluated
+    * per-pattern on the RAW pre-redaction text, so one span may be
+    * counted under multiple categories (an email whose domain looks
+    * like an IP counts as both) even though sequential `redactPii`
+    * replaces it exactly once — totals may exceed what redaction
+    * removes. The oracle counts the same way, so the contract is
+    * consistent; callers needing reconciled counts should diff the
+    * text before/after each redaction stage instead.
+    */
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 

@@ -513,9 +513,11 @@ object Dedup {
     * the space-joined surviving lines ('' when every line was dropped).
     *
     * Scale shape: two shuffles, both narrow. (1) first-occurrence
-    * election: a `row_number` window PARTITIONED BY the line's 128-bit
-    * digest — the shuffle carries (digest, doc_id, line_no), never the
-    * corpus; groups are duplicate-sets, typically tiny (WindowGroupLimit
+    * election: a `row_number` window PARTITIONED BY the raw line (the
+    * shuffle key is hashed by Spark either way; using the line itself
+    * keeps exact-match semantics with no digest-collision caveat) —
+    * the shuffle carries (line, doc_id, line_no), and a line is at
+    * most `lineTokens` words; groups are duplicate-sets, typically tiny (WindowGroupLimit
     * cannot apply — rn participates in the count — but each partition
     * group is one duplicate-set, so per-group sort cost is O(copies)).
     * (2) document reassembly: groupBy doc_id over (line_no, line) structs
@@ -533,8 +535,12 @@ object Dedup {
       col(idCol).as("doc_id"),
       posexplode(Text.chunks(col(textCol), lineTokens, overlap = 0))
         .as(Seq("line_no", "line")))
+    // Partition by the RAW line, matching the oracle exactly: Spark
+    // hashes the shuffle key anyway so the scale shape is unchanged,
+    // and an md5 collision between two distinct lines can no longer
+    // merge their duplicate-sets.
     val firstWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("line")))
+      .partitionBy(col("line"))
       .orderBy(col("doc_id"), col("line_no"))
     lines
       .withColumn("rn", row_number().over(firstWin))

@@ -1278,11 +1278,11 @@ object PipelineQueries {
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(t, '\+\d{1,3}-\d{3}-\d{3,4}-\d{4}')) AS BIGINT) AS n_phones,
-        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\b(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}\b')) AS BIGINT) AS n_ips,
         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      '\+\d{1,3}-\d{3}-\d{3,4}-\d{4}', '<PHONE>', 'g'),
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+        |      '\b(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}\b', '<IP>', 'g')) AS redacted_md5
         |FROM p ORDER BY doc_id""".stripMargin,
     // q81: bigrams with duplicates KEPT (range over 1..len-1, 1-based
     // list indexing); c1 is the count of bigrams STARTING with w1 so
