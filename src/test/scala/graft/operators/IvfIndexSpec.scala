@@ -65,9 +65,11 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(radius.toSeq == all.takeWhile(_._2 >= minSim).toSeq)
     assert(radius.nonEmpty && radius.forall(_._2 >= minSim))
     // an impossible radius is empty but schema-stable, not an error
+    // (excludeId keeps the query's own corpus row — cos_sim exactly 1.0 —
+    // from legitimately surviving the threshold)
     val none = Similarity
       .ivfRadiusIndexed(spark, idx, "vec_id", "embedding", queryVec,
-        minSim = 0.999999, nprobe = 4)
+        minSim = 0.999999, nprobe = 4, excludeId = Some(0L))
     assert(none.columns.toSeq == Seq("vec_id", "cos_sim") && none.count() == 0)
   }
 
