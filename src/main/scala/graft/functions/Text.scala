@@ -151,11 +151,16 @@ object Text {
   val PhonePattern: String = "\\+\\d{1,3}-\\d{3}-\\d{3,4}-\\d{4}"
 
   /** One valid IPv4 octet, 0-255 — rejects 256-999 so version-like
-    * strings and garbage dotted runs ('999.999.999.999') don't redact.
+    * strings and garbage dotted runs ('999.999.999.999') don't redact,
+    * but ACCEPTS zero-padded forms ('01', '007', '010') via the
+    * `0\d{1,2}` alternative: zero-padded logs write '10.0.0.01' and an
+    * under-redacting PII pass is the bad direction to fail. Over-long
+    * zero-padded octets ('0255') still never match: `0\d{1,2}` consumes
+    * at most 3 chars and the following `\.`/`\b` can't land mid-number.
     * Alternation order matters under leftmost-first matching and is the
     * same in both engines.
     */
-  val Ipv4Octet: String = "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+  val Ipv4Octet: String = "(25[0-5]|2[0-4]\\d|1\\d\\d|0\\d{1,2}|[1-9]?\\d)"
 
   /** Known over-match, accepted and shared with the oracle: in a LONGER
     * dotted run of valid octets ('1.2.3.4.5') the first four octets

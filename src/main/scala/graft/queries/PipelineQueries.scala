@@ -604,9 +604,10 @@ object PipelineQueries {
         k = 5, nprobe = 4, excludeSelf = true)
     },
     // PII REDACTION (quarantine-exit curation): synthetic PII —
-    // an email, a dashed phone number, an IPv4 — is injected
-    // deterministically per doc (the corpus itself is clean), then
-    // counted and redacted to typed placeholders. Patterns are
+    // an email, a dashed phone number, a plain IPv4 AND a zero-padded
+    // IPv4 ('010.001.002.0X' — the form zero-padded logs emit) — is
+    // injected deterministically per doc (the corpus itself is clean),
+    // then counted and redacted to typed placeholders. Patterns are
     // RE2-compatible so both engines find the identical match set; the
     // oracle re-injects, re-counts, and re-redacts with the same
     // patterns and compares the redacted text by md5.
@@ -618,7 +619,9 @@ object PipelineQueries {
           lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com via +1-555-"),
           lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
-          lit("-0199 at 10."), (col("doc_id") % 200).cast("string"), lit(".0.7")
+          lit("-0199 at 10."), (col("doc_id") % 200).cast("string"), lit(".0.7"),
+          lit(" log 010.001.002."),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0")
         ).as("text"))
       withPii
         .select(
@@ -1266,23 +1269,26 @@ object PipelineQueries {
         |     UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
         |GROUP BY a.cid, t.i
         |ORDER BY centroid_id, pos""".stripMargin,
-    // q80: same injection, same RE2-safe patterns, same replace order
-    // (emails → phones → IPs); DuckDB needs the explicit 'g' flag where
-    // Spark's regexp_replace is global by default
+    // q80: same injection (incl. the zero-padded '010.001.002.0X' IP),
+    // same RE2-safe patterns — the octet alternation carries the 0\d{1,2}
+    // leading-zero form, mirrored verbatim from Text.Ipv4Octet — same
+    // replace order (emails → phones → IPs); DuckDB needs the explicit
+    // 'g' flag where Spark's regexp_replace is global by default
     "q80_pii_redact" ->
       """WITH p AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via +1-555-' ||
         |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 at 10.' ||
-        |  CAST(doc_id % 200 AS VARCHAR) || '.0.7' AS t
+        |  CAST(doc_id % 200 AS VARCHAR) || '.0.7' ||
+        |  ' log 010.001.002.' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(t, '\+\d{1,3}-\d{3}-\d{3,4}-\d{4}')) AS BIGINT) AS n_phones,
-        |  CAST(len(regexp_extract_all(t, '\b(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\b(25[0-5]|2[0-4]\d|1\d\d|0\d{1,2}|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|0\d{1,2}|[1-9]?\d)){3}\b')) AS BIGINT) AS n_ips,
         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      '\+\d{1,3}-\d{3}-\d{3,4}-\d{4}', '<PHONE>', 'g'),
-        |      '\b(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}\b', '<IP>', 'g')) AS redacted_md5
+        |      '\b(25[0-5]|2[0-4]\d|1\d\d|0\d{1,2}|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|0\d{1,2}|[1-9]?\d)){3}\b', '<IP>', 'g')) AS redacted_md5
         |FROM p ORDER BY doc_id""".stripMargin,
     // q81: bigrams with duplicates KEPT (range over 1..len-1, 1-based
     // list indexing); c1 is the count of bigrams STARTING with w1 so

@@ -86,6 +86,17 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(one(clean).select(Text.redactPii(col("text"))).head().getString(0) == clean)
   }
 
+  test("redactPii: zero-padded IPv4 octets are redacted; over-255 still rejected") {
+    // zero-padded logs write '10.0.0.01' / '010.001.002.003' — an
+    // under-redacting PII pass is the bad direction to fail (ADVICE r8)
+    val padded = "a 10.0.0.01 b 010.001.002.003 c 007.8.9.10 d"
+    assert(one(padded).select(Text.redactPii(col("text"))).head().getString(0)
+      == "a <IP> b <IP> c <IP> d")
+    // 256-999 octets and over-long zero-padded octets ('0255') never match
+    val junk = "v 1.999.3.4 w 0255.1.2.3 x 999.999.999.999 y"
+    assert(one(junk).select(Text.redactPii(col("text"))).head().getString(0) == junk)
+  }
+
   test("piiCount counts every match of each pattern") {
     val dirty = "a@b.com x@y.net +1-555-012-0199 10.0.0.1"
     val row = one(dirty).select(

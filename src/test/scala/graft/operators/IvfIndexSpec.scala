@@ -64,12 +64,29 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(radius.toSeq == all.takeWhile(_._2 >= minSim).toSeq)
     assert(radius.nonEmpty && radius.forall(_._2 >= minSim))
-    // an impossible radius is empty but schema-stable, not an error
-    // (excludeId keeps the query's own corpus row — cos_sim exactly 1.0 —
-    // from legitimately surviving the threshold)
+    // an impossible radius is empty but schema-stable, not an error.
+    // Empty BY CONSTRUCTION, not by fixture separation (ADVICE r8): the
+    // query is a synthetic vector absent from the corpus and the
+    // threshold is derived strictly above the corpus's actual best
+    // cosine against it — adding near-duplicate embeddings to the
+    // fixture cannot break this case.
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val synth = Array.tabulate(dim)(i => if (i % 2 == 0) 1f else -1f)
+    def cosTo(v: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until math.min(dim, v.length)).foreach { i =>
+        d += synth(i).toDouble * v(i); na += synth(i).toDouble * synth(i)
+        nb += v(i).toDouble * v(i)
+      }
+      if (na == 0 || nb == 0) -1.0 else d / math.sqrt(na * nb)
+    }
+    val maxSim = emb.select(col("embedding")).as[Array[Float]].collect().map(cosTo).max
+    assert(maxSim < 1.0, "synthetic query must not be parallel to any corpus vector")
+    val impossible = (maxSim + 1.0) / 2 // strictly above every corpus sim, <= 1
+    val synthQ = Seq(Tuple1(synth)).toDF("embedding")
     val none = Similarity
-      .ivfRadiusIndexed(spark, idx, "vec_id", "embedding", queryVec,
-        minSim = 0.999999, nprobe = 4, excludeId = Some(0L))
+      .ivfRadiusIndexed(spark, idx, "vec_id", "embedding", synthQ,
+        minSim = impossible, nprobe = 4)
     assert(none.columns.toSeq == Seq("vec_id", "cos_sim") && none.count() == 0)
   }
 
