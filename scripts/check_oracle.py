@@ -41,9 +41,16 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
-    n_pass = n_fail = 0
+    import os
+    n_pass = n_fail = n_skip = 0
     for name in sorted(oracles):
         sql = oracles[name]
+        # dev iteration dumps a subset of queries; a result dir absent
+        # entirely is "not dumped this run", not a failure (the driver's
+        # full run always dumps everything, so this never hides a miss)
+        if not os.path.exists(f"{out_dir}/{name}"):
+            n_skip += 1
+            continue
         try:
             got_t = pq.read_table(f"{out_dir}/{name}")
             got_cols = sorted(got_t.column_names)
@@ -75,17 +82,24 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
 
-    # rows-only entries (no oracle)
-    import os
+    # rows-only entries (no oracle) — oracle_notes.json carries the
+    # machine-readable contract for why each one is unoracled
+    try:
+        with open(f"{out_dir}/oracle_notes.json") as f:
+            notes = json.load(f)
+    except Exception:
+        notes = {}
     for d in sorted(os.listdir(out_dir)):
         if d.startswith("q") and d not in oracles:
             try:
                 n = pq.read_table(f"{out_dir}/{d}").num_rows
-                print(f"ROWS {d}: {n} rows (no oracle)")
+                note = notes.get(d, "UNDECLARED — add an oracleNotes entry")
+                print(f"ROWS {d}: {n} rows ({note})")
             except Exception as e:
                 print(f"FAIL {d}: unreadable: {e}")
                 n_fail += 1
-    print(f"\n{n_pass} pass / {n_fail} fail of {len(oracles)} oracled")
+    skipped = f", {n_skip} not dumped this run" if n_skip else ""
+    print(f"\n{n_pass} pass / {n_fail} fail of {len(oracles)} oracled{skipped}")
     return 1 if n_fail else 0
 
 

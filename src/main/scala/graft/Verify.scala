@@ -28,6 +28,17 @@ object Verify {
       .map { case (k, v) => s"${JsonUtil.quote(k)}: ${JsonUtil.quote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // every deliberately-unoracled query must declare its contract — a
+    // `no_oracle` CORRECTNESS row should be self-describing, never
+    // "someone forgot"
+    val undeclared =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- SparkEntry.oracleNotes.keySet
+    require(undeclared.isEmpty,
+      s"queries with neither oracleSql nor oracleNotes: ${undeclared.toSeq.sorted.mkString(",")}")
+    val notes = SparkEntry.oracleNotes
+      .map { case (k, v) => s"${JsonUtil.quote(k)}: ${JsonUtil.quote(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_notes.json"), notes)
     spark.stop()
   }
 }

@@ -119,6 +119,141 @@ object Curation {
       .orderBy("merge_rank")
   }
 
+  final case class BpeMerge(merge_rank: Int, left_sym: String, right_sym: String, n: Long)
+
+  /** Adjacent symbol pairs of an array<string> column, as (l, r) structs
+    * (a concatenated-string pair would be ambiguous once symbols are
+    * multi-character: "ab"+"c" vs "a"+"bc"). Interpreted lambda — fine
+    * here because every caller runs it over the VOCABULARY table (word
+    * types × counts), never the corpus token stream.
+    */
+  private def adjacentSymPairs(syms: Column): Column =
+    when(
+      size(syms) >= 2,
+      transform(
+        sequence(lit(0), size(syms) - 2),
+        i => struct(syms.getItem(i).as("l"), syms.getItem(i + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+
+  /** Apply ONE merge rule (l, r) → l+r to a symbol array, greedy
+    * left-to-right over non-overlapping occurrences — classic BPE apply
+    * semantics: ["a","a","a"] under (a,a) becomes ["aa","a"], and the
+    * freshly merged symbol never re-merges in the same pass (it would
+    * have to equal `l` with a non-empty `r` appended — impossible).
+    * The first CASE branch keeps ANSI-mode element_at off the empty
+    * accumulator (CaseWhen evaluates branches lazily).
+    */
+  private def mergeOnce(syms: Column, l: String, r: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) === 0, array(x))
+          .when(
+            element_at(acc, -1) === l && x === r,
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Characters of a token as the initial BPE symbol array. */
+  private def charSyms(tok: Column): Column =
+    filter(split(tok, ""), c => c =!= "")
+
+  /** Iterative BPE TRAINER (byte-pair-encoding tokenizer build): up to
+    * `numMerges` rounds of "count adjacent symbol pairs corpus-wide, merge
+    * the most frequent pair everywhere", starting from characters. Ties
+    * break (count desc, left asc, right asc) for cross-engine determinism;
+    * training stops early when the best pair's count falls below
+    * `minCount` or no pairs remain.
+    *
+    * Scale shape: all per-round work runs on the WORD-TYPE table (distinct
+    * token + corpus count) — the standard trainer reduction, since pair
+    * counts only depend on word types × frequencies — so a 100 TB corpus
+    * is scanned exactly once (tokenize + count) and each round is one
+    * vocabulary-sized grouped aggregation. The merge DECISION is
+    * inherently sequential: one k-row-bounded `limit(1).collect()` per
+    * round (the same bounded-driver-traffic discipline as
+    * [[Similarity.kmeansTrain]]'s centroid loop), with the word table
+    * localCheckpoint-truncated every round like
+    * [[Dedup.connectedComponents]].
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minCount: Long = 1L
+  ): Seq[BpeMerge] = {
+    require(numMerges >= 1, "bpeTrain: need numMerges >= 1")
+    require(minCount >= 1, "bpeTrain: need minCount >= 1")
+    var words = docs
+      .select(explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("wc"))
+      .select(col("wc"), charSyms(col("tok")).as("syms"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var done = false
+    for (rank <- 1 to numMerges if !done) {
+      val top = words
+        .select(col("wc"), explode(adjacentSymPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("wc").as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getAs[Long]("n") < minCount) done = true
+      else {
+        val (l, r, n) =
+          (top(0).getAs[String]("l"), top(0).getAs[String]("r"), top(0).getAs[Long]("n"))
+        out += BpeMerge(rank, l, r, n)
+        words = words.withColumn("syms", mergeOnce(col("syms"), l, r)).localCheckpoint()
+      }
+    }
+    out.toSeq
+  }
+
+  /** Apply a trained merge list to a corpus: every document's tokens are
+    * segmented into BPE subword symbols by replaying the merges IN
+    * TRAINING ORDER (order is part of the BPE contract — a later merge
+    * may consume a symbol an earlier merge created). Returns
+    * (idCol, subwords array) per document; documents with no tokens are
+    * omitted (nothing to segment), matching [[lmBigramScore]]'s contract.
+    *
+    * Scale shape: merges replay over the DISTINCT-token table, not the
+    * corpus (same word-type reduction as [[bpeTrain]]); the corpus-sized
+    * work is one posexplode + one equi-join token→segmentation + one
+    * grouped ordered reassembly (`array_sort(collect_list(struct))` — the
+    * q82 line-dedup pattern, per-doc arrays, no global window). The
+    * expression tree nests one fold per merge, so the vocab plan is
+    * checkpoint-truncated every 8 merges.
+    */
+  def applyBpe(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      posexplode(graft.functions.Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+    var vocab = toks
+      .select("tok")
+      .distinct()
+      .select(col("tok"), charSyms(col("tok")).as("syms"))
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      vocab = vocab.withColumn("syms", mergeOnce(col("syms"), l, r))
+      if ((i + 1) % 8 == 0) vocab = vocab.localCheckpoint()
+    }
+    toks
+      .join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(
+        flatten(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("syms")))),
+            s => s.getField("syms"))).as("subwords"))
+      .select(col("doc_id").as(idCol), col("subwords"))
+  }
+
   /** Deterministic MIXTURE SAMPLING (training-data mixing): keep each
     * document with probability `rateCol` (typically derived from its
     * source/domain — the "data mixing weights" step of corpus assembly),

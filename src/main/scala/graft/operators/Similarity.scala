@@ -547,7 +547,70 @@ object Similarity {
       nprobe: Int,
       excludeSelf: Boolean = false
   ): DataFrame = {
-    require(k > 0 && nprobe > 0)
+    require(k > 0, "ivfTopKIndexedBatch: k must be positive")
+    val kept = indexedBatchCandidates(
+      spark, indexPath, idCol, vecCol, queries, qIdCol, qVecCol, nprobe, excludeSelf)
+    val topk = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col(idCol))
+    kept
+      .withColumn("_rk", row_number().over(topk))
+      .where(col("_rk") <= k)
+      .drop("_rk")
+      .orderBy(col("query_id"), col("cos_sim").desc, col(idCol))
+  }
+
+  /** BATCH RADIUS search against the persisted index: every indexed
+    * neighbour with `cos_sim >= minSim` for EVERY query row in one pass —
+    * the radius analogue of [[ivfTopKIndexedBatch]], and the shape a
+    * dedup or contamination sweep actually runs (a query SET swept
+    * against the corpus, "everything this close", not a fixed k). Same
+    * three-stage batch probe machinery (windowed per-query bucket
+    * ranking, one bucket-union file selection shared across the batch,
+    * candidate equi-join on centroid_id); the final predicate is a plain
+    * `cos_sim >= minSim` filter Spark pushes into the candidate scan —
+    * no per-query window at all, so output size is driven by true
+    * neighbourhood density. Like every IVF probe, recall is bounded by
+    * `nprobe`. Output: (query_id, <idCol>, cos_sim).
+    */
+  def ivfRadiusIndexedBatch(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      minSim: Double,
+      nprobe: Int,
+      excludeSelf: Boolean = false
+  ): DataFrame = {
+    require(minSim >= -1.0 && minSim <= 1.0,
+      "ivfRadiusIndexedBatch: minSim must be in [-1, 1]")
+    indexedBatchCandidates(
+      spark, indexPath, idCol, vecCol, queries, qIdCol, qVecCol, nprobe, excludeSelf)
+      .where(col("cos_sim") >= minSim)
+      .orderBy(col("query_id"), col("cos_sim").desc, col(idCol))
+  }
+
+  /** Shared batch probe path of [[ivfTopKIndexedBatch]] /
+    * [[ivfRadiusIndexedBatch]]: heal the index, rank buckets per query,
+    * footer-select the batch's probed-bucket union, equi-join candidates
+    * to their queries, exact cosine — unsorted, uncapped; the callers
+    * apply their own final predicate (top-k window vs radius filter).
+    */
+  private def indexedBatchCandidates(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      nprobe: Int,
+      excludeSelf: Boolean
+  ): DataFrame = {
+    require(nprobe > 0, "indexed batch probe: nprobe must be positive")
     Incremental.recoverAll(spark, indexPath)
     val post = postingsPath(indexPath)
     Incremental.recoverAll(spark, post)
@@ -586,16 +649,7 @@ object Similarity {
         col("query_id"), col(idCol),
         round(cosine(col(vecCol), col("_qvec")), 6).as("cos_sim"))
       .where(col("cos_sim").isNotNull)
-    val kept =
-      if (excludeSelf) scored.where(col(idCol) =!= col("query_id")) else scored
-    val topk = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col(idCol))
-    kept
-      .withColumn("_rk", row_number().over(topk))
-      .where(col("_rk") <= k)
-      .drop("_rk")
-      .orderBy(col("query_id"), col("cos_sim").desc, col(idCol))
+    if (excludeSelf) scored.where(col(idCol) =!= col("query_id")) else scored
   }
 
   // ---------------------------------------------------------------------
@@ -640,10 +694,154 @@ object Similarity {
 
   final case class KMeansResult(centroids: DataFrame, iterations: Int, converged: Boolean)
 
+  /** Strictly-positive uniform in (0, 1) derived from a CONTENT hash of
+    * the vector plus a round number — the deterministic stand-in for the
+    * RNG draw in k-means++ sampling. Content-keyed (not id- or
+    * partition-keyed) so it is identical across engines, runs, and
+    * RETRIED TASKS — an rand()-based draw re-rolls under partial stage
+    * recompute, the same trap [[Curation.mixtureSample]] documents.
+    */
+  private def hashUniform(vec: Column, round: Int): Column =
+    (shiftrightunsigned(xxhash64(vec, lit(round)), 11).cast("double") + 1.0) / 9007199254740993.0
+
+  /** Deterministic k-means++-style SEEDING, k-means||-shaped for scale
+    * (Bahmani et al.: O(rounds) passes, not k sequential draws — exact
+    * sequential k-means++ would be k tiny jobs, untenable at k=1024):
+    *
+    *  1. seed 0 = the minimum-content-hash non-degenerate vector — a
+    *     deterministic uniform draw that, unlike the previous
+    *     lowest-`id` rule, cannot correlate with ingestion order;
+    *  2. `rounds` passes, each drawing `2k` new candidates with
+    *     probability ∝ D²(x) (cosine distance to the nearest candidate
+    *     so far) via an EXPONENTIAL RACE — key = -ln(u)/D²(x) with the
+    *     content-hash uniform `u`: the winner distribution is exactly
+    *     the weighted draw, yet fully deterministic and retry-safe.
+    *     D² is maintained INCREMENTALLY per vector against only each
+    *     round's new candidates (localCheckpoint-truncated, the
+    *     [[Dedup.connectedComponents]] discipline) — never recomputed
+    *     against the whole candidate set;
+    *  3. the ≤ 1+2k·rounds candidates (driver-sized by construction)
+    *     are weighted by how many corpus vectors each attracts (one
+    *     [[ivfAssign]] pass) and reduced to k seeds by driver-local
+    *     WEIGHTED k-means++, hash-raced the same way.
+    *
+    * Duplicate vectors of an already-chosen candidate carry D² = 0 and
+    * can never be drawn again. May return fewer than k seeds when the
+    * data has fewer than k distinct non-degenerate directions.
+    */
+  def kmeansppSeeds(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int = 5
+  ): Array[Array[Float]] = {
+    require(k > 0 && rounds > 0)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .where(norm2(col("_v")) > 0)
+    val first = vecs
+      .orderBy(xxhash64(col("_v")).asc, col("_id").asc)
+      .limit(1)
+      .select("_v")
+      .as[Array[Float]]
+      .collect()
+    if (first.isEmpty) return Array.empty
+    val candidates = scala.collection.mutable.ArrayBuffer[Array[Float]](first(0))
+    var state = vecs
+      .withColumn("_minD", greatest(lit(0.0), lit(1.0) - cosine(col("_v"), typedLit(first(0)))))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val drawn = state
+        .where(col("_minD") > 0)
+        .orderBy(
+          (-log(hashUniform(col("_v"), r)) / pow(col("_minD"), 2)).asc,
+          col("_id").asc)
+        .limit(2 * k)
+        .select("_v")
+        .as[Array[Float]]
+        .collect()
+      if (drawn.nonEmpty) {
+        candidates ++= drawn
+        val newC = broadcast(
+          spark.createDataset(drawn.toIndexedSeq).toDF("_cv"))
+        // one pass against only this round's candidates: D² never
+        // degrades into an O(|C|) rescan per round
+        val best = state
+          .select(col("_id"), col("_v"))
+          .crossJoin(newC)
+          .groupBy(col("_id"))
+          .agg(max(cosine(col("_v"), col("_cv"))).as("_bestNew"))
+        state = state
+          .join(best, "_id")
+          .select(
+            col("_id"),
+            col("_v"),
+            greatest(lit(0.0), least(col("_minD"), lit(1.0) - col("_bestNew"))).as("_minD"))
+          .localCheckpoint()
+      }
+    }
+    // weight candidates by attracted corpus mass, then reduce on the
+    // driver — the candidate set is bounded by 1+2k·rounds regardless of
+    // corpus size
+    val candDf = spark
+      .createDataset(candidates.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .toDF("_cid", "_cvec")
+    val weights = ivfAssign(state.select("_id", "_v"), "_id", "_v", candDf, "_cid", "_cvec")
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("w"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    localWeightedKmeanspp(
+      candidates.toArray.zipWithIndex.map { case (v, i) => (v, weights.getOrElse(i.toLong, 0L)) },
+      k)
+  }
+
+  /** Driver-local weighted k-means++ over the k-means|| candidate set
+    * (≤ 1+2k·rounds vectors — never data-sized). Deterministic via the
+    * same content-hash exponential race as the distributed pass, with
+    * MurmurHash3 (stable across JVMs) as the hash.
+    */
+  private def localWeightedKmeanspp(
+      cands: Array[(Array[Float], Long)],
+      k: Int
+  ): Array[Array[Float]] = {
+    val live = cands
+    if (live.length <= k) return live.map(_._1)
+    def u(v: Array[Float], round: Int): Double = {
+      val bits = v.map(java.lang.Float.floatToIntBits)
+      val h = scala.util.hashing.MurmurHash3.arrayHash(bits, round)
+      val x = (h & 0x7fffffff).toDouble / Int.MaxValue.toDouble
+      math.min(math.max(x, 1e-12), 1.0 - 1e-12)
+    }
+    def w(c: (Array[Float], Long)): Double = math.max(c._2.toDouble, 1e-9)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val minD = Array.fill(live.length)(1.0)
+    var pick = live.indices.minBy(i => -math.log(u(live(i)._1, 0)) / w(live(i)))
+    chosen += live(pick)._1
+    for (r <- 1 until k) {
+      live.indices.foreach { i =>
+        minD(i) = math.min(minD(i), math.max(0.0, 1.0 - localCosine(live(i)._1, chosen.last)))
+      }
+      val open = live.indices.filter(i => minD(i) > 0)
+      if (open.nonEmpty) {
+        pick = open.minBy(i => -math.log(u(live(i)._1, r)) / (w(live(i)) * minD(i) * minD(i)))
+        chosen += live(pick)._1
+      }
+    }
+    chosen.toArray
+  }
+
   /** Lloyd's k-means over an embedding column: deterministic
-    * initialization (the `k` lowest-id non-degenerate vectors), then up
-    * to `maxIter` rounds of assign + mean-update, stopping when no
-    * centroid moves by more than `tol` in cosine distance.
+    * k-means++-style initialization by default ([[kmeansppSeeds]] —
+    * content-hash-raced distance sampling; `init = "lowest-id"` keeps
+    * the legacy k-lowest-id seeding, which degrades whenever ids
+    * correlate with content, e.g. ingestion order), then up to `maxIter`
+    * rounds of assign + mean-update, stopping when no centroid moves by
+    * more than `tol` in cosine distance.
     *
     * Each round is ONE distributed job ([[kmeansUpdate]]); the centroids
     * themselves are k×dim — driver-sized by definition — so they are
@@ -660,20 +858,27 @@ object Similarity {
       vecCol: String,
       k: Int,
       maxIter: Int = 20,
-      tol: Double = 1e-4
+      tol: Double = 1e-4,
+      init: String = "kmeans++"
   ): KMeansResult = {
     require(k > 0 && maxIter > 0)
+    require(init == "kmeans++" || init == "lowest-id",
+      s"kmeansTrain: unknown init '$init' (expected kmeans++ or lowest-id)")
     val spark = emb.sparkSession
     import spark.implicits._
-    var current: Array[(Long, Array[Float])] = emb
-      .select(col(idCol).cast("long"), col(vecCol))
-      .where(norm2(col(vecCol)) > 0) // a zero vector can never attract assignments
-      .orderBy(col(idCol).cast("long"))
-      .limit(k)
-      .as[(Long, Array[Float])]
-      .collect()
-      .zipWithIndex
-      .map { case ((_, v), i) => (i.toLong, v) }
+    var current: Array[(Long, Array[Float])] =
+      if (init == "kmeans++")
+        kmeansppSeeds(emb, idCol, vecCol, k).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      else
+        emb
+          .select(col(idCol).cast("long"), col(vecCol))
+          .where(norm2(col(vecCol)) > 0) // a zero vector can never attract assignments
+          .orderBy(col(idCol).cast("long"))
+          .limit(k)
+          .as[(Long, Array[Float])]
+          .collect()
+          .zipWithIndex
+          .map { case ((_, v), i) => (i.toLong, v) }
     require(current.nonEmpty, "kmeansTrain: no non-degenerate vectors to initialize from")
     var iter = 0
     var converged = false

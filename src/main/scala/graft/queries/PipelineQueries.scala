@@ -665,6 +665,83 @@ object PipelineQueries {
         s, tmp, "vec_id", "embedding",
         emb.where(col("vec_id") === 0L).select("embedding"),
         minSim = 0.25, nprobe = 4, excludeId = Some(0L))
+    },
+    // REAL image decode round trip (the javax.imageio image leg — the
+    // q39/q71 playbook applied to decodeImageFeatures): image-kind
+    // payloads are thresholded to pure black/white pixels — the two
+    // FIXED POINTS of Java's gray→sRGB color management; any other gray
+    // value gamma-shifts under getRGB (measured: 1→13, 63→136) and no
+    // SQL oracle could follow — wrapped as a 16-wide grayscale PNG via
+    // pngFrame, decoded back through the real ImageIO path, and reduced
+    // to the decoded width/height plus dark/bright pixel counts
+    // recovered from the L1-normalized luminance histogram (bin 0 =
+    // black, bin 15 = white; the last row's zero-padding counts as
+    // dark, which the oracle replicates).
+    "q84_image_decode" -> { (s, dir) =>
+      import s.implicits._
+      val imgs = Multimodal
+        .fromDocuments(s, t(s, dir, "documents"))
+        .filter(_.kind == "image")
+        .map { m =>
+          val px = m.payload.map(b => (if ((b & 0xff) >= 64) 0xff else 0x00).toByte)
+          val h = math.max(1, (px.length + 15) / 16)
+          m.copy(payload = Multimodal.pngFrame(px, 16, h))
+        }
+      Multimodal
+        .decodeImageFeatures(imgs, bins = 16)
+        .toDF()
+        .where(col("decoded"))
+        .select(
+          col("media_id"), col("width"), col("height"),
+          round(element_at(col("features"), 1) * col("width") * col("height"))
+            .cast("long").as("dark_px"),
+          round(element_at(col("features"), 16) * col("width") * col("height"))
+            .cast("long").as("bright_px"))
+        .orderBy("media_id")
+    },
+    // BPE TRAINER, 3 merge rounds end-to-end (tokenizer build): count
+    // adjacent symbol pairs corpus-wide (word-type table × counts),
+    // merge the winner everywhere, repeat. The oracle replays all three
+    // rounds on a space-delimited symbol-string encoding where SQL
+    // replace() IS the greedy non-overlapping merge.
+    "q85_bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Curation
+        .bpeTrain(t(s, dir, "documents"), "text", numMerges = 3)
+        .toDF()
+        .orderBy("merge_rank")
+    },
+    // BPE APPLY: replay the 3 trained merges over every document IN
+    // TRAINING ORDER, reassemble each doc's subword stream in token
+    // order, compare count + md5 of the space-joined stream. Exercises
+    // the full train→segment round trip, q82's reassembly discipline.
+    "q86_bpe_apply" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Curation.bpeTrain(docs, "text", numMerges = 3)
+      graft.operators.Curation
+        .applyBpe(docs, "doc_id", "text", merges.map(m => (m.left_sym, m.right_sym)))
+        .select(
+          col("doc_id"),
+          size(col("subwords")).cast("long").as("n_subwords"),
+          md5(concat_ws(" ", col("subwords"))).as("subword_md5"))
+        .orderBy("doc_id")
+    },
+    // BATCH RADIUS search (the sweep a dedup/contamination pass runs
+    // over a query SET): every neighbour with cos_sim >= 0.25 for each
+    // of the 4 queries, one pass over the persisted index — q79's batch
+    // machinery with q83's radius predicate instead of the top-k window.
+    "q87_ann_ivf_radius_batch" -> { (s, dir) =>
+      val tmp = freshScratch(s, dir, "q87", Seq("_staging"))
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfBuild(
+        s, emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 16), "vec_id", "embedding",
+        tmp, files = 8)
+      Similarity.ivfRadiusIndexedBatch(
+        s, tmp, "vec_id", "embedding",
+        emb.where(col("vec_id") < 4).select("vec_id", "embedding"),
+        "vec_id", "embedding",
+        minSim = 0.25, nprobe = 4, excludeSelf = true)
     }
   )
 
@@ -1199,47 +1276,10 @@ object PipelineQueries {
     // the same corpus-vs-centroid cosines (queries ARE corpus rows), and
     // the re-rank ranks by the ROUNDED cosine then id, exactly like the
     // Spark window.
-    "q79_ann_ivf_batch" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
-        |sim AS (SELECT e.vec_id, c.cid,
-        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-        |   FROM (SELECT unnest(e.embedding) AS x, unnest(c.cvec) AS y) z) AS dot,
-        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-        |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
-        |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
-        |   FROM (SELECT unnest(c.cvec) AS y) z) AS n2b
-        | FROM embeddings e, c),
-        |cs AS (SELECT vec_id, cid, dot / (sqrt(n2a) * sqrt(n2b)) AS cs
-        |       FROM sim WHERE n2a > 0 AND n2b > 0),
-        |asg AS (SELECT vec_id, cid FROM (
-        |         SELECT vec_id, cid,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-        |         FROM cs) WHERE rn = 1),
-        |probe AS (SELECT vec_id AS qid, cid FROM (
-        |           SELECT vec_id, cid,
-        |             row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-        |           FROM cs WHERE vec_id < 4) WHERE rn <= 4),
-        |cand AS (SELECT DISTINCT p.qid, a.vec_id
-        |         FROM probe p JOIN asg a ON a.cid = p.cid
-        |         WHERE a.vec_id <> p.qid),
-        |sc AS (SELECT cnd.qid, e.vec_id,
-        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-        |   FROM (SELECT unnest(e.embedding) AS x, unnest(qe.embedding) AS y) z) AS dot,
-        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-        |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
-        |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
-        |   FROM (SELECT unnest(qe.embedding) AS y) z) AS n2b
-        | FROM cand cnd
-        | JOIN embeddings e ON e.vec_id = cnd.vec_id
-        | JOIN embeddings qe ON qe.vec_id = cnd.qid),
-        |ranked AS (SELECT qid, vec_id,
-        |            round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim,
-        |            row_number() OVER (PARTITION BY qid
-        |              ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 6) DESC, vec_id) AS rk
-        |           FROM sc WHERE n2a > 0 AND n2b > 0)
-        |SELECT qid AS query_id, vec_id, cos_sim
-        |FROM ranked WHERE rk <= 5
-        |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin,
+    "q79_ann_ivf_batch" -> IvfBatchOracleSql,
+    // q87: IvfBatchOracleSql's pipeline with the final per-query rank
+    // filter swapped for the rounded-cosine radius predicate (q83's)
+    "q87_ann_ivf_radius_batch" -> IvfBatchRadiusOracleSql,
     // q77: the asg CTE is q75's assignment argmax verbatim; means are
     // per-(centroid, dimension) averages over DOUBLE-cast floats,
     // rounded at 6 (sum-order noise ~1e-13 for ~1e2 unit-scale values).
@@ -1321,8 +1361,80 @@ object PipelineQueries {
         |  CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
         |  md5(coalesce(string_agg(line, ' ' ORDER BY line_no) FILTER (rn = 1), '')) AS clean_md5
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q83_ann_ivf_radius" -> IvfRadiusOracleSql
+    "q83_ann_ivf_radius" -> IvfRadiusOracleSql,
+    // q84: every payload byte >= 64 becomes a white pixel (255 → hist
+    // bin 15), everything else black (0 → bin 0); the 16-wide frame's
+    // zero-padded tail is black. ascii() indexes CHARACTERS — equal to
+    // the Spark side's UTF-8 bytes for this ASCII corpus (q38 caveat).
+    "q84_image_decode" ->
+      """WITH base AS (SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n
+        |              FROM documents WHERE doc_id % 3 = 0),
+        |br AS (SELECT media_id,
+        |         CAST(count(*) FILTER (WHERE ascii(substring(text, CAST(i AS INT), 1)) >= 64) AS BIGINT) AS bright
+        |       FROM base, UNNEST(range(1, n + 1)) AS t(i)
+        |       GROUP BY media_id),
+        |d AS (SELECT b.media_id, CAST(16 AS INT) AS width,
+        |        CAST(GREATEST(1, CAST(CEIL(b.n / 16.0) AS BIGINT)) AS INT) AS height,
+        |        coalesce(br.bright, 0) AS bright
+        |      FROM base b LEFT JOIN br ON br.media_id = b.media_id)
+        |SELECT media_id, width, height,
+        |  CAST(CAST(width AS BIGINT) * height - bright AS BIGINT) AS dark_px,
+        |  CAST(bright AS BIGINT) AS bright_px
+        |FROM d ORDER BY media_id""".stripMargin,
+    "q85_bpe_train" ->
+      s"""$BpeRoundsCte
+         |SELECT CAST(1 AS INT) AS merge_rank, l AS left_sym, r AS right_sym, n FROM m1
+         |UNION ALL SELECT 2, l, r, n FROM m2
+         |UNION ALL SELECT 3, l, r, n FROM m3
+         |ORDER BY merge_rank""".stripMargin,
+    // q86: per-doc token stream in order, each token swapped for its
+    // trained segmentation, n_subwords + md5 over the space-joined stream
+    "q86_bpe_apply" ->
+      s"""$BpeRoundsCte,
+         |dt AS (SELECT doc_id, ts, len(ts) AS n
+         |       FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
+         |             FROM documents)
+         |       WHERE len(ts) > 0),
+         |pos AS (SELECT doc_id, CAST(t.i AS INT) AS pos, ts[CAST(t.i AS INT)] AS tok
+         |        FROM dt, UNNEST(range(1, n + 1)) AS t(i)),
+         |seg AS (SELECT tok, trim(s) AS subs,
+         |          len(list_filter(string_split(trim(s), ' '), x -> x <> '')) AS nsub
+         |        FROM s3)
+         |SELECT p.doc_id,
+         |  CAST(sum(seg.nsub) AS BIGINT) AS n_subwords,
+         |  md5(string_agg(seg.subs, ' ' ORDER BY p.pos)) AS subword_md5
+         |FROM pos p JOIN seg ON seg.tok = p.tok
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
   )
+
+  /** Shared BPE-trainer CTE chain (q85/q86): word types × counts, the
+    * symbol sequence encoded as a space-delimited string (' a b c '),
+    * then 3 unrolled rounds of (pair count → top-1 by (n desc, l, r) →
+    * merge). replace(' l r ', ' lr ') IS greedy non-overlapping
+    * left-to-right merging — exactly Curation.mergeOnce's fold — because
+    * replace scans left to right and never rescans replaced output, and
+    * consecutive overlapping pairs share the middle delimiter space.
+    * s3 keeps the tok column so q86 can map token → segmentation.
+    */
+  private lazy val BpeRoundsCte: String = {
+    def round(i: Int): String =
+      s"""p$i AS (SELECT l, r, CAST(sum(wc) AS BIGINT) AS n FROM (
+         |  SELECT wc, syms[CAST(t.i AS INT)] AS l, syms[CAST(t.i + 1 AS INT)] AS r
+         |  FROM (SELECT wc, list_filter(string_split(s, ' '), x -> x <> '') AS syms FROM s${i - 1}),
+         |       UNNEST(range(1, len(syms))) AS t(i))
+         |  GROUP BY l, r),
+         |m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |s$i AS (SELECT v.tok, v.wc, replace(v.s, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS s
+         |        FROM s${i - 1} v, m$i m)""".stripMargin
+    s"""WITH w AS (SELECT tok, CAST(count(*) AS BIGINT) AS wc
+       |           FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
+       |                 FROM documents)
+       |           GROUP BY tok),
+       |s0 AS (SELECT tok, wc, ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS s FROM w),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}""".stripMargin
+  }
 
   /** ANN-over-IVF oracle (q75/q76): coarse assignment by cosine argmax,
     * probe the query's 4 nearest of the 16 seed centroids, exact cosine
@@ -1371,5 +1483,61 @@ object PipelineQueries {
     require(IvfAnnOracleSql.endsWith(marker), "IvfAnnOracleSql tail changed; update q83's derivation")
     IvfAnnOracleSql.stripSuffix(marker) +
       "  AND round(dot / (sqrt(n2a) * sqrt(n2b)), 6) >= 0.25\nORDER BY cos_sim DESC, vec_id"
+  }
+
+  /** Batch-ANN oracle (q79): the sim/cs/asg CTEs are IvfAnnOracleSql's
+    * verbatim; probe generalizes from one query's LIMIT 4 to a per-query
+    * rank ≤ 4 over the same corpus-vs-centroid cosines (queries ARE
+    * corpus rows), and the re-rank ranks by the ROUNDED cosine then id,
+    * exactly like the Spark window.
+    */
+  private lazy val IvfBatchOracleSql: String =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+      |sim AS (SELECT e.vec_id, c.cid,
+      |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |   FROM (SELECT unnest(e.embedding) AS x, unnest(c.cvec) AS y) z) AS dot,
+      |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
+      |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+      |   FROM (SELECT unnest(c.cvec) AS y) z) AS n2b
+      | FROM embeddings e, c),
+      |cs AS (SELECT vec_id, cid, dot / (sqrt(n2a) * sqrt(n2b)) AS cs
+      |       FROM sim WHERE n2a > 0 AND n2b > 0),
+      |asg AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      |         FROM cs) WHERE rn = 1),
+      |probe AS (SELECT vec_id AS qid, cid FROM (
+      |           SELECT vec_id, cid,
+      |             row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      |           FROM cs WHERE vec_id < 4) WHERE rn <= 4),
+      |cand AS (SELECT DISTINCT p.qid, a.vec_id
+      |         FROM probe p JOIN asg a ON a.cid = p.cid
+      |         WHERE a.vec_id <> p.qid),
+      |sc AS (SELECT cnd.qid, e.vec_id,
+      |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      |   FROM (SELECT unnest(e.embedding) AS x, unnest(qe.embedding) AS y) z) AS dot,
+      |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
+      |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+      |   FROM (SELECT unnest(qe.embedding) AS y) z) AS n2b
+      | FROM cand cnd
+      | JOIN embeddings e ON e.vec_id = cnd.vec_id
+      | JOIN embeddings qe ON qe.vec_id = cnd.qid),
+      |ranked AS (SELECT qid, vec_id,
+      |            round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim,
+      |            row_number() OVER (PARTITION BY qid
+      |              ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 6) DESC, vec_id) AS rk
+      |           FROM sc WHERE n2a > 0 AND n2b > 0)
+      |SELECT qid AS query_id, vec_id, cos_sim
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin
+
+  private lazy val IvfBatchRadiusOracleSql: String = {
+    val marker = "FROM ranked WHERE rk <= 5\nORDER BY query_id, cos_sim DESC, vec_id"
+    require(IvfBatchOracleSql.endsWith(marker),
+      "IvfBatchOracleSql tail changed; update q87's derivation")
+    IvfBatchOracleSql.stripSuffix(marker) +
+      "FROM ranked WHERE cos_sim >= 0.25\nORDER BY query_id, cos_sim DESC, vec_id"
   }
 }

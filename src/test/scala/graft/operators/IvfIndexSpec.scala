@@ -310,6 +310,45 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(res.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("batch radius for a single query equals the one-query radius probe") {
+    val idx = buildCorpusIndex("batchradius", files = 8)
+    val single = Similarity
+      .ivfRadiusIndexed(spark, idx, "vec_id", "embedding", queryVec,
+        minSim = 0.2, nprobe = 4, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Similarity
+      .ivfRadiusIndexedBatch(spark, idx, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0L).select("vec_id", "embedding"),
+        "vec_id", "embedding", minSim = 0.2, nprobe = 4, excludeSelf = true)
+    assert(batch.columns.toSeq == Seq("query_id", "vec_id", "cos_sim"))
+    assert(batch.collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq == single)
+    assert(single.nonEmpty && single.forall(_._2 >= 0.2))
+  }
+
+  test("batch radius honours the threshold independently per query") {
+    val idx = buildCorpusIndex("batchradiusmulti", files = 8)
+    val res = Similarity
+      .ivfRadiusIndexedBatch(spark, idx, "vec_id", "embedding",
+        emb.where(col("vec_id") < 4).select("vec_id", "embedding"),
+        "vec_id", "embedding", minSim = 0.3, nprobe = 4, excludeSelf = true)
+      .collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getDouble(2) >= 0.3))
+    // no query may see itself among its neighbours
+    assert(res.forall(r => r.getLong(0) != r.getLong(1)))
+    // each query's result agrees with its own single-query radius probe
+    val perQuery = res.groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    (0L until 4L).foreach { qid =>
+      val one = Similarity
+        .ivfRadiusIndexed(spark, idx, "vec_id", "embedding",
+          emb.where(col("vec_id") === qid).select("embedding"),
+          minSim = 0.3, nprobe = 4, excludeId = Some(qid))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(perQuery.getOrElse(qid, Seq.empty) == one, s"query $qid mismatch")
+    }
+  }
+
   test("a NULL query vector yields a schema-stable empty result, not an NPE") {
     val idx = buildCorpusIndex("nullq", files = 2)
     val nullQ = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS embedding")
@@ -369,6 +408,37 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
         excludeId = Some(0L))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(indexed == brute)
+  }
+
+  test("kmeans++ init beats lowest-id init when ids correlate with content") {
+    // ids sorted BY CLUSTER (ingestion order): the k lowest ids all fall
+    // in cluster 0, so the legacy init seeds all three centroids inside
+    // one cone and Lloyd gets stuck merging the other two
+    val rows = (0 until 60).map { i =>
+      val g = i / 20 // ids 0-19 → cluster 0, 20-39 → 1, 40-59 → 2
+      val v = Array.fill(6)(0.05f * ((i * 7 + 3) % 5))
+      v(g * 2) = 10f + (i % 4)
+      (i.toLong, v)
+    }
+    val data = rows.toDF("id", "vec")
+    def inertia(centroids: org.apache.spark.sql.DataFrame): Double =
+      data
+        .join(
+          Similarity.ivfAssign(data, "id", "vec", centroids, "centroid_id", "centroid"), "id")
+        .join(centroids, "centroid_id")
+        .select(sum(lit(1.0) - Similarity.cosine(col("vec"), col("centroid"))))
+        .head().getDouble(0)
+    val pp = Similarity.kmeansTrain(data, "id", "vec", k = 3, maxIter = 15)
+    val legacy = Similarity.kmeansTrain(data, "id", "vec", k = 3, maxIter = 15, init = "lowest-id")
+    val (iPp, iLegacy) = (inertia(pp.centroids), inertia(legacy.centroids))
+    assert(iPp < iLegacy,
+      s"k-means++ init ($iPp) should beat lowest-id init ($iLegacy) on ingestion-ordered clusters")
+    // and the ++ run must fully recover the three cones
+    val assign = Similarity
+      .ivfAssign(data, "id", "vec", pp.centroids, "centroid_id", "centroid")
+      .as[(Long, Long)].collect().toMap
+    assert((0 until 60).map(i => assign(i.toLong)).toSet.size == 3)
+    (0 until 60).foreach(i => assert(assign(i.toLong) == assign(((i / 20) * 20).toLong)))
   }
 
   test("kmeansUpdate: per-dimension means over the assigned vectors") {
