@@ -559,4 +559,98 @@ object Dedup {
       .withColumnRenamed("doc_id", idCol)
       .orderBy(idCol)
   }
+
+  /** EXACT repeated-substring scrub (the "deduplicating training data"
+    * ExactSubstr pass — Lee et al. 2022 — re-expressed over word
+    * k-grams): any k-token span whose exact text occurs MORE THAN ONCE
+    * corpus-wide (across documents or within one) is duplicated content,
+    * and every token covered by a duplicated span is scrubbed from EVERY
+    * occurrence. The paper builds a suffix array — a single-node
+    * construction; the k-gram formulation is the distributed equivalent
+    * and covers exactly the same tokens: every token of a repeated span
+    * of length >= k lies inside at least one fully-contained k-gram
+    * (each such k-gram is repeated wherever the span is), and conversely
+    * a repeated k-gram IS a repeated span of length k. So
+    * covered-token set == tokens inside maximal repeated spans of
+    * length >= k, with no boundary slop.
+    *
+    * Remove-ALL-copies (not keep-first) is deliberate: with overlapping
+    * duplicated spans, "the first occurrence" of a span is ambiguous
+    * (two overlapping repeats disagree about which copy owns the shared
+    * tokens), while remove-all is order-free, idempotent, and
+    * deterministic under any partitioning.
+    *
+    * Output: one row per input document —
+    * `(idCol, n_tokens, n_dup_grams, n_removed, clean_md5)` where
+    * `n_dup_grams` counts this doc's k-gram positions whose gram is
+    * corpus-duplicated, `n_removed` counts scrubbed tokens, and
+    * `clean_md5` digests the space-joined surviving tokens in order
+    * (md5 of '' when everything was scrubbed).
+    *
+    * Scale shape: the gram explode is O(total tokens) rows — the same
+    * cost as any tokenization pass — shuffled ONCE on the gram for the
+    * corpus-wide count; the duplicate-gram set joins back by a shuffle
+    * equi-join (no broadcast assumption — on a crawl corpus the dup set
+    * is corpus-scale); covered positions travel as (doc, pos) pairs for
+    * DUPLICATED occurrences only, aggregated per doc with per-group
+    * state bounded by the doc's token count (`collect_set` of ints);
+    * reassembly is pure array expressions after a doc-keyed join — no
+    * global window, no driver traffic.
+    */
+  def spanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "spanDedup: k must be positive")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+    // One gram per window start: slice is 1-based, posexplode's pos is
+    // 0-based, so gram `pos` covers 0-based token indices
+    // [pos, pos + k - 1] — the same indexing filter()'s index lambda
+    // sees below.
+    val grams = toks
+      .where(col("n_tokens") >= k)
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(1), col("n_tokens") - (k - 1)),
+            i => array_join(slice(col("toks"), i, lit(k)), " ")))
+          .as(Seq("pos", "gram")))
+    val dupGrams = grams
+      .groupBy("gram")
+      .agg(count(lit(1)).as("occ"))
+      .where(col("occ") > 1)
+      .select("gram")
+    // Each duplicated occurrence contributes exactly one row with
+    // cp == pos, so the conditional sum counts occurrences without a
+    // countDistinct (which would plan an Expand over the whole group).
+    val covered = grams
+      .join(dupGrams, "gram")
+      .select(
+        col("doc_id"),
+        col("pos"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("cp") === col("pos"), 1L).otherwise(0L)).as("n_dup_grams"),
+        collect_set(col("cp")).as("covered"))
+    val noCover = array().cast("array<int>")
+    val keptToks =
+      filter(
+        col("toks"),
+        (t, i) => !array_contains(coalesce(col("covered"), noCover), i))
+    toks
+      .join(covered, Seq("doc_id"), "left")
+      .select(
+        col("doc_id").as(idCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(size(col("covered")), lit(0)).cast("long").as("n_removed"),
+        md5(array_join(keptToks, " ")).as("clean_md5"))
+      .orderBy(idCol)
+  }
 }

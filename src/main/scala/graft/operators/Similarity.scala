@@ -991,4 +991,49 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
       .orderBy("id_a", "id_b")
   }
+
+  /** SemDeDup (Abbas et al. 2023): SEMANTIC dedup of an embedding corpus
+    * by clustering first and pruning near-identical pairs WITHIN clusters
+    * only — the observation that semantic duplicates land in the same
+    * cluster, so the quadratic pair space shrinks from corpus² to
+    * Σ cluster². Composition of the existing primitives: [[ivfAssign]]
+    * (broadcast-centroid argmax, a pure scan-side pass) blocks the
+    * corpus, [[blockedNearDupPairs]] finds within-cluster pairs at
+    * `threshold`, and the keep election drops every vector with a
+    * LOWER-id partner at or above threshold (the deterministic stand-in
+    * for the paper's keep-one-per-ε-ball — order-free, retry-safe, no
+    * iterative closure needed because dropping b for pair (a,b) with
+    * a < b always leaves each ball's minimum id standing).
+    *
+    * Output: one row per vector — `(idCol, centroid_id, kept)`.
+    *
+    * Scale shape: centroids are k×dim and broadcast; assignment touches
+    * each vector once; the self-join is per-cluster (size k so clusters
+    * fit an executor — the paper's own knob); the drop set re-joins by a
+    * shuffle equi-join on the id. No driver-side data traffic.
+    */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centIdCol: String,
+      centVecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val asg = ivfAssign(emb, idCol, vecCol, centroids, centIdCol, centVecCol)
+    val withBlk = emb
+      .join(asg, idCol)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+    val dropped = blockedNearDupPairs(withBlk, idCol, vecCol, "centroid_id", threshold)
+      .select(col("id_b").as("_dropId"))
+      .distinct()
+    withBlk
+      .join(dropped, col(idCol) === col("_dropId"), "left")
+      .select(
+        col(idCol),
+        col("centroid_id").cast("long").as("centroid_id"),
+        col("_dropId").isNull.as("kept"))
+      .orderBy(idCol)
+  }
 }

@@ -742,6 +742,30 @@ object PipelineQueries {
         emb.where(col("vec_id") < 4).select("vec_id", "embedding"),
         "vec_id", "embedding",
         minSim = 0.25, nprobe = 4, excludeSelf = true)
+    },
+    // EXACT repeated-substring scrub (Lee et al. 2022 ExactSubstr, the
+    // distributed k-gram formulation): any 8-token span occurring more
+    // than once corpus-wide is scrubbed from every occurrence; docs are
+    // reported with token/dup/removed counts and the md5 of the
+    // reassembled clean text. The oracle replays the whole pipeline —
+    // same tokenization, same window indexing, same remove-all-copies
+    // contract, same in-order reassembly.
+    "q88_span_dedup" -> { (s, dir) =>
+      Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", k = 8)
+    },
+    // SemDeDup (Abbas et al. 2023): cluster the embedding corpus on the
+    // 16 seed centroids (the IVF family's coarse quantizer), then drop
+    // every vector with a lower-id within-cluster partner at cosine
+    // >= 0.45 (q33's threshold; within-cluster max on this corpus is
+    // 0.493, nearest pair sits 1.6e-3 off the boundary — no ulp risk).
+    // One row per vector: (vec_id, centroid_id, kept). The oracle
+    // replays assignment (q75's asg CTE) and the pair election.
+    "q89_semdedup" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.semDedup(
+        emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 16), "vec_id", "embedding",
+        threshold = 0.45)
     }
   )
 
@@ -1404,7 +1428,73 @@ object PipelineQueries {
          |  CAST(sum(seg.nsub) AS BIGINT) AS n_subwords,
          |  md5(string_agg(seg.subs, ' ' ORDER BY p.pos)) AS subword_md5
          |FROM pos p JOIN seg ON seg.tok = p.tok
-         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    // q88: same window indexing as spanDedup — gram `pos` (0-based)
+    // covers 0-based token indices [pos, pos+7]; range(1, n-6) yields
+    // the n-7 = n-k+1 window starts; remove-all-copies, so `covered`
+    // is pure membership (no first-occurrence election); reassembly
+    // string_aggs surviving tokens in position order (DuckDB list
+    // indexing is 1-based, hence the i-1 in list_contains).
+    "q88_span_dedup" ->
+      """WITH t2 AS (SELECT doc_id, toks, len(toks) AS n FROM (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents)),
+        |g AS (SELECT doc_id, CAST(u.i AS INT) - 1 AS pos,
+        |        array_to_string(toks[CAST(u.i AS INT):CAST(u.i AS INT) + 7], ' ') AS gram
+        |      FROM t2, UNNEST(range(1, n - 6)) AS u(i) WHERE n >= 8),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |occ AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+        |          list_distinct(flatten(list(range(pos, pos + 8)))) AS covered
+        |        FROM occ GROUP BY doc_id),
+        |tp AS (SELECT doc_id, CAST(u.i AS INT) AS i, toks[CAST(u.i AS INT)] AS tok
+        |       FROM t2, UNNEST(range(1, n + 1)) AS u(i)),
+        |kept AS (SELECT tp.doc_id,
+        |           string_agg(tp.tok, ' ' ORDER BY tp.i)
+        |             FILTER (WHERE c.covered IS NULL OR NOT list_contains(c.covered, tp.i - 1)) AS clean
+        |         FROM tp LEFT JOIN cov c USING (doc_id)
+        |         GROUP BY tp.doc_id)
+        |SELECT t2.doc_id, CAST(t2.n AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        |  CAST(coalesce(len(c.covered), 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(k.clean, '')) AS clean_md5
+        |FROM t2 LEFT JOIN cov c USING (doc_id) LEFT JOIN kept k USING (doc_id)
+        |ORDER BY t2.doc_id""".stripMargin,
+    // q89: the c/sim/cs/asg CTEs are IvfAnnOracleSql's assignment
+    // verbatim; the pair election compares UNROUNDED cosines at the
+    // threshold on both engines (array-order summation — bit-identical
+    // doubles, and the corpus's nearest pair is 1.6e-3 off 0.45); a
+    // vector is kept iff it never appears as the HIGHER id of a
+    // within-cluster pair at or above threshold.
+    "q89_semdedup" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |sim AS (SELECT e.vec_id, c.cid,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x, unnest(c.cvec) AS y) z) AS dot,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
+        |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(c.cvec) AS y) z) AS n2b
+        | FROM embeddings e, c),
+        |cs AS (SELECT vec_id, cid, dot / (sqrt(n2a) * sqrt(n2b)) AS cs
+        |       FROM sim WHERE n2a > 0 AND n2b > 0),
+        |asg AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |         FROM cs) WHERE rn = 1),
+        |v AS (SELECT e.vec_id, a.cid, e.embedding,
+        |        sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |              FROM (SELECT unnest(e.embedding) AS x) z)) AS nrm
+        |      FROM embeddings e JOIN asg a USING (vec_id)),
+        |p AS (SELECT b.vec_id AS id_b
+        |      FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |      WHERE a.nrm * b.nrm > 0
+        |        AND (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |             FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z)
+        |            / (a.nrm * b.nrm) >= 0.45)
+        |SELECT v.vec_id, CAST(v.cid AS BIGINT) AS centroid_id,
+        |       (v.vec_id NOT IN (SELECT id_b FROM p)) AS kept
+        |FROM v ORDER BY v.vec_id""".stripMargin
   )
 
   /** Shared BPE-trainer CTE chain (q85/q86): word types × counts, the

@@ -169,4 +169,38 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // lines "p q", "p q", "z" → second "p q" dropped
     assert((r.getLong(1), r.getLong(2)) == ((3L, 2L)))
   }
+
+  test("spanDedup: corpus-duplicated k-grams scrubbed from EVERY occurrence") {
+    import org.apache.spark.sql.functions.{lit, md5}
+    val corpus = Seq(
+      (1L, "a b c d e x"),      // shares the 5-token span "a b c d e" with doc 2
+      (2L, "z a b c d e"),
+      (3L, "m n"),              // shorter than k — untouched
+      (4L, "p q r s p q r s"),  // intra-doc repeat: every token covered
+      (5L, "   ")               // whitespace-only: zero tokens, md5('')
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(corpus, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    def h(s: String) = spark.range(1).select(md5(lit(s))).head().getString(0)
+    // doc1 grams "a b c","b c d","c d e" each recur in doc2 → covered 0..4, "x" survives
+    assert(out(1L) == ((6L, 3L, 5L, h("x"))))
+    // remove-all-copies: doc2's copy is scrubbed too (covered 1..5), "z" survives
+    assert(out(2L) == ((6L, 3L, 5L, h("z"))))
+    assert(out(3L) == ((2L, 0L, 0L, h("m n"))))
+    // "p q r"@{0,4} and "q r s"@{1,5} → covered 0..7 = all 8 tokens
+    assert(out(4L) == ((8L, 4L, 8L, h(""))))
+    assert(out(5L) == ((0L, 0L, 0L, h(""))))
+  }
+
+  test("spanDedup: duplicate-free corpus is reported intact") {
+    import org.apache.spark.sql.functions.{lit, md5}
+    val corpus = Seq((9L, "u v w x y z")).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(corpus, "doc_id", "text", k = 3).head()
+    val expect = spark.range(1)
+      .select(md5(lit("u v w x y z"))).head().getString(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)) ==
+      ((6L, 0L, 0L, expect)))
+  }
 }

@@ -89,4 +89,48 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(top.head.getLong(0) == 1L, "real neighbor must rank first")
     assert(!top.map(_.getLong(0)).contains(2L), "NaN row must be excluded")
   }
+
+  test("semDedup: within-cluster near-dups drop the higher id; cross-cluster twins survive") {
+    import spark.implicits._
+    val cents = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val vecs = Seq(
+      (10L, Array(1f, 0.01f)),   // cluster 0, representative (min id)
+      (11L, Array(0.99f, 0f)),   // cluster 0, cos(10,11) ≈ 0.99995 → dropped
+      (12L, Array(0f, 1f)),      // cluster 1, representative
+      (13L, Array(0.01f, 1f)),   // cluster 1, near-dup of 12 → dropped
+      (14L, Array(0.7f, 0.7f))   // centroid tie → lowest id (0); far from 10/11 → kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .semDedup(vecs, "vec_id", "embedding", cents, "vec_id", "embedding", threshold = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out == Map(
+      10L -> ((0L, true)),
+      11L -> ((0L, false)),
+      12L -> ((1L, true)),
+      13L -> ((1L, false)),
+      14L -> ((0L, true))))
+  }
+
+  test("semDedup survivors are pairwise below threshold inside every cluster") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.semDedup(
+      emb, "vec_id", "embedding",
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 16),
+      "vec_id", "embedding", threshold = 0.45)
+    assert(out.count() == emb.count(), "one verdict per vector")
+    val survivors = out.where(org.apache.spark.sql.functions.col("kept"))
+      .join(emb, "vec_id")
+      .select("vec_id", "embedding", "centroid_id")
+    // re-running the pair search over survivors only must find nothing
+    val residual = Similarity.blockedNearDupPairs(
+      survivors, "vec_id", "embedding", "centroid_id", 0.45)
+    assert(residual.isEmpty, "surviving set still contains a near-dup pair")
+    assert(out.where(!org.apache.spark.sql.functions.col("kept")).count() > 0,
+      "fixture corpus should exercise at least one drop")
+  }
 }
