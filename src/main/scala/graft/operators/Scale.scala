@@ -180,6 +180,43 @@ object Scale {
       .drop("_gdr_pid", "_gdr_rn", "_gdr_off")
   }
 
+  /** Deterministic TRAINING-ORDER SHUFFLE: a reproducible pseudo-random
+    * total order over a corpus — the "shuffle before sequence-packing"
+    * stage of an LLM training-data pipeline — computed without ever
+    * funnelling rows through one ordered partition.
+    *
+    * Each row's sort key is `md5(seed | id…)`: content-addressed, so the
+    * permutation is identical across runs, engines, cluster sizes, and
+    * RETRIED TASKS (a `rand()`-keyed shuffle re-rolls under partial stage
+    * recompute — the trap [[graft.operators.Curation.mixtureSample]]
+    * documents), while a different `seed` yields an unrelated
+    * permutation. Positions come from [[globalDenseRank]] over
+    * `(key, id…)`: range-partition, rank locally, offset by
+    * metadata-scale partition counts — and because any range partitioning
+    * of the same total order assigns the same global positions, the
+    * result is also INVARIANT to the partition count. `idCols` must
+    * uniquely identify rows for the order to be total. Appends `outCol`
+    * (BIGINT, 1-based training position).
+    */
+  def trainingShuffle(
+      df: DataFrame,
+      idCols: Seq[String],
+      seed: String,
+      outCol: String = "train_pos",
+      partitions: Int = 0
+  ): DataFrame = {
+    require(idCols.nonEmpty, "trainingShuffle: need at least one id column")
+    require(!df.columns.contains("_ts_key"),
+      "trainingShuffle: reserved working column _ts_key already exists in the input")
+    val key = md5(concat_ws("|", lit(seed) +: idCols.map(col): _*))
+    globalDenseRank(
+      df.withColumn("_ts_key", key),
+      col("_ts_key").asc +: idCols.map(col(_).asc),
+      outCol,
+      partitions
+    ).drop("_ts_key")
+  }
+
   /** Bloom-filter SEMI-JOIN REDUCTION: filter the huge probe side down to
     * rows whose key MIGHT match the (small) build side before the join's
     * shuffle ever runs — the classic way to avoid shuffling 100 TB when

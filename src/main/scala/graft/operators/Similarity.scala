@@ -981,14 +981,20 @@ object Similarity {
 
     val l = banded.as("l")
     val r = banded.as("r")
-    val cand = l
-      .join(r, col("l.t") === col("r.t") && col("l.bkt") === col("r.bkt") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("l.vec").as("vec_a"), col("r.id").as("id_b"), col("r.vec").as("vec_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand
-      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+    // cosine is computed INSIDE the join stage (at most `tables` times
+    // per colliding pair) and the threshold filter runs BEFORE the
+    // pair-dedup shuffle: the dedup exchange then carries 24 bytes per
+    // above-threshold pair instead of 2×dim float vectors per candidate
+    // pair — at corpus scale the exchange, not the dot product, is the
+    // bottleneck. cos_sim is deterministic per (id_a,id_b), so deduping
+    // after the filter selects the same pairs and values as before.
+    l.join(r, col("l.t") === col("r.t") && col("l.bkt") === col("r.bkt") && col("l.id") < col("r.id"))
+      .select(
+        col("l.id").as("id_a"),
+        col("r.id").as("id_b"),
+        round(cosine(col("l.vec"), col("r.vec")), 6).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .dropDuplicates("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Dedup, Multimodal, Pack, Similarity}
+import graft.operators.{Dedup, Multimodal, Pack, Scale, Similarity}
 
 /** LLM-data-pipeline operator corpus (SURVEY.md §7 step 8, BASELINE.json
   * north star): dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
@@ -766,6 +766,17 @@ object PipelineQueries {
         emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 16), "vec_id", "embedding",
         threshold = 0.45)
+    },
+    // Deterministic training-order shuffle: a reproducible md5-keyed
+    // global permutation of the corpus (the shuffle-before-packing stage
+    // of a training-data pipeline), positions assigned WITHOUT a
+    // single-partition global sort. The oracle replays the identical
+    // row_number over the identical md5 key order.
+    "q90_training_shuffle" -> { (s, dir) =>
+      Scale.trainingShuffle(
+        t(s, dir, "documents").select("doc_id"),
+        Seq("doc_id"), seed = "graft-r9")
+        .orderBy("train_pos")
     }
   )
 
@@ -1494,7 +1505,14 @@ object PipelineQueries {
         |            / (a.nrm * b.nrm) >= 0.45)
         |SELECT v.vec_id, CAST(v.cid AS BIGINT) AS centroid_id,
         |       (v.vec_id NOT IN (SELECT id_b FROM p)) AS kept
-        |FROM v ORDER BY v.vec_id""".stripMargin
+        |FROM v ORDER BY v.vec_id""".stripMargin,
+    // q90: the same md5(seed|id) key order, ranked by a plain window —
+    // the oracle NEEDS no distributed-rank decomposition, only the order.
+    "q90_training_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(concat('graft-r9', '|', doc_id)), doc_id) AS BIGINT)
+        |    AS train_pos
+        |FROM documents ORDER BY train_pos""".stripMargin
   )
 
   /** Shared BPE-trainer CTE chain (q85/q86): word types × counts, the

@@ -243,6 +243,36 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(!dataWindowUnpartitioned, plan.take(1200))
   }
 
+  test("trainingShuffle: deterministic, seed-sensitive, partition-invariant permutation") {
+    val df = spark.range(5000).toDF("id")
+    val a = Scale.trainingShuffle(df, Seq("id"), "s1", partitions = 7)
+    // bijective: positions are exactly 1..n
+    assert(a.select("train_pos").as[Long].collect().sorted.toSeq == (1L to 5000L))
+    val byId = a.orderBy("id").select("train_pos").as[Long].collect().toSeq
+    // re-running reproduces the identical permutation; so does a
+    // DIFFERENT partition count (any range partitioning of the same
+    // total order assigns the same global positions)
+    assert(Scale.trainingShuffle(df, Seq("id"), "s1", partitions = 7)
+      .orderBy("id").select("train_pos").as[Long].collect().toSeq == byId)
+    assert(Scale.trainingShuffle(df, Seq("id"), "s1", partitions = 3)
+      .orderBy("id").select("train_pos").as[Long].collect().toSeq == byId)
+    // a different seed yields an unrelated permutation
+    assert(Scale.trainingShuffle(df, Seq("id"), "s2", partitions = 7)
+      .orderBy("id").select("train_pos").as[Long].collect().toSeq != byId)
+    // positions realize exactly the md5(seed|id) sort order
+    val wantOrder = df
+      .withColumn("k", md5(concat_ws("|", lit("s1"), col("id"))))
+      .orderBy("k", "id").select("id").as[Long].collect().toSeq
+    val gotOrder = a.orderBy("train_pos").select("id").as[Long].collect().toSeq
+    assert(gotOrder == wantOrder)
+    // inherits globalDenseRank's no-funnel shape: no unpartitioned
+    // data-sized window anywhere in the plan
+    val plan = a.queryExecution.executedPlan.toString
+    val dataWindowUnpartitioned = plan.linesIterator.exists(l =>
+      l.contains("row_number() windowspecdefinition(") && !l.contains("_gdr_pid"))
+    assert(!dataWindowUnpartitioned, plan.take(1200))
+  }
+
   test("k-way Morton interleave: bit layout + exact 2-dim equivalence") {
     import graft.functions.ScaleOps
     // dimension d's bit i lands at position i*k + d
