@@ -927,26 +927,52 @@ object Similarity {
     * a cluster/label id), making the pair space linear-ish in corpus size.
     * Norms are precomputed once per vector before the self-join — the
     * per-pair work is a single dot product.
+    *
+    * TRIANGLE-JOIN DECOMPOSITION (`subBlocks` = S): a plain self-join on
+    * `blockCol` concentrates each block's ENTIRE quadratic pair space in
+    * whichever single task owns that join key — with a handful of large
+    * blocks, a 1000-core cluster runs on #blocks cores. Instead, each row
+    * is hashed into one of S sub-blocks (content-addressed `xxhash64(id)`,
+    * so retry-safe), the left side is replicated to sub-block pairs
+    * `(own, v) : v ≥ own` and the right side to `(u, own) : u ≤ own`, and
+    * the join key becomes `(blk, u, v)` — every unordered pair meets in
+    * EXACTLY ONE of the S(S+1)/2 grid cells (once for u < v by
+    * construction of the replication ranges; the u = v diagonal filters
+    * `a.id < b.id` as the plain join would). Input volume grows by
+    * (S+1)/2 per side — LINEAR in the corpus — while the quadratic work
+    * fans out over S(S+1)/2 tasks per block. `subBlocks = 1` degenerates
+    * to the plain blocked self-join. Pair ids are normalized with
+    * least/greatest (a pair's left/right roles now depend on sub-block
+    * ids), so output is identical for every S: (id_a < id_b, cos_sim).
     */
   def blockedNearDupPairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       blockCol: String,
-      threshold: Double
+      threshold: Double,
+      subBlocks: Int = 8
   ): DataFrame = {
+    require(subBlocks >= 1, "blockedNearDupPairs: subBlocks must be >= 1")
     val n = emb.select(
       col(idCol).as("id"),
       col(blockCol).as("blk"),
       col(vecCol).as("vec"),
-      sqrt(norm2(col(vecCol))).as("nrm")
+      sqrt(norm2(col(vecCol))).as("nrm"),
+      pmod(xxhash64(col(idCol)), lit(subBlocks)).cast("int").as("_sb")
     )
-    val a = n.as("a")
-    val b = n.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    val a = n.withColumn("_v", explode(sequence(col("_sb"), lit(subBlocks - 1)))).as("a")
+    val b = n.withColumn("_u", explode(sequence(lit(0), col("_sb")))).as("b")
+    a.join(b,
+        col("a.blk") === col("b.blk") &&
+          col("a._sb") === col("b._u") && col("a._v") === col("b._sb") &&
+          // key equality already gives a._sb ≤ b._sb; only the diagonal
+          // (equal sub-blocks, where both orientations meet) needs the
+          // id tie-break
+          (col("a._sb") < col("b._sb") || col("a.id") < col("b.id")))
       .select(
-        col("a.id").as("id_a"),
-        col("b.id").as("id_b"),
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
         // zero-norm vectors → NULL (ANSI would throw on the division);
         // the threshold filter below then drops them
         when(col("a.nrm") * col("b.nrm") === 0, lit(null).cast("double"))

@@ -49,6 +49,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("triangle-join decomposition: identical pairs for every subBlocks setting") {
+    def run(s: Int) = Similarity
+      .blockedNearDupPairs(emb, "vec_id", "embedding", "label", 0.3, subBlocks = s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val plain = run(1)
+    assert(plain.nonEmpty)
+    assert(run(3) == plain)
+    assert(run(8) == plain)
+  }
+
+  test("LSH-blocked near-dup pairs: exact scores, no duplicate pairs, exact-dup recall") {
+    // an identical copy of vector 0 lands in every one of vector 0's
+    // buckets in every table — the pair MUST be recalled at cos_sim 1.0
+    val clone = emb.where(col("vec_id") === 0L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").union(clone)
+    val got = Similarity.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(p => (p._1, p._2)).distinct.size == got.size)
+    assert(got.exists(p => p._1 == 0L && p._2 == 100000L && p._3 == 1.0))
+    // every reported pair is within-threshold with the exact brute-force
+    // cosine (LSH affects WHICH pairs are candidates, never their score)
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      (0 until x.length).foreach { i =>
+        d += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    got.foreach { case (a, b, cs) =>
+      assert(a < b && cs >= 0.9)
+      assert(math.abs(cs - cos(vecs(a), vecs(b))) < 1e-6)
+    }
+  }
+
   test("deterministic hyperplanes are reproducible and table-distinct") {
     val p1 = Similarity.deterministicPlanes(4, 8)
     val p2 = Similarity.deterministicPlanes(4, 8)
