@@ -19,12 +19,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
     val loadStart = loadavg()
     // Untimed warmup: JVM/codegen/shuffle-machinery startup isn't query
     // cost. A small read+join+agg touches the main execution paths.
@@ -54,6 +58,12 @@ object Bench {
     def onePass(): Seq[(String, Double, Boolean)] = SparkEntry.queries.toSeq
       .filterNot(q => skip.contains(q._1)).map {
       case (name, fn) =>
+        // one query's fatal failure (e.g. an executor OOM at a scale-up
+        // SF stopping the local SparkContext) must not poison the rest
+        // of the pass: revive the session BEFORE the timer so the next
+        // query measures its own cost, and only the culprit records an
+        // error
+        if (spark.sparkContext.isStopped) spark = newSession()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
