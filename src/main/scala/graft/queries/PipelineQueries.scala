@@ -777,6 +777,20 @@ object PipelineQueries {
         t(s, dir, "documents").select("doc_id"),
         Seq("doc_id"), seed = "graft-r9")
         .orderBy("train_pos")
+    },
+    // The end-of-pipeline composition: deterministic corpus shuffle →
+    // modulo-striped shards (data-parallel ranks) → greedy token-budget
+    // packing in SHUFFLED order within each shard. Everything upstream
+    // of the trainer, in one oracled plan.
+    "q91_shuffled_packing" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"))
+      val shuffled = Scale.trainingShuffle(docs, Seq("doc_id"), seed = "graft-r9")
+        .withColumn("shard", pmod(col("train_pos"), lit(4)))
+      Pack.byTokenBudget(shuffled, "train_pos", "n_tokens", 2000L, Some("shard"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_sum"))
+        .orderBy("shard", "bin")
     }
   )
 
@@ -1512,7 +1526,23 @@ object PipelineQueries {
       """SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY md5(concat('graft-r9', '|', doc_id)), doc_id) AS BIGINT)
         |    AS train_pos
-        |FROM documents ORDER BY train_pos""".stripMargin
+        |FROM documents ORDER BY train_pos""".stripMargin,
+    // q91: q90's md5 permutation feeding q47's cumulative-sum packing,
+    // striped into shards by train_pos % 4
+    "q91_shuffled_packing" ->
+      """WITH pos AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY md5(concat('graft-r9', '|', doc_id)), doc_id) AS BIGINT)
+        |      AS train_pos FROM documents),
+        |tk AS (SELECT p.train_pos, p.train_pos % 4 AS shard,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\s+'), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents d JOIN pos p USING (doc_id)),
+        |c AS (SELECT shard, train_pos, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY train_pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tk)
+        |SELECT shard, CAST(FLOOR((cum - n_tokens) / 2000.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_sum
+        |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
   )
 
   /** Shared BPE-trainer CTE chain (q85/q86): word types × counts, the
