@@ -160,9 +160,13 @@ object Scale {
       "_gdr_rn",
       row_number().over(Window.partitionBy("_gdr_pid").orderBy(order: _*)))
     // cumulative count of all EARLIER partitions; this window runs over
-    // ONE ROW PER PARTITION (metadata-scale), not over the data — the
-    // constant partition key just declares that single-group shape
-    // explicitly (and spares the "no partition defined" log noise)
+    // ONE ROW PER PARTITION (metadata-scale), not over the data. The
+    // partition key is an always-zero expression that Catalyst can NOT
+    // constant-fold away (a literal gets folded, leaving an empty
+    // partition spec and a spurious "no partition defined / moving all
+    // data to a single partition" warning on every run): the single
+    // group is the intended shape, declared so the log stays clean and
+    // a warning grep only ever surfaces REAL funnels
     val offsets = ranged
       .groupBy("_gdr_pid")
       .agg(count(lit(1)).as("_gdr_c"))
@@ -170,7 +174,7 @@ object Scale {
         "_gdr_off",
         coalesce(
           sum("_gdr_c").over(
-            Window.partitionBy(lit(0)).orderBy("_gdr_pid")
+            Window.partitionBy(pmod(col("_gdr_pid"), lit(1))).orderBy("_gdr_pid")
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select("_gdr_pid", "_gdr_off")
