@@ -234,21 +234,7 @@ object Dedup {
         .where(size(col("shs")) > 0),
       persistIntermediate)
 
-    // per-seed signature, computed row-wise by a single codegen'd
-    // expression (map-side only, no shuffle; the transform/array_min SQL
-    // equivalent evaluates numHashes interpreted lambdas per row)
-    val sigs = base.select(
-      col("doc_id"),
-      graft.functions.TextExpressions.minhash_md5_signature(col("shs"), numHashes).as("sig"))
-
-    val bandCols = (0 until bands).map { b =>
-      val slots =
-        (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => element_at(col("sig"), k + 1))
-      struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bucket"))
-    }
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandedMd5(base, bands, rowsPerBand)
     val l = banded.as("l")
     val r = banded.as("r")
     val candidates = l
@@ -260,6 +246,73 @@ object Dedup {
       .distinct()
 
     val sh = base.select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("shingle"))
+    rescoreExactJaccard(candidates, sh, threshold)
+  }
+
+  /** md5-minhash LSH bands for a `(doc_id, shs)` shingle table: one row
+    * per (doc, band) with the band's bucket hash. Per-seed signatures are
+    * computed row-wise by a single codegen'd expression (map-side only,
+    * no shuffle; the transform/array_min SQL equivalent evaluates
+    * numHashes interpreted lambdas per row).
+    */
+  private def bandedMd5(base: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = base.select(
+      col("doc_id"),
+      graft.functions.TextExpressions
+        .minhash_md5_signature(col("shs"), bands * rowsPerBand).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      val slots =
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => element_at(col("sig"), k + 1))
+      struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bucket"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** INCREMENTAL near-dup detection: score a (small) new batch against an
+    * arbitrarily large existing corpus WITHOUT any corpus self-join — the
+    * "dedup today's crawl against the lake" shape. Both sides get the
+    * same md5 MinHash banding as [[minhashLshPairsMd5]]; the candidate
+    * join streams the corpus's bands past the BROADCAST batch bands
+    * (batch-scale, not corpus-scale), so the corpus pays one scan +
+    * row-wise signature pass and never pairs with itself. Candidates
+    * rescore with exact Jaccard over the two-sided shingle table — the
+    * candidate set is batch-collision-bounded, so AQE broadcasts it and
+    * the corpus shingle table is filtered at the scan rather than
+    * shuffled. Id spaces must be disjoint (batch ids are the dup
+    * candidates; a shared id would alias the two sides).
+    * Output: `(doc_a = corpus id, doc_b = batch id, jaccard)` at or
+    * above `threshold`.
+    */
+  def incrementalNearDupMd5(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      persistIntermediate: Boolean = true
+  ): DataFrame = {
+    import graft.functions.TextExpressions.word_shingles
+    def baseOf(df: DataFrame) = persisted(
+      fanOut(df)
+        .select(col(idCol).as("doc_id"), word_shingles(col(textCol), n).as("shs"))
+        .where(size(col("shs")) > 0),
+      persistIntermediate)
+    val corpusBase = baseOf(corpus)
+    val batchBase = baseOf(batch)
+    val candidates = bandedMd5(corpusBase, bands, rowsPerBand).as("l")
+      .join(
+        broadcast(bandedMd5(batchBase, bands, rowsPerBand)).as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val sh = corpusBase
+      .union(batchBase)
+      .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("shingle"))
     rescoreExactJaccard(candidates, sh, threshold)
   }
 

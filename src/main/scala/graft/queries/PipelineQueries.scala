@@ -791,6 +791,18 @@ object PipelineQueries {
         .groupBy("shard", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_sum"))
         .orderBy("shard", "bin")
+    },
+    // Incremental dedup: the new batch (doc_id >= 400) scored against the
+    // existing corpus (doc_id < 400) with NO corpus self-join — corpus
+    // bands stream past the broadcast batch bands. Within-corpus and
+    // within-batch near-dup pairs must NOT appear; the oracle replays
+    // q41's banding with the side split in the candidate join.
+    "q92_incremental_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNearDupMd5(
+        docs.where(col("doc_id") < 400),
+        docs.where(col("doc_id") >= 400),
+        "doc_id", "text", 3, 0.8)
     }
   )
 
@@ -1542,7 +1554,22 @@ object PipelineQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tk)
         |SELECT shard, CAST(FLOOR((cum - n_tokens) / 2000.0) AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_sum
-        |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
+        |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
+    // q92: q41's banding verbatim, with the candidate join split into
+    // corpus (< 400) × batch (>= 400) sides instead of a self-join
+    "q92_incremental_dedup" ->
+      s"""WITH $ShinglesCte,
+         |mh AS (SELECT doc_id, CAST(t.k AS INT) AS k,
+         |              min(md5(shingle || ':' || CAST(t.k AS VARCHAR))) AS h
+         |       FROM sh, UNNEST(range(0, 16)) AS t(k) GROUP BY doc_id, t.k),
+         |bands AS (SELECT doc_id, k // 2 AS band,
+         |                 md5(string_agg(h, '|' ORDER BY k)) AS bucket
+         |          FROM mh GROUP BY doc_id, k // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bucket = b.bucket
+         |          AND a.doc_id < 400 AND b.doc_id >= 400),
+         |$RescoreSql""".stripMargin
   )
 
   /** Shared BPE-trainer CTE chain (q85/q86): word types × counts, the

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -43,6 +44,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(fast.keySet == md5v.keySet,
       s"pair sets diverge: only-fast=${fast.keySet -- md5v.keySet} only-md5=${md5v.keySet -- fast.keySet}")
     fast.foreach { case (k, v) => assert(md5v(k) == v, s"jaccard differs for $k") }
+  }
+
+  test("incremental near-dup equals the self-join pipeline restricted to cross-side pairs") {
+    val corpus = docs.where(col("doc_id") < 400)
+    val batch = docs.where(col("doc_id") >= 400)
+    val got = Dedup.incrementalNearDupMd5(corpus, batch, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // the corpus-self-join pipeline over the union, restricted to pairs
+    // that straddle the split, must agree exactly: same banding, same
+    // rescore, only the candidate-join shape differs
+    val want = Dedup.minhashLshPairsMd5(docs, "doc_id", "text", 3, 0.8)
+      .where(col("doc_a") < 400 && col("doc_b") >= 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+    // no within-corpus or within-batch pair can appear by construction
+    got.foreach { case (a, b, _) => assert(a < 400 && b >= 400) }
   }
 
   test("simhash: identical texts share signatures; groups bucket them") {
