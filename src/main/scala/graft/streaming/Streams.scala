@@ -137,6 +137,136 @@ object Streams {
       .start()
   }
 
+  /** Streaming corpus ingestion with dedup AT THE DOOR: each micro-batch
+    * of documents is reduced to its novel survivors — exact duplicates
+    * and near-duplicates dropped both WITHIN the batch and AGAINST the
+    * already-ingested corpus — and only the survivors are appended to the
+    * parquet corpus at `targetPath`. This is the production shape of
+    * "continuously crawl → dedup against the lake → keep what's new":
+    * the corpus never self-joins (its bands stream past the BROADCAST
+    * batch bands, [[graft.operators.Dedup.incrementalNearDupMd5]]), so
+    * per-batch cost is one corpus scan plus batch-scale shuffles
+    * regardless of corpus size. Exactly-once via the `_commits` ledger;
+    * single writer per corpus, like every staged commit here. Ids must
+    * be globally unique across the stream AND disjoint from ingested
+    * ids (the banding join relies on it).
+    */
+  def ingestStreamDeduped(
+      spark: SparkSession,
+      source: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPath: String,
+      checkpoint: String,
+      n: Int = 3,
+      threshold: Double = 0.8
+  ): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchDeduped(spark, batch, idCol, textCol, targetPath, batchId, n, threshold): Unit
+      }
+      .start()
+
+  /** One micro-batch of [[ingestStreamDeduped]]; also usable directly as
+    * a batch "ingest if novel" operator.
+    *
+    * Survivor semantics (C4-style greedy, deterministic): exact dups keep
+    * the min id; within-batch near-dup clusters keep the min-id member
+    * ([[graft.operators.Dedup.dedupByPairs]]); any batch doc whose text
+    * exactly matches the corpus or near-dups it (word-`n`-gram Jaccard >=
+    * `threshold` via md5 MinHash banding) is dropped. A doc whose only
+    * within-batch match was itself dropped against the corpus still
+    * drops — it is transitively a dup of corpus content. Docs too short
+    * to shingle (< `n` tokens) skip the banding but are still covered by
+    * the exact-digest guard, so they ingest once and never twice.
+    *
+    * Commit protocol: survivors are staged beside the corpus, data files
+    * are MOVED in under batch-tagged names (Spark part names carry a task
+    * UUID, so a replayed attempt cannot collide with files an earlier
+    * crashed attempt already moved), and the ledger commits last. A
+    * replayed id in the ledger returns false having written nothing. A
+    * crash mid-move is healed by the replay itself: the docs already
+    * moved in ARE corpus now, so the deterministic recompute drops
+    * exactly them (digest + banding guards) and appends only the docs the
+    * crash lost — per-document exactly-once without a swap of the
+    * (append-only, arbitrarily large) corpus directory.
+    */
+  def ingestBatchDeduped(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPath: String,
+      batchId: Long,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      bands: Int = 8,
+      rowsPerBand: Int = 2
+  ): Boolean = {
+    import graft.operators.Dedup
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Incremental.recoverAll(spark, targetPath)
+    val committed = readLedger(fs, target)
+    if (committed.contains(batchId)) return false
+
+    // within-batch: exact survivors, then near-dup cluster survivors
+    val exact = Dedup.exactDedup(batch, idCol, textCol)
+    val innerPairs =
+      Dedup.minhashLshPairsMd5(exact, idCol, textCol, n, threshold, bands, rowsPerBand)
+    val inner = Dedup.dedupByPairs(exact, idCol, innerPairs)
+
+    val hasData = fs.exists(target) &&
+      fs.listStatus(target).exists(!_.getPath.getName.startsWith("_"))
+    val survivors =
+      if (!hasData) inner
+      else {
+        val corpus = spark.read.parquet(targetPath)
+        val nearIds = Dedup
+          .incrementalNearDupMd5(
+            corpus, inner, idCol, textCol, n, threshold, bands, rowsPerBand)
+          .select(col("doc_b").as(idCol))
+          .distinct()
+        // exact-text guard: covers shingle-free short docs AND makes a
+        // replayed half-committed batch idempotent. Same scale shape as
+        // the banding join — the corpus pays a digest scan semi-joined
+        // against the broadcast batch digests, so the surviving dup set
+        // is batch-bounded and both anti-joins below broadcast.
+        val batchDigests = inner.select(md5(col(textCol)).as("__h")).distinct()
+        val dupDigests = corpus
+          .select(md5(col(textCol)).as("__h"))
+          .join(broadcast(batchDigests), Seq("__h"), "left_semi")
+          .distinct()
+        inner
+          .join(nearIds, Seq(idCol), "left_anti")
+          .withColumn("__h", md5(col(textCol)))
+          .join(dupDigests, Seq("__h"), "left_anti")
+          .drop("__h")
+      }
+
+    val staged = survivors.persist()
+    try {
+      if (staged.count() > 0) {
+        val staging = new Path(targetPath + s"_ingest_staging_$batchId")
+        fs.delete(staging, true) // orphan of a crashed earlier attempt
+        staged.write.mode("overwrite").parquet(staging.toString)
+        if (!fs.exists(target)) fs.mkdirs(target)
+        fs.listStatus(staging)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .foreach { st =>
+            val dest = new Path(target, s"ingest_${batchId}_${st.getPath.getName}")
+            if (!fs.rename(st.getPath, dest))
+              throw new java.io.IOException(s"ingest commit: could not move ${st.getPath} to $dest")
+          }
+        fs.delete(staging, true)
+      } else if (!fs.exists(target)) fs.mkdirs(target)
+    } finally staged.unpersist()
+    writeLedger(fs, target, committed.add(batchId))
+    true
+  }
+
   /** Name of the committed-batch ledger inside the table directory.
     * `_`-prefixed, so Spark parquet reads never see it as data.
     */

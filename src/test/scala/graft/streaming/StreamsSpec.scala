@@ -350,4 +350,72 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     val got = spark.read.parquet(target).as[(Long, String)].collect().toMap
     assert(got(1L) == "v1x" && got(2L) == "v2" && got.size == 50)
   }
+
+  // --- deduped corpus ingestion ---------------------------------------
+
+  // 12-token sentences; near-dup twins change ONLY the final token, so
+  // exactly 1 of 10 trigram shingles differs: jaccard 9/11 = 0.818 >= 0.8
+  private val DocA = "the quick brown fox jumps over the lazy dog near the river"
+  private val DocANear = "the quick brown fox jumps over the lazy dog near the creek"
+  private val DocC = "pack my box with five dozen liquor jugs before the long trip"
+  private val DocCNear = "pack my box with five dozen liquor jugs before the long ride"
+  private val DocD = "sphinx of black quartz judge my vow in the quiet dark night"
+  private val DocDNear = "sphinx of black quartz judge my vow in the quiet dark cave"
+
+  test("streaming deduped ingestion: only novel documents reach the corpus") {
+    val base = Files.createTempDirectory("streamingest").toString
+    val in = s"$base/in"
+    val target = s"$base/corpus"
+
+    // batch 1: two distinct docs, an exact in-batch dup, a short doc
+    Seq((1L, DocA), (2L, DocC), (3L, DocA), (4L, "hi there"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    pinBatchOrder(in, 1)
+    // batch 2: exact corpus dup, near corpus dup, novel doc, its
+    // within-batch near-dup, a short exact corpus dup, a short novel doc
+    Seq((10L, DocA), (11L, DocCNear), (12L, DocD), (13L, DocDNear),
+      (14L, "hi there"), (15L, "bye"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    pinBatchOrder(in, 2)
+
+    val schema = spark.read.parquet(in).schema
+    val q = Streams.ingestStreamDeduped(
+      spark, Streams.fileStream(spark, in, schema), "doc_id", "text", target, s"$base/ckpt")
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(target).as[(Long, String)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 4L, 12L, 15L), s"unexpected corpus ids: ${got.keySet}")
+    assert(got(12L) == DocD && got(15L) == "bye")
+  }
+
+  test("ingest near-dup guard also fires across batches for the first corpus doc") {
+    val target = Files.createTempDirectory("ingestnear").toString + "/corpus"
+    assert(Streams.ingestBatchDeduped(
+      spark, Seq((1L, DocA)).toDF("doc_id", "text"), "doc_id", "text", target, 0L))
+    // a NEAR dup of corpus content (not exact) must be rejected
+    assert(Streams.ingestBatchDeduped(
+      spark, Seq((2L, DocANear), (3L, DocD)).toDF("doc_id", "text"),
+      "doc_id", "text", target, 1L))
+    val ids = spark.read.parquet(target).as[(Long, String)].collect().map(_._1).toSet
+    assert(ids == Set(1L, 3L), s"near-dup not rejected: $ids")
+  }
+
+  test("replayed ingest batch skips; a lost ledger degrades to a zero-row re-ingest") {
+    val target = Files.createTempDirectory("ingestreplay").toString + "/corpus"
+    val b = Seq((1L, DocA), (2L, DocC), (3L, "hi there")).toDF("doc_id", "text")
+    assert(Streams.ingestBatchDeduped(spark, b, "doc_id", "text", target, 0L))
+    val state = fileState(target)
+    val once = spark.read.parquet(target).as[(Long, String)].collect().toSet
+    // redelivered id: ledger skip, zero file writes
+    assert(!Streams.ingestBatchDeduped(spark, b, "doc_id", "text", target, 0L))
+    assert(fileState(target) == state, "redelivery wrote files")
+    // lost ledger (the crash-mid-move shape): the batch re-executes, but
+    // every doc — including the shingle-free short one — is corpus now,
+    // so the digest/banding guards append NOTHING
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(target, "_commits"), false)
+    assert(Streams.ingestBatchDeduped(spark, b, "doc_id", "text", target, 0L))
+    assert(spark.read.parquet(target).as[(Long, String)].collect().toSet == once)
+  }
 }
