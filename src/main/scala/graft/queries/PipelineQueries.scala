@@ -803,6 +803,26 @@ object PipelineQueries {
         docs.where(col("doc_id") < 400),
         docs.where(col("doc_id") >= 400),
         "doc_id", "text", 3, 0.8)
+    },
+    // End-to-end deduped INGESTION (the streaming door-dedup's batch
+    // core, Streams.ingestBatchDeduped): an empty corpus ingests two
+    // batches — even doc_ids, then odd — each reduced to its novel
+    // survivors (exact min-id election, within-batch near-dup closure,
+    // then the cross-corpus banding + digest guards) before appending.
+    // The oracle replays the whole protocol declaratively: q41's banding
+    // per batch, recursive-CTE closure for the within-batch survivors,
+    // q92's split candidate join plus an md5 guard for the cross step.
+    // The scratch corpus rebuilds per run for determinism.
+    "q93_ingest_dedup_e2e" -> { (s, dir) =>
+      val tmp = freshScratch(s, dir, "q93", Seq("_ingest_staging_0", "_ingest_staging_1"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.streaming.Streams.ingestBatchDeduped(
+        s, docs.where(col("doc_id") % 2 === 0), "doc_id", "text", tmp, 0L)
+      graft.streaming.Streams.ingestBatchDeduped(
+        s, docs.where(col("doc_id") % 2 === 1), "doc_id", "text", tmp, 1L)
+      s.read.parquet(tmp)
+        .select(col("doc_id"), md5(col("text")).as("text_hash"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1569,7 +1589,95 @@ object PipelineQueries {
          |         FROM bands a JOIN bands b
          |           ON a.band = b.band AND a.bucket = b.bucket
          |          AND a.doc_id < 400 AND b.doc_id >= 400),
-         |$RescoreSql""".stripMargin
+         |$RescoreSql""".stripMargin,
+    // q93: the full two-batch ingest protocol, declaratively. Per batch:
+    // exact min-id election per md5(text), banded candidates among the
+    // elected, exact-Jaccard rescore, recursive min-label closure →
+    // within-batch survivors; batch 2 additionally drops docs banded+
+    // rescored against the batch-1 corpus (q92's split join) or sharing
+    // an md5 digest with it (the shingle-free short-doc guard).
+    "q93_ingest_dedup_e2e" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |mh AS (SELECT doc_id, CAST(t.k AS INT) AS k,
+         |              min(md5(shingle || ':' || CAST(t.k AS VARCHAR))) AS h
+         |       FROM sh, UNNEST(range(0, 16)) AS t(k) GROUP BY doc_id, t.k),
+         |bands AS (SELECT doc_id, k // 2 AS band,
+         |                 md5(string_agg(h, '|' ORDER BY k)) AS bucket
+         |          FROM mh GROUP BY doc_id, k // 2),
+         |b1 AS (SELECT min(doc_id) AS doc_id FROM documents
+         |       WHERE doc_id % 2 = 0 GROUP BY md5(text)),
+         |cand1 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN b1 xa ON xa.doc_id = a.doc_id
+         |          JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |          JOIN b1 xb ON xb.doc_id = b.doc_id
+         |          WHERE a.doc_id < b.doc_id),
+         |common1 AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+         |            FROM cand1 c JOIN sh a ON a.doc_id = c.doc_a
+         |            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |            GROUP BY c.doc_a, c.doc_b),
+         |pairs1 AS (SELECT m.doc_a, m.doc_b FROM common1 m
+         |           JOIN cnt ca ON ca.doc_id = m.doc_a
+         |           JOIN cnt cb ON cb.doc_id = m.doc_b
+         |           WHERE CAST(m.common AS DOUBLE) / (ca.n + cb.n - m.common) >= 0.8),
+         |edges1 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs1
+         |           UNION ALL SELECT doc_b, doc_a FROM pairs1),
+         |nodes1 AS (SELECT DISTINCT src AS node FROM edges1),
+         |reach1(node, r) AS (
+         |  SELECT node, node FROM nodes1
+         |  UNION
+         |  SELECT e.src, r.r FROM edges1 e JOIN reach1 r ON r.node = e.dst),
+         |losers1 AS (SELECT node FROM reach1 GROUP BY node HAVING min(r) <> node),
+         |corpus1 AS (SELECT doc_id FROM b1
+         |            WHERE doc_id NOT IN (SELECT node FROM losers1)),
+         |b2 AS (SELECT min(doc_id) AS doc_id FROM documents
+         |       WHERE doc_id % 2 = 1 GROUP BY md5(text)),
+         |cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN b2 xa ON xa.doc_id = a.doc_id
+         |          JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |          JOIN b2 xb ON xb.doc_id = b.doc_id
+         |          WHERE a.doc_id < b.doc_id),
+         |common2 AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+         |            FROM cand2 c JOIN sh a ON a.doc_id = c.doc_a
+         |            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |            GROUP BY c.doc_a, c.doc_b),
+         |pairs2 AS (SELECT m.doc_a, m.doc_b FROM common2 m
+         |           JOIN cnt ca ON ca.doc_id = m.doc_a
+         |           JOIN cnt cb ON cb.doc_id = m.doc_b
+         |           WHERE CAST(m.common AS DOUBLE) / (ca.n + cb.n - m.common) >= 0.8),
+         |edges2 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs2
+         |           UNION ALL SELECT doc_b, doc_a FROM pairs2),
+         |nodes2 AS (SELECT DISTINCT src AS node FROM edges2),
+         |reach2(node, r) AS (
+         |  SELECT node, node FROM nodes2
+         |  UNION
+         |  SELECT e.src, r.r FROM edges2 e JOIN reach2 r ON r.node = e.dst),
+         |losers2 AS (SELECT node FROM reach2 GROUP BY node HAVING min(r) <> node),
+         |inner2 AS (SELECT doc_id FROM b2
+         |           WHERE doc_id NOT IN (SELECT node FROM losers2)),
+         |candx AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN corpus1 xa ON xa.doc_id = a.doc_id
+         |          JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |          JOIN inner2 xb ON xb.doc_id = b.doc_id),
+         |commonx AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+         |            FROM candx c JOIN sh a ON a.doc_id = c.doc_a
+         |            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |            GROUP BY c.doc_a, c.doc_b),
+         |nearx AS (SELECT m.doc_b FROM commonx m
+         |          JOIN cnt ca ON ca.doc_id = m.doc_a
+         |          JOIN cnt cb ON cb.doc_id = m.doc_b
+         |          WHERE CAST(m.common AS DOUBLE) / (ca.n + cb.n - m.common) >= 0.8),
+         |dupx AS (SELECT i.doc_id FROM inner2 i
+         |         JOIN documents di ON di.doc_id = i.doc_id
+         |         WHERE md5(di.text) IN (SELECT md5(dc.text) FROM corpus1 c
+         |                                JOIN documents dc ON dc.doc_id = c.doc_id)),
+         |final AS (SELECT doc_id FROM corpus1
+         |          UNION ALL
+         |          SELECT doc_id FROM inner2
+         |          WHERE doc_id NOT IN (SELECT doc_b FROM nearx)
+         |            AND doc_id NOT IN (SELECT doc_id FROM dupx))
+         |SELECT f.doc_id, md5(d.text) AS text_hash
+         |FROM final f JOIN documents d ON d.doc_id = f.doc_id
+         |ORDER BY f.doc_id""".stripMargin
   )
 
   /** Shared BPE-trainer CTE chain (q85/q86): word types × counts, the
