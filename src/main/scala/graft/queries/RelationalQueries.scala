@@ -463,6 +463,20 @@ object RelationalQueries {
         .groupBy("s_suppkey")
         .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy("s_suppkey")
+    },
+    // Rule-based data-quality validation (pre-publish expectation gate):
+    // every rule evaluated in ONE aggregation over one scan, fail-closed
+    // on NULLs, stack-unpivoted to (rule, n_violations, first_violation)
+    "q94_validate_rules" -> { (s, dir) =>
+      graft.plans.Validate.report(
+        t(s, dir, "orders"),
+        "o_orderkey",
+        Seq(
+          "custkey_not_div7" -> (col("o_custkey") % 7 =!= 0),
+          "date_modern" -> (year(col("o_orderdate")) >= 1993),
+          "price_below_cap" -> (col("o_totalprice") < 300000.0),
+          "price_positive" -> (col("o_totalprice") > 0.0),
+          "priority_present" -> col("o_orderpriority").isNotNull))
     }
   )
 
@@ -720,6 +734,23 @@ object RelationalQueries {
       """SELECT s_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
         |WHERE s_nationkey = 3
-        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "q94_validate_rules" -> {
+      // one UNION ALL branch per rule, identical fail-closed NULL
+      // handling to Validate.report (NOT coalesce(pred, FALSE))
+      def one(name: String, pred: String) =
+        s"""SELECT '$name' AS rule,
+           |  CAST(sum(CASE WHEN NOT coalesce($pred, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           |  min(CASE WHEN NOT coalesce($pred, FALSE) THEN o_orderkey END) AS first_violation
+           |FROM orders""".stripMargin
+      Seq(
+        "custkey_not_div7" -> "o_custkey % 7 <> 0",
+        "date_modern" -> "year(o_orderdate) >= 1993",
+        "price_below_cap" -> "o_totalprice < 300000.0",
+        "price_positive" -> "o_totalprice > 0.0",
+        "priority_present" -> "o_orderpriority IS NOT NULL"
+      ).map { case (n, p) => one(n, p) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+    }
   )
 }
