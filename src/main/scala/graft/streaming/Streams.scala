@@ -267,6 +267,36 @@ object Streams {
     true
   }
 
+  /** Snapshot (time-travel) read of a deduped-ingest corpus AS OF a
+    * batch id: [[ingestBatchDeduped]]'s commit protocol names every data
+    * file `ingest_<batchId>_<uuid>`, so "the corpus as batch N left it"
+    * is a file-name filter — time travel from the append-only layout
+    * alone, no table format or manifest required (what a Delta
+    * `versionAsOf` read provides, recovered here from the naming
+    * convention because files are only ever ADDED under a
+    * monotonically-committed batch id). Files not written by the ingest
+    * protocol (a pre-existing corpus the stream appended onto) carry no
+    * batch tag and belong to every snapshot. Metadata-scale: one
+    * directory listing; the read plans only the selected files.
+    */
+  def corpusAsOf(spark: SparkSession, targetPath: String, maxBatchId: Long): DataFrame = {
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Incremental.recoverAll(spark, targetPath)
+    def batchOf(name: String): Option[Long] =
+      if (!name.startsWith("ingest_")) None
+      else name.stripPrefix("ingest_").takeWhile(_.isDigit) match {
+        case "" => None
+        case d => Some(d.toLong)
+      }
+    val selected = fs.listStatus(target)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath)
+      .filter(p => batchOf(p.getName).forall(_ <= maxBatchId))
+    if (selected.isEmpty) spark.read.parquet(targetPath).where(lit(false))
+    else spark.read.parquet(selected.map(_.toString).toIndexedSeq: _*)
+  }
+
   /** Name of the committed-batch ledger inside the table directory.
     * `_`-prefixed, so Spark parquet reads never see it as data.
     */

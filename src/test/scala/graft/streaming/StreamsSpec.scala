@@ -400,6 +400,25 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(ids == Set(1L, 3L), s"near-dup not rejected: $ids")
   }
 
+  test("corpusAsOf: each snapshot shows exactly the batches committed up to it") {
+    val target = Files.createTempDirectory("ingestasof").toString + "/corpus"
+    assert(Streams.ingestBatchDeduped(
+      spark, Seq((1L, DocA), (2L, DocC)).toDF("doc_id", "text"), "doc_id", "text", target, 0L))
+    assert(Streams.ingestBatchDeduped(
+      spark, Seq((3L, DocD)).toDF("doc_id", "text"), "doc_id", "text", target, 1L))
+    def ids(asOf: Long) =
+      Streams.corpusAsOf(spark, target, asOf).as[(Long, String)].collect().map(_._1).toSet
+    assert(ids(-1L).isEmpty)
+    assert(ids(0L) == Set(1L, 2L))
+    assert(ids(1L) == Set(1L, 2L, 3L))
+    assert(ids(Long.MaxValue) == Set(1L, 2L, 3L))
+    // the latest snapshot is the plain table read
+    assert(ids(Long.MaxValue) ==
+      spark.read.parquet(target).as[(Long, String)].collect().map(_._1).toSet)
+    // the empty snapshot is schema-stable
+    assert(Streams.corpusAsOf(spark, target, -1L).columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("replayed ingest batch skips; a lost ledger degrades to a zero-row re-ingest") {
     val target = Files.createTempDirectory("ingestreplay").toString + "/corpus"
     val b = Seq((1L, DocA), (2L, DocC), (3L, "hi there")).toDF("doc_id", "text")
