@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.{Curation, Dedup, Pack, Scale}
+import graft.plans.{MetaStore, Runner, Validate}
+import graft.plans.Runner.{Job, JobRunRecord}
+
+/** End-to-end TRAINING-DATA curation driver: the LLM-pipeline analogue
+  * of [[LakeDriver]] — the stages every pretraining corpus runs
+  * (validate → dedup → decontaminate → quality-filter+redact →
+  * shuffle+pack) composed as a layered [[graft.plans.Runner]] DAG with
+  * per-stage operational metadata, so the orchestration layer the
+  * reference built for ingestion (`driver_ingestions.py` loop,
+  * `utils.py:340-498` runners/metadata) serves the curation pipeline
+  * identically: one failed stage suspends everything downstream, and
+  * the run's records land in the same metastore schema.
+  *
+  * Stages hand off through the lake (each writes `stage_<name>` and the
+  * next reads it), so every intermediate is independently inspectable
+  * and a rerun resumes from durable state rather than recomputing the
+  * whole chain — the operational shape that matters at 100 TB. Each
+  * stage is individually scale-shaped by its operator (digest-only
+  * exact dedup, banded LSH, broadcast benchmark shingles, scan-side
+  * quality filter, sharded packing windows).
+  */
+object CurationDriver {
+
+  final case class Config(
+      root: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3, // shingle size for dedup + decontamination
+      threshold: Double = 0.8, // near-dup jaccard
+      contaminationThreshold: Double = 0.5,
+      minTokens: Int = 5,
+      maxStopRatio: Double = 0.3,
+      maxPunctRatio: Double = 0.2,
+      minDistinctRatio: Double = 0.35,
+      packBudget: Long = 2000L,
+      shards: Int = 4,
+      shuffleSeed: String = "curation-v1",
+      metaSubdir: String = "operational_metadata"
+  )
+
+  final case class RunResult(
+      records: Seq[JobRunRecord],
+      stageCounts: Seq[(String, Long)],
+      finalPath: String
+  )
+
+  /** Stage tables in hand-off order; `stageCounts` reports them all. */
+  val Stages: Seq[String] = Seq("raw", "dedup", "clean", "quality", "packed")
+
+  private def stagePath(c: Config, s: String) = s"${c.root}/stage_$s"
+
+  def run(
+      spark: SparkSession,
+      docs: DataFrame,
+      bench: DataFrame,
+      c: Config
+  ): RunResult = {
+    val id = col(c.idCol)
+    val text = col(c.textCol)
+
+    def write(df: DataFrame, stage: String): DataFrame = {
+      df.write.mode("overwrite").parquet(stagePath(c, stage))
+      spark.read.parquet(stagePath(c, stage))
+    }
+    def read(stage: String) = spark.read.parquet(stagePath(c, stage))
+
+    val registry: Map[String, Job] = Map(
+      // gate first: a malformed corpus fails BEFORE any stage runs, and
+      // the cascade records every downstream stage SUSPENDED
+      "validate" -> { _ =>
+        Validate.enforce(
+          docs,
+          c.idCol,
+          Seq(
+            "id_present" -> id.isNotNull,
+            "text_present" -> (text.isNotNull && length(text) > 0)))
+        write(docs.select(id, text), "raw")
+      },
+      "dedup" -> { _ =>
+        val raw = read("raw")
+        val exact = Dedup.exactDedup(raw, c.idCol, c.textCol)
+        val pairs = Dedup.minhashLshPairsMd5(exact, c.idCol, c.textCol, c.n, c.threshold)
+        write(Dedup.dedupByPairs(exact, c.idCol, pairs), "dedup")
+      },
+      "decontaminate" -> { _ =>
+        val deduped = read("dedup")
+        val contaminated = Curation
+          .decontaminationReport(
+            deduped, bench, c.idCol, c.textCol, c.n, c.contaminationThreshold)
+          .where(col("contaminated"))
+          .select(id)
+        write(deduped.join(contaminated, Seq(c.idCol), "left_anti"), "clean")
+      },
+      "quality" -> { _ =>
+        val clean = read("clean")
+        write(
+          clean
+            .where(
+              Text.filterReason(
+                text,
+                minTokens = c.minTokens,
+                maxStopRatio = c.maxStopRatio,
+                maxPunctRatio = c.maxPunctRatio,
+                minDistinctRatio = c.minDistinctRatio) === "keep")
+            .withColumn(c.textCol, Text.redactPii(text)),
+          "quality")
+      },
+      "pack" -> { _ =>
+        val q = read("quality").withColumn("n_tokens", Text.tokenCount(text))
+        val shuffled = Scale
+          .trainingShuffle(q, Seq(c.idCol), c.shuffleSeed)
+          .withColumn("shard", pmod(col("train_pos"), lit(c.shards)))
+        write(
+          Pack.byTokenBudget(shuffled, "train_pos", "n_tokens", c.packBudget, Some("shard")),
+          "packed")
+      }
+    )
+
+    val layers = Map(
+      0 -> Seq("validate"),
+      1 -> Seq("dedup"),
+      2 -> Seq("decontaminate"),
+      3 -> Seq("quality"),
+      4 -> Seq("pack"))
+    val metaPath = s"${c.root}/${c.metaSubdir}"
+    val records = Runner.runLayers(
+      spark,
+      layers,
+      registry,
+      record = recs => MetaStore.append(spark, recs, metaPath))
+
+    val counts = Stages.map { st =>
+      val p = new org.apache.hadoop.fs.Path(stagePath(c, st))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      st -> (if (fs.exists(p)) read(st).count() else -1L)
+    }
+    RunResult(records, counts, stagePath(c, "packed"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationDriverSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // 12-token sentences; the near-dup twin changes only the final token
+  private val DocA = "the quick brown fox jumps over the lazy dog near the river"
+  private val DocANear = "the quick brown fox jumps over the lazy dog near the creek"
+  private val DocB = "pack my box with five dozen liquor jugs before the long trip"
+  private val Bench = "sphinx of black quartz judge my vow in the quiet dark night"
+  private val WithPii =
+    "contact us at alice@example.com for the complete shipping manifest today"
+
+  private def benchDf = Seq((900L, Bench)).toDF("doc_id", "text")
+
+  test("full pipeline: each stage drops exactly its targets, all stages logged") {
+    val root = Files.createTempDirectory("curation").toString
+    val docs = Seq(
+      (1L, DocA),
+      (2L, DocA), //   exact dup of 1      → dropped by dedup
+      (3L, DocANear), // near dup of 1     → dropped by dedup
+      (4L, DocB),
+      (5L, Bench), //  benchmark text      → dropped by decontaminate
+      (6L, "too short"), //                → dropped by quality (min tokens)
+      (7L, WithPii) //                     → kept, email redacted
+    ).toDF("doc_id", "text")
+
+    val res = CurationDriver.run(
+      spark, docs, benchDf, CurationDriver.Config(root = root))
+
+    assert(res.records.map(_.job_status).forall(_ == "SUCCESS"), res.records)
+    assert(res.stageCounts == Seq(
+      "raw" -> 7L, "dedup" -> 5L, "clean" -> 4L, "quality" -> 3L, "packed" -> 3L))
+
+    val packed = spark.read.parquet(res.finalPath)
+    assert(packed.columns.toSet ==
+      Set("doc_id", "text", "n_tokens", "train_pos", "shard", "bin"))
+    val byId = packed.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(byId.keySet == Set(1L, 4L, 7L))
+    assert(byId(7L).contains("<EMAIL>") && !byId(7L).contains("alice@example.com"))
+    // training positions are a permutation of 1..n
+    assert(packed.select("train_pos").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // one operational-metadata row per stage, reference schema
+    val meta = spark.read.parquet(s"$root/operational_metadata")
+    assert(meta.count() == 5)
+    assert(meta.select("job_status").as[String].collect().forall(_ == "SUCCESS"))
+
+    // the run is deterministic: rerunning over the same inputs yields
+    // identical survivors and training order (content-hash shuffle).
+    // Materialize the first run's order BEFORE the rerun overwrites it.
+    val order1 = packed.select("doc_id", "train_pos").as[(Long, Long)].collect().toSet
+    val again = CurationDriver.run(
+      spark, docs, benchDf, CurationDriver.Config(root = root))
+    val order2 = spark.read.parquet(again.finalPath)
+      .select("doc_id", "train_pos").as[(Long, Long)].collect().toSet
+    assert(order2 == order1)
+  }
+
+  test("a failed validation gate suspends every downstream stage") {
+    val root = Files.createTempDirectory("curationfail").toString
+    val bad = Seq((1L, DocA), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val res = CurationDriver.run(
+      spark, bad, benchDf, CurationDriver.Config(root = root))
+    val status = res.records.map(r => r.job_name -> r.job_status).toMap
+    assert(status("validate") == "FAILURE")
+    assert(Seq("dedup", "decontaminate", "quality", "pack")
+      .forall(status(_) == "SUSPENDED"), status)
+    // nothing published: no stage table exists
+    assert(res.stageCounts.forall(_._2 == -1L), res.stageCounts)
+  }
+}
