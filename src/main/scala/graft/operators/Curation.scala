@@ -269,6 +269,52 @@ object Curation {
     docs.where(frac < rateCol)
   }
 
+  /** TEMPERATURE-scaled mixture sampling at α = 1/2 ("sqrt temperature",
+    * the common multinomial data-mixing flattening: source s is drawn
+    * ∝ n_s^α, so per-document keep rates go ∝ n_s^(α-1) and small
+    * sources are up-weighted relative to their share). Rates target
+    * `targetFraction` of the corpus overall:
+    * `r_s = min(1, tf · N · n_s^(-1/2) / Σ_j n_j^(1/2))`; the keep
+    * decision is [[mixtureSample]]'s content hash, so the draw is
+    * reproducible across engines, runs, and retried tasks.
+    *
+    * Cross-engine determinism: `sqrt(n_s)` is quantized to the exact
+    * integer `w_s = floor(1e6 · sqrt(n_s))` (every step correctly
+    * rounded under IEEE-754, hence bit-identical on any engine — unlike
+    * `pow`, which libms round differently, and unlike a float Σ n^α,
+    * whose value depends on summation order), the sums `N = Σ n_s` and
+    * `S = Σ w_s` are exact BIGINTs, and the rate is a fixed-shape
+    * double expression over those exact inputs. The ≤ 1e-6 relative
+    * quantization of sqrt is part of the operator's contract.
+    *
+    * Scale shape: one grouped count over the corpus (map-side partial),
+    * a source-level (metadata-scale) rate table broadcast back, and the
+    * scan-side hash filter — no corpus shuffle.
+    */
+  def temperatureMixtureSqrt(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      targetFraction: Double
+  ): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1, "targetFraction must be in (0, 1]")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val weighted = counts.withColumn(
+      "w", floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0)).cast("long"))
+    val tot = weighted.agg(sum("n_docs").as("_n"), sum("w").as("_s"))
+    val rates = weighted
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "rate",
+        least(
+          lit(1.0),
+          lit(targetFraction) * col("_n").cast("double") * col("w").cast("double") /
+            (col("n_docs").cast("double") * col("_s").cast("double"))))
+      .select(col(sourceCol), col("rate"))
+    mixtureSample(docs.join(broadcast(rates), Seq(sourceCol)), textCol, col("rate"))
+      .drop("rate")
+  }
+
   /** Corpus BIGRAM LANGUAGE-MODEL score per document (a CCNet-style
     * model-based quality signal, self-trained): the model is the
     * corpus's own bigram table — `p(w2|w1) = c(w1 w2) / c(w1·)` with

@@ -813,6 +813,17 @@ object PipelineQueries {
     // per batch, recursive-CTE closure for the within-batch survivors,
     // q92's split candidate join plus an md5 guard for the cross step.
     // The scratch corpus rebuilds per run for determinism.
+    // Temperature-scaled data mixing (alpha = 1/2): per-source keep
+    // rates flatten the source distribution toward small sources while
+    // targeting 40% of the corpus; sqrt weights quantized to exact
+    // integers so the rate doubles are bit-identical across engines
+    "q95_temperature_mixture" -> { (s, dir) =>
+      graft.operators.Curation
+        .temperatureMixtureSqrt(t(s, dir, "documents"), "source", "text", 0.4)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"))
+        .orderBy("source")
+    },
     "q93_ingest_dedup_e2e" -> { (s, dir) =>
       val tmp = freshScratch(s, dir, "q93", Seq("_ingest_staging_0", "_ingest_staging_1"))
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1590,6 +1601,31 @@ object PipelineQueries {
          |           ON a.band = b.band AND a.bucket = b.bucket
          |          AND a.doc_id < 400 AND b.doc_id >= 400),
          |$RescoreSql""".stripMargin,
+    // q95: rates recomputed declaratively with the identical fixed-shape
+    // double expression over exact integer inputs (w = floor(1e6*sqrt(n)),
+    // BIGINT sums); keep decision = q74's hex-decoded md5 prefix. The
+    // DOUBLE casts on the literals matter: DuckDB parses 0.4 as DECIMAL.
+    "q95_temperature_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs,
+        |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+        |      FROM c),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS s FROM w),
+        |r AS (SELECT source,
+        |        least(CAST(1.0 AS DOUBLE),
+        |              CAST(0.4 AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(w.w AS DOUBLE)
+        |                / (CAST(w.n_docs AS DOUBLE) * CAST(t.s AS DOUBLE))) AS rate
+        |      FROM w, t),
+        |h AS (SELECT doc_id, source, md5(text) AS m FROM documents),
+        |f AS (SELECT doc_id, source,
+        |        CAST(sum((CAST(strpos('0123456789abcdef',
+        |                              substring(m, CAST(p AS INT), 1)) - 1 AS BIGINT))
+        |                 << (CAST(4 * (8 - p) AS INT))) AS BIGINT) AS hv
+        |      FROM h, UNNEST(range(1, 9)) AS t(p) GROUP BY doc_id, source),
+        |k AS (SELECT f.doc_id, f.source FROM f JOIN r ON r.source = f.source
+        |      WHERE CAST(hv AS DOUBLE) / 4294967296.0 < r.rate)
+        |SELECT source, count(*) AS n_kept, CAST(min(doc_id) AS BIGINT) AS first_kept
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     // q93: the full two-batch ingest protocol, declaratively. Per batch:
     // exact min-id election per md5(text), banded candidates among the
     // elected, exact-Jaccard rescore, recursive min-label closure →

@@ -119,4 +119,36 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(s <= 1000000L && s > 1000000L - k, s"w1=$w1 sum=$s k=$k")
     }
   }
+
+  test("temperatureMixtureSqrt flattens toward small sources and hits the target") {
+    // 900 big-source docs vs 100 small-source docs, distinct texts
+    val docs = (0 until 1000)
+      .map(i => (i.toLong, if (i < 900) "big" else "small", s"document text number $i"))
+      .toDF("doc_id", "source", "text")
+    val kept = Curation.temperatureMixtureSqrt(docs, "source", "text", 0.4)
+    val bySource = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    val keptBig = bySource.getOrElse("big", 0L).toDouble / 900
+    val keptSmall = bySource.getOrElse("small", 0L).toDouble / 100
+    // alpha = 1/2: the small source's keep RATE must exceed the big
+    // source's by ~sqrt(900/100) = 3 (hash noise aside)
+    assert(keptSmall > 2 * keptBig, s"small $keptSmall vs big $keptBig")
+    // overall target: 40% of 1000 docs, within hash-noise tolerance
+    val total = bySource.values.sum
+    assert(total > 300 && total < 500, s"kept $total of 1000 at tf=0.4")
+    // deterministic: the same inputs keep the same ids
+    val ids1 = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Curation.temperatureMixtureSqrt(docs, "source", "text", 0.4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("temperatureMixtureSqrt clamps tiny-source rates at 1 (keeps every doc)") {
+    val docs = ((0 until 995).map(i => (i.toLong, "big", s"filler text item $i")) ++
+      (995 until 1000).map(i => (i.toLong, "tiny", s"rare text item $i")))
+      .toDF("doc_id", "source", "text")
+    // tf = 0.5: r_tiny = 0.5 * 1000 * 5^-0.5 / (sqrt(995)+sqrt(5)) ≈ 6.6 → 1
+    val kept = Curation.temperatureMixtureSqrt(docs, "source", "text", 0.5)
+      .where(col("source") === "tiny")
+    assert(kept.count() == 5L, "a clamped rate must keep the whole tiny source")
+  }
 }
