@@ -63,6 +63,42 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     got.foreach { case (a, b, _) => assert(a < 400 && b >= 400) }
   }
 
+  test("incremental ≡ restricted self-join on seeded random corpora (property)") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    (1 to 3).foreach { trial =>
+      val rnd = new scala.util.Random(20260813L + trial)
+      val base = (0 until 60).map { i =>
+        val len = 6 + rnd.nextInt(8)
+        i.toLong -> Seq.fill(len)(words(rnd.nextInt(words.size))).mkString(" ")
+      }.toMap
+      // plant cross-parity dups: every 10th even doc copied to the next
+      // odd id (exact → always banded), every 10th odd gets a last-word
+      // twin of the preceding even (near → banded when long enough)
+      val planted = base.map { case (i, t) =>
+        if (i % 10 == 0) i -> base(i)
+        else if (i % 10 == 1) i -> base(i - 1)
+        else if (i % 10 == 3) i -> (base(i - 1).split(' ').dropRight(1) :+ "omega").mkString(" ")
+        else i -> t
+      }
+      val docs = planted.toSeq.sortBy(_._1).toDF("doc_id", "text")
+      val got = Dedup
+        .incrementalNearDupMd5(
+          docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", 3, 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // oracle: the corpus-wide self-join pipeline, restricted to pairs
+      // straddling the parity split and re-oriented (corpus id first)
+      val want = Dedup.minhashLshPairsMd5(docs, "doc_id", "text", 3, 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (a, b, _) => a % 2 != b % 2 }
+        .map { case (a, b, j) => if (a % 2 == 0) (a, b, j) else (b, a, j) }
+        .toSet
+      assert(got.nonEmpty, s"trial $trial produced no cross pairs")
+      assert(got == want, s"trial $trial mismatch")
+    }
+  }
+
   test("simhash: identical texts share signatures; groups bucket them") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
