@@ -284,6 +284,12 @@ object Dedup {
     * candidates; a shared id would alias the two sides).
     * Output: `(doc_a = corpus id, doc_b = batch id, jaccard)` at or
     * above `threshold`.
+    *
+    * The BATCH's shingle table is always cached (batch-scale, reused by
+    * the banding and the rescore); `persistIntermediate` governs only
+    * the CORPUS side, where caching trades a second scan for
+    * corpus-scale spillable storage — at true lake scale pass `false`
+    * and let the two passes (banding, rescore) re-read the scan.
     */
   def incrementalNearDupMd5(
       corpus: DataFrame,
@@ -297,13 +303,13 @@ object Dedup {
       persistIntermediate: Boolean = true
   ): DataFrame = {
     import graft.functions.TextExpressions.word_shingles
-    def baseOf(df: DataFrame) = persisted(
+    def baseOf(df: DataFrame, persist: Boolean) = persisted(
       fanOut(df)
         .select(col(idCol).as("doc_id"), word_shingles(col(textCol), n).as("shs"))
         .where(size(col("shs")) > 0),
-      persistIntermediate)
-    val corpusBase = baseOf(corpus)
-    val batchBase = baseOf(batch)
+      persist)
+    val corpusBase = baseOf(corpus, persistIntermediate)
+    val batchBase = baseOf(batch, persist = true)
     val candidates = bandedMd5(corpusBase, bands, rowsPerBand).as("l")
       .join(
         broadcast(bandedMd5(batchBase, bands, rowsPerBand)).as("r"),
