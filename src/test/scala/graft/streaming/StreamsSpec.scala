@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -398,6 +399,32 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       "doc_id", "text", target, 1L))
     val ids = spark.read.parquet(target).as[(Long, String)].collect().map(_._1).toSet
     assert(ids == Set(1L, 3L), s"near-dup not rejected: $ids")
+  }
+
+  test("ingest crash mid-move heals on replay: lost docs re-append, kept docs don't duplicate") {
+    val target = Files.createTempDirectory("ingestcrash").toString + "/corpus"
+    assert(Streams.ingestBatchDeduped(
+      spark, Seq((1L, DocA)).toDF("doc_id", "text"), "doc_id", "text", target, 0L))
+    val batch1 = Seq((2L, DocC), (3L, DocD)).toDF("doc_id", "text")
+    assert(Streams.ingestBatchDeduped(spark, batch1, "doc_id", "text", target, 1L))
+    val tp = new org.apache.hadoop.fs.Path(target)
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // reconstruct the exact mid-move crash state: batch 1's ledger entry
+    // never committed, and one of its moved files never made it
+    val out = fs.create(new org.apache.hadoop.fs.Path(target, "_commits"), true)
+    try out.write("floor:0\n".getBytes("UTF-8")) finally out.close()
+    val victim = fs.listStatus(tp)
+      .filter(_.getPath.getName.startsWith("ingest_1_"))
+      .find(f => spark.read.parquet(f.getPath.toString)
+        .where(col("doc_id") === 3L).count() > 0)
+      .getOrElse(fail("no batch-1 file contains doc 3"))
+    assert(fs.delete(victim.getPath, false))
+    assert(!spark.read.parquet(target).as[(Long, String)].collect().map(_._1).contains(3L))
+    // the replay recomputes deterministically: docs already in the corpus
+    // are dropped by the guards, the lost doc re-appends
+    assert(Streams.ingestBatchDeduped(spark, batch1, "doc_id", "text", target, 1L))
+    val healed = spark.read.parquet(target).as[(Long, String)].collect()
+    assert(healed.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L), s"healed: ${healed.toSeq}")
   }
 
   test("corpusAsOf: each snapshot shows exactly the batches committed up to it") {
