@@ -62,6 +62,32 @@ class CurationDriverSpec extends AnyFunSuite with SparkSpec {
     assert(order2 == order1)
   }
 
+  test("smoke on the real fixture corpus: all stages succeed, counts monotone") {
+    val root = Files.createTempDirectory("curationsf").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    // benchmark = a disjoint-id slice of the same corpus, so the
+    // decontamination stage has real work to do
+    val bench = docs.where(col("doc_id") % 17 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val res = CurationDriver.run(
+      spark, docs, bench, CurationDriver.Config(root = root))
+    assert(res.records.map(_.job_status).forall(_ == "SUCCESS"), res.records)
+    val counts = res.stageCounts.toMap
+    assert(counts("raw") == docs.count())
+    // every stage can only shrink the corpus, and the planted benchmark
+    // overlap plus the fixture's dup families guarantee real drops
+    assert(counts("raw") >= counts("dedup") && counts("dedup") >= counts("clean") &&
+      counts("clean") >= counts("quality"), res.stageCounts)
+    assert(counts("dedup") < counts("raw"), "fixture dup families should dedup")
+    assert(counts("clean") < counts("dedup"), "planted benchmark overlap should drop docs")
+    assert(counts("packed") == counts("quality"))
+    // the packed output is a ready training set: positions 1..n, shards balanced-ish
+    val packed = spark.read.parquet(res.finalPath)
+    val n = packed.count()
+    assert(packed.select(max("train_pos")).head().getLong(0) == n)
+    assert(packed.select(countDistinct("shard")).head().getLong(0) == 4L)
+  }
+
   test("a failed validation gate suspends every downstream stage") {
     val root = Files.createTempDirectory("curationfail").toString
     val bad = Seq((1L, DocA), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
