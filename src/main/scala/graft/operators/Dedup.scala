@@ -571,17 +571,22 @@ object Dedup {
     * `(idCol, n_lines, n_kept, clean_md5)` with `clean_md5` the digest of
     * the space-joined surviving lines ('' when every line was dropped).
     *
-    * Scale shape: two shuffles, both narrow. (1) first-occurrence
-    * election: a `row_number` window PARTITIONED BY the raw line (the
-    * shuffle key is hashed by Spark either way; using the line itself
-    * keeps exact-match semantics with no digest-collision caveat) —
-    * the shuffle carries (line, doc_id, line_no), and a line is at
-    * most `lineTokens` words; groups are duplicate-sets, typically tiny (WindowGroupLimit
-    * cannot apply — rn participates in the count — but each partition
-    * group is one duplicate-set, so per-group sort cost is O(copies)).
-    * (2) document reassembly: groupBy doc_id over (line_no, line) structs
-    * re-sorted row-wise by `array_sort` — no ordered global window, no
-    * driver collection.
+    * Scale shape: two shuffles plus one equi-join, all skew-immune.
+    * (1) first-occurrence election: `groupBy(line).agg(min(struct(
+    * doc_id, line_no)))` — a PARTIAL-aggregable min, so every copy of a
+    * hot line (boilerplate repeated across a meaningful fraction of the
+    * corpus — exactly this operator's target data) collapses to one row
+    * per map task BEFORE the shuffle; the reduce side sees at most
+    * #partitions rows per line. This deliberately avoids a
+    * `row_number` window partitioned by the line, which would funnel
+    * every copy of a hot line into ONE unsplittable task (AQE cannot
+    * split a window partition; it CAN split a skewed join probe).
+    * (2) join-back on the raw line (exact-match semantics, no
+    * digest-collision caveat): build side is 1 row per distinct line,
+    * probe side may be hot but AQE skew-join splits it. (3) document
+    * reassembly: groupBy doc_id over (line_no, line) structs re-sorted
+    * row-wise by `array_sort` — no ordered global window, no driver
+    * collection.
     */
   def lineDedup(
       docs: DataFrame,
@@ -594,25 +599,28 @@ object Dedup {
       col(idCol).as("doc_id"),
       posexplode(Text.chunks(col(textCol), lineTokens, overlap = 0))
         .as(Seq("line_no", "line")))
-    // Partition by the RAW line, matching the oracle exactly: Spark
-    // hashes the shuffle key anyway so the scale shape is unchanged,
-    // and an md5 collision between two distinct lines can no longer
-    // merge their duplicate-sets.
-    val firstWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("line"))
-      .orderBy(col("doc_id"), col("line_no"))
+    // First occurrence per line = minimum (doc_id, line_no) pair, which
+    // struct ordering compares lexicographically — identical to the
+    // row_number election over ORDER BY doc_id, line_no, but map-side
+    // combinable and therefore immune to hot-line skew.
+    val firsts = lines
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("first_occ"))
     lines
-      .withColumn("rn", row_number().over(firstWin))
+      .join(firsts, Seq("line"))
+      .withColumn(
+        "kept",
+        struct(col("doc_id"), col("line_no")) === col("first_occ"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         md5(
           array_join(
             transform(
               array_sort(
                 collect_list(
-                  when(col("rn") === 1, struct(col("line_no"), col("line"))))),
+                  when(col("kept"), struct(col("line_no"), col("line"))))),
               s => s.getField("line")),
             " ")).as("clean_md5"))
       .withColumnRenamed("doc_id", idCol)

@@ -224,6 +224,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert((r.getLong(1), r.getLong(2)) == ((3L, 2L)))
   }
 
+  test("lineDedup: hot boilerplate line — correct result, no window in the plan") {
+    // A navbar-style line repeated in EVERY document — the workload this
+    // C4-style operator exists for. The first-occurrence election must be
+    // a partial-aggregable min, never a row_number window partitioned by
+    // the line: a window funnels all copies of the hot line into one
+    // unsplittable task (AQE cannot split a window partition).
+    val hot = (1L to 200L).map(i => (i, s"hot nav line$i body"))
+    val corpus = hot.toDF("doc_id", "text")
+    val out = Dedup.lineDedup(corpus, "doc_id", "text", lineTokens = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"hot-line election must not use a window:\n$plan")
+    val rows = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1 keeps both its lines ("hot nav" first occurrence + its unique tail);
+    // every later doc loses the shared "hot nav" line but keeps its unique tail.
+    assert(rows(1L) == ((2L, 2L)))
+    assert((2L to 200L).forall(i => rows(i) == ((2L, 1L))))
+  }
+
   test("spanDedup: corpus-duplicated k-grams scrubbed from EVERY occurrence") {
     import org.apache.spark.sql.functions.{lit, md5}
     val corpus = Seq(
