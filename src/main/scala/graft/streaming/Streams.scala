@@ -224,26 +224,34 @@ object Streams {
       if (!hasData) inner
       else {
         val corpus = spark.read.parquet(targetPath)
-        val nearIds = Dedup
-          .incrementalNearDupMd5(
-            corpus, inner, idCol, textCol, n, threshold, bands, rowsPerBand)
-          .select(col("doc_b").as(idCol))
-          .distinct()
-        // exact-text guard: covers shingle-free short docs AND makes a
-        // replayed half-committed batch idempotent. Same scale shape as
-        // the banding join — the corpus pays a digest scan semi-joined
-        // against the broadcast batch digests, so the surviving dup set
-        // is batch-bounded and both anti-joins below broadcast.
+        // exact-text guard FIRST: covers shingle-free short docs AND makes
+        // a replayed half-committed batch idempotent. Ordering is the
+        // crash-replay keystone: a doc an earlier crashed attempt already
+        // MOVED into the corpus is present on both sides with the same
+        // id/text, violating incrementalNearDupMd5's disjoint-id
+        // precondition — its shingles would appear twice in the rescore
+        // union and double-count `common`, spuriously dropping a novel
+        // batch doc that band-collides with it below threshold. Removing
+        // exact corpus matches from the batch BEFORE the banding join
+        // restores disjoint ids on every replay. Scale shape unchanged:
+        // the corpus pays a digest scan semi-joined against the broadcast
+        // batch digests, so the dup set is batch-bounded and the
+        // anti-join broadcasts.
         val batchDigests = inner.select(md5(col(textCol)).as("__h")).distinct()
         val dupDigests = corpus
           .select(md5(col(textCol)).as("__h"))
           .join(broadcast(batchDigests), Seq("__h"), "left_semi")
           .distinct()
-        inner
-          .join(nearIds, Seq(idCol), "left_anti")
+        val fresh = inner
           .withColumn("__h", md5(col(textCol)))
           .join(dupDigests, Seq("__h"), "left_anti")
           .drop("__h")
+        val nearIds = Dedup
+          .incrementalNearDupMd5(
+            corpus, fresh, idCol, textCol, n, threshold, bands, rowsPerBand)
+          .select(col("doc_b").as(idCol))
+          .distinct()
+        fresh.join(nearIds, Seq(idCol), "left_anti")
       }
 
     val staged = survivors.persist()

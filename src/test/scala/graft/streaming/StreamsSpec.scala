@@ -427,6 +427,58 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(healed.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L), s"healed: ${healed.toSeq}")
   }
 
+  test("ingest crash replay keeps a novel doc that band-collides with an already-moved doc") {
+    // The adversarial replay case: doc X moved into the corpus by a
+    // crashed attempt, doc B lost by the crash, and X/B BAND-COLLIDE at
+    // sub-threshold true Jaccard (trigrams: 9 shared tokens of 12 →
+    // j = 7/13 ≈ 0.538 < 0.8; collision verified below, md5 banding is
+    // deterministic). If the replay fed X to both sides of the
+    // incremental banding join, X's shingles would be double-counted in
+    // the rescore (2c/(na+nb-2c) = 7/3 ≥ 0.8) and novel B would be
+    // dropped — permanently lost. The digest anti-join must therefore
+    // run BEFORE the banding join.
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val docX = s"$shared xray yankee zulu"
+    val docB = s"$shared nova orbit pulse"
+    // precondition: the pair IS an LSH candidate and IS sub-threshold
+    val probe = graft.operators.Dedup
+      .incrementalNearDupMd5(
+        Seq((100L, docX)).toDF("doc_id", "text"),
+        Seq((3L, docB)).toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, threshold = 0.3)
+      .collect()
+    assert(probe.length == 1 && probe(0).getDouble(2) < 0.8,
+      s"fixture must band-collide below threshold, got: ${probe.toSeq}")
+
+    val target = Files.createTempDirectory("ingestcollide").toString + "/corpus"
+    assert(Streams.ingestBatchDeduped(
+      spark, Seq((1L, DocA)).toDF("doc_id", "text"), "doc_id", "text", target, 0L))
+    val batch1 = Seq((2L, docX), (3L, docB)).toDF("doc_id", "text")
+    assert(Streams.ingestBatchDeduped(spark, batch1, "doc_id", "text", target, 1L))
+    val tp = new org.apache.hadoop.fs.Path(target)
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // reconstruct the mid-move crash: ledger never committed batch 1,
+    // X's file made it in, B's file did not
+    val out = fs.create(new org.apache.hadoop.fs.Path(target, "_commits"), true)
+    try out.write("floor:0\n".getBytes("UTF-8")) finally out.close()
+    val victim = fs.listStatus(tp)
+      .filter(_.getPath.getName.startsWith("ingest_1_"))
+      .find { f =>
+        val ids = spark.read.parquet(f.getPath.toString)
+          .select("doc_id").as[Long].collect().toSet
+        ids.contains(3L) && !ids.contains(2L)
+      }
+      .getOrElse(fail("no batch-1 file contains doc 3 without doc 2"))
+    assert(fs.delete(victim.getPath, false))
+    assert(spark.read.parquet(target).select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // replay: X is corpus now and must be digest-dropped BEFORE banding;
+    // B is novel (j = 0.538 < 0.8 vs X) and must re-append
+    assert(Streams.ingestBatchDeduped(spark, batch1, "doc_id", "text", target, 1L))
+    val healed = spark.read.parquet(target).as[(Long, String)].collect()
+    assert(healed.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L),
+      s"novel band-colliding doc lost on replay: ${healed.toSeq.sortBy(_._1)}")
+  }
+
   test("corpusAsOf: each snapshot shows exactly the batches committed up to it") {
     val target = Files.createTempDirectory("ingestasof").toString + "/corpus"
     assert(Streams.ingestBatchDeduped(
