@@ -285,11 +285,25 @@ object Dedup {
     * Output: `(doc_a = corpus id, doc_b = batch id, jaccard)` at or
     * above `threshold`.
     *
-    * The BATCH's shingle table is always cached (batch-scale, reused by
-    * the banding and the rescore); `persistIntermediate` governs only
-    * the CORPUS side, where caching trades a second scan for
-    * corpus-scale spillable storage — at true lake scale pass `false`
-    * and let the two passes (banding, rescore) re-read the scan.
+    * The broadcast is MEASURED, not assumed: the "small new batch"
+    * contract is enforced by counting the batch's shingled docs (one
+    * batch-scale aggregation, the same probe-before-join move as
+    * [[graft.operators.Scale.joinSkewAware]]) — at or below
+    * `maxBroadcastBandedRows` banded rows (docs × bands; ~80 bytes
+    * each) the batch side carries an explicit broadcast hint, above it
+    * the operator logs a warning and degrades to a plain shuffle
+    * equi-join on (band, bucket) instead of handing a corpus-sized
+    * "batch" to the driver to OOM on. The degraded plan is still
+    * correct and still avoids any corpus self-join; size the bound to
+    * executor memory.
+    *
+    * `persistIntermediate` governs BOTH shingle tables: the batch
+    * side's cache is reused by the measuring count, the banding, and
+    * the rescore; the corpus side's cache trades a second scan for
+    * corpus-scale spillable storage. At true lake scale — or in a
+    * long-lived session where cached blocks would otherwise accumulate
+    * (the streaming-ingest loop) — pass `false` and let each pass
+    * re-read the scan.
     */
   def incrementalNearDupMd5(
       corpus: DataFrame,
@@ -300,19 +314,37 @@ object Dedup {
       threshold: Double,
       bands: Int = 8,
       rowsPerBand: Int = 2,
-      persistIntermediate: Boolean = true
+      persistIntermediate: Boolean = true,
+      maxBroadcastBandedRows: Long = 2000000L
   ): DataFrame = {
     import graft.functions.TextExpressions.word_shingles
-    def baseOf(df: DataFrame, persist: Boolean) = persisted(
+    require(maxBroadcastBandedRows >= 0, s"bad maxBroadcastBandedRows $maxBroadcastBandedRows")
+    def baseOf(df: DataFrame) = persisted(
       fanOut(df)
         .select(col(idCol).as("doc_id"), word_shingles(col(textCol), n).as("shs"))
         .where(size(col("shs")) > 0),
-      persist)
-    val corpusBase = baseOf(corpus, persistIntermediate)
-    val batchBase = baseOf(batch, persist = true)
+      persistIntermediate)
+    val corpusBase = baseOf(corpus)
+    val batchBase = baseOf(batch)
+    // measure before hinting: an oversized "batch" must not reach the
+    // driver as a broadcast build side
+    val bandedRows = batchBase.count() * bands
+    val batchBands = bandedMd5(batchBase, bands, rowsPerBand)
+    val buildSide =
+      if (bandedRows <= maxBroadcastBandedRows) broadcast(batchBands)
+      else {
+        org.slf4j.LoggerFactory
+          .getLogger(getClass)
+          .warn(
+            s"incrementalNearDupMd5: batch has $bandedRows banded rows " +
+              s"(> $maxBroadcastBandedRows) — degrading the candidate join from " +
+              "broadcast to shuffle; if this batch is really corpus-scale, " +
+              "use minhashLshPairsMd5 over the union instead")
+        batchBands
+      }
     val candidates = bandedMd5(corpusBase, bands, rowsPerBand).as("l")
       .join(
-        broadcast(bandedMd5(batchBase, bands, rowsPerBand)).as("r"),
+        buildSide.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()

@@ -145,8 +145,11 @@ object Streams {
     * "continuously crawl → dedup against the lake → keep what's new":
     * the corpus never self-joins (its bands stream past the BROADCAST
     * batch bands, [[graft.operators.Dedup.incrementalNearDupMd5]]), so
-    * per-batch cost is one corpus scan plus batch-scale shuffles
-    * regardless of corpus size. Exactly-once via the `_commits` ledger;
+    * per-batch cost is a few corpus SCANS (digest guard, banding,
+    * rescore — nothing corpus-scale is cached or shuffled) plus
+    * batch-scale shuffles, regardless of corpus size; cached blocks are
+    * released every micro-batch, so the loop runs indefinitely without
+    * accumulating executor storage. Exactly-once via the `_commits` ledger;
     * single writer per corpus, like every staged commit here. Ids must
     * be globally unique across the stream AND disjoint from ingested
     * ids (the banding join relies on it).
@@ -220,8 +223,8 @@ object Streams {
 
     val hasData = fs.exists(target) &&
       fs.listStatus(target).exists(!_.getPath.getName.startsWith("_"))
-    val survivors =
-      if (!hasData) inner
+    val (survivors, releasable) =
+      if (!hasData) (inner, Seq.empty[DataFrame])
       else {
         val corpus = spark.read.parquet(targetPath)
         // exact-text guard FIRST: covers shingle-free short docs AND makes
@@ -242,16 +245,23 @@ object Streams {
           .select(md5(col(textCol)).as("__h"))
           .join(broadcast(batchDigests), Seq("__h"), "left_semi")
           .distinct()
+        // cache `fresh` HERE (this method owns its lifecycle and
+        // unpersists below) and run the incremental join cache-free:
+        // this long-lived loop must leak no cached blocks per
+        // micro-batch, so the corpus re-reads its scan per pass and the
+        // batch side reuses this one batch-scale cache.
         val fresh = inner
           .withColumn("__h", md5(col(textCol)))
           .join(dupDigests, Seq("__h"), "left_anti")
           .drop("__h")
+          .persist()
         val nearIds = Dedup
           .incrementalNearDupMd5(
-            corpus, fresh, idCol, textCol, n, threshold, bands, rowsPerBand)
+            corpus, fresh, idCol, textCol, n, threshold, bands, rowsPerBand,
+            persistIntermediate = false)
           .select(col("doc_b").as(idCol))
           .distinct()
-        fresh.join(nearIds, Seq(idCol), "left_anti")
+        (fresh.join(nearIds, Seq(idCol), "left_anti"), Seq(fresh))
       }
 
     val staged = survivors.persist()
@@ -270,7 +280,10 @@ object Streams {
           }
         fs.delete(staging, true)
       } else if (!fs.exists(target)) fs.mkdirs(target)
-    } finally staged.unpersist()
+    } finally {
+      staged.unpersist()
+      releasable.foreach(_.unpersist())
+    }
     writeLedger(fs, target, committed.add(batchId))
     true
   }

@@ -63,6 +63,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     got.foreach { case (a, b, _) => assert(a < 400 && b >= 400) }
   }
 
+  test("incremental near-dup: oversized batch degrades broadcast hint to shuffle, same answer") {
+    val corpus = docs.where(col("doc_id") < 400)
+    val batch = docs.where(col("doc_id") >= 400)
+    val hinted = Dedup.incrementalNearDupMd5(corpus, batch, "doc_id", "text", 3, 0.8)
+    // bound of 0 banded rows: every non-empty batch exceeds it
+    val degraded = Dedup.incrementalNearDupMd5(
+      corpus, batch, "doc_id", "text", 3, 0.8, maxBroadcastBandedRows = 0L)
+    // the measured guard must drop the explicit broadcast hint from the
+    // candidate join (AQE may still pick BHJ at runtime for a side it
+    // MEASURES as small — the contract is no unconditional driver-side
+    // collect of an unbounded batch)
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+      "strategy=broadcast".r.findAllIn(df.queryExecution.optimizedPlan.toString).length
+    assert(hintCount(hinted) >= 1, "default path lost its broadcast hint")
+    assert(hintCount(degraded) == 0, "degraded path still hints broadcast")
+    val a = hinted.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = degraded.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("incremental ≡ restricted self-join on seeded random corpora (property)") {
     val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
       "zeta", "eta", "theta", "iota", "kappa")
