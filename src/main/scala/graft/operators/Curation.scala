@@ -311,7 +311,16 @@ object Curation {
           lit(targetFraction) * col("_n").cast("double") * col("w").cast("double") /
             (col("n_docs").cast("double") * col("_s").cast("double"))))
       .select(col(sourceCol), col("rate"))
-    mixtureSample(docs.join(broadcast(rates), Seq(sourceCol)), textCol, col("rate"))
+    // null-safe join: a NULL source is a legitimate group — it already
+    // contributes its n_docs to N and its weight to S in the counts
+    // aggregation (groupBy keeps the NULL key), so it must also receive
+    // its rate here; a plain equi-join would silently drop every
+    // NULL-source doc while still deflating the realized keep rate.
+    mixtureSample(
+      docs.join(broadcast(rates), docs(sourceCol) <=> rates(sourceCol))
+        .drop(rates(sourceCol)),
+      textCol,
+      col("rate"))
       .drop("rate")
   }
 

@@ -33,7 +33,10 @@ object Validate {
     val violates = rules.map { case (_, pred) => !coalesce(pred, lit(false)) }
     val aggs = violates.zipWithIndex.flatMap { case (v, i) =>
       Seq(
-        sum(when(v, 1L).otherwise(0L)).as(s"v_$i"),
+        // coalesce: sum() over ZERO rows is NULL — an empty load is a
+        // realistic pre-publish input and must report 0 violations per
+        // rule (and pass enforce()), not NULL counts / an NPE
+        coalesce(sum(when(v, 1L).otherwise(0L)), lit(0L)).as(s"v_$i"),
         min(when(v, col(idCol))).as(s"id_$i"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)

@@ -142,6 +142,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("temperatureMixtureSqrt: NULL-source docs form their own group and get a rate") {
+    // NULL sources contribute to N and S in the counts aggregation, so
+    // they must also be joined a rate — a plain equi-join would drop
+    // them all while deflating every other source's realized keep rate
+    val docs = ((0 until 600).map(i => (i.toLong, "big", s"document text number $i")) ++
+      (600 until 1000).map(i => (i.toLong, null: String, s"unsourced text item $i")))
+      .toDF("doc_id", "source", "text")
+    val kept = Curation.temperatureMixtureSqrt(docs, "source", "text", 0.5)
+    val bySource = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    val keptNull = bySource.getOrElse(null, 0L)
+    assert(keptNull > 0L, "NULL-source group was silently dropped")
+    // overall target still honored: 50% of 1000, hash-noise tolerance
+    val total = bySource.values.sum
+    assert(total > 400 && total < 600, s"kept $total of 1000 at tf=0.5")
+  }
+
   test("temperatureMixtureSqrt clamps tiny-source rates at 1 (keeps every doc)") {
     val docs = ((0 until 995).map(i => (i.toLong, "big", s"filler text item $i")) ++
       (995 until 1000).map(i => (i.toLong, "tiny", s"rare text item $i")))

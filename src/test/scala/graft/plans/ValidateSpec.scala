@@ -65,4 +65,21 @@ class ValidateSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("amount_positive") && ex.getMessage.contains("status_ok"))
     assert(ex.getMessage.contains("first=2"))
   }
+
+  test("empty input reports 0 violations per rule and passes enforce") {
+    // an empty load is a realistic pre-publish input: sum() over zero
+    // rows is NULL, which must surface as 0, not NULL counts / an NPE
+    val empty = fixture.where(lit(false))
+    val rules = Seq(
+      "amount_positive" -> (col("amount") > 0),
+      "status_ok" -> (col("status") === "ok"))
+    val rep = Validate.report(empty, "id", rules).collect()
+    assert(rep.length == 2)
+    rep.foreach { r =>
+      assert(r.getLong(1) == 0L, s"rule ${r.getString(0)} reported ${r.get(1)}")
+      assert(r.get(2) == null)
+    }
+    val gate = Validate.enforce(empty, "id", rules)
+    assert(gate.length == 2 && gate.forall(_.getLong(1) == 0L))
+  }
 }
