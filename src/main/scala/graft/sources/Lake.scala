@@ -400,6 +400,16 @@ object Lake {
       partitionCols.nonEmpty || !fs.listStatus(p).exists(st =>
         st.isDirectory && st.getPath.getName.contains("=")),
       s"compact: $path has a Hive-partitioned layout — pass partitionCols to preserve it")
+    // a deduped-ingest corpus carries time-travel state IN ITS FILE
+    // NAMES (ingest_<batch>_ tags): a name-blind rewrite would make
+    // every corpusAsOf snapshot silently return the full corpus. Refuse
+    // and point at the batch-aware compaction instead of destroying it.
+    require(
+      !fs.listStatus(p).exists(st =>
+        st.isFile && st.getPath.getName.startsWith("ingest_") &&
+          st.getPath.getName.stripPrefix("ingest_").headOption.exists(_.isDigit)),
+      s"compact: $path is a deduped-ingest corpus (ingest_<batch>_ tagged files) — " +
+        "its batch tags carry corpusAsOf time travel; use Streams.compactIngestCorpus")
     val df = spark.read.parquet(path)
     // a Hive-partitioned table must be rewritten with the same layout or
     // the directory structure (and pruning) is silently lost; likewise a
@@ -417,6 +427,17 @@ object Lake {
           .write.partitionBy(partitionCols: _*)
     }
     writer.mode("overwrite").parquet(staging)
+    // a streaming-upsert target keeps its exactly-once ledger inside the
+    // table directory; the whole-dir swap below would drop it and every
+    // redelivered batch would re-merge (idempotent, but degraded) —
+    // carry it across
+    val ledger = new org.apache.hadoop.fs.Path(p, "_commits")
+    if (fs.exists(ledger)) {
+      val dest = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(staging), "_commits")
+      if (!org.apache.hadoop.fs.FileUtil
+          .copy(fs, ledger, fs, dest, false, spark.sparkContext.hadoopConfiguration))
+        throw new java.io.IOException(s"compact: could not carry ledger $ledger into $dest")
+    }
     graft.operators.Incremental.swapInStaging(spark, path, staging)
     nFiles
   }

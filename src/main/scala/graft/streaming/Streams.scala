@@ -304,18 +304,130 @@ object Streams {
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Incremental.recoverAll(spark, targetPath)
-    def batchOf(name: String): Option[Long] =
-      if (!name.startsWith("ingest_")) None
-      else name.stripPrefix("ingest_").takeWhile(_.isDigit) match {
-        case "" => None
-        case d => Some(d.toLong)
-      }
+    // refuse, never fabricate: below the squash floor the per-batch
+    // files no longer exist, so a filter there would silently return a
+    // WRONG snapshot (the squashed base aggregates every batch <= floor)
+    val floor = readAsOfFloor(fs, target)
+    require(
+      maxBatchId >= floor,
+      s"corpusAsOf: history below batch $floor of $targetPath was squashed by " +
+        s"compactIngestCorpus — snapshot $maxBatchId is no longer reconstructible")
     val selected = fs.listStatus(target)
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
       .map(_.getPath)
-      .filter(p => batchOf(p.getName).forall(_ <= maxBatchId))
+      .filter(p => batchTagOf(p.getName).forall(_ <= maxBatchId))
     if (selected.isEmpty) spark.read.parquet(targetPath).where(lit(false))
     else spark.read.parquet(selected.map(_.toString).toIndexedSeq: _*)
+  }
+
+  /** Batch id carried by an ingest-protocol file name
+    * (`ingest_<batchId>_<uuid>`), None for files written by any other
+    * writer (they belong to every snapshot).
+    */
+  private def batchTagOf(name: String): Option[Long] =
+    if (!name.startsWith("ingest_")) None
+    else name.stripPrefix("ingest_").takeWhile(_.isDigit) match {
+      case "" => None
+      case d => Some(d.toLong)
+    }
+
+  /** Time-travel floor marker: after [[compactIngestCorpus]] squashes
+    * batches <= B into the base, snapshots below B are gone; this
+    * `_`-prefixed file records B so [[corpusAsOf]] refuses them instead
+    * of silently returning the squashed base as if it were history.
+    */
+  private val AsOfFloor = "_asof_floor"
+
+  private def readAsOfFloor(fs: org.apache.hadoop.fs.FileSystem, table: Path): Long = {
+    val p = new Path(table, AsOfFloor)
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Small-file compaction for a DEDUPED-INGEST corpus — the ingest
+    * analogue of [[graft.sources.Lake.compact]], which refuses these
+    * tables because a name-blind rewrite would strip the
+    * `ingest_<batch>_` tags [[corpusAsOf]] filters on (every snapshot
+    * would silently become the full corpus) and drop the `_commits`
+    * ledger (every batch would replay).
+    *
+    * This one is batch-aware: files of batches <= `upToBatchId` (plus
+    * any untagged pre-ingest base, which belongs to every snapshot)
+    * are squashed into `ceil(bytes / targetFileBytes)` files tagged
+    * `ingest_<upToBatchId>_` — so every snapshot AT or ABOVE the squash
+    * point reads exactly what it read before — while newer batches keep
+    * their per-batch files and stay individually time-travelable. The
+    * squash point is recorded in the `_asof_floor` marker and
+    * [[corpusAsOf]] refuses snapshots below it: squashed history is
+    * DECLARED gone, never silently wrong (the same trade a table
+    * format's checkpoint-plus-vacuum makes). The `_commits` ledger
+    * rides along, so redelivered batch ids still skip.
+    *
+    * Crash-safe via the same staging swap as every whole-table writer
+    * here ([[graft.operators.Incremental.swapInStaging]]): kept batch
+    * files are COPIED into staging (the live table stays intact until
+    * the atomic flip), so size `upToBatchId` near the head of the
+    * stream — the copy cost is the unsquashed tail, the rewrite cost
+    * the squashed base. Single writer per corpus, as everywhere.
+    *
+    * Returns the number of squashed base files written.
+    */
+  def compactIngestCorpus(
+      spark: SparkSession,
+      targetPath: String,
+      upToBatchId: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): Int = {
+    require(upToBatchId >= 0, s"upToBatchId must be a committed batch id, got $upToBatchId")
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val target = new Path(targetPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = target.getFileSystem(conf)
+    Incremental.recoverAll(spark, targetPath)
+    val files = fs.listStatus(target)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    val (squash, keep) =
+      files.partition(st => batchTagOf(st.getPath.getName).forall(_ <= upToBatchId))
+    if (squash.isEmpty) return 0
+    val newFloor = math.max(upToBatchId, readAsOfFloor(fs, target))
+    val staging = new Path(targetPath + "_staging_compactingest")
+    fs.delete(staging, true) // orphan of a crashed earlier attempt
+    val bytes = squash.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(squash.map(_.getPath.toString).toIndexedSeq: _*)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    // tag the squashed base with the squash-point id: member of every
+    // snapshot >= upToBatchId, and snapshots below are floor-refused
+    fs.listStatus(staging)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .foreach { st =>
+        val dest = new Path(staging, s"ingest_${upToBatchId}_${st.getPath.getName}")
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(s"compactIngestCorpus: rename ${st.getPath} -> $dest failed")
+      }
+    // COPY (not move) newer batches and the ledger: live must stay
+    // complete until the swap flips
+    keep.foreach { st =>
+      val dest = new Path(staging, st.getPath.getName)
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dest, false, conf))
+        throw new java.io.IOException(s"compactIngestCorpus: copy ${st.getPath} -> $dest failed")
+    }
+    val ledger = new Path(target, CommitsLedger)
+    if (fs.exists(ledger)) {
+      val dest = new Path(staging, CommitsLedger)
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, ledger, fs, dest, false, conf))
+        throw new java.io.IOException(s"compactIngestCorpus: copy $ledger -> $dest failed")
+    }
+    val out = fs.create(new Path(staging, AsOfFloor), true)
+    try out.write(s"$newFloor\n".getBytes("UTF-8"))
+    finally out.close()
+    Incremental.swapInStaging(spark, targetPath, staging.toString)
+    nFiles
   }
 
   /** Name of the committed-batch ledger inside the table directory.

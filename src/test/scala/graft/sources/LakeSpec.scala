@@ -59,6 +59,20 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "_staging_compact")))
   }
 
+  test("compaction carries a streaming-upsert ledger across the swap") {
+    import spark.implicits._
+    val dir = tmp() + "/ledgered"
+    (1 to 4).foreach(i => Seq((i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir))
+    val ledger = java.nio.file.Paths.get(dir, "_commits")
+    java.nio.file.Files.write(ledger, "floor:5\n".getBytes("UTF-8"))
+    Lake.compact(spark, dir, targetFileBytes = 1024L * 1024)
+    // the whole-dir swap must not drop the exactly-once ledger
+    assert(java.nio.file.Files.exists(ledger))
+    assert(new String(java.nio.file.Files.readAllBytes(ledger), "UTF-8") == "floor:5\n")
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
   test("compaction of a partitioned table preserves the partition layout") {
     import spark.implicits._
     val dir = tmp() + "/frag_part"

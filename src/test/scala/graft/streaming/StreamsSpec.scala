@@ -498,6 +498,50 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(Streams.corpusAsOf(spark, target, -1L).columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("compactIngestCorpus: snapshots at/above the floor survive, below are refused, ledger rides") {
+    val target = Files.createTempDirectory("ingestcompact").toString + "/corpus"
+    val batch2 = Seq((3L, DocD)).toDF("doc_id", "text")
+    assert(Streams.ingestBatchDeduped(
+      spark, Seq((1L, DocA)).toDF("doc_id", "text"), "doc_id", "text", target, 0L))
+    assert(Streams.ingestBatchDeduped(
+      spark, Seq((2L, DocC)).toDF("doc_id", "text"), "doc_id", "text", target, 1L))
+    assert(Streams.ingestBatchDeduped(spark, batch2, "doc_id", "text", target, 2L))
+    val full = spark.read.parquet(target).as[(Long, String)].collect().toSet
+    def ids(asOf: Long) =
+      Streams.corpusAsOf(spark, target, asOf).as[(Long, String)].collect().map(_._1).toSet
+
+    // squash batches 0..1 into a tagged base; batch 2 keeps its own files
+    assert(Streams.compactIngestCorpus(spark, target, upToBatchId = 1L) >= 1)
+    assert(spark.read.parquet(target).as[(Long, String)].collect().toSet == full,
+      "full corpus content must survive compaction")
+    assert(ids(1L) == Set(1L, 2L), "the squash-point snapshot must be intact")
+    assert(ids(2L) == Set(1L, 2L, 3L))
+    assert(ids(Long.MaxValue) == Set(1L, 2L, 3L))
+    // history below the squash point is DECLARED gone, not silently wrong
+    val ex = intercept[IllegalArgumentException](Streams.corpusAsOf(spark, target, 0L))
+    assert(ex.getMessage.contains("squashed"))
+    // per-batch files of squashed history are gone; batch 2's remain
+    val tp = new org.apache.hadoop.fs.Path(target)
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(tp).map(_.getPath.getName).filter(!_.startsWith("_"))
+    assert(!names.exists(_.startsWith("ingest_0_")), names.mkString(","))
+    assert(names.exists(_.startsWith("ingest_2_")), names.mkString(","))
+    // the exactly-once ledger rode along: a redelivered batch still skips
+    assert(!Streams.ingestBatchDeduped(spark, batch2, "doc_id", "text", target, 2L))
+    // and new batches keep committing on the compacted corpus
+    assert(Streams.ingestBatchDeduped(
+      spark, Seq((4L, "completely novel content for batch three")).toDF("doc_id", "text"),
+      "doc_id", "text", target, 3L))
+    assert(ids(3L) == Set(1L, 2L, 3L, 4L))
+
+    // the name-blind whole-table compaction must refuse this corpus
+    // rather than strip its tags (every snapshot would become the full
+    // corpus) — it names the batch-aware alternative
+    val refuse = intercept[IllegalArgumentException](
+      graft.sources.Lake.compact(spark, target))
+    assert(refuse.getMessage.contains("compactIngestCorpus"))
+  }
+
   test("replayed ingest batch skips; a lost ledger degrades to a zero-row re-ingest") {
     val target = Files.createTempDirectory("ingestreplay").toString + "/corpus"
     val b = Seq((1L, DocA), (2L, DocC), (3L, "hi there")).toDF("doc_id", "text")
