@@ -42,7 +42,18 @@ object CurationDriver {
       packBudget: Long = 2000L,
       shards: Int = 4,
       shuffleSeed: String = "curation-v1",
-      metaSubdir: String = "operational_metadata"
+      metaSubdir: String = "operational_metadata",
+      /** INCREMENTAL mode: path to an already-curated corpus (e.g. a
+        * previous run's `stage_dedup`). When set, the dedup stage
+        * self-dedups only the NEW batch and then novelty-filters it
+        * against this corpus ([[graft.operators.Dedup.noveltyFilter]]:
+        * exact-digest guard + banded incremental near-dup — the corpus
+        * never self-joins), so a daily run pays batch-scale shuffles
+        * plus corpus SCANS instead of re-deduping the whole lake.
+        * Batch ids must be disjoint from (and, for min-id survivor
+        * parity with a from-scratch run, greater than) the corpus's.
+        */
+      existingCorpusPath: Option[String] = None
   )
 
   final case class RunResult(
@@ -87,7 +98,17 @@ object CurationDriver {
         val raw = read("raw")
         val exact = Dedup.exactDedup(raw, c.idCol, c.textCol)
         val pairs = Dedup.minhashLshPairsMd5(exact, c.idCol, c.textCol, c.n, c.threshold)
-        write(Dedup.dedupByPairs(exact, c.idCol, pairs), "dedup")
+        val inner = Dedup.dedupByPairs(exact, c.idCol, pairs)
+        val survivors = c.existingCorpusPath match {
+          case None => inner
+          case Some(p) =>
+            // incremental: only the new batch self-joins; the existing
+            // corpus streams past it (digest guard + banded near-dup)
+            Dedup.noveltyFilter(
+              spark.read.parquet(p).select(id, text), inner,
+              c.idCol, c.textCol, c.n, c.threshold)
+        }
+        write(survivors, "dedup")
       },
       "decontaminate" -> { _ =>
         val deduped = read("dedup")

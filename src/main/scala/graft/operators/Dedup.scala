@@ -354,6 +354,54 @@ object Dedup {
     rescoreExactJaccard(candidates, sh, threshold)
   }
 
+  /** NOVELTY filter: the batch docs that are neither exact nor near
+    * duplicates of an existing corpus — the complete "keep what's new"
+    * composition over [[incrementalNearDupMd5]], shared by the
+    * streaming-ingest door ([[graft.streaming.Streams.ingestBatchDeduped]])
+    * and the curation driver's incremental mode.
+    *
+    * The exact-digest guard runs FIRST, and that ordering is
+    * load-bearing: it covers shingle-free short docs (< `n` tokens,
+    * invisible to banding), and it removes any batch doc whose text
+    * already exists verbatim in the corpus BEFORE the banding join —
+    * so a replayed half-ingested batch (same id/text on both sides)
+    * re-enters [[incrementalNearDupMd5]] with disjoint id spaces
+    * instead of double-counting its own shingles in the rescore.
+    *
+    * Scale shape: the corpus pays one digest scan (semi-joined against
+    * the broadcast batch digests, so the dup set is batch-bounded and
+    * the anti-join broadcasts) plus the banding/rescore scans of
+    * [[incrementalNearDupMd5]]; everything else is batch-scale.
+    * `persistIntermediate` is forwarded — pass `false` in long-lived
+    * sessions and manage the batch's own cache in the caller.
+    */
+  def noveltyFilter(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      persistIntermediate: Boolean = true
+  ): DataFrame = {
+    val batchDigests = batch.select(md5(col(textCol)).as("__h")).distinct()
+    val dupDigests = corpus
+      .select(md5(col(textCol)).as("__h"))
+      .join(broadcast(batchDigests), Seq("__h"), "left_semi")
+      .distinct()
+    val fresh = batch
+      .withColumn("__h", md5(col(textCol)))
+      .join(dupDigests, Seq("__h"), "left_anti")
+      .drop("__h")
+    val nearIds = incrementalNearDupMd5(
+      corpus, fresh, idCol, textCol, n, threshold, bands, rowsPerBand, persistIntermediate)
+      .select(col("doc_b").as(idCol))
+      .distinct()
+    fresh.join(nearIds, Seq(idCol), "left_anti")
+  }
+
   /** md5-derived 60-bit SimHash — the oracle-replicable variant of
     * [[simhash]]: each distinct token hashes to the first 15 hex chars of
     * its md5 (60 bits), per-bit ±1 tallies are a single grouped

@@ -215,54 +215,31 @@ object Streams {
     val committed = readLedger(fs, target)
     if (committed.contains(batchId)) return false
 
-    // within-batch: exact survivors, then near-dup cluster survivors
+    // within-batch: exact survivors, then near-dup cluster survivors.
+    // `inner` is cached HERE (this method owns its lifecycle and
+    // unpersists below): the novelty filter reads it for the digest
+    // guard, the banding, and the rescore, and this long-lived loop must
+    // leak no cached blocks per micro-batch — so the one batch-scale
+    // cache lives in this scope and the corpus side runs cache-free
+    // (persistIntermediate = false), re-reading its scan per pass.
     val exact = Dedup.exactDedup(batch, idCol, textCol)
     val innerPairs =
       Dedup.minhashLshPairsMd5(exact, idCol, textCol, n, threshold, bands, rowsPerBand)
-    val inner = Dedup.dedupByPairs(exact, idCol, innerPairs)
+    val inner = Dedup.dedupByPairs(exact, idCol, innerPairs).persist()
 
     val hasData = fs.exists(target) &&
       fs.listStatus(target).exists(!_.getPath.getName.startsWith("_"))
-    val (survivors, releasable) =
-      if (!hasData) (inner, Seq.empty[DataFrame])
-      else {
-        val corpus = spark.read.parquet(targetPath)
-        // exact-text guard FIRST: covers shingle-free short docs AND makes
-        // a replayed half-committed batch idempotent. Ordering is the
-        // crash-replay keystone: a doc an earlier crashed attempt already
-        // MOVED into the corpus is present on both sides with the same
-        // id/text, violating incrementalNearDupMd5's disjoint-id
-        // precondition — its shingles would appear twice in the rescore
-        // union and double-count `common`, spuriously dropping a novel
-        // batch doc that band-collides with it below threshold. Removing
-        // exact corpus matches from the batch BEFORE the banding join
-        // restores disjoint ids on every replay. Scale shape unchanged:
-        // the corpus pays a digest scan semi-joined against the broadcast
-        // batch digests, so the dup set is batch-bounded and the
-        // anti-join broadcasts.
-        val batchDigests = inner.select(md5(col(textCol)).as("__h")).distinct()
-        val dupDigests = corpus
-          .select(md5(col(textCol)).as("__h"))
-          .join(broadcast(batchDigests), Seq("__h"), "left_semi")
-          .distinct()
-        // cache `fresh` HERE (this method owns its lifecycle and
-        // unpersists below) and run the incremental join cache-free:
-        // this long-lived loop must leak no cached blocks per
-        // micro-batch, so the corpus re-reads its scan per pass and the
-        // batch side reuses this one batch-scale cache.
-        val fresh = inner
-          .withColumn("__h", md5(col(textCol)))
-          .join(dupDigests, Seq("__h"), "left_anti")
-          .drop("__h")
-          .persist()
-        val nearIds = Dedup
-          .incrementalNearDupMd5(
-            corpus, fresh, idCol, textCol, n, threshold, bands, rowsPerBand,
-            persistIntermediate = false)
-          .select(col("doc_b").as(idCol))
-          .distinct()
-        (fresh.join(nearIds, Seq(idCol), "left_anti"), Seq(fresh))
-      }
+    val survivors =
+      if (!hasData) inner
+      else
+        // the novelty filter's digest-before-banding ordering is the
+        // crash-replay keystone: docs an earlier crashed attempt already
+        // MOVED into the corpus are dropped from the batch before the
+        // banding join, so the replay re-enters the incremental join
+        // with disjoint id spaces (see Dedup.noveltyFilter)
+        Dedup.noveltyFilter(
+          spark.read.parquet(targetPath), inner, idCol, textCol,
+          n, threshold, bands, rowsPerBand, persistIntermediate = false)
 
     val staged = survivors.persist()
     try {
@@ -282,7 +259,7 @@ object Streams {
       } else if (!fs.exists(target)) fs.mkdirs(target)
     } finally {
       staged.unpersist()
-      releasable.foreach(_.unpersist())
+      inner.unpersist()
     }
     writeLedger(fs, target, committed.add(batchId))
     true

@@ -88,6 +88,45 @@ class CurationDriverSpec extends AnyFunSuite with SparkSpec {
     assert(packed.select(countDistinct("shard")).head().getLong(0) == 4L)
   }
 
+  test("incremental mode: a second run dedups only the new batch against the lake") {
+    val rootDay1 = Files.createTempDirectory("curinc1").toString
+    val rootDay2 = Files.createTempDirectory("curinc2").toString
+    val rootFull = Files.createTempDirectory("curincfull").toString
+    val Novel = "bright silver rockets arc across seven quiet valleys toward the dawn"
+
+    // day 1: corpus with an exact-dup family → survivors {1, 3}
+    val day1 = Seq((1L, DocA), (2L, DocA), (3L, DocB)).toDF("doc_id", "text")
+    val r1 = CurationDriver.run(spark, day1, benchDf, CurationDriver.Config(root = rootDay1))
+    assert(r1.records.map(_.job_status).forall(_ == "SUCCESS"))
+    val corpusPath = s"$rootDay1/stage_dedup"
+    assert(spark.read.parquet(corpusPath).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L))
+
+    // day 2: new batch — 10 near-dups corpus doc 1, 11 exactly matches
+    // corpus doc 3, 13 exactly dups 12 WITHIN the batch, 12 is novel
+    val day2 = Seq((10L, DocANear), (11L, DocB), (12L, Novel), (13L, Novel))
+      .toDF("doc_id", "text")
+    val r2 = CurationDriver.run(
+      spark, day2, benchDf,
+      CurationDriver.Config(root = rootDay2, existingCorpusPath = Some(corpusPath)))
+    assert(r2.records.map(_.job_status).forall(_ == "SUCCESS"), r2.records)
+    val incSurvivors = spark.read.parquet(s"$rootDay2/stage_dedup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(incSurvivors == Set(12L), s"got $incSurvivors")
+    // the run's packed output is the curated INCREMENT (the new shard)
+    assert(spark.read.parquet(r2.finalPath).select("doc_id").as[Long].collect().toSet
+      == Set(12L))
+
+    // parity with a from-scratch run over the union: incremental
+    // survivors = union survivors minus the existing corpus
+    val rFull = CurationDriver.run(
+      spark, day1.union(day2), benchDf, CurationDriver.Config(root = rootFull))
+    val fullSurvivors = spark.read.parquet(s"$rootFull/stage_dedup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(fullSurvivors == Set(1L, 3L, 12L))
+    assert(incSurvivors == fullSurvivors -- Set(1L, 3L))
+  }
+
   test("a failed validation gate suspends every downstream stage") {
     val root = Files.createTempDirectory("curationfail").toString
     val bad = Seq((1L, DocA), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
