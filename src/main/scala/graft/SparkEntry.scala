@@ -18,12 +18,14 @@ object SparkEntry {
     RelationalQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for the two xxhash64-based
-    * fast variants (q25 MinHash, q26 SimHash — DuckDB lacks xxhash64) →
-    * driver records rows-only checks there; both have fully oracle-checked
-    * md5-derived counterparts (q41, q42) plus exact-counterpart ScalaTests.
-    * Every omission MUST carry an [[oracleNotes]] entry — Verify enforces
-    * this, so an unoracled query cannot slip in silently.
+    * the same parquet tables. Omitted only for q26 (xxhash64 SimHash —
+    * groups are keyed by the raw signature value, which DuckDB cannot
+    * reproduce) → driver records a rows-only check there, with the
+    * md5-derived counterpart q42 fully oracled. q25's xxhash64 MinHash
+    * IS fully oracled via its md5 twin's SQL: the exact rescore makes
+    * the two value-equal on the test corpora (see PipelineQueries).
+    * Every omission MUST carry an [[oracleNotes]] entry — Verify
+    * enforces this, so an unoracled query cannot slip in silently.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ PipelineQueries.oracle
@@ -36,13 +38,16 @@ object SparkEntry {
     * query someone simply forgot to oracle.
     */
   def oracleNotes: Map[String, String] = Map(
-    "q25_dedup_minhash_lsh" ->
-      ("no_oracle_by_design: banding hashes use xxhash64, which DuckDB lacks; " +
-        "md5-twin:q41_dedup_minhash_md5 is fully oracled and DedupSpec proves " +
-        "the candidate sets are identical after exact-Jaccard rescore"),
+    // q25 graduated to a full oracle: its exact-Jaccard rescore makes
+    // the xxhash64 output provably equal to the md5 twin's absent a
+    // banding miss, so q41's SQL oracles it too (PipelineQueries).
+    // q26 cannot follow — a SimHash GROUP is keyed by the raw signature
+    // value, so different hash functions genuinely group differently.
     "q26_dedup_simhash" ->
-      ("no_oracle_by_design: fingerprint bits use xxhash64, which DuckDB lacks; " +
-        "md5-twin:q42_dedup_simhash_md5 is fully oracled and DedupSpec proves " +
-        "the candidate sets are identical after exact-Hamming rescore")
+      ("no_oracle_by_design: fingerprint bits use xxhash64, which DuckDB lacks — and " +
+        "unlike q25, SimHash groups are keyed by the raw signature value, so the " +
+        "md5-twin q42_dedup_simhash_md5 (fully oracled) is the same operator under " +
+        "an oracle-replicable hash rather than a value-equal twin; DedupSpec " +
+        "pins the xxhash64 path's structure")
   )
 }

@@ -906,6 +906,24 @@ object PipelineQueries {
       |WHERE CAST(m.common AS DOUBLE) / (ca.n + cb.n - m.common) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** md5 MinHash+LSH banding + exact rescore, DuckDB-side — the oracle
+    * of q41, and (because the rescore leaves only banding misses as a
+    * possible divergence, and the deterministic corpora have none) of
+    * its xxhash64 performance twin q25 as well.
+    */
+  private val MinhashMd5OracleSql =
+    s"""WITH $ShinglesCte,
+       |mh AS (SELECT doc_id, CAST(t.k AS INT) AS k,
+       |              min(md5(shingle || ':' || CAST(t.k AS VARCHAR))) AS h
+       |       FROM sh, UNNEST(range(0, 16)) AS t(k) GROUP BY doc_id, t.k),
+       |bands AS (SELECT doc_id, k // 2 AS band,
+       |                 md5(string_agg(h, '|' ORDER BY k)) AS bucket
+       |          FROM mh GROUP BY doc_id, k // 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |$RescoreSql""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q23_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -1017,18 +1035,16 @@ object PipelineQueries {
       s"""WITH $ShinglesCte,
          |$CappedCandCte,
          |$RescoreSql""".stripMargin,
-    "q41_dedup_minhash_md5" ->
-      s"""WITH $ShinglesCte,
-         |mh AS (SELECT doc_id, CAST(t.k AS INT) AS k,
-         |              min(md5(shingle || ':' || CAST(t.k AS VARCHAR))) AS h
-         |       FROM sh, UNNEST(range(0, 16)) AS t(k) GROUP BY doc_id, t.k),
-         |bands AS (SELECT doc_id, k // 2 AS band,
-         |                 md5(string_agg(h, '|' ORDER BY k)) AS bucket
-         |          FROM mh GROUP BY doc_id, k // 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |$RescoreSql""".stripMargin,
+    "q41_dedup_minhash_md5" -> MinhashMd5OracleSql,
+    // q25 runs the xxhash64 PERFORMANCE banding, which DuckDB cannot
+    // replicate hash-for-hash — but the exact-Jaccard rescore removes
+    // every banding false positive, so the two variants can only differ
+    // by a banding MISS, and on the deterministic test corpora they
+    // never do (verified at sf0.001/0.01/0.1; DedupSpec proves set
+    // equality on its fixtures). The md5-twin's SQL is therefore a true
+    // oracle of q25's output too — a full hash-match gate instead of
+    // the weaker rows-only check.
+    "q25_dedup_minhash_lsh" -> MinhashMd5OracleSql,
     "q42_dedup_simhash_md5" ->
       """WITH tokd AS (SELECT DISTINCT doc_id, tok FROM (
         |        SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS tok
