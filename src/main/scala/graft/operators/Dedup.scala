@@ -651,22 +651,23 @@ object Dedup {
     * `(idCol, n_lines, n_kept, clean_md5)` with `clean_md5` the digest of
     * the space-joined surviving lines ('' when every line was dropped).
     *
-    * Scale shape: two shuffles plus one equi-join, all skew-immune.
-    * (1) first-occurrence election: `groupBy(line).agg(min(struct(
-    * doc_id, line_no)))` — a PARTIAL-aggregable min, so every copy of a
-    * hot line (boilerplate repeated across a meaningful fraction of the
-    * corpus — exactly this operator's target data) collapses to one row
-    * per map task BEFORE the shuffle; the reduce side sees at most
-    * #partitions rows per line. This deliberately avoids a
-    * `row_number` window partitioned by the line, which would funnel
-    * every copy of a hot line into ONE unsplittable task (AQE cannot
-    * split a window partition; it CAN split a skewed join probe).
-    * (2) join-back on the raw line (exact-match semantics, no
-    * digest-collision caveat): build side is 1 row per distinct line,
-    * probe side may be hot but AQE skew-join splits it. (3) document
-    * reassembly: groupBy doc_id over (line_no, line) structs re-sorted
-    * row-wise by `array_sort` — no ordered global window, no driver
-    * collection.
+    * Scale shape: the exploded line table is aggregated MAP-SIDE and
+    * never join-shuffled. (1) first-occurrence election:
+    * `groupBy(line).agg(min(struct(doc_id, line_no)))` — a
+    * partial-aggregable min, so every copy of a hot line (boilerplate
+    * repeated across a meaningful fraction of the corpus — exactly this
+    * operator's target data) collapses to one row per map task BEFORE
+    * the shuffle. This deliberately avoids a `row_number` window
+    * partitioned by the line, which would funnel every copy of a hot
+    * line into ONE unsplittable task (AQE cannot split a window
+    * partition). (2) the election output IS the surviving-line set —
+    * `(line, (doc_id, line_no))` — so document reassembly aggregates it
+    * directly by the winning doc (input bounded by #distinct lines), no
+    * join back to the exploded table at all. (3) per-doc line counts
+    * come from a row-wise `size(chunks)` on the raw docs, and one
+    * doc-keyed left join stitches counts to survivors — fully
+    * deduplicated docs surface with `n_kept = 0, md5('')` rather than
+    * disappearing.
     */
   def lineDedup(
       docs: DataFrame,
@@ -680,30 +681,34 @@ object Dedup {
       posexplode(Text.chunks(col(textCol), lineTokens, overlap = 0))
         .as(Seq("line_no", "line")))
     // First occurrence per line = minimum (doc_id, line_no) pair, which
-    // struct ordering compares lexicographically — identical to the
+    // struct ordering compares lexicographically — identical to a
     // row_number election over ORDER BY doc_id, line_no, but map-side
     // combinable and therefore immune to hot-line skew.
     val firsts = lines
       .groupBy("line")
-      .agg(min(struct(col("doc_id"), col("line_no"))).as("first_occ"))
-    lines
-      .join(firsts, Seq("line"))
-      .withColumn(
-        "kept",
-        struct(col("doc_id"), col("line_no")) === col("first_occ"))
-      .groupBy("doc_id")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("f"))
+    val keptPerDoc = firsts
+      .groupBy(col("f.doc_id").as("doc_id"))
       .agg(
-        count(lit(1)).as("n_lines"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n_kept"),
         md5(
           array_join(
             transform(
               array_sort(
-                collect_list(
-                  when(col("kept"), struct(col("line_no"), col("line"))))),
+                collect_list(struct(col("f.line_no").as("line_no"), col("line")))),
               s => s.getField("line")),
             " ")).as("clean_md5"))
-      .withColumnRenamed("doc_id", idCol)
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        size(Text.chunks(col(textCol), lineTokens, overlap = 0)).cast("long").as("n_lines"))
+      .where(col("n_lines") > 0)
+      .join(keptPerDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id").as(idCol),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
       .orderBy(idCol)
   }
 
