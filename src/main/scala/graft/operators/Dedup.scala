@@ -316,7 +316,31 @@ object Dedup {
       rowsPerBand: Int = 2,
       persistIntermediate: Boolean = true,
       maxBroadcastBandedRows: Long = 2000000L
-  ): DataFrame = {
+  ): DataFrame =
+    incrementalNearDupMd5Managed(
+      corpus, batch, idCol, textCol, n, threshold, bands, rowsPerBand,
+      persistIntermediate, maxBroadcastBandedRows)._1
+
+  /** [[incrementalNearDupMd5]] with an explicit cache-release handle:
+    * returns `(pairs, release)` where `release()` unpersists the two
+    * internal shingle-table caches. Long-lived callers (the streaming
+    * ingest loop) call it after materializing the result, so each
+    * micro-batch gets the cached-reuse plan WITHOUT accumulating
+    * corpus-scale blocks in executor storage forever. `release` is a
+    * no-op when `persistIntermediate = false`.
+    */
+  def incrementalNearDupMd5Managed(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      persistIntermediate: Boolean = true,
+      maxBroadcastBandedRows: Long = 2000000L
+  ): (DataFrame, () => Unit) = {
     import graft.functions.TextExpressions.word_shingles
     require(maxBroadcastBandedRows >= 0, s"bad maxBroadcastBandedRows $maxBroadcastBandedRows")
     def baseOf(df: DataFrame) = persisted(
@@ -351,7 +375,10 @@ object Dedup {
     val sh = corpusBase
       .union(batchBase)
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("shingle"))
-    rescoreExactJaccard(candidates, sh, threshold)
+    val release: () => Unit =
+      if (persistIntermediate) { () => { corpusBase.unpersist(); batchBase.unpersist(): Unit } }
+      else () => ()
+    (rescoreExactJaccard(candidates, sh, threshold), release)
   }
 
   /** NOVELTY filter: the batch docs that are neither exact nor near
@@ -372,8 +399,8 @@ object Dedup {
     * the broadcast batch digests, so the dup set is batch-bounded and
     * the anti-join broadcasts) plus the banding/rescore scans of
     * [[incrementalNearDupMd5]]; everything else is batch-scale.
-    * `persistIntermediate` is forwarded — pass `false` in long-lived
-    * sessions and manage the batch's own cache in the caller.
+    * `persistIntermediate` is forwarded; long-lived callers should use
+    * [[noveltyFilterManaged]] and release the caches per batch.
     */
   def noveltyFilter(
       corpus: DataFrame,
@@ -385,7 +412,25 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 2,
       persistIntermediate: Boolean = true
-  ): DataFrame = {
+  ): DataFrame =
+    noveltyFilterManaged(
+      corpus, batch, idCol, textCol, n, threshold, bands, rowsPerBand, persistIntermediate)._1
+
+  /** [[noveltyFilter]] with the internal caches' release handle (see
+    * [[incrementalNearDupMd5Managed]]): call `release()` after
+    * materializing the survivors.
+    */
+  def noveltyFilterManaged(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      persistIntermediate: Boolean = true
+  ): (DataFrame, () => Unit) = {
     val batchDigests = batch.select(md5(col(textCol)).as("__h")).distinct()
     val dupDigests = corpus
       .select(md5(col(textCol)).as("__h"))
@@ -395,11 +440,10 @@ object Dedup {
       .withColumn("__h", md5(col(textCol)))
       .join(dupDigests, Seq("__h"), "left_anti")
       .drop("__h")
-    val nearIds = incrementalNearDupMd5(
+    val (pairs, release) = incrementalNearDupMd5Managed(
       corpus, fresh, idCol, textCol, n, threshold, bands, rowsPerBand, persistIntermediate)
-      .select(col("doc_b").as(idCol))
-      .distinct()
-    fresh.join(nearIds, Seq(idCol), "left_anti")
+    val nearIds = pairs.select(col("doc_b").as(idCol)).distinct()
+    (fresh.join(nearIds, Seq(idCol), "left_anti"), release)
   }
 
   /** md5-derived 60-bit SimHash — the oracle-replicable variant of

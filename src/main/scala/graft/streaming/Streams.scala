@@ -145,11 +145,12 @@ object Streams {
     * "continuously crawl → dedup against the lake → keep what's new":
     * the corpus never self-joins (its bands stream past the BROADCAST
     * batch bands, [[graft.operators.Dedup.incrementalNearDupMd5]]), so
-    * per-batch cost is a few corpus SCANS (digest guard, banding,
-    * rescore — nothing corpus-scale is cached or shuffled) plus
-    * batch-scale shuffles, regardless of corpus size; cached blocks are
-    * released every micro-batch, so the loop runs indefinitely without
-    * accumulating executor storage. Exactly-once via the `_commits` ledger;
+    * per-batch cost is a corpus digest scan plus one corpus shingle
+    * scan (cached for the banding/rescore passes within the batch, then
+    * RELEASED — every cache this loop creates is unpersisted at the end
+    * of its micro-batch, so the loop runs indefinitely without
+    * accumulating executor storage) plus batch-scale shuffles,
+    * regardless of corpus size. Exactly-once via the `_commits` ledger;
     * single writer per corpus, like every staged commit here. Ids must
     * be globally unique across the stream AND disjoint from ingested
     * ids (the banding join relies on it).
@@ -216,12 +217,11 @@ object Streams {
     if (committed.contains(batchId)) return false
 
     // within-batch: exact survivors, then near-dup cluster survivors.
-    // `inner` is cached HERE (this method owns its lifecycle and
-    // unpersists below): the novelty filter reads it for the digest
-    // guard, the banding, and the rescore, and this long-lived loop must
-    // leak no cached blocks per micro-batch — so the one batch-scale
-    // cache lives in this scope and the corpus side runs cache-free
-    // (persistIntermediate = false), re-reading its scan per pass.
+    // `inner` is cached HERE and every cache this batch creates —
+    // including the novelty filter's internal shingle tables, via its
+    // release handle — is unpersisted in the finally below, so this
+    // long-lived loop gets the cached-reuse plan per micro-batch
+    // WITHOUT accumulating corpus-scale blocks in executor storage.
     val exact = Dedup.exactDedup(batch, idCol, textCol)
     val innerPairs =
       Dedup.minhashLshPairsMd5(exact, idCol, textCol, n, threshold, bands, rowsPerBand)
@@ -229,17 +229,17 @@ object Streams {
 
     val hasData = fs.exists(target) &&
       fs.listStatus(target).exists(!_.getPath.getName.startsWith("_"))
-    val survivors =
-      if (!hasData) inner
+    val (survivors, release) =
+      if (!hasData) (inner, () => ())
       else
         // the novelty filter's digest-before-banding ordering is the
         // crash-replay keystone: docs an earlier crashed attempt already
         // MOVED into the corpus are dropped from the batch before the
         // banding join, so the replay re-enters the incremental join
         // with disjoint id spaces (see Dedup.noveltyFilter)
-        Dedup.noveltyFilter(
+        Dedup.noveltyFilterManaged(
           spark.read.parquet(targetPath), inner, idCol, textCol,
-          n, threshold, bands, rowsPerBand, persistIntermediate = false)
+          n, threshold, bands, rowsPerBand)
 
     val staged = survivors.persist()
     try {
@@ -260,6 +260,7 @@ object Streams {
     } finally {
       staged.unpersist()
       inner.unpersist()
+      release()
     }
     writeLedger(fs, target, committed.add(batchId))
     true
