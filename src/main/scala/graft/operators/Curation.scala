@@ -402,4 +402,111 @@ object Curation {
         round(col("max_rep").cast("double") / col("n_grams"), 6).as("rep_ratio"))
       .orderBy(idCol)
   }
+
+  /** Fixed 8-term atanh (Gregory) series surrogate for `ln(x)`:
+    * `2·artanh(z)` truncated at `z^15`, `z = (x-1)/(x+1)` — every step a
+    * single IEEE-754 correctly-rounded double op over the previous ones,
+    * so two engines evaluating this exact expression shape produce
+    * bit-identical doubles (the reason [[importanceResample]] does NOT
+    * call `ln`: libms round `log` differently in the last ulp, and a
+    * 1-ulp flip crosses `floor` quantization boundaries). Strictly
+    * increasing in x (odd polynomial, positive coefficients, z monotone
+    * in x), within 0.1% of true ln for x ∈ [1/8, 8] and ~4% at x = 30 —
+    * a documented, deterministic scoring transform, not a libm ln.
+    */
+  private[graft] def pseudoLn(x: Column): Column = {
+    val z = (x - lit(1.0)) / (x + lit(1.0))
+    val z2 = z * z
+    (lit(2.0) * z) * (lit(1.0) + z2 * (lit(1.0 / 3.0) + z2 * (lit(1.0 / 5.0) +
+      z2 * (lit(1.0 / 7.0) + z2 * (lit(1.0 / 9.0) + z2 * (lit(1.0 / 11.0) +
+        z2 * (lit(1.0 / 13.0) + z2 * lit(1.0 / 15.0))))))))
+  }
+
+  /** DSIR-style IMPORTANCE RESAMPLING (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — re-derived for the
+    * distributed setting, not transliterated): rank raw documents by how
+    * much they resemble a TARGET distribution under a hashed-n-gram
+    * bag-of-words model, and keep the top `keep`. Features are word
+    * unigrams + bigrams hashed into `numBuckets` buckets; the target
+    * model `p` is estimated from the docs matching `targetPred`, the raw
+    * model `q` from the whole input, both add-1 smoothed; a document's
+    * importance is its log-likelihood ratio
+    * `Σ_occurrences log(p_b / q_b)`. The paper resamples with Gumbel
+    * noise; this variant takes the deterministic top-k by
+    * (score desc, id asc) — reproducible across runs and engines, which
+    * a noise draw is not.
+    *
+    * Cross-engine determinism (the q95 recipe): bucket ids come from an
+    * md5 prefix (the one hash every engine shares); bucket/total counts
+    * are exact BIGINTs; the per-bucket log-ratio is [[pseudoLn]] — a
+    * fixed-shape correctly-rounded double expression over those exact
+    * inputs — quantized ONCE per bucket to `l_b = floor(scale ·
+    * pseudoLn(p_b/q_b))`; document scores are then pure BIGINT sums
+    * `Σ_b c_b · l_b`, exact and order-independent. No float ever crosses
+    * an aggregation boundary.
+    *
+    * Scale shape: one explode over the corpus partially aggregated to
+    * (doc, bucket) counts; bucket stats re-aggregated from that to
+    * `numBuckets` rows (map-side partial both times); the ≤
+    * `numBuckets`-row log-ratio table broadcast back; top-k via
+    * TakeOrdered (never a global sort). The gram stream is recomputed
+    * for the stats and scoring branches rather than cached — at corpus
+    * scale the (doc, bucket) table dwarfs executor storage, and the
+    * explode is scan-side work AQE pipelines into the pre-aggregation.
+    * Docs whose text yields no tokens have no model evidence and are
+    * omitted (same contract as [[lmBigramScore]]).
+    */
+  def importanceResample(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      numBuckets: Int = 256,
+      keep: Int = 100,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(numBuckets > 0 && numBuckets <= 65536, "numBuckets must be in 1..65536")
+    require(keep > 0 && scale > 0)
+    val grams = docs
+      .select(
+        col(idCol).as("doc_id"),
+        targetPred.cast("boolean").as("__is_target"),
+        explode(
+          concat(
+            graft.functions.TextExpressions.word_shingles_all(col(textCol), 1),
+            graft.functions.TextExpressions.word_shingles_all(col(textCol), 2)))
+          .as("gram"))
+      .select(
+        col("doc_id"),
+        col("__is_target"),
+        // 4 hex chars = 16 bits, uniform and non-negative; % folds to
+        // the bucket count (md5PrefixLong documents the engine contract)
+        (graft.functions.Text.md5PrefixLong(col("gram"), 4) % numBuckets).as("bucket"))
+    val perDocBucket = grams
+      .groupBy("doc_id", "__is_target", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val stats = perDocBucket
+      .groupBy("bucket")
+      .agg(
+        sum(col("c")).as("cr"),
+        sum(when(col("__is_target"), col("c")).otherwise(lit(0L))).as("ct"))
+    val tot = stats.agg(sum("cr").as("_r"), sum("ct").as("_t"))
+    // p_b/q_b = ((ct+1)/(T+B)) / ((cr+1)/(R+B)) regrouped as
+    // (A/B)·(C/D) — the exact shape the oracle replicates
+    val ratio = ((col("ct") + lit(1L)).cast("double") / (col("cr") + lit(1L)).cast("double")) *
+      ((col("_r") + lit(numBuckets.toLong)).cast("double") /
+        (col("_t") + lit(numBuckets.toLong)).cast("double"))
+    val logRatios = stats
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bucket"),
+        floor(pseudoLn(ratio) * lit(scale.toDouble)).cast("long").as("l"))
+    perDocBucket
+      .join(broadcast(logRatios), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("l")).as("score"), sum(col("c")).as("n_grams"))
+      .withColumnRenamed("doc_id", idCol)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(keep)
+  }
 }

@@ -834,6 +834,15 @@ object PipelineQueries {
       s.read.parquet(tmp)
         .select(col("doc_id"), md5(col("text")).as("text_hash"))
         .orderBy("doc_id")
+    },
+    // DSIR-style importance resampling (Xie 2023): top-100 docs by
+    // hashed-unigram+bigram log-likelihood ratio against the English
+    // subset as the target distribution — deterministic top-k variant,
+    // exact BIGINT score sums (see Curation.importanceResample)
+    "q96_dsir_importance" -> { (s, dir) =>
+      graft.operators.Curation.importanceResample(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en",
+        numBuckets = 256, keep = 100)
     }
   )
 
@@ -1642,6 +1651,53 @@ object PipelineQueries {
         |      WHERE CAST(hv AS DOUBLE) / 4294967296.0 < r.rate)
         |SELECT source, count(*) AS n_kept, CAST(min(doc_id) AS BIGINT) AS first_kept
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    // q96: DSIR importance scores replayed declaratively. Every double
+    // in the per-bucket log-ratio is the SAME expression shape as
+    // Curation.pseudoLn over the same exact BIGINT inputs (each op
+    // IEEE-correctly-rounded => bit-identical), quantized by floor to a
+    // BIGINT BEFORE any aggregation, so the score sums are exact — the
+    // q95 determinism recipe. Buckets are the 4-hex-char md5 prefix
+    // mod 256, matching Text.md5PrefixLong(gram, 4) % 256.
+    "q96_dsir_importance" ->
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_t, $TokensSql AS w FROM documents),
+         |g AS (SELECT doc_id, is_t, unnest(w) AS gram FROM tok
+         |      UNION ALL
+         |      SELECT doc_id, is_t, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS gram
+         |      FROM tok, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+         |hb AS (SELECT doc_id, is_t,
+         |         ((strpos('0123456789abcdef', substring(md5(gram), 1, 1)) - 1) * 4096
+         |        + (strpos('0123456789abcdef', substring(md5(gram), 2, 1)) - 1) * 256
+         |        + (strpos('0123456789abcdef', substring(md5(gram), 3, 1)) - 1) * 16
+         |        + (strpos('0123456789abcdef', substring(md5(gram), 4, 1)) - 1)) % 256 AS bucket
+         |       FROM g),
+         |db AS (SELECT doc_id, is_t, bucket, count(*) AS c FROM hb GROUP BY doc_id, is_t, bucket),
+         |st AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr,
+         |              CAST(sum(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS ct
+         |       FROM db GROUP BY bucket),
+         |tt AS (SELECT CAST(sum(cr) AS BIGINT) AS r, CAST(sum(ct) AS BIGINT) AS t FROM st),
+         |xr AS (SELECT bucket,
+         |         (CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))
+         |           * (CAST(tt.r + 256 AS DOUBLE) / CAST(tt.t + 256 AS DOUBLE)) AS x
+         |       FROM st, tt),
+         |zz AS (SELECT bucket,
+         |         (x - CAST(1.0 AS DOUBLE)) / (x + CAST(1.0 AS DOUBLE)) AS z
+         |       FROM xr),
+         |z2 AS (SELECT bucket, z, z * z AS q FROM zz),
+         |lr AS (SELECT bucket,
+         |         CAST(floor(((CAST(2.0 AS DOUBLE) * z) * (CAST(1.0 AS DOUBLE)
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(5.0 AS DOUBLE))
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(7.0 AS DOUBLE))
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(9.0 AS DOUBLE))
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(11.0 AS DOUBLE))
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(13.0 AS DOUBLE))
+         |           + q * (CAST(1.0 AS DOUBLE) / CAST(15.0 AS DOUBLE))))))))))
+         |           * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS l
+         |       FROM z2)
+         |SELECT db.doc_id, CAST(sum(db.c * lr.l) AS BIGINT) AS score,
+         |       CAST(sum(db.c) AS BIGINT) AS n_grams
+         |FROM db JOIN lr ON lr.bucket = db.bucket
+         |GROUP BY db.doc_id ORDER BY score DESC, db.doc_id LIMIT 100""".stripMargin,
     // q93: the full two-batch ingest protocol, declaratively. Per batch:
     // exact min-id election per md5(text), banded candidates among the
     // elected, exact-Jaccard rescore, recursive min-label closure →

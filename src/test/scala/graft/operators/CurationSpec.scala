@@ -167,4 +167,54 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .where(col("source") === "tiny")
     assert(kept.count() == 5L, "a clamped rate must keep the whole tiny source")
   }
+
+  test("pseudoLn tracks ln within 0.2% on [1/8, 8] and is monotone") {
+    val xs = (1 to 200).map(i => math.exp(-math.log(8) + i * (2 * math.log(8) / 200)))
+    val got = xs.toDF("x").select(Curation.pseudoLn(col("x")).as("p"))
+      .as[Double].collect().toSeq
+    xs.zip(got).foreach { case (x, p) =>
+      val t = math.log(x)
+      assert(math.abs(p - t) <= math.abs(t) * 0.002 + 1e-9, s"pseudoLn($x)=$p vs ln=$t")
+    }
+    assert(got == got.sorted, "pseudoLn must be monotone over an increasing grid")
+  }
+
+  test("importanceResample ranks target-vocabulary docs first, deterministically") {
+    // two disjoint vocabularies; is-English plays the target role
+    val tgt = (0 until 5).map(i =>
+      (i.toLong, "en", s"math proof lemma theorem corollary axiom item$i"))
+    val oth = (5 until 10).map(i =>
+      (i.toLong, "de", s"kuchen strasse bahnhof blume fenster garten wort$i"))
+    val docs = (tgt ++ oth).toDF("doc_id", "lang", "text")
+    val out = Curation.importanceResample(
+      docs, "doc_id", "text", col("lang") === "en", numBuckets = 64, keep = 5)
+    assert(out.columns.toSeq == Seq("doc_id", "score", "n_grams"))
+    val top = out.select("doc_id").as[Long].collect().toSeq
+    assert(top.toSet == (0L until 5L).toSet,
+      s"target-vocabulary docs must fill the top-k, got $top")
+    // scores separate the two vocabularies with a positive/negative gap
+    val all = Curation.importanceResample(
+      docs, "doc_id", "text", col("lang") === "en", numBuckets = 64, keep = 10)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert((0L until 5L).map(all).min > (5L until 10L).map(all).max)
+    // bit-deterministic across runs
+    val rerun = Curation.importanceResample(
+      docs, "doc_id", "text", col("lang") === "en", numBuckets = 64, keep = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rerun == out.as[(Long, Long, Long)].collect().toSeq)
+  }
+
+  test("importanceResample: top-k is a TakeOrdered, empty docs are omitted") {
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma"),
+      (2L, "en", "   "), // no tokens -> no evidence -> omitted
+      (3L, "de", "delta epsilon zeta")
+    ).toDF("doc_id", "lang", "text")
+    val out = Curation.importanceResample(
+      docs, "doc_id", "text", col("lang") === "en", numBuckets = 16, keep = 10)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    // the final selection must be TakeOrdered(k), never a global sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
 }
