@@ -42,6 +42,50 @@ object VectorOps {
     acc
   }
 
+  /** Signed projection of an affine-transformed ARRAY<BIGINT> code
+    * vector: out[j] = Σ_i (codes[i]·scale + shift) · signs[j·inDim + i]
+    * (signs flattened row-major `outDim x inDim`, entries ±1). The
+    * affine step lets callers center quantization codes (e.g.
+    * scale=2, shift=-(levels-1)) without a second array pass.
+    * All-integer — exact and order-independent, so any engine replaying
+    * the same signs matches bit-for-bit.
+    */
+  def signedProject(
+      codes: ArrayData,
+      signs: Array[Int],
+      inDim: Int,
+      scale: Long,
+      shift: Long): ArrayData = {
+    val outDim = signs.length / inDim
+    val n = math.min(codes.numElements(), inDim)
+    val out = new Array[Any](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0L
+      val off = j * inDim
+      var i = 0
+      while (i < n) {
+        acc += (codes.getLong(i) * scale + shift) * signs(off + i)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Exact integer dot product over two ARRAY<BIGINT> columns. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Sign-bit bucket of `a` against `planes` (flattened row-major
     * `numPlanes x dim`): bit p set iff dot(a, planes[p]) >= 0.
     */
@@ -85,6 +129,42 @@ case class Norm2Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Signed ±1 projection of an ARRAY<BIGINT> code vector to
+  * `signs.length / inDim` exact BIGINT components; `signs` ships as a
+  * referenced object into generated code (no literal tree per entry).
+  */
+case class SignedProjectExpr(
+    child: Expression,
+    signs: Array[Int],
+    inDim: Int,
+    scale: Long,
+    shift: Long)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.signedProject(a.asInstanceOf[ArrayData], signs, inDim, scale, shift)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signs", signs, "int[]")
+    defineCodeGen(
+      ctx,
+      ev,
+      a => s"graft.functions.VectorOps.signedProject($a, $ref, $inDim, ${scale}L, ${shift}L)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Exact integer dot product over two ARRAY<BIGINT> columns. */
+case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane sign-bit bucket id; `planes` ships as a referenced
   * object into generated code (no literal tree per coefficient).
   */
@@ -121,4 +201,15 @@ object VectorFunctions {
     val dim = planes.head.length
     column(HyperplaneBucketExpr(expression(a), planes.flatten.toArray, dim))
   }
+  def signed_project(
+      codes: Column,
+      signs: Array[Int],
+      inDim: Int,
+      scale: Long = 1L,
+      shift: Long = 0L): Column = {
+    require(inDim > 0 && signs.length % inDim == 0, "signs must be outDim x inDim")
+    column(SignedProjectExpr(expression(codes), signs, inDim, scale, shift))
+  }
+  def vec_dot_long(a: Column, b: Column): Column =
+    column(DotLongExpr(expression(a), expression(b)))
 }

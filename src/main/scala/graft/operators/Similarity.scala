@@ -73,6 +73,112 @@ object Similarity {
       .otherwise(transform(d, x => round((x - mn) / scale).cast("long")))
   }
 
+  /** Deterministic ±1 sign matrix (flattened row-major `outDim x inDim`)
+    * for [[randomProjectSigned]]: entry (i, j) is the parity of the
+    * first md5 hex digit of `"i:j"` — md5 being the one hash every
+    * engine shares, an oracle can rebuild the identical matrix from the
+    * same strings instead of trusting an RNG stream.
+    */
+  def md5Signs(inDim: Int, outDim: Int): Array[Int] = {
+    require(inDim > 0 && outDim > 0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim * inDim) { k =>
+      val j = k / inDim
+      val i = k % inDim
+      md.reset()
+      val d = md.digest(s"$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first hex char of the digest = high nibble of byte 0
+      if ((((d(0) >> 4) & 0xf) & 1) == 0) 1 else -1
+    }
+  }
+
+  /** JL-style SIGNED RANDOM PROJECTION for embedding-dimension reduction
+    * (Achlioptas 2003's ±1 database-friendly projections — re-derived,
+    * signs from md5 instead of an RNG): each float vector is first
+    * scalar-quantized to exact integer codes ([[quantizeCodes]]), the
+    * codes are midrange-CENTERED (`2·c_i − (levels−1)`, still exact
+    * integers — raw codes are all-nonnegative, and their shared DC
+    * component along the all-ones direction would swamp the geometry;
+    * centering restores approximate proportionality to the original
+    * vector, and cosine is scale-invariant), then projected to `outDim`
+    * components `y_j = Σ_i (2·c_i − (levels−1)) · s_ij`, `s_ij = ±1`.
+    * Inner products are preserved in expectation up to the matrix scale
+    * (E[y·y'] = outDim · Σ ĉ_i ĉ'_i), so projected cosine ranks
+    * approximate full-space ranks at `outDim/inDim` of the
+    * per-comparison cost — the classic cheap pre-filter in front of an
+    * exact re-rank at 100 TB. A constant input vector quantizes to
+    * all-zero codes, which center to a fixed all-(−(levels−1)) vector:
+    * every degenerate vector projects to the same point.
+    *
+    * Determinism: codes are exact BIGINTs, the sign matrix is md5-derived
+    * ([[md5Signs]]), and the projection is pure integer multiply-add —
+    * order-independent and bit-identical on any engine (q97's DuckDB
+    * oracle rebuilds it relationally). Row-wise work is one codegen'd
+    * expression ([[graft.functions.SignedProjectExpr]] — `zip_with` +
+    * `aggregate` HOFs evaluate interpreted lambdas per row, and the
+    * centering affine rides inside the same loop); scan-side, no
+    * shuffle at all.
+    */
+  def randomProjectSigned(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDim: Int,
+      outDim: Int,
+      levels: Int = 256
+  ): DataFrame =
+    emb.select(
+      col(idCol),
+      graft.functions.VectorFunctions
+        .signed_project(
+          quantizeCodes(col(vecCol), levels),
+          md5Signs(inDim, outDim),
+          inDim,
+          scale = 2L,
+          shift = -(levels - 1).toLong)
+        .as("proj"))
+
+  /** Brute-force top-k by PROJECTED-space cosine — [[cosineTopK]]'s
+    * approximate counterpart over [[randomProjectSigned]] outputs, at
+    * `outDim/inDim` of the per-comparison cost. dot and norms are EXACT
+    * BIGINTs (integer vectors), so the cosine double is a fixed-shape
+    * correctly-rounded function of exact inputs — bit-identical across
+    * engines regardless of summation order, which even q27's
+    * double-accumulation cosine cannot claim. A zero-norm projection
+    * (possible only if every component's signed sum cancels exactly —
+    * centering maps even constant inputs to a nonzero point) yields
+    * NULL and is excluded, mirroring cosineTopK's contract.
+    */
+  def projectedCosineTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      inDim: Int,
+      outDim: Int
+  ): DataFrame = {
+    val proj = randomProjectSigned(emb, idCol, vecCol, inDim, outDim)
+    val q = proj.where(col(idCol) === queryId).select(col("proj").as("q_proj"))
+    val dot = graft.functions.VectorFunctions.vec_dot_long(col("proj"), col("q_proj"))
+    val n2a = graft.functions.VectorFunctions.vec_dot_long(col("proj"), col("proj"))
+    val n2b = graft.functions.VectorFunctions.vec_dot_long(col("q_proj"), col("q_proj"))
+    proj
+      .where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(
+        col(idCol),
+        when(n2a === 0 || n2b === 0, lit(null).cast("double"))
+          .otherwise(
+            round(
+              dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))),
+              6))
+          .as("cos_sim"))
+      .where(col("cos_sim").isNotNull)
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of the dot products with
     * `planes`. One custom expression carrying the plane matrix as a
     * codegen reference object — not a per-coefficient literal tree. With

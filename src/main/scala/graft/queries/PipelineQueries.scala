@@ -843,6 +843,20 @@ object PipelineQueries {
       graft.operators.Curation.importanceResample(
         t(s, dir, "documents"), "doc_id", "text", col("lang") === "en",
         numBuckets = 256, keep = 100)
+    },
+    // JL-style signed random projection 64d -> 16d over exact quantized
+    // codes, md5-derived sign matrix (see Similarity.randomProjectSigned)
+    "q97_random_projection" -> { (s, dir) =>
+      graft.operators.Similarity
+        .randomProjectSigned(t(s, dir, "embeddings"), "vec_id", "embedding", 64, 16)
+        .orderBy("vec_id")
+    },
+    // q27's approximate counterpart in the projected space: top-20 by
+    // projected cosine at 16/64 of the per-comparison cost; exact BIGINT
+    // dot/norms so the cosine is bit-identical across engines
+    "q98_projected_knn" -> { (s, dir) =>
+      graft.operators.Similarity.projectedCosineTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 20, 64, 16)
     }
   )
 
@@ -851,6 +865,34 @@ object PipelineQueries {
   // yields [''] on both engines otherwise — a phantom token).
   private val TokensSql =
     "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+  // q97/q98 shared CTE bodies: q46's exact quantization, the md5("i:j")
+  // parity sign matrix (64 x 16), and the relational projection
+  // y_j = sum_i codes_i * s_ij — all-BIGINT, order-free.
+  private val ProjCodesSql =
+    """d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |       FROM embeddings),
+      |s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM d),
+      |c AS (SELECT vec_id,
+      |        CASE WHEN mx = mn THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      |             ELSE list_transform(v,
+      |                    x -> CAST(round((x - mn) / ((mx - mn) / 255.0)) AS BIGINT))
+      |        END AS codes
+      |      FROM s)""".stripMargin
+  private val ProjSignsSql =
+    """sg AS (SELECT i.i, j.j,
+      |         CASE WHEN (strpos('0123456789abcdef',
+      |                           substring(md5(CAST(i.i AS VARCHAR) || ':' ||
+      |                                         CAST(j.j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+      |              THEN 1 ELSE -1 END AS s
+      |       FROM UNNEST(range(0, 64)) AS i(i), UNNEST(range(0, 16)) AS j(j))""".stripMargin
+  private val ProjSql =
+    """u AS (SELECT vec_id, CAST(p AS INT) - 1 AS i,
+      |             2 * codes[CAST(p AS INT)] - 255 AS cv
+      |      FROM c, UNNEST(range(1, len(codes) + 1)) AS t(p)),
+      |yj AS (SELECT u.vec_id, sg.j, CAST(sum(u.cv * sg.s) AS BIGINT) AS y
+      |       FROM u JOIN sg ON sg.i = u.i GROUP BY u.vec_id, sg.j),
+      |y AS (SELECT vec_id, list(y ORDER BY j) AS proj FROM yj GROUP BY vec_id)""".stripMargin
   private val StopFilterSql =
     s"list_filter($TokensSql, x -> x IN ('the', 'a', 'and', 'of', 'to'))"
 
@@ -1698,6 +1740,32 @@ object PipelineQueries {
          |       CAST(sum(db.c) AS BIGINT) AS n_grams
          |FROM db JOIN lr ON lr.bucket = db.bucket
          |GROUP BY db.doc_id ORDER BY score DESC, db.doc_id LIMIT 100""".stripMargin,
+    // q97/q98: the sign matrix is rebuilt relationally from the same
+    // md5("i:j") strings Similarity.md5Signs hashes; codes are q46's
+    // exact quantization, so projections are exact BIGINT sums and the
+    // q98 cosine is a fixed-shape double over exact integers.
+    "q97_random_projection" ->
+      s"""WITH $ProjCodesSql,
+         |$ProjSignsSql,
+         |$ProjSql
+         |SELECT vec_id, proj FROM y ORDER BY vec_id""".stripMargin,
+    "q98_projected_knn" ->
+      s"""WITH $ProjCodesSql,
+         |$ProjSignsSql,
+         |$ProjSql,
+         |qp AS (SELECT proj AS q_proj FROM y WHERE vec_id = 0),
+         |sc AS (SELECT y.vec_id,
+         |  (SELECT CAST(sum(a * b) AS BIGINT)
+         |   FROM (SELECT unnest(y.proj) AS a, unnest(qp.q_proj) AS b) z) AS dot,
+         |  (SELECT CAST(sum(a * a) AS BIGINT)
+         |   FROM (SELECT unnest(y.proj) AS a) z) AS n2a,
+         |  (SELECT CAST(sum(b * b) AS BIGINT)
+         |   FROM (SELECT unnest(qp.q_proj) AS b) z) AS n2b
+         | FROM y, qp WHERE y.vec_id <> 0)
+         |SELECT vec_id,
+         |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))), 6) AS cos_sim
+         |FROM sc WHERE n2a <> 0 AND n2b <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
     // q93: the full two-batch ingest protocol, declaratively. Per batch:
     // exact min-id election per md5(text), banded candidates among the
     // elected, exact-Jaccard rescore, recursive min-label closure →
