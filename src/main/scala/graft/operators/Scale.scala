@@ -221,6 +221,68 @@ object Scale {
     ).drop("_ts_key")
   }
 
+  /** Deterministic STRATIFIED train/val SPLIT with EXACT per-stratum
+    * proportions: within every stratum, rows are ordered by
+    * `md5(seed | id…)` and the first `floor(n · trainPermille / 1000)`
+    * become `train`, the rest `val`. [[Pack.hashSplit]]'s independent
+    * per-row draw only hits the proportions in expectation — a small or
+    * unlucky stratum can land far off; this operator hits them exactly,
+    * the standard requirement for held-out eval slices per source or
+    * language.
+    *
+    * Skew shape: the obvious `row_number().over(partitionBy(stratum))`
+    * puts every row of a hot stratum into ONE window task — the exact
+    * scale-killer [[graft.operators.Dedup.lineDedup]] was re-shaped to
+    * avoid. Instead, positions come from [[globalDenseRank]] over
+    * `(stratum, key, id…)` (range-partitioned, per-partition ranks +
+    * metadata-scale offsets — a hot stratum spans MANY range partitions),
+    * and the per-stratum position is recovered as `pos − min(pos)` via a
+    * partial-aggregable groupBy joined back (build side 1 row/stratum, so
+    * AQE can split a skewed probe). Like [[trainingShuffle]], the
+    * assignment is content-addressed: identical across runs, engines,
+    * partition counts, and retried tasks, and a different `seed` yields
+    * an unrelated split. `idCols` must uniquely identify rows.
+    *
+    * The integer threshold `(n · trainPermille) DIV 1000` is exact BIGINT
+    * math — no float boundary for an oracle to disagree on.
+    */
+  def stratifiedSplit(
+      df: DataFrame,
+      stratumCol: String,
+      idCols: Seq[String],
+      seed: String,
+      trainPermille: Int = 800,
+      outCol: String = "split",
+      partitions: Int = 0
+  ): DataFrame = {
+    require(idCols.nonEmpty, "stratifiedSplit: need at least one id column")
+    require(trainPermille >= 0 && trainPermille <= 1000,
+      s"trainPermille must be in 0..1000: $trainPermille")
+    val reserved = Seq("_ss_key", "_ss_pos", "_ss_s", "_ss_min", "_ss_n")
+    require(reserved.forall(c => !df.columns.contains(c)),
+      s"stratifiedSplit: reserved working column already exists (${reserved.mkString(", ")})")
+    val key = md5(concat_ws("|", lit(seed) +: idCols.map(col): _*))
+    val ranked = globalDenseRank(
+      df.withColumn("_ss_key", key),
+      col(stratumCol).asc +: col("_ss_key").asc +: idCols.map(col(_).asc),
+      "_ss_pos",
+      partitions)
+    val strata = ranked
+      .groupBy(col(stratumCol).as("_ss_s"))
+      .agg(min("_ss_pos").as("_ss_min"), count(lit(1)).as("_ss_n"))
+    // null-safe: a NULL stratum is a legitimate group (same contract as
+    // Curation.temperatureMixtureSqrt's rate join)
+    ranked
+      .join(strata, col(stratumCol) <=> col("_ss_s"))
+      .withColumn(
+        outCol,
+        when(
+          col("_ss_pos") - col("_ss_min") <
+            expr(s"(_ss_n * ${trainPermille}L) DIV 1000L"),
+          lit("train")).otherwise(lit("val")))
+      .drop("_ss_key", "_ss_pos", "_ss_s", "_ss_min", "_ss_n")
+  }
+
   /** Bloom-filter SEMI-JOIN REDUCTION: filter the huge probe side down to
     * rows whose key MIGHT match the (small) build side before the join's
     * shuffle ever runs — the classic way to avoid shuffling 100 TB when

@@ -857,6 +857,16 @@ object PipelineQueries {
     "q98_projected_knn" -> { (s, dir) =>
       graft.operators.Similarity.projectedCosineTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 20, 64, 16)
+    },
+    // exact-proportion stratified split per source (80.0% train), with
+    // the skew-immune rank machinery (see Scale.stratifiedSplit)
+    "q99_stratified_split" -> { (s, dir) =>
+      graft.operators.Scale
+        .stratifiedSplit(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", Seq("doc_id"), "s99", trainPermille = 800)
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1766,6 +1776,22 @@ object PipelineQueries {
          |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))), 6) AS cos_sim
          |FROM sc WHERE n2a <> 0 AND n2b <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    // q99: the within-stratum order is the same md5('s99'|doc_id) key;
+    // the train threshold is exact BIGINT math ((n*800) DIV 1000), so
+    // the assignment is engine-independent. The oracle may use the
+    // straightforward per-stratum window — Spark-side that shape would
+    // funnel a hot stratum into one task, hence stratifiedSplit's
+    // rank-and-offset formulation; results are identical.
+    "q99_stratified_split" ->
+      """WITH r AS (SELECT doc_id, source,
+        |             md5('s99' || '|' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |p AS (SELECT doc_id, source,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY k, doc_id) - 1 AS BIGINT) AS rp,
+        |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |      FROM r)
+        |SELECT doc_id, source,
+        |  CASE WHEN rp < (n * 800) // 1000 THEN 'train' ELSE 'val' END AS split
+        |FROM p ORDER BY doc_id""".stripMargin,
     // q93: the full two-batch ingest protocol, declaratively. Per batch:
     // exact min-id election per md5(text), banded candidates among the
     // elected, exact-Jaccard rescore, recursive min-label closure →

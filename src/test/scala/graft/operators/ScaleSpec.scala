@@ -320,4 +320,35 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getAs[Long]("sy").toDouble)
     assert(spans1.sum / spans1.length >= 14.0)
   }
+
+  test("stratifiedSplit: exact per-stratum proportions, even for a hot stratum") {
+    // one hot stratum (9000 rows) + two small ones (37, 3)
+    val rows = ((0 until 9000).map(i => (i.toLong, "hot")) ++
+      (9000 until 9037).map(i => (i.toLong, "small")) ++
+      (9037 until 9040).map(i => (i.toLong, "tiny"))).toDF("id", "g")
+    val out = Scale.stratifiedSplit(rows, "g", Seq("id"), "seedA", trainPermille = 800)
+    val counts = out.groupBy("g", "split").count()
+      .as[(String, String, Long)].collect()
+      .map { case (g, s, n) => (g, s) -> n }.toMap
+    // floor(n * 800 / 1000), exactly
+    assert(counts(("hot", "train")) == 7200L && counts(("hot", "val")) == 1800L)
+    assert(counts(("small", "train")) == 29L && counts(("small", "val")) == 8L)
+    assert(counts(("tiny", "train")) == 2L && counts(("tiny", "val")) == 1L)
+  }
+
+  test("stratifiedSplit: partition-invariant, seed-sensitive, never a stratum window") {
+    val rows = (0 until 500).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "g")
+    def assignment(partitions: Int, seed: String): Map[Long, String] =
+      Scale.stratifiedSplit(rows, "g", Seq("id"), seed, 800, partitions = partitions)
+        .select("id", "split").as[(Long, String)].collect().toMap
+    val a = assignment(2, "seedA")
+    assert(assignment(13, "seedA") == a, "split must not depend on partitioning")
+    assert(assignment(2, "seedB") != a, "a different seed must reshuffle the split")
+    // the plan must not contain a window partitioned by the stratum —
+    // that shape funnels a hot stratum into one task (lineDedup lesson)
+    val plan = Scale.stratifiedSplit(rows, "g", Seq("id"), "seedA", 800)
+      .queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*Window.*partitionBy.*\\bg\\b.*"), plan.take(300))
+    assert(!plan.contains("windowspecdefinition(g#"), plan.take(300))
+  }
 }
