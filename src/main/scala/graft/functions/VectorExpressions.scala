@@ -74,6 +74,81 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Per-vector scalar quantization to integer codes in [0, levels-1] in
+    * ONE pass: min/max scan + `round((x - mn) / scale)` with
+    * `scale = (mx - mn)/(levels - 1)`, constant vectors → all-0. The
+    * arithmetic is EXACTLY the Column formulation it replaces —
+    * double ops in the same shape, and rounding via the same
+    * `BigDecimal.valueOf(...).setScale(0, HALF_UP)` Spark's `round`
+    * uses (shortest-decimal HALF_UP equals half-away-from-zero on the
+    * binary value for every non-tie, and ties agree, so the DuckDB
+    * oracle still matches bit-for-bit) — only the EVALUATION changes:
+    * the Column spelling references the cast array from inside the
+    * per-element lambda through `array_min`/`array_max`, and Catalyst
+    * inlines those whole-array scans into the lambda BODY, making
+    * quantization O(dim²) interpreted work per row (measured ~150 µs
+    * per 64-dim row — 30x the cost of this loop). Elements must be
+    * non-null finite floats (the parquet embedding contract).
+    */
+  def quantizeLong(vec: ArrayData, levels: Int): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Any](n)
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val v = vec.getFloat(i).toDouble
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    if (mx == mn) {
+      i = 0
+      while (i < n) { out(i) = 0L; i += 1 }
+    } else {
+      val scale = (mx - mn) / (levels - 1).toDouble
+      i = 0
+      while (i < n) {
+        val x = (vec.getFloat(i).toDouble - mn) / scale
+        out(i) = java.math.BigDecimal
+          .valueOf(x)
+          .setScale(0, java.math.RoundingMode.HALF_UP)
+          .longValue()
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Cosine over two ARRAY<BIGINT> columns in ONE pass: dot and both
+    * norms are exact BIGINTs, the final double is the fixed shape
+    * `(double) dot / (sqrt((double) na) * sqrt((double) nb))` — every op
+    * correctly rounded over exact inputs, so bit-identical on any
+    * engine. Returns null (boxed) on a zero norm. One function so a
+    * computed (expensive) array column is referenced exactly ONCE —
+    * expressing dot/norms as three separate column references lets
+    * CollapseProject inline the array's defining expression into every
+    * reference and re-evaluate it per reference per row.
+    */
+  def cosineLong(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      val y = b.getLong(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) null
+    else java.lang.Double.valueOf(dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
+  }
+
   /** Exact integer dot product over two ARRAY<BIGINT> columns. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -165,6 +240,45 @@ case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** One-pass scalar quantization to BIGINT codes (see
+  * [[VectorOps.quantizeLong]]).
+  */
+case class QuantizeCodesExpr(child: Expression, levels: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.quantizeLong(a.asInstanceOf[ArrayData], levels)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.quantizeLong($a, $levels)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Single-pass exact-integer cosine over two ARRAY<BIGINT> columns;
+  * null on zero norms (see [[VectorOps.cosineLong]]).
+  */
+case class CosineLongExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosineLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cos = ctx.freshName("cosLong")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"""
+        |java.lang.Double $cos = graft.functions.VectorOps.cosineLong($a, $b);
+        |if ($cos == null) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = $cos.doubleValue();
+        |}
+      """.stripMargin)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane sign-bit bucket id; `planes` ships as a referenced
   * object into generated code (no literal tree per coefficient).
   */
@@ -212,4 +326,10 @@ object VectorFunctions {
   }
   def vec_dot_long(a: Column, b: Column): Column =
     column(DotLongExpr(expression(a), expression(b)))
+  def vec_cosine_long(a: Column, b: Column): Column =
+    column(CosineLongExpr(expression(a), expression(b)))
+  def quantize_codes(vec: Column, levels: Int): Column = {
+    require(levels >= 2, s"quantize_codes: need at least 2 levels, got $levels")
+    column(QuantizeCodesExpr(expression(vec), levels))
+  }
 }

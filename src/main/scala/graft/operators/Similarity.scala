@@ -59,19 +59,17 @@ object Similarity {
     * (int8-style at levels=256): `code = round((x - min) / scale)` with
     * `scale = (max - min) / (levels - 1)`. The classic memory-reduction
     * step before ANN — codes are 4× smaller than float32 and reconstruct
-    * within scale/2 per dimension. Constant vectors map to code 0. Pure
-    * double-precision column expressions, so the DuckDB oracle replicates
-    * it bit-for-bit (a hot-path variant would be a custom Expression like
-    * DotProductExpr).
+    * within scale/2 per dimension. Constant vectors map to code 0.
+    * Evaluated by one codegen'd single-pass expression
+    * ([[graft.functions.QuantizeCodesExpr]]) with double math in the
+    * same shape and rounding as the equivalent Column formulation, so
+    * the DuckDB oracle still replicates it bit-for-bit — the Column
+    * spelling's per-element lambda captured `array_min`/`array_max`
+    * over the whole array, which Catalyst inlines into the lambda body:
+    * O(dim²) interpreted work per row on the hot path.
     */
-  def quantizeCodes(vec: Column, levels: Int = 256): Column = {
-    val d = transform(vec, x => x.cast("double"))
-    val mn = array_min(d)
-    val mx = array_max(d)
-    val scale = (mx - mn) / lit((levels - 1).toDouble)
-    when(mx === mn, transform(d, _ => lit(0L)))
-      .otherwise(transform(d, x => round((x - mn) / scale).cast("long")))
-  }
+  def quantizeCodes(vec: Column, levels: Int = 256): Column =
+    graft.functions.VectorFunctions.quantize_codes(vec, levels)
 
   /** Deterministic ±1 sign matrix (flattened row-major `outDim x inDim`)
     * for [[randomProjectSigned]]: entry (i, j) is the parity of the
@@ -160,20 +158,19 @@ object Similarity {
   ): DataFrame = {
     val proj = randomProjectSigned(emb, idCol, vecCol, inDim, outDim)
     val q = proj.where(col(idCol) === queryId).select(col("proj").as("q_proj"))
-    val dot = graft.functions.VectorFunctions.vec_dot_long(col("proj"), col("q_proj"))
-    val n2a = graft.functions.VectorFunctions.vec_dot_long(col("proj"), col("proj"))
-    val n2b = graft.functions.VectorFunctions.vec_dot_long(col("q_proj"), col("q_proj"))
+    // ONE reference to `proj` per row: CollapseProject inlines a
+    // computed column's defining expression into EVERY reference, so a
+    // dot/n2a/n2b three-expression spelling would re-quantize and
+    // re-project the vector ~5x per row (measured 36x slower than the
+    // full-space q27 scan it is supposed to undercut)
     proj
       .where(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(
         col(idCol),
-        when(n2a === 0 || n2b === 0, lit(null).cast("double"))
-          .otherwise(
-            round(
-              dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))),
-              6))
-          .as("cos_sim"))
+        round(
+          graft.functions.VectorFunctions.vec_cosine_long(col("proj"), col("q_proj")),
+          6).as("cos_sim"))
       .where(col("cos_sim").isNotNull)
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)

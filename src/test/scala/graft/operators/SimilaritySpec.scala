@@ -172,6 +172,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       "fixture corpus should exercise at least one drop")
   }
 
+  test("native quantize matches the arithmetic contract, HALF_UP ties included") {
+    val df = Seq(
+      (1L, Array(0f, 1f, 2f)), // scale 2 at levels=2: x = 0, 0.5, 1 -> tie rounds UP
+      (2L, Array(7f, 7f, 7f)), // constant -> all-0
+      (3L, Array(-1f, 0f, 3f))
+    ).toDF("id", "v")
+    val got = df
+      .select(col("id"), Similarity.quantizeCodes(col("v"), levels = 2).as("c"))
+      .as[(Long, Array[Long])].collect().toMap
+    assert(got(1L).toSeq == Seq(0L, 1L, 1L), "0.5 must round HALF_UP to 1")
+    assert(got(2L).toSeq == Seq(0L, 0L, 0L))
+    assert(got(3L).toSeq == Seq(0L, 0L, 1L)) // x = 0, 0.25, 1 at levels=2
+    // on real data the native pass agrees with an explicit BigDecimal
+    // HALF_UP replay of the Column formulation it replaced
+    val real = emb.select(col("vec_id"), col("embedding"),
+      Similarity.quantizeCodes(col("embedding")).as("c"))
+      .as[(Long, Array[Float], Array[Long])].collect()
+    real.take(50).foreach { case (id, v, c) =>
+      val d = v.map(_.toDouble)
+      val mn = d.min; val mx = d.max
+      val expect =
+        if (mx == mn) Array.fill(d.length)(0L)
+        else d.map(x => java.math.BigDecimal
+          .valueOf((x - mn) / ((mx - mn) / 255.0))
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+      assert(c.toSeq == expect.toSeq, s"quantize mismatch for vec $id")
+    }
+  }
+
   test("signed projection matches a driver-side replay and never shuffles") {
     val proj = Similarity.randomProjectSigned(emb, "vec_id", "embedding", 64, 16)
     // scan-side only: no Exchange anywhere in the physical plan
