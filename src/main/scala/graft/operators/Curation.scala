@@ -509,4 +509,28 @@ object Curation {
       .orderBy(col("score").desc, col(idCol))
       .limit(keep)
   }
+
+  /** TOKEN-BUDGET SELECTION: keep the prefix of the `order`-sorted
+    * corpus whose inclusive running `costCol` total fits `budget` — the
+    * "fill a 10B-token training budget with the best documents first"
+    * step after scoring (greedy by rank; no document is split). The
+    * running total is [[graft.operators.Scale.globalRunningSum]], so a
+    * 100 TB corpus is never funnelled through the single ordered
+    * partition a bare `sum() OVER (ORDER BY ...)` window executes in;
+    * costs are BIGINT (exact, order-independent sums), `order` must be
+    * total, and the kept set is deterministic across engines, runs, and
+    * partition counts. Appends `outCol` = the inclusive running total.
+    */
+  def budgetSelect(
+      docs: DataFrame,
+      order: Seq[Column],
+      costCol: Column,
+      budget: Long,
+      outCol: String = "cum_cost"
+  ): DataFrame = {
+    require(budget >= 0, s"budget must be nonnegative: $budget")
+    Scale
+      .globalRunningSum(docs, order, costCol, outCol)
+      .where(col(outCol) <= budget)
+  }
 }

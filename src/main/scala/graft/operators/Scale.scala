@@ -184,6 +184,63 @@ object Scale {
       .drop("_gdr_pid", "_gdr_rn", "_gdr_off")
   }
 
+  /** Global RUNNING SUM over a total order without ever funnelling the
+    * data through one ordered partition — [[globalDenseRank]]'s
+    * rank-and-offset construction applied to a SUM: range-partition by
+    * `order`, run the cumulative window per partition (parallel), then
+    * offset each partition by the total of all EARLIER partitions — one
+    * row per partition, metadata-scale. The classic use is prefix
+    * selection under a budget ([[graft.operators.Curation.budgetSelect]]):
+    * `sum(x) OVER (ORDER BY ...)` with no PARTITION BY is exactly the
+    * window shape Spark executes in a single task. `order` must be a
+    * total order for the result to be deterministic; the summed column
+    * should be integral (BIGINT sums are exact and order-independent —
+    * a double running sum would depend on partition boundaries).
+    * Appends `outCol` = inclusive running total (BIGINT).
+    */
+  def globalRunningSum(
+      df: DataFrame,
+      order: Seq[Column],
+      valueCol: Column,
+      outCol: String,
+      partitions: Int = 0
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(order.nonEmpty, "globalRunningSum: empty sort order")
+    val reserved = Seq("_grs_pid", "_grs_v", "_grs_run", "_grs_off")
+    require(reserved.forall(c => !df.columns.contains(c)),
+      s"globalRunningSum: reserved working column already exists (${reserved.mkString(", ")})")
+    val parts =
+      if (partitions > 0) partitions
+      else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val ranged = df
+      .withColumn("_grs_v", valueCol.cast("long"))
+      .repartitionByRange(parts, order: _*)
+      .withColumn("_grs_pid", spark_partition_id())
+    val local = ranged.withColumn(
+      "_grs_run",
+      sum("_grs_v").over(
+        Window.partitionBy("_grs_pid").orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    // one row per partition; same non-foldable single-group key as
+    // globalDenseRank (see the comment there)
+    val offsets = ranged
+      .groupBy("_grs_pid")
+      .agg(sum("_grs_v").as("_grs_c"))
+      .withColumn(
+        "_grs_off",
+        coalesce(
+          sum("_grs_c").over(
+            Window.partitionBy(pmod(col("_grs_pid"), lit(1))).orderBy("_grs_pid")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_grs_pid", "_grs_off")
+    local
+      .join(broadcast(offsets), "_grs_pid")
+      .withColumn(outCol, (col("_grs_off") + col("_grs_run")).cast("long"))
+      .drop("_grs_pid", "_grs_v", "_grs_run", "_grs_off")
+  }
+
   /** Deterministic TRAINING-ORDER SHUFFLE: a reproducible pseudo-random
     * total order over a corpus — the "shuffle before sequence-packing"
     * stage of an LLM training-data pipeline — computed without ever

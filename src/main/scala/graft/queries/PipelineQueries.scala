@@ -867,6 +867,21 @@ object PipelineQueries {
           "source", Seq("doc_id"), "s99", trainPermille = 800)
         .select(col("doc_id"), col("source"), col("split"))
         .orderBy("doc_id")
+    },
+    // token-budget prefix selection: longest docs first (a stand-in for
+    // any score order) until 20k tokens are committed; running totals
+    // via the skew-immune globalRunningSum (see Curation.budgetSelect)
+    "q100_budget_select" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        col("n_chars"),
+        graft.functions.Text.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Curation
+        .budgetSelect(
+          docs, Seq(col("n_chars").desc, col("doc_id").asc),
+          col("n_tokens"), 20000L, "cum_tokens")
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1792,6 +1807,18 @@ object PipelineQueries {
         |SELECT doc_id, source,
         |  CASE WHEN rp < (n * 800) // 1000 THEN 'train' ELSE 'val' END AS split
         |FROM p ORDER BY doc_id""".stripMargin,
+    // q100: the oracle may use the bare global running-sum window —
+    // Spark-side that shape runs in ONE task, hence globalRunningSum's
+    // rank-and-offset formulation; BIGINT sums make them value-equal.
+    "q100_budget_select" ->
+      s"""WITH tk AS (SELECT doc_id, n_chars,
+         |              CAST(len($TokensSql) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM tk)
+         |SELECT doc_id, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin,
     // q93: the full two-batch ingest protocol, declaratively. Per batch:
     // exact min-id election per md5(text), banded candidates among the
     // elected, exact-Jaccard rescore, recursive min-label closure →

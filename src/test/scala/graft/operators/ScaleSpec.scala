@@ -321,6 +321,37 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(spans1.sum / spans1.length >= 14.0)
   }
 
+  test("globalRunningSum matches the single-window answer, partition-invariantly") {
+    val rows = (1 to 1000).map(i => (i.toLong, (i * 7 % 13).toLong)).toDF("id", "v")
+    def run(partitions: Int): Seq[(Long, Long)] =
+      Scale.globalRunningSum(rows, Seq(col("id").asc), col("v"), "cum", partitions)
+        .select("id", "cum").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val got = run(7)
+    // driver-side replay of sum() OVER (ORDER BY id)
+    var acc = 0L
+    val expect = (1 to 1000).map { i => acc += i * 7 % 13; (i.toLong, acc) }
+    assert(got == expect)
+    assert(run(3) == expect && run(32) == expect,
+      "running totals must not depend on the partition count")
+    // and no single-partition data window: every Window in the plan is
+    // keyed by the range-partition id or the 1-row-per-partition offsets
+    val plan = Scale.globalRunningSum(rows, Seq(col("id").asc), col("v"), "cum")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_grs_pid"), plan.take(300))
+  }
+
+  test("budgetSelect keeps exactly the prefix that fits the budget") {
+    val rows = (1 to 100).map(i => (i.toLong, 10L)).toDF("id", "cost")
+    val kept = graft.operators.Curation
+      .budgetSelect(rows, Seq(col("id").asc), col("cost"), budget = 255L)
+      .select("id").as[Long].collect().sorted.toSeq
+    // inclusive running totals 10, 20, ... 250 fit 255; row 26 (260) not
+    assert(kept == (1L to 25L).toSeq)
+    val none = graft.operators.Curation
+      .budgetSelect(rows, Seq(col("id").asc), col("cost"), budget = 9L)
+    assert(none.count() == 0L, "a budget below the first row keeps nothing")
+  }
+
   test("stratifiedSplit: exact per-stratum proportions, even for a hot stratum") {
     // one hot stratum (9000 rows) + two small ones (37, 3)
     val rows = ((0 until 9000).map(i => (i.toLong, "hot")) ++
