@@ -97,6 +97,102 @@ object Curation {
       .orderBy("token_id")
   }
 
+  /** EXACT top-`k` most frequent tokens via two-pass heavy hitters:
+    * pass 1 runs a Misra–Gries summary (capacity `capacity`) inside
+    * each partition — bounded memory, no shuffle of the token multiset;
+    * pass 2 exactly recounts ONLY the surviving candidates (a broadcast
+    * semi-join, so the grouped aggregation shuffles at most
+    * `partitions × capacity` partially-aggregated rows instead of the
+    * full vocabulary).
+    *
+    * Why not `groupBy(token).count().orderBy(...).limit(k)`? At 100 TB
+    * the token vocabulary (every typo, number, URL fragment) is
+    * billions of keys — that plan shuffles ALL of them to rank the top
+    * 50. Misra–Gries bounds the exchange by construction: a token
+    * absent from every partition's summary has global frequency
+    * ≤ N/(capacity+1), so the candidate set provably contains every
+    * token with frequency above that bound, and the exact recount makes
+    * the final counts (not estimates) correct.
+    *
+    * The result is CERTIFIABLY exact when the k-th candidate's exact
+    * count exceeds N/(capacity+1) (N = total tokens, measured in the
+    * same pass); otherwise the tail of the top-k could in principle be
+    * displaced by an unseen sub-bound token, and the operator logs a
+    * warning naming the capacity to raise. Ties rank (count desc, token
+    * asc), so output is deterministic across partitionings and engines.
+    *
+    * The driver materializes only the ≤ k result rows (metadata-scale,
+    * like every other bounded collect in this codebase) — that is what
+    * lets it certify the bound at all.
+    */
+  def heavyHitters(
+      docs: DataFrame,
+      textCol: String,
+      k: Int,
+      capacity: Int = 4096
+  ): DataFrame = {
+    require(k > 0, s"heavyHitters: k must be positive, got $k")
+    require(capacity >= k, s"heavyHitters: capacity ($capacity) must be >= k ($k)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
+    // Pass 1: per-partition Misra–Gries. Emits each partition's candidate
+    // tokens plus one ("", n_p) marker carrying the partition's token
+    // count — word tokens are never empty by construction, so "" cannot
+    // collide. Decrement step is O(capacity) and runs at most
+    // n_p/(capacity+1) times: amortized O(1) per token.
+    val sketch = toks
+      .as[String]
+      .mapPartitions { it =>
+        import scala.jdk.CollectionConverters._
+        val m = new java.util.HashMap[String, Long](capacity * 2)
+        var np = 0L
+        it.foreach { tok =>
+          np += 1
+          val cur = m.get(tok)
+          if (cur != 0L || m.containsKey(tok)) m.put(tok, cur + 1)
+          else if (m.size < capacity) m.put(tok, 1L)
+          else {
+            val e = m.entrySet.iterator
+            while (e.hasNext) {
+              val kv = e.next()
+              if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+            }
+          }
+        }
+        Iterator.single(("", np)) ++
+          m.keySet.iterator.asScala.map(t => (t, 0L))
+      }
+      .toDF("tok", "np")
+    val collected = sketch.persist()
+    try {
+      val n = collected.where(col("tok") === "").agg(sum(col("np"))).head().getLong(0)
+      val candidates = collected.where(col("tok") =!= "").select("tok").distinct()
+      // Pass 2: exact recount of candidates only. The broadcast semi-join
+      // filters scan-side; partial aggregation bounds the exchange.
+      val top = toks
+        .join(broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(k)
+        .collect()
+      val bound = n / (capacity + 1)
+      if (top.length == k && top.last.getLong(1) <= bound)
+        org.slf4j.LoggerFactory
+          .getLogger(getClass)
+          .warn(
+            s"heavyHitters: k-th count ${top.last.getLong(1)} <= N/(capacity+1) = $bound — " +
+              s"top-$k tail not certifiably exact; raise capacity above $capacity")
+      val rows = top.zipWithIndex.map { case (r, i) =>
+        (r.getString(0), r.getLong(1), i + 1L)
+      }
+      spark.createDataFrame(rows.toSeq).toDF("tok", "n", "rank")
+    } finally {
+      collected.unpersist()
+    }
+  }
+
   /** One BPE-style adjacent-pair counting round — the core step of a
     * byte-pair-encoding tokenizer build: within every token occurrence,
     * each adjacent character pair is a merge candidate; pairs are counted

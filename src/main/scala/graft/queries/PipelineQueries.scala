@@ -882,6 +882,32 @@ object PipelineQueries {
           col("n_tokens"), 20000L, "cum_tokens")
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
         .orderBy("doc_id")
+    },
+    // exact top-50 tokens via two-pass Misra-Gries heavy hitters:
+    // per-partition bounded-memory sketch, broadcast-filtered exact
+    // recount — the shuffle is candidate-bounded, never vocabulary-wide
+    // (see Curation.heavyHitters)
+    "q101_heavy_hitters" -> { (s, dir) =>
+      graft.operators.Curation
+        .heavyHitters(t(s, dir, "documents"), "text", k = 50, capacity = 4096)
+        .orderBy("rank")
+    },
+    // fixed-length training-sequence construction from the event log:
+    // per-user time-ordered event types chunked into windows of 32,
+    // trailing chunks kept at >= 4 events (see Sessions.eventSequences)
+    "q102_event_sequences" -> { (s, dir) =>
+      graft.queries.RelationalQueries
+        .events(s, dir)
+        .transform(ev => graft.operators.Sessions
+          .eventSequences(ev, "user_id", "ts", "event_id", "event_type",
+            seqLen = 32, minLen = 4))
+        .orderBy("user_id", "seq_index")
+    },
+    // metadata-only table stats: exact row count + l_orderkey bounds
+    // from parquet FOOTERS alone — zero data pages read, distributed
+    // footer sweep (see Lake.footerStats)
+    "q103_footer_stats" -> { (s, dir) =>
+      graft.sources.Lake.footerStats(s, s"$dir/lineitem.parquet", "l_orderkey")
     }
   )
 
@@ -1906,7 +1932,35 @@ object PipelineQueries {
          |            AND doc_id NOT IN (SELECT doc_id FROM dupx))
          |SELECT f.doc_id, md5(d.text) AS text_hash
          |FROM final f JOIN documents d ON d.doc_id = f.doc_id
-         |ORDER BY f.doc_id""".stripMargin
+         |ORDER BY f.doc_id""".stripMargin,
+    // q101: the sketch is an exactness-preserving optimization — the
+    // declarative answer is simply the full frequency ranking's head
+    "q101_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($TokensSql) AS tok FROM documents),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+         |r AS (SELECT tok, n,
+         |        CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank
+         |      FROM c)
+         |SELECT tok, n, rank FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // q102: per-user (floored-second, event_id)-ordered event types,
+    // chunked into non-overlapping windows of 32; DuckDB list slicing
+    // truncates at the end exactly like Spark's slice()
+    "q102_event_sequences" ->
+      """WITH o AS (SELECT user_id,
+        |             list(event_type ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS evs
+        |           FROM events GROUP BY user_id),
+        |ch AS (SELECT user_id, CAST(t.i AS BIGINT) AS seq_index,
+        |              evs[(CAST(t.i AS INT) * 32 + 1):(CAST(t.i AS INT) * 32 + 32)] AS events
+        |       FROM o, UNNEST(range(0, CAST(ceil(len(evs) / 32.0) AS BIGINT))) AS t(i))
+        |SELECT user_id, seq_index, events, CAST(len(events) AS BIGINT) AS n_events
+        |FROM ch WHERE len(events) >= 4 ORDER BY user_id, seq_index""".stripMargin,
+    // q103: the footer sweep must agree with the full-scan aggregates —
+    // that agreement IS the check that metadata-only answers are exact
+    "q103_footer_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_l_orderkey,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_l_orderkey
+        |FROM lineitem""".stripMargin
   )
 
   /** Shared BPE-trainer CTE chain (q85/q86): word types × counts, the

@@ -445,6 +445,90 @@ object Lake {
   /** K6 — CSV-to-lake ingestion pipeline (`utils.py:194-197`):
     * read (inferred or DDL-declared) → sanitize column names → overwrite.
     */
+  /** METADATA-ONLY table statistics: row count and an integral column's
+    * min/max computed purely from parquet footers — no data pages are
+    * read. At 100 TB a `count(*)` that schedules tasks over every data
+    * split pays a full listing-and-scan plan; the footers alone (a few
+    * KB per file) carry exact row counts and column chunk min/max, the
+    * same metadata a table format serves from its manifest. The footer
+    * sweep is DISTRIBUTED (one task per slice of the file list, the
+    * [[graft.operators.FileMerge.fileRanges]] pattern) so a
+    * million-file table does not bottleneck on the driver.
+    *
+    * Exactness contract: row count is always exact (every footer states
+    * its block row counts). min/max are exact only when every non-empty
+    * block carries statistics for `statsCol`; a stats-less or non-
+    * numeric chunk fails fast with the file name rather than returning
+    * silently-wrong bounds. NULLs don't count toward min/max (parquet
+    * stats are over non-null values), matching SQL aggregate semantics;
+    * an all-null or empty table reports NULL bounds.
+    *
+    * Accepts a single parquet file or a directory of data files.
+    */
+  def footerStats(spark: SparkSession, path: String, statsCol: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isFile) Seq(p.toString)
+      else
+        fs.listStatus(p)
+          .toSeq
+          .filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map(_.getPath.toString)
+    require(files.nonEmpty, s"footerStats: no data files under $path")
+    val confBc = org.apache.spark.sql.graftbridge.ConfBridge.broadcast(spark.sparkContext)
+    val slices = math.min(files.size, math.max(1, spark.sparkContext.defaultParallelism))
+    // (rows, lo, hi, sawValue) per file; reduced associatively
+    val (rows, lo, hi, saw) = spark.sparkContext
+      .parallelize(files, slices)
+      .map { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(f), org.apache.spark.sql.graftbridge.ConfBridge.value(confBc)))
+        try {
+          var rows = 0L
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          var saw = false
+          reader.getFooter.getBlocks.asScala.foreach { b =>
+            rows += b.getRowCount
+            if (b.getRowCount > 0) {
+              val c = b.getColumns.asScala
+                .find(_.getPath.toDotString == statsCol)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"footerStats: column $statsCol absent from $f"))
+              val st = c.getStatistics
+              require(
+                st != null,
+                s"footerStats: $f carries no statistics for $statsCol — " +
+                  "metadata-only bounds would be a guess, not an answer")
+              if (st.hasNonNullValue) (st.genericGetMin, st.genericGetMax) match {
+                case (mn: Number, mx: Number) =>
+                  lo = math.min(lo, mn.longValue)
+                  hi = math.max(hi, mx.longValue)
+                  saw = true
+                case other =>
+                  throw new IllegalArgumentException(
+                    s"footerStats: non-integral statistics for $statsCol in $f: $other")
+              }
+            }
+          }
+          (rows, lo, hi, saw)
+        } finally reader.close()
+      }
+      .reduce { (a, b) =>
+        (a._1 + b._1, math.min(a._2, b._2), math.max(a._3, b._3), a._4 || b._4)
+      }
+    import spark.implicits._
+    Seq((rows, if (saw) Some(lo) else None, if (saw) Some(hi) else None))
+      .toDF("n_rows", "min_" + statsCol, "max_" + statsCol)
+  }
+
   def ingestCsvToDatalake(
       spark: SparkSession,
       csvPath: String,

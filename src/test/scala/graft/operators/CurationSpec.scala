@@ -217,4 +217,46 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
+
+  test("heavyHitters equals the exact full-vocabulary ranking") {
+    // skewed synthetic corpus: token t<i> appears ~i times, spread
+    // across many docs so no partition sees the whole distribution
+    val docs = (1 to 40)
+      .flatMap(i => Seq.fill(i)(s"t$i"))
+      .grouped(7)
+      .zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq
+      .toDF("doc_id", "text")
+      .repartition(8)
+    val got = Curation
+      .heavyHitters(docs, "text", k = 10, capacity = 64)
+      .as[(String, Long, Long)]
+      .collect()
+      .toSeq
+    val exact = docs
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok"))
+      .limit(10)
+      .as[(String, Long)]
+      .collect()
+      .toSeq
+      .zipWithIndex
+      .map { case ((t, n), i) => (t, n, i + 1L) }
+    assert(got == exact)
+  }
+
+  test("heavyHitters: Misra-Gries candidates cover every token above N/(cap+1)") {
+    // capacity 4 on a 5-distinct-token stream forces evictions; the top
+    // token (frequency way above N/5) must still surface with its EXACT
+    // count — the recount pass repairs whatever the sketch undercounted
+    val words = Seq.fill(60)("hot") ++ Seq("a", "b", "c", "d", "e").flatMap(Seq.fill(3)(_))
+    val docs = new scala.util.Random(7).shuffle(words).grouped(5).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(4)
+    val got = Curation.heavyHitters(docs, "text", k = 1, capacity = 4)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("hot", 60L, 1L)))
+  }
 }

@@ -36,4 +36,59 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     val out = Sessions.byGap(ev, "user_id", "ts", "event_id", "value", 3600)
     assert(out.count() == 1)
   }
+
+  test("eventSequences: time-ordered chunks, trailing chunk by minLen") {
+    // user 1: 5 events arriving out of row order — sequence order must
+    // come from (ts, event_id), not input order; seqLen 2 → chunks
+    // [a,b] [c,d] [e]; the 1-event trailer survives only at minLen 1
+    val ev = Seq(
+      (3L, 1L, ts("2024-01-01 10:02:00"), "c"),
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (5L, 1L, ts("2024-01-01 10:04:00"), "e"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "b"),
+      (4L, 1L, ts("2024-01-01 10:03:00"), "d"),
+      (6L, 2L, ts("2024-01-01 10:00:00"), "x")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    def run(minLen: Int) = Sessions
+      .eventSequences(ev, "user_id", "ts", "event_id", "event_type", seqLen = 2, minLen = minLen)
+      .orderBy("user_id", "seq_index")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2).toList, r.getLong(3)))
+      .toSeq
+    assert(run(1) == Seq(
+      (1L, 0L, List("a", "b"), 2L),
+      (1L, 1L, List("c", "d"), 2L),
+      (1L, 2L, List("e"), 1L),
+      (2L, 0L, List("x"), 1L)
+    ))
+    // minLen 2 drops both 1-event trailers, full chunks keep their index
+    assert(run(2) == Seq(
+      (1L, 0L, List("a", "b"), 2L),
+      (1L, 1L, List("c", "d"), 2L)
+    ))
+  }
+
+  test("eventSequences: one grouped aggregation, never a per-key window") {
+    val ev = Seq((1L, 1L, ts("2024-01-01 10:00:00"), "a"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val plan = Sessions
+      .eventSequences(ev, "user_id", "ts", "event_id", "event_type", 32, 4)
+      .queryExecution.executedPlan.toString
+    // a window partitioned by the key would put a hot key's whole
+    // history into one unsplittable task (the lineDedup lesson); the
+    // collect_list groupBy stays AQE-splittable at the partition level
+    assert(!plan.contains("Window"), plan.take(500))
+  }
+
+  test("eventSequences: same-second ties break by the tie column") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val ev = Seq(
+      (9L, 1L, t0, "late"), (2L, 1L, t0, "early"), (5L, 1L, t0, "mid")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Sessions
+      .eventSequences(ev, "user_id", "ts", "event_id", "event_type", seqLen = 8, minLen = 1)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getSeq[String](2).toList == List("early", "mid", "late"))
+  }
 }

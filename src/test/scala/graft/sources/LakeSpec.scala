@@ -236,4 +236,38 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table("`pdb`.`ptable`").count() == 2)
     assert(spark.table("`pdb`.`ptable`").where(col("p") === "b").count() == 1)
   }
+
+  test("footerStats: exact count and bounds from footers alone, multi-file") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(7).write.parquet(dir)
+    val row = Lake.footerStats(spark, dir, "k").head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((1000L, 1L, 1000L)))
+    // full-scan truth
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 1000L)
+  }
+
+  test("footerStats: NULLs don't shape bounds; all-null column reports NULL") {
+    import spark.implicits._
+    val dir = tmp() + "/n"
+    Seq((Some(5L), 1), (None, 2), (Some(9L), 3)).toDF("k", "x").write.parquet(dir)
+    val row = Lake.footerStats(spark, dir, "k").head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((3L, 5L, 9L)))
+    val dirN = tmp() + "/allnull"
+    Seq((Option.empty[Long], 1), (Option.empty[Long], 2)).toDF("k", "x").write.parquet(dirN)
+    val rowN = Lake.footerStats(spark, dirN, "k").head()
+    assert(rowN.getLong(0) == 2L && rowN.isNullAt(1) && rowN.isNullAt(2))
+  }
+
+  test("footerStats fails fast on a missing column instead of guessing") {
+    import spark.implicits._
+    val dir = tmp() + "/m"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(dir)
+    val e = intercept[org.apache.spark.SparkException] {
+      Lake.footerStats(spark, dir, "nope").head()
+    }
+    assert(e.getMessage != null)
+  }
 }
