@@ -22,16 +22,28 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default. Read nanos as long (legacy conf) and
-    * rebuild a microsecond timestamp column — integer `DIV`, not double
-    * division, since epoch-nanos exceed double's 2^53 integer range.
+  /** `events.parquet` has shipped with either TIMESTAMP(NANOS) or
+    * TIMESTAMP(MICROS) physical precision depending on the generator run,
+    * so the loader adapts to what the footer declares rather than assuming
+    * one. Nanos are rejected by Spark's reader by default: read them as
+    * long (legacy conf) and rebuild a microsecond timestamp — integer
+    * `DIV`, not double division, since epoch-nanos exceed double's 2^53
+    * integer range. Micros (and millis) read natively as timestamps and
+    * pass through untouched, keeping one `ts` type downstream either way.
     */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // re-tag as session-tz timestamp: the session runs UTC (Verify/
+        // Bench set it), so the wall-clock value is unchanged and the
+        // column regains epoch arithmetic (NTZ refuses CAST AS BIGINT)
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Flagship (E2, `table_jobs/nis_policies.py:21-32`): two-hop inner
