@@ -448,6 +448,18 @@ object Curation {
       idCol: String,
       textCol: String,
       scale: Long = 1000000L
+  ): DataFrame =
+    lmBigramScoreUnordered(docs, idCol, textCol, scale).orderBy(idCol)
+
+  /** [[lmBigramScore]] without the presentation sort — for callers that
+    * immediately re-partition (bucketing below), where an inherited
+    * corpus-wide range sort would be pure waste.
+    */
+  private def lmBigramScoreUnordered(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scale: Long
   ): DataFrame = {
     require(scale > 0)
     val grams = docs.select(
@@ -467,7 +479,67 @@ object Curation {
         sum(col("p")).as("sum_p_scaled"),
         min(col("p")).as("min_p_scaled"))
       .withColumnRenamed("doc_id", idCol)
-      .orderBy(idCol)
+  }
+
+  /** CCNet-style PER-LANGUAGE QUALITY BUCKETS (Wenzek et al. 2020): rank
+    * each language's documents by model quality — here the corpus-trained
+    * bigram LM's exact mean transition probability ([[lmBigramScore]]'s
+    * `sum_p_scaled DIV n_bigrams`, higher = more predictable = "head") —
+    * and cut each language into `nBuckets` equal-frequency buckets
+    * (CCNet's head/middle/tail at the default 3). The bucket boundary is
+    * pure integer rank math, `bucket = (nBuckets·(rank−1)) DIV n + 1`
+    * over the total order (mean desc, doc_id asc), so any engine
+    * replaying the same order produces the identical labeling —
+    * no percentile interpolation, no float cutpoints.
+    *
+    * Scale shape: scoring is [[lmBigramScore]]'s shuffle-equi-join plan;
+    * ranking is [[Scale.globalDenseRank]] over (language, mean desc, id)
+    * — a RANGE partition, never a per-language window, so one dominant
+    * language (the realistic corpus shape: English is half the web) still
+    * splits across partitions instead of becoming one window task.
+    * Per-language sizes/offsets ride a one-row-per-language aggregate
+    * (metadata-scale) broadcast back.
+    */
+  def lmPerplexityBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      nBuckets: Int = 3,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(nBuckets > 0, s"lmPerplexityBuckets: nBuckets must be positive, got $nBuckets")
+    val reserved = Seq("_lpb_rank", "_lpb_n", "_lpb_off", "mean_p_scaled", "bucket")
+    require(reserved.forall(c => !docs.columns.contains(c)),
+      s"lmPerplexityBuckets: reserved column already present (${reserved.mkString(", ")})")
+    val scored = lmBigramScoreUnordered(docs, idCol, textCol, scale)
+      .join(docs.select(col(idCol), col(langCol)), idCol)
+      .withColumn("mean_p_scaled", expr("sum_p_scaled DIV n_bigrams"))
+    val ranked = Scale.globalDenseRank(
+      scored,
+      Seq(col(langCol), col("mean_p_scaled").desc, col(idCol)),
+      "_lpb_rank")
+    // one row per language; the same non-foldable single-group window
+    // idiom as globalDenseRank's offsets (see the comment there)
+    val langOffsets = scored
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("_lpb_n"))
+      .withColumn(
+        "_lpb_off",
+        coalesce(
+          sum("_lpb_n").over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(pmod(col("_lpb_n"), lit(1))).orderBy(col(langCol))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+    ranked
+      .join(broadcast(langOffsets), ranked(langCol) <=> langOffsets(langCol))
+      .drop(langOffsets(langCol))
+      .withColumn(
+        "bucket",
+        expr(s"(($nBuckets * (_lpb_rank - _lpb_off - 1)) DIV _lpb_n) + 1").cast("int"))
+      .select(
+        col(idCol), col(langCol), col("n_bigrams"), col("mean_p_scaled"), col("bucket"))
   }
 
   /** REPETITION score per document (Gopher/C4-style quality signal): the

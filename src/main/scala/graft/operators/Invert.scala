@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Inverted index over a document corpus: term → posting lists (doc, pos),
+  * plus index-only phrase search — the retrieval face of a training-data
+  * lake (decontamination lookups, boilerplate audits, "which documents
+  * contain this exact phrase" forensics) without re-scanning text.
+  *
+  * The reference engine has no retrieval surface; this extends its
+  * corpus-analytics face the same way the dedup/ANN operators do
+  * (SURVEY.md §2.6 extensions). Tokenization is the corpus-wide codegen'd
+  * [[graft.functions.Text.tokens]] (whitespace split, empties dropped) so
+  * index positions agree with every other token-positional operator
+  * (span dedup, token packing).
+  *
+  * Scale shape: posting lists are SHARDED by document range —
+  * `block = doc_id DIV blockDocs` — so one aggregated row holds at most
+  * one posting per document of one block, and a stopword's corpus-sized
+  * posting list becomes many bounded rows instead of one unmergeable
+  * giant (the classic index-build OOM). The build is a single explode +
+  * one partial-aggregable groupBy on (term, block): no windows, no
+  * skew-concentrating shuffle key — the hottest (term, block) cell is
+  * capped by `blockDocs` × per-doc occurrences. Written `partitionBy`
+  * term-prefix / bucketed by term, the index serves point lookups with
+  * partition pruning; phrase search below needs only the phrase's terms'
+  * rows (an IN-list scan filter — index seek, not scan).
+  */
+object Invert {
+
+  /** Tokens with 0-based positions: (doc_id, pos, term). */
+  def tokenPositions(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "term")))
+
+  /** Sharded posting lists: one row per (term, doc-range block) with the
+    * block's postings sorted by (doc_id, pos), the block document
+    * frequency and term frequency. `blockDocs` bounds the row: a term
+    * occurring in every document still yields rows of at most
+    * `blockDocs` distinct docs each.
+    */
+  def postingLists(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockDocs: Long = 4096L
+  ): DataFrame = {
+    require(blockDocs > 0, s"postingLists: blockDocs must be positive, got $blockDocs")
+    tokenPositions(docs, idCol, textCol)
+      .withColumn("block", expr(s"doc_id DIV ${blockDocs}L"))
+      .groupBy(col("term"), col("block"))
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf"),
+        // struct sort order = field order (doc_id, pos): the canonical
+        // posting order, computed inside the aggregated row
+        sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("postings"))
+  }
+
+  /** Index-only PHRASE search: documents containing `phrase` as
+    * consecutive tokens, answered from [[postingLists]] output alone —
+    * the text is never re-read.
+    *
+    * Start-vote construction: an occurrence of `phrase(i)` at position
+    * `p` votes for candidate start `p - i`; a start with exactly
+    * `phrase.length` votes has every slot satisfied (each satisfied slot
+    * contributes exactly one vote — a term occupying one (doc, pos) cell
+    * votes once per slot it could fill, and distinct slots map one
+    * occurrence to distinct starts). Repeated words in the phrase are
+    * handled by the same arithmetic, no special case.
+    *
+    * Scale shape: the index scan keeps only the phrase's terms (IN-list
+    * pushed to the source — with the index bucketed/partitioned by term
+    * this is an index seek); the explode is bounded by those terms'
+    * postings; the vote count is one partial-aggregable groupBy on
+    * (doc, start). The phrase itself is a tiny broadcast literal.
+    * Returns (doc_id, n_matches, first_match_pos) per matching document.
+    */
+  def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val k = phrase.length
+    val ss = index.sparkSession
+    import ss.implicits._
+    val slots = phrase.zipWithIndex.toDF("p_term", "offset")
+    val occurrences = index
+      .where(col("term").isin(phrase.distinct: _*))
+      .select(col("term"), explode(col("postings")).as("p"))
+      .select(col("term"), col("p.doc_id").as("doc_id"), col("p.pos").as("pos"))
+    occurrences
+      .join(broadcast(slots), col("term") === col("p_term"))
+      .select(col("doc_id"), (col("pos") - col("offset")).as("start"))
+      .where(col("start") >= 0)
+      .groupBy(col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("votes"))
+      .where(col("votes") === k)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        min(col("start")).cast("long").as("first_match_pos"))
+      .orderBy(col("doc_id"))
+  }
+}

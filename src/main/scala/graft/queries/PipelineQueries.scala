@@ -908,6 +908,43 @@ object PipelineQueries {
     // footer sweep (see Lake.footerStats)
     "q103_footer_stats" -> { (s, dir) =>
       graft.sources.Lake.footerStats(s, s"$dir/lineitem.parquet", "l_orderkey")
+    },
+    // sharded inverted index: per (term, doc-range block) posting list,
+    // block df/tf, postings digest — blocks bound the aggregated row so
+    // a stopword never concentrates its corpus-sized posting list into
+    // one cell (see Invert.postingLists)
+    "q104_posting_lists" -> { (s, dir) =>
+      graft.operators.Invert
+        .postingLists(t(s, dir, "documents"), "doc_id", "text", blockDocs = 100L)
+        .select(
+          col("term"), col("block"), col("df"), col("tf"),
+          md5(array_join(
+            transform(col("postings"), p => concat_ws(":", p("doc_id"), p("pos"))),
+            " ")).as("postings_md5"))
+        .orderBy("term", "block")
+    },
+    // index-only phrase search: "table table" answered from posting
+    // lists alone via start-vote counting — the text is never re-read,
+    // and the repeated word exercises the duplicate-slot arithmetic
+    // (see Invert.phraseSearch)
+    "q105_phrase_search" -> { (s, dir) =>
+      graft.operators.Invert.phraseSearch(
+        graft.operators.Invert
+          .postingLists(t(s, dir, "documents"), "doc_id", "text", blockDocs = 100L),
+        Seq("table", "table"))
+    },
+    // CCNet-style per-language quality buckets: rank each language's
+    // docs by the corpus bigram LM's exact mean transition probability,
+    // cut into head/middle/tail thirds with pure integer rank math —
+    // ranked by a range partition, never a per-language window
+    // (see Curation.lmPerplexityBuckets)
+    "q106_lm_buckets" -> { (s, dir) =>
+      graft.operators.Curation
+        .lmPerplexityBuckets(
+          t(s, dir, "documents").withColumn("lang", Text.langIdHeuristic(col("text"))),
+          "doc_id", "text", "lang", nBuckets = 3)
+        .withColumn("bucket", col("bucket").cast("long"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1960,7 +1997,60 @@ object PipelineQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(min(l_orderkey) AS BIGINT) AS min_l_orderkey,
         |  CAST(max(l_orderkey) AS BIGINT) AS max_l_orderkey
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    // q104: declarative twin of the sharded index build — token
+    // positions via the q88 list-ordinality pattern, grouped by
+    // (term, doc-range block), postings digested in (doc_id, pos) order
+    "q104_posting_lists" ->
+      s"""WITH t2 AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+         |tp AS (SELECT doc_id, doc_id // 100 AS block,
+         |         CAST(u.i AS INT) - 1 AS pos, toks[CAST(u.i AS INT)] AS term
+         |       FROM t2, UNNEST(range(1, len(toks) + 1)) AS u(i))
+         |SELECT term, block, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |  CAST(count(*) AS BIGINT) AS tf,
+         |  md5(string_agg(doc_id || ':' || pos, ' ' ORDER BY doc_id, pos)) AS postings_md5
+         |FROM tp GROUP BY term, block ORDER BY term, block""".stripMargin,
+    // q105: ground truth for the index-seek phrase search — adjacent
+    // token positions joined directly
+    "q105_phrase_search" ->
+      s"""WITH t2 AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+         |tp AS (SELECT doc_id, CAST(u.i AS INT) - 1 AS pos, toks[CAST(u.i AS INT)] AS term
+         |       FROM t2, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+         |m AS (SELECT a.doc_id, a.pos AS start
+         |      FROM tp a JOIN tp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |      WHERE a.term = 'table' AND b.term = 'table')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(min(start) AS BIGINT) AS first_match_pos
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q106: q81's exact bigram scores + q30's language heuristic, then
+    // the same integer rank→bucket math replayed with window functions —
+    // bucket = (3·(rank−1)) DIV n + 1 over (mean desc, doc_id)
+    "q106_lm_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |g AS (SELECT doc_id, ts[CAST(t.i AS INT)] || ' ' || ts[CAST(t.i + 1 AS INT)] AS bg
+         |      FROM toks, UNNEST(range(1, len(ts))) AS t(i)),
+         |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM g GROUP BY bg),
+         |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+         |       FROM c2 GROUP BY 1),
+         |s AS (SELECT g.doc_id, (c2.c2 * 1000000) // c1.c1 AS p
+         |      FROM g JOIN c2 USING (bg) JOIN c1 ON c1.w1 = split_part(g.bg, ' ', 1)),
+         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        CAST(sum(p) AS BIGINT) AS sum_p FROM s GROUP BY doc_id),
+         |lang AS (SELECT doc_id, CASE
+         |    WHEN CAST(len($StopFilterSql) AS DOUBLE) / len($TokensSql) >= 0.1 THEN 'en_like'
+         |    WHEN len($TokensSql) < 5 THEN 'short'
+         |    ELSE 'other' END AS lang
+         |  FROM documents),
+         |j AS (SELECT d.doc_id, lang.lang, d.n_bigrams,
+         |        d.sum_p // d.n_bigrams AS mean_p_scaled
+         |      FROM d JOIN lang USING (doc_id)),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY lang ORDER BY mean_p_scaled DESC, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n
+         |      FROM j)
+         |SELECT doc_id, lang, n_bigrams, mean_p_scaled,
+         |  CAST((3 * (rn - 1)) // n + 1 AS BIGINT) AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 
   /** Shared BPE-trainer CTE chain (q85/q86): word types × counts, the

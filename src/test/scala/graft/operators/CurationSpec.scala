@@ -259,4 +259,38 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(got == Seq(("hot", 60L, 1L)))
   }
+
+  private def bucketFixture = {
+    val r = new scala.util.Random(11)
+    (0L until 40L).map { i =>
+      val lang = if (i % 3 == 0) "aa" else "bb"
+      // varied bigram structure: repeated pairs boost a doc's mean
+      val words = Seq.fill(3 + r.nextInt(6))(s"w${r.nextInt(5)}")
+      (i, lang, words.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+  }
+
+  test("lmPerplexityBuckets matches the declarative window labeling") {
+    val out = Curation.lmPerplexityBuckets(bucketFixture, "doc_id", "text", "lang", nBuckets = 3)
+    val w = org.apache.spark.sql.expressions.Window
+    val ref = out
+      .withColumn("rn", row_number().over(
+        w.partitionBy("lang").orderBy(col("mean_p_scaled").desc, col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w.partitionBy("lang")))
+      .withColumn("expected", expr("((3 * (rn - 1)) DIV n) + 1").cast("int"))
+    assert(ref.where(col("bucket") =!= col("expected")).isEmpty,
+      "distributed rank labeling diverged from the window reference")
+    // equal-frequency cut: within a language, bucket sizes differ by <= 1
+    val sizes = out.groupBy("lang", "bucket").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("spread"))
+    assert(sizes.where(col("spread") > 1).isEmpty)
+  }
+
+  test("lmPerplexityBuckets is invariant to input partitioning") {
+    val a = Curation.lmPerplexityBuckets(bucketFixture, "doc_id", "text", "lang", 3)
+      .orderBy("doc_id").collect().toSeq
+    val b = Curation.lmPerplexityBuckets(bucketFixture.repartition(13), "doc_id", "text", "lang", 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
 }

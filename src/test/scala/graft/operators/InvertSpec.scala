@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class InvertSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "red fox red fox red"),
+    (1L, "the quick red fox"),
+    (101L, "fox red fox"), // lands in block 1 at blockDocs = 100
+    (102L, "")
+  ).toDF("doc_id", "text")
+
+  test("postingLists: positions, block sharding, df/tf per block") {
+    val idx = Invert.postingLists(docs, "doc_id", "text", blockDocs = 100L)
+    val fox = idx.where(col("term") === "fox").orderBy("block")
+      .select(col("block"), col("df"), col("tf"),
+        transform(col("postings"), p => concat_ws(":", p("doc_id"), p("pos"))).as("ps"))
+      .as[(Long, Long, Long, Seq[String])].collect().toSeq
+    assert(fox == Seq(
+      (0L, 2L, 3L, Seq("0:1", "0:3", "1:3")),
+      (1L, 1L, 2L, Seq("101:0", "101:2"))))
+    // the empty doc contributes no postings at all
+    assert(idx.select(explode(col("postings")).as("p"))
+      .where(col("p.doc_id") === 102L).count() == 0)
+  }
+
+  test("phraseSearch: multi-word phrase with overlap-free starts") {
+    val idx = Invert.postingLists(docs, "doc_id", "text", blockDocs = 100L)
+    val out = Invert.phraseSearch(idx, Seq("red", "fox"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 0: starts 0 and 2; doc 1: start 2; doc 101: start 1
+    assert(out == Seq((0L, 2L, 0L), (1L, 1L, 2L), (101L, 1L, 1L)))
+  }
+
+  test("phraseSearch: repeated word in the phrase votes per slot") {
+    val rep = Seq((7L, "go go go stop go go")).toDF("doc_id", "text")
+    val idx = Invert.postingLists(rep, "doc_id", "text")
+    val out = Invert.phraseSearch(idx, Seq("go", "go"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // "go go go" yields starts 0 and 1; "go go" at the tail yields 4
+    assert(out == Seq((7L, 3L, 0L)))
+  }
+
+  test("phraseSearch: no adjacency, no match") {
+    val idx = Invert.postingLists(docs, "doc_id", "text", blockDocs = 100L)
+    assert(Invert.phraseSearch(idx, Seq("quick", "the")).isEmpty)
+    assert(Invert.phraseSearch(idx, Seq("absent")).isEmpty)
+  }
+
+  test("phraseSearch spans block boundaries of the sharded index") {
+    // adjacency is positional within a doc; sharding only splits the
+    // posting storage by doc range, so a phrase inside one doc must be
+    // found regardless of which block its postings landed in
+    val many = (0L to 250L).map(i => (i, s"alpha beta gamma")).toDF("doc_id", "text")
+    val idx = Invert.postingLists(many, "doc_id", "text", blockDocs = 100L)
+    assert(idx.select(countDistinct(col("block"))).head.getLong(0) == 3L)
+    assert(Invert.phraseSearch(idx, Seq("alpha", "beta", "gamma")).count() == 251L)
+  }
+
+  test("index build has no window operator in the plan") {
+    val plan = Invert.postingLists(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in index build:\n$plan")
+  }
+}
