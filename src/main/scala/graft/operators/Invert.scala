@@ -103,4 +103,71 @@ object Invert {
         min(col("start")).cast("long").as("first_match_pos"))
       .orderBy(col("doc_id"))
   }
+
+  /** Token count per document, for [[bm25TopK]]'s length normalization. */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(Text.tokens(col(textCol))).cast("long").as("doc_len"))
+
+  /** BM25 ranked retrieval over [[postingLists]] output: top-k documents
+    * for a bag-of-words query, scored
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl))` with the
+    * Lucene-style idf `ln((N−df+0.5)/(df+0.5)+1)`.
+    *
+    * Determinism across engines (house style, cf. the bigram LM and the
+    * temperature mixture): each per-term score is one fixed-shape double
+    * expression — deterministic on its exact BIGINT inputs — then
+    * QUANTIZED to a scaled BIGINT (`round(s·10⁶)`) BEFORE the per-doc
+    * sum, so the only cross-term reduction is an exact integer sum,
+    * order-free under any shuffle. A double Σ over query terms would
+    * depend on addition order. `avgdl` is the exact BIGINT token total
+    * divided once, not a float `avg()` whose accumulation order varies.
+    *
+    * Scale shape: the index scan keeps only the query's terms (IN-list
+    * pushed down — index seek); `df` is the exact sum of per-block
+    * distinct counts (blocks partition the doc space); `tf` comes from
+    * the same postings rows; the per-doc sum is one partial-aggregable
+    * groupBy and the top-k is a TakeOrdered, never a global sort. The
+    * query, per-term df table, and corpus stats are broadcast literals.
+    */
+  def bm25TopK(
+      index: DataFrame,
+      docLens: DataFrame,
+      query: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(query.nonEmpty, "bm25TopK: empty query")
+    require(k > 0, s"bm25TopK: k must be positive, got $k")
+    val terms = query.distinct
+    val stats = docLens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("doc_len")).cast("double") / count(lit(1))).as("avgdl"))
+    val hits = index.where(col("term").isin(terms: _*))
+    val tf = hits
+      .select(col("term"), explode(col("postings")).as("p"))
+      .groupBy(col("term"), col("p.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = hits.groupBy(col("term")).agg(sum(col("df")).as("df"))
+    tf
+      .join(broadcast(dfq), "term")
+      .join(docLens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "_s",
+        round(
+          log(
+            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf") * (lit(k1) + lit(1.0))) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("doc_len") / col("avgdl"))) *
+            lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms_hit"),
+        sum(col("_s")).as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -945,6 +945,17 @@ object PipelineQueries {
           "doc_id", "text", "lang", nBuckets = 3)
         .withColumn("bucket", col("bucket").cast("long"))
         .orderBy("doc_id")
+    },
+    // BM25 top-20 for a 3-term query, answered from the sharded index +
+    // doc lengths: per-term scores are fixed-shape double expressions
+    // quantized to scaled BIGINTs BEFORE the per-doc sum, so the only
+    // cross-term reduction is exact integer math (see Invert.bm25TopK)
+    "q107_bm25" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Invert.bm25TopK(
+        graft.operators.Invert.postingLists(docs, "doc_id", "text", blockDocs = 100L),
+        graft.operators.Invert.docLengths(docs, "doc_id", "text"),
+        Seq("customer", "vector", "stream"), k = 20)
     }
   )
 
@@ -2050,7 +2061,34 @@ object PipelineQueries {
          |      FROM j)
          |SELECT doc_id, lang, n_bigrams, mean_p_scaled,
          |  CAST((3 * (rn - 1)) // n + 1 AS BIGINT) AS bucket
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // q107: BM25 replayed declaratively — the score expression is
+    // written with the IDENTICAL association and literal shapes as the
+    // Spark column expression (left-assoc chain, (1.2 + 1.0), exact
+    // BIGINT tf/df/len inputs, one double division for avgdl), so both
+    // engines run the same IEEE op sequence before the 1e6 quantization
+    "q107_bm25" ->
+      s"""WITH t2 AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+         |tp AS (SELECT doc_id, toks[CAST(u.i AS INT)] AS term
+         |       FROM t2, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+         |len AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_len FROM t2),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |            CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl FROM len),
+         |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tp
+         |       WHERE term IN ('customer', 'vector', 'stream') GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tp
+         |        WHERE term IN ('customer', 'vector', 'stream') GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |         CAST(round(
+         |           ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |             * (tf.tf * (1.2 + 1.0))
+         |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * len.doc_len / stats.avgdl))
+         |             * 1000000.0) AS BIGINT) AS s
+         |       FROM tf JOIN dfq USING (term) JOIN len USING (doc_id), stats)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         |  CAST(sum(s) AS BIGINT) AS score_scaled
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score_scaled DESC, doc_id LIMIT 20""".stripMargin
   )
 
   /** Shared BPE-trainer CTE chain (q85/q86): word types × counts, the

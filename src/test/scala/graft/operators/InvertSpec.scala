@@ -62,6 +62,41 @@ class InvertSpec extends AnyFunSuite with SparkSpec {
     assert(Invert.phraseSearch(idx, Seq("alpha", "beta", "gamma")).count() == 251L)
   }
 
+  test("bm25TopK: coverage beats repetition, k caps, ranking deterministic") {
+    val corpus = Seq(
+      (1L, "apple banana cherry"),           // both query terms once, short
+      (2L, "apple apple apple apple apple"), // one term, heavily repeated
+      (3L, "apple banana banana date fig"),  // both terms, one repeated
+      (4L, "date fig grape")                 // no query terms
+    ).toDF("doc_id", "text")
+    val idx = Invert.postingLists(corpus, "doc_id", "text")
+    val lens = Invert.docLengths(corpus, "doc_id", "text")
+    val out = Invert.bm25TopK(idx, lens, Seq("apple", "banana"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    // docs 1 and 3 hit both terms; tf saturation keeps doc 2's five
+    // apples below any two-term doc; doc 4 never appears
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(out.take(2).map(_._1).toSet == Set(1L, 3L))
+    assert(out.last._1 == 2L)
+    assert(out.collect { case (d, h, _) if d != 2L => h }.forall(_ == 2L))
+    // k caps the result
+    assert(Invert.bm25TopK(idx, lens, Seq("apple", "banana"), k = 1).count() == 1)
+    // scores are invariant to input partitioning (exact-integer sums)
+    val rep = Invert.bm25TopK(
+      Invert.postingLists(corpus.repartition(7), "doc_id", "text"),
+      lens.repartition(5), Seq("apple", "banana"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rep == out)
+  }
+
+  test("bm25TopK plans a TakeOrdered, not a global sort") {
+    val idx = Invert.postingLists(docs, "doc_id", "text")
+    val lens = Invert.docLengths(docs, "doc_id", "text")
+    val plan = Invert.bm25TopK(idx, lens, Seq("red"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
   test("index build has no window operator in the plan") {
     val plan = Invert.postingLists(docs, "doc_id", "text")
       .queryExecution.optimizedPlan.toString
