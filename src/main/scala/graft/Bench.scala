@@ -24,6 +24,13 @@ object Bench {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
+        // shuffle/spill files are reclaimed by the ContextCleaner only
+        // when the referencing exchange objects are GC'd; a 100-query
+        // pass at a scale-up SF otherwise accumulates every query's
+        // shuffle dirs in local storage until the DISK (not memory)
+        // fills mid-pass. Forcing a periodic driver GC bounds local
+        // storage at roughly the live queries' working set.
+        .config("spark.cleaner.periodicGC.interval", "60s")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s

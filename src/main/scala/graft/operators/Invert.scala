@@ -104,6 +104,45 @@ object Invert {
       .orderBy(col("doc_id"))
   }
 
+  /** Persist a built index RANGE-CLUSTERED on `term` (crash-safe staged
+    * swap, the [[Similarity.ivfBuild]] protocol): each parquet file —
+    * and each row group inside it — holds a disjoint, sorted term
+    * range, so a search's `term IN (…)` predicate, pushed to the scan
+    * (`PushedFilters`), lets parquet's row-group statistics skip
+    * everything but the query terms' neighborhoods. That makes
+    * [[phraseSearch]]/[[bm25TopK]] over [[readIndex]] an index SEEK in
+    * IO terms — a 3-term query against a 100 TB corpus's index touches
+    * a handful of row groups, not the index — with zero custom reader
+    * machinery: the pruning is entirely Spark + parquet stats.
+    */
+  def writeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      index: DataFrame,
+      indexPath: String,
+      files: Int = 0
+  ): Unit = {
+    val nFiles =
+      if (files > 0) files else math.max(1, spark.sparkContext.defaultParallelism)
+    // heal a prior build's torn swap before replacing the index
+    Incremental.recoverAll(spark, indexPath)
+    val staging = indexPath + "_staging"
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(staging)) &&
+      !fs.delete(new org.apache.hadoop.fs.Path(staging), true))
+      throw new java.io.IOException(s"writeIndex: could not clear stale staging $staging")
+    Scale.writeRangeClustered(index, staging, "term", nFiles)
+    Incremental.swapInStaging(spark, indexPath, staging)
+  }
+
+  /** Open a persisted index. Searches over this plan get the IN-list
+    * term predicate pushed into the parquet scan (see [[writeIndex]]).
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
+    Incremental.recoverAll(spark, indexPath)
+    spark.read.parquet(indexPath)
+  }
+
   /** Token count per document, for [[bm25TopK]]'s length normalization. */
   def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

@@ -97,6 +97,41 @@ class InvertSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
+  test("persisted index: seek equals in-memory search, IN-list reaches the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("invert_idx").toString + "/index"
+    val idx = Invert.postingLists(docs, "doc_id", "text", blockDocs = 100L)
+    Invert.writeIndex(spark, idx, dir, files = 3)
+    val persisted = Invert.readIndex(spark, dir)
+    val mem = Invert.phraseSearch(idx, Seq("red", "fox")).collect().toSeq
+    val disk = Invert.phraseSearch(persisted, Seq("red", "fox")).collect().toSeq
+    assert(disk == mem)
+    // the term IN-list must be PUSHED to the parquet scan: with the
+    // index range-clustered on term, row-group stats prune everything
+    // but the query terms' neighborhoods — the index-seek contract
+    val scanPlan = persisted.where(col("term").isin("red", "fox"))
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PushedFilters: [In(term"), scanPlan.take(600))
+    // rebuild over a live index swaps atomically (old copy healed away)
+    Invert.writeIndex(spark, idx.where(col("term") =!= "red"), dir, files = 2)
+    assert(Invert.readIndex(spark, dir).where(col("term") === "red").isEmpty)
+  }
+
+  test("a torn index swap heals on the next read") {
+    val root = java.nio.file.Files.createTempDirectory("invert_heal").toString
+    val dir = s"$root/index"
+    val idx = Invert.postingLists(docs, "doc_id", "text")
+    Invert.writeIndex(spark, idx, dir, files = 2)
+    val expected = Invert.readIndex(spark, dir).count()
+    // simulate a crash between the two renames of the staged swap:
+    // live moved aside to _old, staging's promotion never happened
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "_old")))
+    assert(Invert.readIndex(spark, dir).count() == expected)
+  }
+
   test("index build has no window operator in the plan") {
     val plan = Invert.postingLists(docs, "doc_id", "text")
       .queryExecution.optimizedPlan.toString
