@@ -262,6 +262,19 @@ object FileMerge {
     * @return true if the batch was appended, false if `commitId` was
     *         already committed (nothing written)
     */
+  private def appendMarkerName(id: String): String = s"_append_committed_$id"
+
+  /** Whether `commitId` has already been durably appended to `lakePath` —
+    * the marker probe callers use to make replay checks precede their own
+    * batch validation (a replayed batch may legitimately fail validation
+    * that compares it against a table it is already part of).
+    */
+  def appendCommitted(spark: SparkSession, lakePath: String, commitId: String): Boolean = {
+    val live = new Path(lakePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(live, appendMarkerName(commitId)))
+  }
+
   def appendStaged(
       spark: SparkSession,
       batch: DataFrame,
@@ -284,7 +297,7 @@ object FileMerge {
     require(
       !fs.listStatus(live).exists(st => st.isDirectory && st.getPath.getName.contains("=")),
       s"appendStaged: $lakePath has a Hive-partitioned layout — append into the partition directories instead")
-    val marker = commitId.map(id => s"_append_committed_$id")
+    val marker = commitId.map(appendMarkerName)
     if (marker.exists(m => fs.exists(new Path(live, m)))) return false
     val staging = new Path(lakePath + "_fmerge")
     clearStaging(fs, staging, "appendStaged")

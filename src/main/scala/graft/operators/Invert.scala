@@ -143,6 +143,55 @@ object Invert {
     spark.read.parquet(indexPath)
   }
 
+  /** Incrementally extend a persisted index with NEWLY INGESTED documents
+    * — the maintenance half of build-once/search-many. Because posting
+    * rows are keyed by (term, doc-range block), a batch whose doc ids
+    * all exceed the indexed corpus's lands entirely in NEW blocks: its
+    * posting rows cannot collide with any existing row, so maintenance
+    * is a pure crash-safe file APPEND ([[FileMerge.appendStaged]]'s
+    * marker-last protocol, idempotent under `commitId` replay) — no
+    * read-modify-write of the index, ever. The appended files are
+    * term-range-clustered within the batch, so seeks keep row-group
+    * pruning; per-term postings simply span one more file per batch
+    * (compact by rebuilding via [[writeIndex]] when batch count grows).
+    *
+    * The monotone-id contract is CHECKED, not assumed: the batch's min
+    * block must exceed the persisted max block, read from parquet
+    * footers alone ([[graft.sources.Lake.footerStats]] — metadata-scale,
+    * zero data pages). A violating batch fails fast before any write.
+    */
+  def appendToIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      blockDocs: Long = 4096L,
+      files: Int = 0,
+      commitId: Option[String] = None
+  ): Boolean = {
+    Incremental.recoverAll(spark, indexPath)
+    // replay probe FIRST: a replayed batch is already part of the index,
+    // so the monotone check below would (correctly) reject it — but a
+    // replay must be a silent no-op, not an error
+    if (commitId.exists(id => FileMerge.appendCommitted(spark, indexPath, id)))
+      return false
+    val maxIndexed = graft.sources.Lake
+      .footerStats(spark, indexPath, "block")
+      .head()
+      .getLong(2) // (n_rows, min, max)
+    val batchMin = newDocs.agg(min(expr(s"$idCol DIV ${blockDocs}L"))).head()
+    require(!batchMin.isNullAt(0), "appendToIndex: empty batch")
+    require(batchMin.getLong(0) > maxIndexed,
+      s"appendToIndex: batch blocks start at ${batchMin.getLong(0)} but the index already " +
+        s"holds blocks up to $maxIndexed — doc ids must be monotone across batches " +
+        "(rebuild with writeIndex for overlapping id ranges)")
+    FileMerge.appendStaged(
+      spark,
+      postingLists(newDocs, idCol, textCol, blockDocs),
+      indexPath, "term", files, commitId)
+  }
+
   /** Token count per document, for [[bm25TopK]]'s length normalization. */
   def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

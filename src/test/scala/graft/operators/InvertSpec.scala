@@ -116,6 +116,34 @@ class InvertSpec extends AnyFunSuite with SparkSpec {
     assert(Invert.readIndex(spark, dir).where(col("term") === "red").isEmpty)
   }
 
+  test("appendToIndex: monotone batches append; overlap fails fast; replay skips") {
+    val dir = java.nio.file.Files.createTempDirectory("invert_append").toString + "/index"
+    val first = (0L until 150L).map(i => (i, "alpha beta")).toDF("doc_id", "text")
+    val batch = (300L until 360L).map(i => (i, "beta gamma")).toDF("doc_id", "text")
+    Invert.writeIndex(spark, Invert.postingLists(first, "doc_id", "text", 100L), dir, files = 2)
+    assert(Invert.appendToIndex(spark, batch, "doc_id", "text", dir,
+      blockDocs = 100L, commitId = Some("b1")))
+    // the maintained index answers exactly like a from-scratch rebuild
+    val got = Invert.bm25TopK(
+      Invert.readIndex(spark, dir),
+      Invert.docLengths(first.union(batch), "doc_id", "text"),
+      Seq("beta", "gamma"), k = 5).collect().toSeq
+    val rebuilt = Invert.bm25TopK(
+      Invert.postingLists(first.union(batch), "doc_id", "text", 100L),
+      Invert.docLengths(first.union(batch), "doc_id", "text"),
+      Seq("beta", "gamma"), k = 5).collect().toSeq
+    assert(got == rebuilt)
+    // same commitId → idempotent no-op on replay
+    assert(!Invert.appendToIndex(spark, batch, "doc_id", "text", dir,
+      blockDocs = 100L, commitId = Some("b1")))
+    // a batch overlapping the indexed doc-range must fail BEFORE writing
+    val overlapping = Seq((120L, "delta")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Invert.appendToIndex(spark, overlapping, "doc_id", "text", dir, blockDocs = 100L)
+    }
+    assert(e.getMessage.contains("monotone"))
+  }
+
   test("a torn index swap heals on the next read") {
     val root = java.nio.file.Files.createTempDirectory("invert_heal").toString
     val dir = s"$root/index"
