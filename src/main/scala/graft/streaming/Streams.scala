@@ -137,6 +137,43 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of a persisted INVERTED INDEX
+    * ([[graft.operators.Invert.writeIndex]] layout): each micro-batch of
+    * newly ingested documents is tokenized into posting rows and
+    * appended exactly-once via [[graft.operators.Invert.appendToIndex]]
+    * — the same checkpoint-namespaced micro-batch commitId protocol as
+    * [[appendStreamIvf]], so a redelivered batch (restart between the
+    * append commit and the checkpoint write, or a lost checkpoint
+    * replaying everything) hits its replay marker and writes nothing.
+    * The index's doc-range sharding makes each append PURE new files
+    * (monotone doc ids per the ingest contract, checked against footer
+    * block bounds before any write); searches stay live throughout —
+    * appends never rewrite existing postings. Rebuild with `writeIndex`
+    * between streams to restore disjoint per-file term ranges.
+    */
+  def appendStreamIndex(
+      spark: SparkSession,
+      source: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      checkpoint: String,
+      blockDocs: Long = 4096L,
+      filesPerBatch: Int = 0
+  ): StreamingQuery = {
+    val prefix = s"s${java.lang.Integer.toUnsignedString(checkpoint.hashCode, 36)}"
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Invert.appendToIndex(
+            spark, batch, idCol, textCol, indexPath, blockDocs,
+            files = filesPerBatch, commitId = Some(s"${prefix}_b$batchId")): Unit
+      }
+      .start()
+  }
+
   /** Streaming corpus ingestion with dedup AT THE DOOR: each micro-batch
     * of documents is reduced to its novel survivors — exact duplicates
     * and near-duplicates dropped both WITHIN the batch and AGAINST the

@@ -270,6 +270,46 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(probe(idx) == streamed)
   }
 
+  test("streaming index append: seeks match a full build; a LOST checkpoint replays to nothing") {
+    import graft.operators.Invert
+    val base = Files.createTempDirectory("streamidx").toString
+    val in = s"$base/in"
+    val idx = s"$base/index"
+    val ckpt = s"$base/ckpt"
+    val first = (0L until 150L).map(i => (i, "alpha beta")).toDF("doc_id", "text")
+    val b1 = (300L until 360L).map(i => (i, "beta gamma")).toDF("doc_id", "text")
+    val b2 = (400L until 460L).map(i => (i, "gamma delta alpha")).toDF("doc_id", "text")
+    Invert.writeIndex(spark, Invert.postingLists(first, "doc_id", "text", 100L), idx, files = 2)
+    // two sequential stream runs on one checkpoint: the ingest contract
+    // is monotone doc ids, so batch order must be deterministic
+    b1.coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def runStream(): Unit =
+      Streams.appendStreamIndex(
+        spark, Streams.fileStream(spark, in, schema), "doc_id", "text",
+        idx, ckpt, blockDocs = 100L, filesPerBatch = 2)
+        .awaitTermination(120000): Unit
+    runStream()
+    b2.coalesce(1).write.mode("append").parquet(in)
+    runStream()
+
+    val all = first.union(b1).union(b2)
+    val lens = Invert.docLengths(all, "doc_id", "text")
+    def search(index: org.apache.spark.sql.DataFrame) =
+      Invert.bm25TopK(index, lens, Seq("alpha", "gamma"), k = 10).collect().toSeq
+    val streamed = search(Invert.readIndex(spark, idx))
+    assert(streamed == search(Invert.postingLists(all, "doc_id", "text", 100L)),
+      "maintained index must search like a from-scratch build")
+
+    // LOSE the checkpoint: the full stream replays; every micro-batch
+    // must hit its replay marker and write NOTHING
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    val before = fileState(idx)
+    runStream()
+    assert(fileState(idx) == before, "a fully replayed stream must write no index files")
+    assert(search(Invert.readIndex(spark, idx)) == streamed)
+  }
+
   test("redelivered micro-batch is skipped with ZERO file writes (exactly-once ledger)") {
     val target = Files.createTempDirectory("replay").toString + "/t"
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
