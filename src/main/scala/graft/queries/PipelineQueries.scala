@@ -845,10 +845,19 @@ object PipelineQueries {
         numBuckets = 256, keep = 100)
     },
     // JL-style signed random projection 64d -> 16d over exact quantized
-    // codes, md5-derived sign matrix (see Similarity.randomProjectSigned)
+    // codes, md5-derived sign matrix (see Similarity.randomProjectSigned).
+    // The raw proj array is digested to a scalar md5 plus first/last
+    // component probes (q104's postings_md5 pattern) so the oracle
+    // harness can sort and hash the output.
     "q97_random_projection" -> { (s, dir) =>
       graft.operators.Similarity
         .randomProjectSigned(t(s, dir, "embeddings"), "vec_id", "embedding", 64, 16)
+        .select(
+          col("vec_id"),
+          md5(array_join(transform(col("proj"), x => x.cast("string")), ":"))
+            .as("proj_md5"),
+          col("proj")(0).as("proj_first"),
+          col("proj")(15).as("proj_last"))
         .orderBy("vec_id")
     },
     // q27's approximate counterpart in the projected space: top-20 by
@@ -895,12 +904,19 @@ object PipelineQueries {
     // fixed-length training-sequence construction from the event log:
     // per-user time-ordered event types chunked into windows of 32,
     // trailing chunks kept at >= 4 events (see Sessions.eventSequences)
+    // The events array is digested to a scalar md5 (q104's pattern) so
+    // the oracle harness can sort and hash the output; n_events stays as
+    // the cardinality probe.
     "q102_event_sequences" -> { (s, dir) =>
       graft.queries.RelationalQueries
         .events(s, dir)
         .transform(ev => graft.operators.Sessions
           .eventSequences(ev, "user_id", "ts", "event_id", "event_type",
             seqLen = 32, minLen = 4))
+        .select(
+          col("user_id"), col("seq_index"),
+          md5(array_join(col("events"), " ")).as("events_md5"),
+          col("n_events"))
         .orderBy("user_id", "seq_index")
     },
     // metadata-only table stats: exact row count + l_orderkey bounds
@@ -1847,7 +1863,10 @@ object PipelineQueries {
       s"""WITH $ProjCodesSql,
          |$ProjSignsSql,
          |$ProjSql
-         |SELECT vec_id, proj FROM y ORDER BY vec_id""".stripMargin,
+         |SELECT vec_id,
+         |  md5(array_to_string(list_transform(proj, x -> CAST(x AS VARCHAR)), ':')) AS proj_md5,
+         |  proj[1] AS proj_first, proj[16] AS proj_last
+         |FROM y ORDER BY vec_id""".stripMargin,
     "q98_projected_knn" ->
       s"""WITH $ProjCodesSql,
          |$ProjSignsSql,
@@ -2000,7 +2019,9 @@ object PipelineQueries {
         |ch AS (SELECT user_id, CAST(t.i AS BIGINT) AS seq_index,
         |              evs[(CAST(t.i AS INT) * 32 + 1):(CAST(t.i AS INT) * 32 + 32)] AS events
         |       FROM o, UNNEST(range(0, CAST(ceil(len(evs) / 32.0) AS BIGINT))) AS t(i))
-        |SELECT user_id, seq_index, events, CAST(len(events) AS BIGINT) AS n_events
+        |SELECT user_id, seq_index,
+        |       md5(array_to_string(events, ' ')) AS events_md5,
+        |       CAST(len(events) AS BIGINT) AS n_events
         |FROM ch WHERE len(events) >= 4 ORDER BY user_id, seq_index""".stripMargin,
     // q103: the footer sweep must agree with the full-scan aggregates —
     // that agreement IS the check that metadata-only answers are exact
