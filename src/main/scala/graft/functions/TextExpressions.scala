@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -240,6 +240,30 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** |A ∩ B| of two SORTED string arrays by a single merge walk —
+    * O(|A|+|B|), zero allocation. The fixed-width Jaccard rescore's
+    * kernel: candidate pairs carry each side's sorted distinct shingle
+    * array and intersect row-locally, so the rescore join emits one row
+    * per PAIR instead of one row per (pair, shingle) — the working set
+    * that OOM'd the exploded rescore at 100× disappears. Inputs must be
+    * sorted by UTF8String binary order (Spark's `sort_array`) and
+    * duplicate-free (both hold for `sort_array(word_shingles(...))`).
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
   private def tokenize(s: String): Array[String] = {
     val out = mutable.ArrayBuffer[String]()
     var i = 0
@@ -338,6 +362,20 @@ case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** |A ∩ B| of two sorted ARRAY<STRING> columns, BIGINT (see
+  * [[TextOps.sortedIntersectCount]]).
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextOps.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object TextExpressions {
   def word_tokens(text: Column): Column =
     ColumnBridge.column(TokensExpr(ColumnBridge.expression(text)))
@@ -355,4 +393,7 @@ object TextExpressions {
     ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(tokens)))
   def char_pairs(tok: Column): Column =
     ColumnBridge.column(CharPairsExpr(ColumnBridge.expression(tok)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectCountExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -89,7 +89,13 @@ object Dedup {
       maxDocsPerShingle: Int = 100,
       persistIntermediate: Boolean = true
   ): DataFrame = {
-    val sh = persisted(shingleTable(fanOut(docs), idCol, textCol, n), persistIntermediate)
+    import graft.functions.TextExpressions.word_shingles
+    val base = persisted(
+      fanOut(docs)
+        .select(col(idCol).as("doc_id"), word_shingles(col(textCol), n).as("shs"))
+        .where(size(col("shs")) > 0),
+      persistIntermediate)
+    val sh = base.select(col("doc_id"), explode(col("shs")).as("shingle"))
     val rare = sh
       .groupBy("shingle")
       .agg(count(lit(1)).as("_df"))
@@ -102,20 +108,9 @@ object Dedup {
       .join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val commonCnt = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"))
-    commonCnt
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    // scores stay exact over the FULL shingle sets — the cap bounds only
+    // the candidate generation
+    rescoreExactJaccardSets(candidates, base, threshold)
   }
 
   /** Optional caching for intermediates reused across multiple join
@@ -182,25 +177,41 @@ object Dedup {
     if (estSplits < target) df.repartition(target) else df
   }
 
-  /** Exact-Jaccard rescore of a candidate pair set: `candidates` is
-    * (doc_a, doc_b); `sh` is the exploded (doc_id, n_sh, shingle) table.
-    * Shared verification tail of every candidate-generation strategy
-    * (shared-shingle, capped, MinHash-LSH) — candidates-only work, never
-    * all-pairs.
+  /** Exact-Jaccard rescore of a candidate pair set over FIXED-WIDTH
+    * rows: `candidates` is (doc_a, doc_b); `base` is the per-doc
+    * `(doc_id, shs)` distinct-shingle table. Each side's sorted shingle
+    * array rides the join ONCE per pair and the intersection is counted
+    * row-locally by a codegen'd merge walk
+    * ([[graft.functions.SortedIntersectCountExpr]]) — the rescore emits
+    * |pairs| rows with no aggregation state at all. The exploded
+    * alternative (join candidates to a (doc, shingle) table on both
+    * sides, then groupBy-count) builds a (pairs × shingles-per-doc)
+    * intermediate — ~10⁹ rows at the 100× scale check, whose
+    * aggregation sort OOM'd the host. Joins are hinted shuffle-hash so
+    * the per-doc set table is a partition-local build side and pair
+    * rows stream past it without a wide sort-merge sort; the build side
+    * is corpus-proportional and splits with the shuffle partition
+    * count, so it holds at 1000 executors. Shared verification tail of
+    * every candidate-generation strategy (capped shared-shingle,
+    * MinHash-LSH, incremental) — candidates-only work, never all-pairs.
     */
-  private def rescoreExactJaccard(
+  private def rescoreExactJaccardSets(
       candidates: DataFrame,
-      sh: DataFrame,
+      base: DataFrame,
       threshold: Double
   ): DataFrame = {
-    val commonCnt = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle")), "doc_a")
-      .join(
-        sh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle")),
-        Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("common"))
-    commonCnt
+    val sets = base.select(
+      col("doc_id"),
+      size(col("shs")).as("n"),
+      sort_array(col("shs")).as("sset"))
+    val aSide = sets.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sset").as("sa"))
+    val bSide = sets.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sset").as("sb"))
+    candidates
+      .join(aSide.hint("shuffle_hash"), "doc_a")
+      .join(bSide.hint("shuffle_hash"), "doc_b")
+      .withColumn(
+        "common",
+        graft.functions.TextExpressions.sorted_intersect_count(col("sa"), col("sb")))
       .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -245,8 +256,7 @@ object Dedup {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
 
-    val sh = base.select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("shingle"))
-    rescoreExactJaccard(candidates, sh, threshold)
+    rescoreExactJaccardSets(candidates, base, threshold)
   }
 
   /** md5-minhash LSH bands for a `(doc_id, shs)` shingle table: one row
@@ -372,13 +382,11 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    val sh = corpusBase
-      .union(batchBase)
-      .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("shingle"))
+    val allSets = corpusBase.union(batchBase).select(col("doc_id"), col("shs"))
     val release: () => Unit =
       if (persistIntermediate) { () => { corpusBase.unpersist(); batchBase.unpersist(): Unit } }
       else () => ()
-    (rescoreExactJaccard(candidates, sh, threshold), release)
+    (rescoreExactJaccardSets(candidates, allSets, threshold), release)
   }
 
   /** NOVELTY filter: the batch docs that are neither exact nor near
@@ -535,8 +543,7 @@ object Dedup {
       .distinct()
 
     // exact verification on the candidate set only
-    val sh = base.select(col("doc_id"), col("n_sh"), explode(col("shs")).as("shingle"))
-    rescoreExactJaccard(candidates, sh, threshold)
+    rescoreExactJaccardSets(candidates, base.select(col("doc_id"), col("shs")), threshold)
   }
 
   /** 64-bit SimHash per document from token XXH64 hashes: per bit, sum of

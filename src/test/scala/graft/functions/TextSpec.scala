@@ -116,4 +116,27 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(reason("x x x x y") == "too_repetitive")
     assert(reason("alpha beta gamma delta") == "keep")
   }
+
+  test("sortedIntersectCount: merge walk over sorted distinct arrays") {
+    import org.apache.spark.sql.functions.{array_intersect, size => asize, sort_array, split}
+    def cnt(a: String, b: String): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(TextExpressions.sorted_intersect_count(
+          sort_array(split(col("a"), ",")), sort_array(split(col("b"), ",")))).head().getLong(0)
+    assert(cnt("a,b,c", "b,c,d") == 2L)
+    assert(cnt("a,b,c", "x,y") == 0L)
+    assert(cnt("a,b,c", "a,b,c") == 3L)
+    // property vs the built-in on random token sets (distinct inputs)
+    val rnd = new scala.util.Random(7)
+    (1 to 30).foreach { _ =>
+      val xs = (1 to rnd.nextInt(20)).map(_ => "t" + rnd.nextInt(25)).distinct
+      val ys = (1 to rnd.nextInt(20)).map(_ => "t" + rnd.nextInt(25)).distinct
+      if (xs.nonEmpty && ys.nonEmpty) {
+        val got = cnt(xs.mkString(","), ys.mkString(","))
+        val want = Seq((xs, ys)).toDF("a", "b")
+          .select(asize(array_intersect(col("a"), col("b")))).head().getInt(0).toLong
+        assert(got == want, s"xs=$xs ys=$ys")
+      }
+    }
+  }
 }
