@@ -42,6 +42,12 @@ object Invert {
     * frequency and term frequency. `blockDocs` bounds the row: a term
     * occurring in every document still yields rows of at most
     * `blockDocs` distinct docs each.
+    *
+    * `min_doc`/`max_doc` are materialized as TOP-LEVEL columns (not just
+    * inside the postings structs) so a persisted index exposes its
+    * doc-id high watermark through parquet footer statistics alone —
+    * [[appendToIndex]]'s monotone-ingest check reads them at metadata
+    * cost, no data pages.
     */
   def postingLists(
       docs: DataFrame,
@@ -56,6 +62,8 @@ object Invert {
       .agg(
         countDistinct(col("doc_id")).as("df"),
         count(lit(1)).as("tf"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
         // struct sort order = field order (doc_id, pos): the canonical
         // posting order, computed inside the aggregated row
         sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("postings"))
@@ -155,10 +163,15 @@ object Invert {
     * pruning; per-term postings simply span one more file per batch
     * (compact by rebuilding via [[writeIndex]] when batch count grows).
     *
-    * The monotone-id contract is CHECKED, not assumed: the batch's min
-    * block must exceed the persisted max block, read from parquet
-    * footers alone ([[graft.sources.Lake.footerStats]] — metadata-scale,
-    * zero data pages). A violating batch fails fast before any write.
+    * The monotone-id contract is CHECKED at DOC granularity, not
+    * assumed: the batch's min doc id must exceed the persisted max doc
+    * id, read from parquet footers alone (`max_doc` is a top-level
+    * column precisely so [[graft.sources.Lake.footerStats]] can answer
+    * this at metadata cost). A violating batch fails fast before any
+    * write. A batch MAY start inside the last partially-filled block:
+    * the resulting duplicate (term, block) rows across files are benign
+    * — their doc ranges are disjoint, and every consumer (df sums,
+    * tf sums, phrase/BM25 posting explodes) aggregates across rows.
     */
   def appendToIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -177,15 +190,15 @@ object Invert {
     if (commitId.exists(id => FileMerge.appendCommitted(spark, indexPath, id)))
       return false
     val maxIndexed = graft.sources.Lake
-      .footerStats(spark, indexPath, "block")
+      .footerStats(spark, indexPath, "max_doc")
       .head()
       .getLong(2) // (n_rows, min, max)
-    val batchMin = newDocs.agg(min(expr(s"$idCol DIV ${blockDocs}L"))).head()
+    val batchMin = newDocs.agg(min(col(idCol).cast("long"))).head()
     require(!batchMin.isNullAt(0), "appendToIndex: empty batch")
     require(batchMin.getLong(0) > maxIndexed,
-      s"appendToIndex: batch blocks start at ${batchMin.getLong(0)} but the index already " +
-        s"holds blocks up to $maxIndexed — doc ids must be monotone across batches " +
-        "(rebuild with writeIndex for overlapping id ranges)")
+      s"appendToIndex: batch doc ids start at ${batchMin.getLong(0)} but the index already " +
+        s"holds doc ids up to $maxIndexed — doc ids must be strictly increasing across " +
+        "batches (rebuild with writeIndex for overlapping id ranges)")
     FileMerge.appendStaged(
       spark,
       postingLists(newDocs, idCol, textCol, blockDocs),

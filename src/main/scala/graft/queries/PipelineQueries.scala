@@ -972,6 +972,29 @@ object PipelineQueries {
         graft.operators.Invert.postingLists(docs, "doc_id", "text", blockDocs = 100L),
         graft.operators.Invert.docLengths(docs, "doc_id", "text"),
         Seq("customer", "vector", "stream"), k = 20)
+    },
+    // The PERSISTED index lifecycle under the oracle (the q76 pattern
+    // for the inverted index): build on the first half of the corpus,
+    // writeIndex to scratch (term-range-clustered staged swap),
+    // appendToIndex the second half — deliberately starting mid-block,
+    // exercising the doc-level max_doc watermark — then answer q105's
+    // phrase search from readIndex. Matching q105's oracle proves the
+    // whole physical round trip (write → footer watermark → append →
+    // term-IN pushdown seek) changes no answer.
+    "q108_index_persisted" -> { (s, dir) =>
+      val tmp = freshScratch(s, dir, "q108", Seq("_staging", "_fmerge"))
+      val docs = t(s, dir, "documents")
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      graft.operators.Invert.writeIndex(
+        s,
+        graft.operators.Invert
+          .postingLists(docs.where(col("doc_id") <= cut), "doc_id", "text", blockDocs = 100L),
+        tmp, files = 8)
+      graft.operators.Invert.appendToIndex(
+        s, docs.where(col("doc_id") > cut), "doc_id", "text", tmp,
+        blockDocs = 100L, files = 4, commitId = Some("q108_b0"))
+      graft.operators.Invert
+        .phraseSearch(graft.operators.Invert.readIndex(s, tmp), Seq("table", "table"))
     }
   )
 
@@ -980,6 +1003,19 @@ object PipelineQueries {
   // yields [''] on both engines otherwise — a phantom token).
   private val TokensSql =
     "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+  // Shared by q105 (in-memory index) and q108 (persisted lifecycle):
+  // adjacent-token ground truth for the "table table" phrase.
+  private lazy val PhraseSearchOracleSql =
+    s"""WITH t2 AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+       |tp AS (SELECT doc_id, CAST(u.i AS INT) - 1 AS pos, toks[CAST(u.i AS INT)] AS term
+       |       FROM t2, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+       |m AS (SELECT a.doc_id, a.pos AS start
+       |      FROM tp a JOIN tp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |      WHERE a.term = 'table' AND b.term = 'table')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       |  CAST(min(start) AS BIGINT) AS first_match_pos
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // q97/q98 shared CTE bodies: q46's exact quantization, the md5("i:j")
   // parity sign matrix (64 x 16), and the relational projection
@@ -2044,16 +2080,11 @@ object PipelineQueries {
          |FROM tp GROUP BY term, block ORDER BY term, block""".stripMargin,
     // q105: ground truth for the index-seek phrase search — adjacent
     // token positions joined directly
-    "q105_phrase_search" ->
-      s"""WITH t2 AS (SELECT doc_id, $TokensSql AS toks FROM documents),
-         |tp AS (SELECT doc_id, CAST(u.i AS INT) - 1 AS pos, toks[CAST(u.i AS INT)] AS term
-         |       FROM t2, UNNEST(range(1, len(toks) + 1)) AS u(i)),
-         |m AS (SELECT a.doc_id, a.pos AS start
-         |      FROM tp a JOIN tp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-         |      WHERE a.term = 'table' AND b.term = 'table')
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
-         |  CAST(min(start) AS BIGINT) AS first_match_pos
-         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q105_phrase_search" -> PhraseSearchOracleSql,
+    // q108: the persisted-index round trip must give exactly q105's
+    // answer — SAME oracle text, so any divergence is the physical
+    // lifecycle's fault by construction
+    "q108_index_persisted" -> PhraseSearchOracleSql,
     // q106: q81's exact bigram scores + q30's language heuristic, then
     // the same integer rank→bucket math replayed with window functions —
     // bucket = (3·(rank−1)) DIV n + 1 over (mean desc, doc_id)

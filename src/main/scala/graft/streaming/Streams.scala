@@ -143,13 +143,21 @@ object Streams {
     * appended exactly-once via [[graft.operators.Invert.appendToIndex]]
     * — the same checkpoint-namespaced micro-batch commitId protocol as
     * [[appendStreamIvf]], so a redelivered batch (restart between the
-    * append commit and the checkpoint write, or a lost checkpoint
-    * replaying everything) hits its replay marker and writes nothing.
+    * append commit and the checkpoint write) hits its replay marker and
+    * writes nothing. Lost-checkpoint recovery is exact ONLY while the
+    * input file set is unchanged: batch ids restart at 0 and each
+    * rebatched batch hits its marker. If NEW input arrived after the
+    * checkpoint was lost, the restarted batches mix already-indexed and
+    * new documents under already-committed batch ids — the marker probe
+    * then skips the new documents too. After checkpoint loss with new
+    * input, rebuild via [[graft.operators.Invert.writeIndex]] (or
+    * resume from a fresh checkpoint whose prefix namespaces new ids).
     * The index's doc-range sharding makes each append PURE new files
-    * (monotone doc ids per the ingest contract, checked against footer
-    * block bounds before any write); searches stay live throughout —
-    * appends never rewrite existing postings. Rebuild with `writeIndex`
-    * between streams to restore disjoint per-file term ranges.
+    * (strictly increasing doc ids per the ingest contract, checked
+    * against the footer-level `max_doc` watermark before any write);
+    * searches stay live throughout — appends never rewrite existing
+    * postings. Rebuild with `writeIndex` between streams to restore
+    * disjoint per-file term ranges.
     */
   def appendStreamIndex(
       spark: SparkSession,

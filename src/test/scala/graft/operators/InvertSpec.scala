@@ -119,18 +119,26 @@ class InvertSpec extends AnyFunSuite with SparkSpec {
   test("appendToIndex: monotone batches append; overlap fails fast; replay skips") {
     val dir = java.nio.file.Files.createTempDirectory("invert_append").toString + "/index"
     val first = (0L until 150L).map(i => (i, "alpha beta")).toDF("doc_id", "text")
+    // starts INSIDE the last partially-filled block (150 DIV 100 = block
+    // 1 = first's max block): a legitimate monotone ingest whose batch
+    // boundary straddles a block — must append, with the duplicate
+    // (term, block 1) rows' disjoint doc ranges aggregating correctly
+    val straddle = (150L until 230L).map(i => (i, "alpha gamma")).toDF("doc_id", "text")
     val batch = (300L until 360L).map(i => (i, "beta gamma")).toDF("doc_id", "text")
     Invert.writeIndex(spark, Invert.postingLists(first, "doc_id", "text", 100L), dir, files = 2)
+    assert(Invert.appendToIndex(spark, straddle, "doc_id", "text", dir,
+      blockDocs = 100L, commitId = Some("b0")))
     assert(Invert.appendToIndex(spark, batch, "doc_id", "text", dir,
       blockDocs = 100L, commitId = Some("b1")))
+    val all = first.union(straddle).union(batch)
     // the maintained index answers exactly like a from-scratch rebuild
     val got = Invert.bm25TopK(
       Invert.readIndex(spark, dir),
-      Invert.docLengths(first.union(batch), "doc_id", "text"),
+      Invert.docLengths(all, "doc_id", "text"),
       Seq("beta", "gamma"), k = 5).collect().toSeq
     val rebuilt = Invert.bm25TopK(
-      Invert.postingLists(first.union(batch), "doc_id", "text", 100L),
-      Invert.docLengths(first.union(batch), "doc_id", "text"),
+      Invert.postingLists(all, "doc_id", "text", 100L),
+      Invert.docLengths(all, "doc_id", "text"),
       Seq("beta", "gamma"), k = 5).collect().toSeq
     assert(got == rebuilt)
     // same commitId → idempotent no-op on replay
@@ -141,7 +149,7 @@ class InvertSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Invert.appendToIndex(spark, overlapping, "doc_id", "text", dir, blockDocs = 100L)
     }
-    assert(e.getMessage.contains("monotone"))
+    assert(e.getMessage.contains("strictly increasing"))
   }
 
   test("a torn index swap heals on the next read") {
