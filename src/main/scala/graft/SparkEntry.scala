@@ -44,10 +44,14 @@ object SparkEntry {
     // q26 cannot follow — a SimHash GROUP is keyed by the raw signature
     // value, so different hash functions genuinely group differently.
     "q26_dedup_simhash" ->
-      ("no_oracle_by_design: fingerprint bits use xxhash64, which DuckDB lacks — and " +
-        "unlike q25, SimHash groups are keyed by the raw signature value, so the " +
-        "md5-twin q42_dedup_simhash_md5 (fully oracled) is the same operator under " +
-        "an oracle-replicable hash rather than a value-equal twin; DedupSpec " +
-        "pins the xxhash64 path's structure")
+      ("no_oracle_by_design, PERMANENT (r11 decision): fingerprint bits use xxhash64, " +
+        "which DuckDB lacks — and unlike q25, SimHash groups are keyed by the raw " +
+        "signature value, so the md5-twin q42_dedup_simhash_md5 (fully oracled) is the " +
+        "same operator under an oracle-replicable hash rather than a value-equal twin. " +
+        "A q25-style transitive chain was TRIED in r11 and empirically fails: the two " +
+        "families merge different near-dup sets (SimHash locality is hash-specific), " +
+        "so no engine-independent oracle can exist. Machine-checkable gate: DedupSpec " +
+        "'q26 closure' pins the family-independent invariants (exact-dup refinement, " +
+        "keep_id/n_members structure) for BOTH signature families")
   )
 }

@@ -147,6 +147,48 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(wide == exact.keySet)
   }
 
+  test("q26 closure: simhash group invariants that hold across hash families") {
+    // q26's closure decision (recorded in SparkEntry.oracleNotes): the
+    // xxhash64 SimHash stays rows-only under the DuckDB oracle
+    // PERMANENTLY. The q25 → q41 transitive-chain route was tried in
+    // r11 and empirically FAILS on this corpus: near-dup documents
+    // (different token sets) collide to one signature under one hash
+    // family but not the other (e.g. md5 merges pairs xxhash64 keeps
+    // apart) — which is SimHash working as designed, locality-sensitive
+    // in a family-specific way, and exactly why no engine-independent
+    // oracle can exist for the raw-signature grouping. What IS
+    // hash-family-independent, pinned here for both families: both
+    // signatures are functions of the distinct TOKEN SET, so documents
+    // with identical token sets MUST share a signature (the partition
+    // refines token-set-dup groups), and the group rows satisfy the
+    // structural contract (keep_id = min member, n_members = size >= 2).
+    def partition(sig: org.apache.spark.sql.DataFrame): Set[Seq[Long]] =
+      sig.collect().map(r => r.getLong(1) -> r.getLong(0)).groupBy(_._1)
+        .values.map(_.map(_._2).toSeq.sorted).filter(_.length >= 2).toSet
+    val exactDupGroups = docs.select("doc_id", "text").collect()
+      .map(r => r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+        .distinct.sorted.mkString(" ") -> r.getLong(0))
+      .groupBy(_._1)
+      .values.map(_.map(_._2).toSeq.sorted).filter(_.length >= 2).toSet
+    assert(exactDupGroups.nonEmpty)
+    for ((name, sig, groups) <- Seq(
+        ("xxhash64", Dedup.simhash(docs, "doc_id", "text"),
+          Dedup.simhashGroups(docs, "doc_id", "text")),
+        ("md5", Dedup.simhashMd5(docs, "doc_id", "text"),
+          Dedup.simhashMd5Groups(docs, "doc_id", "text")))) {
+      val part = partition(sig)
+      exactDupGroups.foreach { g =>
+        assert(part.exists(p => g.forall(p.contains)),
+          s"$name: exact-dup group $g split across signatures")
+      }
+      val rows = groups.collect()
+      val bySize = part.toSeq.map(p => (p.min, p.length.toLong)).sortBy(_._1)
+      val gotRows = rows.map(r =>
+        (r.getAs[Long]("keep_id"), r.getAs[Long]("n_members"))).sorted.toSeq
+      assert(gotRows == bySize, s"$name: group rows $gotRows != partition $bySize")
+    }
+  }
+
   test("simhash near-dup: catches small token edits, orders pairs") {
     val base = (1 to 40).map("tok" + _).mkString(" ")
     val df = Seq(
