@@ -77,4 +77,56 @@ class JdbcSpec extends AnyFunSuite with SparkSpec {
     assert(pushed.columns.toSeq.map(_.toLowerCase) == Seq("job_name", "job_status"))
     assert(pushed.collect().map(_.getString(0)).sorted.toSeq == Seq("nis_a", "nis_c"))
   }
+
+  test("S1 dialect edges: fractional timestamps and max-precision decimals round-trip") {
+    // The SQL Server type edges a live deployment hits, exercised on
+    // their nearest Derby equivalents — and the gaps documented where
+    // Derby cannot reach:
+    //  - DATETIME2(7) carries 100 ns ticks; Spark's TimestampType is
+    //    MICROSECOND precision, so the last digit truncates on read.
+    //    Derby TIMESTAMP stores nanoseconds the same way; we pin that a
+    //    microsecond-precision value survives the write → pushdown-read
+    //    loop exactly (the truncation boundary, not beyond it).
+    //  - MONEY surfaces through JDBC as DECIMAL(19,4) — round-tripped
+    //    here as an explicit DECIMAL(19,4) column.
+    //  - SQL Server DECIMAL goes to precision 38; Derby stops at 31, so
+    //    the 31-digit boundary is what an offline suite can prove.
+    //    DECIMAL(32..38) columns remain untested until a live SQL
+    //    Server e2e exists (environment-bound, see SURVEY §3).
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        "CREATE TABLE DIALECT_T (ID INT, TS TIMESTAMP, D31 DECIMAL(31,5), MONEY_A DECIMAL(19,4))")
+      st.execute(
+        "INSERT INTO DIALECT_T VALUES " +
+          "(1, TIMESTAMP('2024-01-02 03:04:05.123456'), 12345678901234567890123456.12345, 922337203685477.5807), " +
+          "(2, TIMESTAMP('1969-12-31 23:59:59.999999'), -0.00001, -922337203685477.5808)")
+      st.close()
+    } finally conn.close()
+
+    val df = Lake.jdbcReader(spark, url, "DIALECT_T", "app", "app", driver).load()
+    val sch = df.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    assert(sch("ts") == org.apache.spark.sql.types.TimestampType)
+    assert(sch("d31") == org.apache.spark.sql.types.DecimalType(31, 5))
+    assert(sch("money_a") == org.apache.spark.sql.types.DecimalType(19, 4))
+
+    val r1 = df.where("ID = 1").head()
+    assert(r1.getAs[Timestamp]("TS").toInstant.getNano == 123456000,
+      "microsecond fraction must survive the JDBC round trip")
+    assert(r1.getAs[java.math.BigDecimal]("D31").toPlainString
+      == "12345678901234567890123456.12345")
+    assert(r1.getAs[java.math.BigDecimal]("MONEY_A").toPlainString == "922337203685477.5807")
+    val r2 = df.where("ID = 2").head()
+    assert(r2.getAs[Timestamp]("TS").toInstant.getNano == 999999000)
+    assert(r2.getAs[java.math.BigDecimal]("D31").toPlainString == "-0.00001")
+
+    // the same edges through the derived-table pushdown: predicate on a
+    // fractional timestamp evaluated SOURCE-side
+    val pushed = Lake.jdbcReader(spark, url, "DIALECT_T", "app", "app", driver,
+      pushdownQuery = Some(
+        "SELECT ID, TS, MONEY_A FROM DIALECT_T " +
+          "WHERE TS > TIMESTAMP('2000-01-01 00:00:00')")).load()
+    assert(pushed.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
 }
