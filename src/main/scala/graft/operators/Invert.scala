@@ -217,13 +217,18 @@ object Invert {
     * Lucene-style idf `ln((N−df+0.5)/(df+0.5)+1)`.
     *
     * Determinism across engines (house style, cf. the bigram LM and the
-    * temperature mixture): each per-term score is one fixed-shape double
-    * expression — deterministic on its exact BIGINT inputs — then
-    * QUANTIZED to a scaled BIGINT (`round(s·10⁶)`) BEFORE the per-doc
-    * sum, so the only cross-term reduction is an exact integer sum,
-    * order-free under any shuffle. A double Σ over query terms would
-    * depend on addition order. `avgdl` is the exact BIGINT token total
-    * divided once, not a float `avg()` whose accumulation order varies.
+    * temperature mixture): the ONLY transcendental, `ln`, is quantized
+    * to a scaled BIGINT per TERM (`idf_scaled = round(idf·10⁶)`) before
+    * it touches any per-document arithmetic — so a 1-ulp libm
+    * divergence between engines can only flip one of |query| per-term
+    * roundings, not one per (term, doc) pair. The remaining per-pair
+    * score is a fixed-shape composition of correctly-rounded IEEE ops
+    * over exact BIGINT inputs (bit-identical on any platform), rounded
+    * once to a BIGINT BEFORE the per-doc sum, so the only cross-term
+    * reduction is an exact integer sum, order-free under any shuffle. A
+    * double Σ over query terms would depend on addition order. `avgdl`
+    * is the exact BIGINT token total divided once, not a float `avg()`
+    * whose accumulation order varies.
     *
     * Scale shape: the index scan keeps only the query's terms (IN-list
     * pushed down — index seek); `df` is the exact sum of per-block
@@ -252,18 +257,25 @@ object Invert {
       .groupBy(col("term"), col("p.doc_id").as("doc_id"))
       .agg(count(lit(1)).as("tf"))
     val dfq = hits.groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val idf = dfq
+      .crossJoin(stats.select(col("n_docs")))
+      .withColumn(
+        "idf_scaled",
+        round(
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            lit(1000000.0)).cast("long"))
+      .select(col("term"), col("idf_scaled"))
     tf
-      .join(broadcast(dfq), "term")
+      .join(broadcast(idf), "term")
       .join(docLens, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn(
         "_s",
         round(
-          log(
-            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          col("idf_scaled") *
             (col("tf") * (lit(k1) + lit(1.0))) /
-            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("doc_len") / col("avgdl"))) *
-            lit(1000000.0)).cast("long"))
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("doc_len") / col("avgdl")))
+        ).cast("long"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_terms_hit"),

@@ -2117,8 +2117,11 @@ object PipelineQueries {
     // q107: BM25 replayed declaratively — the score expression is
     // written with the IDENTICAL association and literal shapes as the
     // Spark column expression (left-assoc chain, (1.2 + 1.0), exact
-    // BIGINT tf/df/len inputs, one double division for avgdl), so both
-    // engines run the same IEEE op sequence before the 1e6 quantization
+    // BIGINT tf/df/len inputs, one double division for avgdl). The only
+    // transcendental, ln, is quantized to a per-TERM BIGINT before any
+    // per-document arithmetic (mirroring Invert.bm25TopK), so a libm
+    // 1-ulp divergence can flip at most |query| roundings — the
+    // per-(term,doc) stage is pure correctly-rounded IEEE arithmetic
     "q107_bm25" ->
       s"""WITH t2 AS (SELECT doc_id, $TokensSql AS toks FROM documents),
          |tp AS (SELECT doc_id, toks[CAST(u.i AS INT)] AS term
@@ -2130,13 +2133,18 @@ object PipelineQueries {
          |       WHERE term IN ('customer', 'vector', 'stream') GROUP BY 1, 2),
          |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tp
          |        WHERE term IN ('customer', 'vector', 'stream') GROUP BY 1),
+         |idf AS (SELECT term,
+         |          CAST(round(
+         |            ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |              * 1000000.0) AS BIGINT) AS idf_scaled
+         |        FROM dfq, stats),
          |sc AS (SELECT tf.doc_id,
          |         CAST(round(
-         |           ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |           idf.idf_scaled
          |             * (tf.tf * (1.2 + 1.0))
          |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * len.doc_len / stats.avgdl))
-         |             * 1000000.0) AS BIGINT) AS s
-         |       FROM tf JOIN dfq USING (term) JOIN len USING (doc_id), stats)
+         |           ) AS BIGINT) AS s
+         |       FROM tf JOIN idf USING (term) JOIN len USING (doc_id), stats)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
          |  CAST(sum(s) AS BIGINT) AS score_scaled
          |FROM sc GROUP BY doc_id
