@@ -95,6 +95,12 @@ object Text {
       .otherwise(round(lit(0.5) * least(lit(1.0), n / 200.0) + lit(0.5) * (d / n), 6))
   }
 
+  /** CCNet-style normalization (lowercase, strip diacritics, digits→0,
+    * collapse whitespace) — the standard pre-dedup transform; see
+    * [[graft.functions.TextOps.normalizeCc]] for the contract.
+    */
+  def normalizeCc(text: Column): Column = TextExpressions.normalize_cc(text)
+
   /** Content-defined document fingerprint: md5 of the sorted token bag.
     * Invariant under token reordering — catches shuffled near-copies that
     * exact-text dedup misses. md5 is shared with the DuckDB oracle.

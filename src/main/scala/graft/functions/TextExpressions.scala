@@ -240,6 +240,43 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** CCNet-style text normalization, the standard pre-dedup transform
+    * (lowercase, strip diacritics, fold digits to 0, collapse
+    * whitespace): a case/accent/digit variant of a document normalizes
+    * to the same string, so normalization-aware exact dedup catches
+    * what byte-exact dedup misses. One pass over the decomposed form:
+    * NFD, drop combining marks, lowercase, [0-9] → '0', whitespace runs
+    * → one space, trim.
+    *
+    * Cross-engine contract (the q109 oracle): equals DuckDB's
+    * `strip_accents` + `lower` + regexp folds for ASCII and Latin-1
+    * accented text. Outside that range (Turkish dotted I, full-width
+    * digits) the JVM and ICU case/decomposition tables may diverge —
+    * the corpus contract is Latin text; TextSpec pins the JVM behavior.
+    */
+  def normalizeCc(text: UTF8String): UTF8String = {
+    val nfd = java.text.Normalizer.normalize(text.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      val t = Character.getType(c)
+      if (t != Character.NON_SPACING_MARK) {
+        if (Character.isWhitespace(c)) { pendingSpace = started }
+        else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          started = true
+          if (c >= '0' && c <= '9') sb.append('0')
+          else sb.append(Character.toLowerCase(c))
+        }
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** |A ∩ B| of two SORTED string arrays by a single merge walk —
     * O(|A|+|B|), zero allocation. The fixed-width Jaccard rescore's
     * kernel: candidate pairs carry each side's sorted distinct shingle
@@ -362,6 +399,16 @@ case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** CCNet-style normalized text (see [[TextOps.normalizeCc]]). */
+case class NormalizeCcExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(t: Any): Any =
+    TextOps.normalizeCc(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.normalizeCc($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** |A ∩ B| of two sorted ARRAY<STRING> columns, BIGINT (see
   * [[TextOps.sortedIntersectCount]]).
   */
@@ -396,4 +443,6 @@ object TextExpressions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedIntersectCountExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def normalize_cc(text: Column): Column =
+    ColumnBridge.column(NormalizeCcExpr(ColumnBridge.expression(text)))
 }

@@ -678,6 +678,74 @@ object Curation {
       .limit(keep)
   }
 
+  /** DOMAIN-SHIFT SCORE per group: a KL-style divergence of each
+    * group's unigram distribution from the whole corpus's,
+    * `KL(P_g ‖ P) = Σ_t (c_gt/N_g) · ln((c_gt/c_t)·(N/N_g))` — the
+    * standard "how far does this source/domain sit from the mixture"
+    * signal behind domain reweighting (cf. DoReMi-style domain
+    * weighting): a source of boilerplate scores high, a source that
+    * mirrors the corpus scores near zero.
+    *
+    * Cross-engine determinism (the q96 recipe): token counts are exact
+    * BIGINTs; the per-(group, token) ratio is the fixed two-factor
+    * shape `(c_gt/c_t)·(N/N_g)` (each factor one correctly-rounded
+    * double division — the single-fraction form would overflow BIGINT
+    * at corpus scale, c_gt·N ≈ 10²⁴ at 100 TB); its log is [[pseudoLn]]
+    * quantized ONCE per (group, token) to `l = floor(scale·pseudoLn)`;
+    * the group score is then the pure BIGINT sum `Σ_t c_gt·l`, exact
+    * and order-free, reported raw as `kl_num_scaled` alongside
+    * `n_tokens` (callers divide; emitting the quotient would reopen
+    * the truncation-vs-floor divergence between engines for the
+    * slightly-negative sums pseudoLn quantization can produce).
+    * pseudoLn's accuracy fades for ratios far outside [1/8, 8] — a
+    * documented, deterministic scoring transform, not a libm ln (the
+    * DSIR contract).
+    *
+    * Scale shape: one explode partially aggregated to (group, token)
+    * counts; corpus token counts and group totals re-aggregate FROM
+    * that table (map-side partial, input bounded by |groups|×|vocab|);
+    * one vocab-bounded equi-join on token; output is |groups| rows. No
+    * windows, no driver-side work beyond the single totals row.
+    */
+  def domainShift(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(scale > 0, s"scale must be positive: $scale")
+    val gt = docs
+      .select(
+        col(groupCol).as("grp"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
+      .groupBy("grp", "tok")
+      .agg(count(lit(1)).as("c_gt"))
+    val ct = gt.groupBy("tok").agg(sum(col("c_gt")).as("c_t"))
+    val ng = gt.groupBy("grp").agg(sum(col("c_gt")).as("n_g"))
+    val tot = ng.agg(sum(col("n_g")).as("_n"))
+    val ratio = (col("c_gt").cast("double") / col("c_t").cast("double")) *
+      (col("_n").cast("double") / col("n_g").cast("double"))
+    gt
+      .join(ct, "tok")
+      .join(broadcast(ng), "grp")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("grp"),
+        col("c_gt"),
+        col("n_g"),
+        floor(pseudoLn(ratio) * lit(scale.toDouble)).cast("long").as("l"))
+      .groupBy(col("grp"), col("n_g"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("c_gt") * col("l")).as("kl_num_scaled"))
+      .select(
+        col("grp").as(groupCol),
+        col("n_g").as("n_tokens"),
+        col("n_terms"),
+        col("kl_num_scaled"))
+      .orderBy(groupCol)
+  }
+
   /** TOKEN-BUDGET SELECTION: keep the prefix of the `order`-sorted
     * corpus whose inclusive running `costCol` total fits `budget` — the
     * "fill a 10B-token training budget with the best documents first"

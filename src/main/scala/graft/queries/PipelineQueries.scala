@@ -995,6 +995,29 @@ object PipelineQueries {
         blockDocs = 100L, files = 4, commitId = Some("q108_b0"))
       graft.operators.Invert
         .phraseSearch(graft.operators.Invert.readIndex(s, tmp), Seq("table", "table"))
+    },
+    // CCNet-style normalization (lowercase / strip diacritics / digits
+    // to 0 / collapse whitespace) + normalization-aware exact grouping:
+    // per doc, the normalized digest and the min doc id sharing it —
+    // the first dedup pass of a CCNet pipeline (see Text.normalizeCc)
+    "q109_normalize_cc" -> { (s, dir) =>
+      val normed = t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(Text.normalizeCc(col("text"))).as("norm_md5"),
+        length(Text.normalizeCc(col("text"))).cast("long").as("n_chars_norm"))
+      val groups = normed.groupBy("norm_md5").agg(min(col("doc_id")).as("keep_id"))
+      normed
+        .join(groups, "norm_md5")
+        .select(col("doc_id"), col("norm_md5"), col("n_chars_norm"), col("keep_id"))
+        .orderBy("doc_id")
+    },
+    // Per-source domain-shift score: KL-style divergence of each
+    // source's unigram distribution from the corpus mixture, exact
+    // BIGINT counts with the pseudoLn-quantized log ratio (q96's
+    // determinism recipe) — the DoReMi-ish domain-weighting signal
+    // (see Curation.domainShift)
+    "q110_domain_shift" -> { (s, dir) =>
+      graft.operators.Curation.domainShift(t(s, dir, "documents"), "text", "source")
     }
   )
 
@@ -2085,6 +2108,50 @@ object PipelineQueries {
     // answer — SAME oracle text, so any divergence is the physical
     // lifecycle's fault by construction
     "q108_index_persisted" -> PhraseSearchOracleSql,
+    // q109: the normalization chain replayed with DuckDB's string
+    // functions — strip_accents/lower/digit-fold/whitespace-collapse
+    // agree with the JVM single-pass on the corpus's Latin text
+    // (TextSpec pins the JVM behavior on accented fixtures)
+    "q109_normalize_cc" ->
+      """WITH nm AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(strip_accents(text)),
+        |          '[0-9]', '0', 'g'), '\s+', ' ', 'g')) AS norm
+        |      FROM documents),
+        |d AS (SELECT doc_id, md5(norm) AS norm_md5,
+        |        CAST(length(norm) AS BIGINT) AS n_chars_norm FROM nm),
+        |g AS (SELECT norm_md5, min(doc_id) AS keep_id FROM d GROUP BY 1)
+        |SELECT d.doc_id, d.norm_md5, d.n_chars_norm, g.keep_id
+        |FROM d JOIN g USING (norm_md5) ORDER BY d.doc_id""".stripMargin,
+    // q110: per-source KL-style shift — exact BIGINT unigram counts,
+    // the two-factor ratio shape, and the q96 pseudoLn polynomial
+    // quantized per (source, token) before the integer sum
+    "q110_domain_shift" ->
+      s"""WITH tok AS (SELECT source, unnest($TokensSql) AS tok FROM documents),
+         |gt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_gt FROM tok GROUP BY 1, 2),
+         |ct AS (SELECT tok, CAST(sum(c_gt) AS BIGINT) AS c_t FROM gt GROUP BY 1),
+         |ng AS (SELECT source, CAST(sum(c_gt) AS BIGINT) AS n_g FROM gt GROUP BY 1),
+         |nn AS (SELECT CAST(sum(c_gt) AS BIGINT) AS n FROM gt),
+         |xr AS (SELECT gt.source, gt.c_gt, ng.n_g,
+         |         (CAST(gt.c_gt AS DOUBLE) / CAST(ct.c_t AS DOUBLE))
+         |           * (CAST(nn.n AS DOUBLE) / CAST(ng.n_g AS DOUBLE)) AS x
+         |       FROM gt JOIN ct USING (tok) JOIN ng USING (source), nn),
+         |zz AS (SELECT source, c_gt, n_g,
+         |         (x - CAST(1.0 AS DOUBLE)) / (x + CAST(1.0 AS DOUBLE)) AS z FROM xr),
+         |z2 AS (SELECT source, c_gt, n_g, z, z * z AS q FROM zz),
+         |lr AS (SELECT source, c_gt, n_g,
+         |         CAST(floor(((CAST(2.0 AS DOUBLE) * z) * (CAST(1.0 AS DOUBLE)
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(5.0 AS DOUBLE))
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(7.0 AS DOUBLE))
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(9.0 AS DOUBLE))
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(11.0 AS DOUBLE))
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(13.0 AS DOUBLE))
+         |           + q * (CAST(1.0 AS DOUBLE) / CAST(15.0 AS DOUBLE))))))))))
+         |           * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS l
+         |       FROM z2)
+         |SELECT source, n_g AS n_tokens, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(c_gt * l) AS BIGINT) AS kl_num_scaled
+         |FROM lr GROUP BY source, n_g ORDER BY source""".stripMargin,
     // q106: q81's exact bigram scores + q30's language heuristic, then
     // the same integer rank→bucket math replayed with window functions —
     // bucket = (3·(rank−1)) DIV n + 1 over (mean desc, doc_id)

@@ -117,6 +117,23 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(reason("alpha beta gamma delta") == "keep")
   }
 
+  test("normalizeCc: lowercase, accent strip, digit fold, whitespace collapse") {
+    def norm(t: String): String =
+      one(t).select(Text.normalizeCc(col("text"))).head().getString(0)
+    assert(norm("Héllo  Wörld") == "hello world")
+    assert(norm("  A\tB\nC  ") == "a b c")
+    assert(norm("Piñata café №") == "pinata cafe №") // unmapped symbols survive
+    assert(norm("v1.2 beta3") == "v0.0 beta0")
+    assert(norm("") == "")
+    assert(norm("   ") == "")
+    // idempotent: normalizing a normalized string is a no-op
+    val s = "Crème BRÛLÉE 42, s'il vous plaît!"
+    assert(norm(norm(s)) == norm(s))
+    // case/accent/digit variants of one text share a digest — the
+    // normalization-aware dedup premise (q109)
+    assert(norm("PRICE: 100 Dollars") == norm("price: 999 dollars"))
+  }
+
   test("sortedIntersectCount: merge walk over sorted distinct arrays") {
     import org.apache.spark.sql.functions.{array_intersect, size => asize, sort_array, split}
     def cnt(a: String, b: String): Long =

@@ -293,4 +293,34 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("domainShift: outlier domains score high, mixture-like domains near zero") {
+    // two sources that ARE the corpus mixture (identical distributions)
+    // and one source of pure out-of-mixture boilerplate
+    val mix = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, "a", mix), (2L, "a", mix), (3L, "a", mix),
+      (4L, "b", mix), (5L, "b", mix), (6L, "b", mix),
+      (7L, "spam", "click here click here click here buy now buy now")
+    ).toDF("doc_id", "source", "text")
+    val rows = Curation.domainShift(df, "text", "source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("a", "b", "spam"))
+    val (nA, termsA, klA) = rows("a")
+    assert(nA == 18L && termsA == 6L)
+    assert(rows("a") == rows("b")) // identical sources score identically
+    val (nSpam, _, klSpam) = rows("spam")
+    // spam's tokens appear ONLY in spam: every term is over-represented
+    // by the full corpus/spam ratio, so its PER-TOKEN divergence tops
+    // the mixture sources by a wide margin (the mixture sources are
+    // positive too — spam's presence shifts the corpus away from them,
+    // a property of KL against the realized mixture, not a bug)
+    assert(klSpam > 0 && klA > 0)
+    assert(klSpam.toDouble / nSpam > 4.0 * (klA.toDouble / nA),
+      s"spam=$klSpam/$nSpam a=$klA/$nA")
+    // partition-count invariance: exact integer math end to end
+    val rep = Curation.domainShift(df.repartition(7), "text", "source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep == rows)
+  }
 }
