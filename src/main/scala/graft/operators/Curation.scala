@@ -746,6 +746,58 @@ object Curation {
       .orderBy(groupCol)
   }
 
+  /** CONTRASTIVE NEGATIVE SAMPLING: for every anchor document, up to
+    * `k` deterministic pseudo-random negatives drawn by a hash-ring
+    * walk — the "random negatives, reproducibly" step of contrastive
+    * embedding training. Each id gets a ring position by ranking
+    * `md5(salt:id)` (an engine-reproducible pseudo-random permutation);
+    * anchor i's candidates are the next `k` ids around the ring
+    * (wrapping), and any pair present in `excludePairs` — e.g. a
+    * near-dup pair set, since positives must not leak in as negatives —
+    * is anti-joined away, leaving ≤ k slots per anchor. Changing
+    * `salt` redraws the whole sample.
+    *
+    * Scale shape: the permutation is [[Scale.globalDenseRank]]'s
+    * range-partitioned rank (never a single-task global window), the
+    * ring walk is one explode(1..k) plus ONE equi-join on the successor
+    * position, and the positive filter is an anti-join on the pair set
+    * — no all-pairs anywhere; ≤ N·k output rows. The one driver-side
+    * action is the single-row ring size (the modulo needs it).
+    */
+  def negativeSamples(
+      docs: DataFrame,
+      idCol: String,
+      k: Int,
+      excludePairs: DataFrame,
+      salt: String = "neg"
+  ): DataFrame = {
+    require(k > 0, s"negativeSamples: k must be positive, got $k")
+    require(
+      excludePairs.columns.take(2).length == 2,
+      "negativeSamples: excludePairs needs (doc_a, doc_b) as its first two columns")
+    val Seq(pa, pb) = excludePairs.columns.take(2).toSeq
+    val ring = Scale.globalDenseRank(
+      docs.select(col(idCol)).distinct()
+        .withColumn("_h", md5(concat_ws(":", lit(salt), col(idCol)))),
+      Seq(col("_h")), "_pos")
+    val n = ring.agg(count(lit(1))).head().getLong(0)
+    require(n > 1, s"negativeSamples: need at least 2 distinct ids, got $n")
+    val anchors = ring
+      .select(col(idCol).as("anchor_id"), col("_pos"))
+      .withColumn("slot", explode(sequence(lit(1), lit(k))))
+      .withColumn("_negpos", ((col("_pos") - 1 + col("slot")) % n) + 1)
+    val negs = ring.select(col(idCol).as("neg_id"), col("_pos").as("_negpos"))
+    val excl = excludePairs
+      .select(col(pa).as("anchor_id"), col(pb).as("neg_id"))
+      .union(excludePairs.select(col(pb).as("anchor_id"), col(pa).as("neg_id")))
+    anchors
+      .join(negs, "_negpos")
+      .where(col("anchor_id") =!= col("neg_id")) // k >= ring size wraps onto self
+      .join(excl, Seq("anchor_id", "neg_id"), "left_anti")
+      .select(col("anchor_id"), col("slot").cast("long").as("slot"), col("neg_id"))
+      .orderBy("anchor_id", "slot")
+  }
+
   /** TOKEN-BUDGET SELECTION: keep the prefix of the `order`-sorted
     * corpus whose inclusive running `costCol` total fits `budget` — the
     * "fill a 10B-token training budget with the best documents first"

@@ -1018,6 +1018,15 @@ object PipelineQueries {
     // (see Curation.domainShift)
     "q110_domain_shift" -> { (s, dir) =>
       graft.operators.Curation.domainShift(t(s, dir, "documents"), "text", "source")
+    },
+    // Contrastive negative sampling: 3 hash-ring negatives per anchor,
+    // with q40's capped near-dup pairs excluded so no positive leaks in
+    // as a negative (see Curation.negativeSamples)
+    "q111_negative_samples" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairsCapped(
+        docs, "doc_id", "text", 3, 0.8, maxDocsPerShingle = 5)
+      graft.operators.Curation.negativeSamples(docs, "doc_id", k = 3, pairs)
     }
   )
 
@@ -2152,6 +2161,37 @@ object PipelineQueries {
          |SELECT source, n_g AS n_tokens, CAST(count(*) AS BIGINT) AS n_terms,
          |  CAST(sum(c_gt * l) AS BIGINT) AS kl_num_scaled
          |FROM lr GROUP BY source, n_g ORDER BY source""".stripMargin,
+    // q111: the hash-ring permutation replayed with row_number over the
+    // same md5('neg:'||id) key, the same wrapping successor join, and
+    // q40's capped pair set (SAME shared CTEs) as the positive filter
+    "q111_negative_samples" ->
+      s"""WITH $ShinglesCte,
+         |$CappedCandCte,
+         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+         |           FROM cand c
+         |           JOIN sh a ON a.doc_id = c.doc_a
+         |           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |           GROUP BY c.doc_a, c.doc_b),
+         |pairs AS (SELECT m.doc_a, m.doc_b FROM common m
+         |          JOIN cnt ca ON ca.doc_id = m.doc_a
+         |          JOIN cnt cb ON cb.doc_id = m.doc_b
+         |          WHERE CAST(m.common AS DOUBLE) / (ca.n + cb.n - m.common) >= 0.8),
+         |rk AS (SELECT doc_id,
+         |         CAST(row_number() OVER (
+         |           ORDER BY md5('neg:' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS pos
+         |       FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rk),
+         |aa AS (SELECT rk.doc_id AS anchor_id, rk.pos, CAST(s.i AS BIGINT) AS slot
+         |       FROM rk, UNNEST(range(1, 4)) AS s(i)),
+         |jj AS (SELECT aa.anchor_id, aa.slot, g.doc_id AS neg_id
+         |       FROM aa CROSS JOIN nn
+         |       JOIN rk g ON g.pos = ((aa.pos - 1 + aa.slot) % nn.n) + 1
+         |       WHERE aa.anchor_id <> g.doc_id),
+         |ex AS (SELECT doc_a AS anchor_id, doc_b AS neg_id FROM pairs
+         |       UNION ALL SELECT doc_b, doc_a FROM pairs)
+         |SELECT anchor_id, slot, neg_id FROM jj
+         |ANTI JOIN ex USING (anchor_id, neg_id)
+         |ORDER BY anchor_id, slot""".stripMargin,
     // q106: q81's exact bigram scores + q30's language heuristic, then
     // the same integer rank→bucket math replayed with window functions —
     // bucket = (3·(rank−1)) DIV n + 1 over (mean desc, doc_id)

@@ -323,4 +323,35 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(rep == rows)
   }
+
+  test("negativeSamples: ring walk, positive exclusion, determinism") {
+    val docs = (0L until 10L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val excl = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val got = Curation.negativeSamples(docs, "doc_id", k = 3, excl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // every anchor appears; at most k slots each; negatives never the
+    // anchor itself and never an excluded positive (either direction)
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.keySet == (0L until 10L).toSet)
+    byAnchor.values.foreach { s =>
+      assert(s.size <= 3)
+      assert(s.map(_._3).distinct.size == s.size) // negatives distinct per anchor
+    }
+    got.foreach { case (a, _, n) =>
+      assert(a != n)
+      assert(!(Set((a, n), (n, a)).contains((1L, 2L))))
+    }
+    // with one excluded pair, exactly the slots that landed on the
+    // positive disappear: total rows = 10*3 minus the excluded hits
+    assert(got.size >= 28 && got.size <= 30)
+    // deterministic under repartitioning (the rank is range-partitioned,
+    // not partition-dependent)
+    val rep = Curation.negativeSamples(docs.repartition(7), "doc_id", k = 3, excl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rep.sorted == got.sorted)
+    // a different salt redraws the permutation
+    val other = Curation.negativeSamples(docs, "doc_id", k = 3, excl, salt = "neg2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(other.sorted != got.sorted)
+  }
 }
