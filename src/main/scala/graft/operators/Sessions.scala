@@ -68,6 +68,59 @@ object Sessions {
     * Chunks are non-overlapping and cover every event; the trailing
     * partial chunk survives only if it has at least `minLen` events.
     */
+  /** Ordered-step FUNNEL: per entity, the earliest completion of
+    * `steps` in order — step 1's time is the entity's first `steps(0)`
+    * event, step i's is its first `steps(i−1)` event AT OR AFTER step
+    * i−1 — kept when the whole chain spans at most `withinSeconds`.
+    * The "view → click → purchase within a week" conversion primitive.
+    * Times are whole-second epochs (the engine-portable granularity,
+    * [[byGap]]'s rule); `>=` means same-second steps chain regardless
+    * of sub-second order — a defined, deterministic semantic on both
+    * engines.
+    *
+    * Greedy-earliest semantics, the standard funnel definition: each
+    * step takes the MINIMUM qualifying time. A later step-1 event that
+    * would start a tighter chain is not explored — the horizon filters
+    * the earliest chain, it does not search over chains.
+    *
+    * Scale shape: one partial-aggregable min-aggregation per step
+    * (|steps| is small and fixed), each joined back on the entity key —
+    * the step tables are one row per entity, so every join is
+    * key-partitioned and broadcast-eligible under AQE. No windows, no
+    * per-key event materialization: an entity with a million events
+    * still reduces map-side to one row per step.
+    */
+  def funnel(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      withinSeconds: Long
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel: empty steps")
+    require(withinSeconds >= 0, s"funnel: negative horizon $withinSeconds")
+    val base = events.select(
+      col(keyCol).as("k"),
+      col(tsCol).cast("long").as("s"),
+      col(typeCol).as("t"))
+    var cur = base.where(col("t") === steps.head).groupBy("k").agg(min("s").as("t1"))
+    steps.tail.zipWithIndex.foreach { case (st, idx) =>
+      val i = idx + 2
+      val carried = "k" +: (1 until i).map(j => s"t$j")
+      cur = base
+        .where(col("t") === st)
+        .join(cur, "k")
+        .where(col("s") >= col(s"t${i - 1}"))
+        .groupBy(carried.map(col): _*)
+        .agg(min("s").as(s"t$i"))
+    }
+    cur
+      .where(col(s"t${steps.length}") - col("t1") <= withinSeconds)
+      .select(col("k").as(keyCol) +: (1 to steps.length).map(j => col(s"t$j")): _*)
+      .orderBy(keyCol)
+  }
+
   def eventSequences(
       events: DataFrame,
       keyCol: String,

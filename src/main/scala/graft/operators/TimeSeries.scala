@@ -42,4 +42,58 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     joined.withColumn("v_ff", last(col("v"), ignoreNulls = true).over(w))
   }
+
+  /** Per-key SLIDING time-window aggregates: for every event, the
+    * count/sum/min/max of the key's events in the trailing
+    * `[t − windowSeconds, t]` interval — the "rate over the last N
+    * minutes" primitive behind alerting, rate limiting, and feature
+    * engineering. One RANGE-framed window per key over the event-time
+    * second.
+    *
+    * Cross-engine determinism (house style): the value is quantized to
+    * a scaled BIGINT BEFORE any aggregation, so the sliding sum is
+    * exact integer arithmetic — a double sum would differ between
+    * Spark's running accumulation and DuckDB's segment-tree window
+    * implementation at the ulp level. Comparisons are on whole-second
+    * epoch (the engine-portable granularity; see
+    * [[Sessions.byGap]]).
+    *
+    * Scale shape: ONE window partitioned by the entity key — per-key
+    * state is the key's own trailing interval, bounded by per-entity
+    * activity, never by corpus size (the [[Sessions]] argument: the
+    * output row itself depends on the key's neighborhood, so the
+    * grouping is irreducible). No self-join: a range self-join
+    * materializes |events|×|window| pairs; the window frame aggregates
+    * them in one pass.
+    */
+  def rollingAggregate(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      windowSeconds: Long,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(windowSeconds > 0, s"rollingAggregate: windowSeconds must be positive")
+    require(scale > 0, s"rollingAggregate: scale must be positive")
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("sec"))
+      .rangeBetween(-windowSeconds, 0)
+    events
+      .select(
+        col(keyCol),
+        col(idCol),
+        col(tsCol).cast("long").as("sec"),
+        round(col(valueCol) * scale).cast("long").as("_v"))
+      .select(
+        col(keyCol),
+        col(idCol),
+        col("sec"),
+        count(lit(1)).over(w).as("n_window"),
+        sum(col("_v")).over(w).as("sum_scaled"),
+        min(col("_v")).over(w).as("min_scaled"),
+        max(col("_v")).over(w).as("max_scaled"))
+  }
 }

@@ -1027,6 +1027,26 @@ object PipelineQueries {
       val pairs = Dedup.ngramJaccardPairsCapped(
         docs, "doc_id", "text", 3, 0.8, maxDocsPerShingle = 5)
       graft.operators.Curation.negativeSamples(docs, "doc_id", k = 3, pairs)
+    },
+    // Per-user sliding 10-minute window over the event stream: trailing
+    // count/sum/min/max per event, values quantized to scaled BIGINTs
+    // before aggregation so the sliding sum is exact integer math
+    // (see TimeSeries.rollingAggregate)
+    "q112_rolling_window" -> { (s, dir) =>
+      graft.queries.RelationalQueries.events(s, dir)
+        .transform(ev => graft.operators.TimeSeries.rollingAggregate(
+          ev, "user_id", "ts", "event_id", "value", windowSeconds = 600))
+        .orderBy("user_id", "event_id")
+    },
+    // Conversion funnel view -> click -> purchase within 4 days:
+    // greedy-earliest chain per user, one min-aggregation per step —
+    // no windows, no per-user event materialization
+    // (see Sessions.funnel)
+    "q113_funnel" -> { (s, dir) =>
+      graft.queries.RelationalQueries.events(s, dir)
+        .transform(ev => graft.operators.Sessions.funnel(
+          ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), withinSeconds = 345600L))
     }
   )
 
@@ -2192,6 +2212,33 @@ object PipelineQueries {
          |SELECT anchor_id, slot, neg_id FROM jj
          |ANTI JOIN ex USING (anchor_id, neg_id)
          |ORDER BY anchor_id, slot""".stripMargin,
+    // q112: the same RANGE-framed window over whole-second epochs and
+    // pre-quantized BIGINT values — the sliding sum is exact integer
+    // arithmetic, immune to Spark-vs-DuckDB window accumulation order
+    "q112_rolling_window" ->
+      """SELECT user_id, event_id,
+        |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_window,
+        |  CAST(sum(v) OVER w AS BIGINT) AS sum_scaled,
+        |  CAST(min(v) OVER w AS BIGINT) AS min_scaled,
+        |  CAST(max(v) OVER w AS BIGINT) AS max_scaled
+        |FROM (SELECT user_id, event_id, ts,
+        |        CAST(round(value * 1000000.0) AS BIGINT) AS v FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // q113: the stepwise min-chain replayed as nested aggregates —
+    // identical greedy-earliest semantics at second granularity
+    "q113_funnel" ->
+      """WITH e AS (SELECT user_id AS k, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+        |             event_type AS t FROM events),
+        |s1 AS (SELECT k, min(s) AS t1 FROM e WHERE t = 'view' GROUP BY k),
+        |s2 AS (SELECT e.k, s1.t1, min(e.s) AS t2 FROM e JOIN s1 ON s1.k = e.k
+        |       WHERE e.t = 'click' AND e.s >= s1.t1 GROUP BY e.k, s1.t1),
+        |s3 AS (SELECT e.k, s2.t1, s2.t2, min(e.s) AS t3 FROM e JOIN s2 ON s2.k = e.k
+        |       WHERE e.t = 'purchase' AND e.s >= s2.t2 GROUP BY e.k, s2.t1, s2.t2)
+        |SELECT k AS user_id, t1, t2, t3 FROM s3
+        |WHERE t3 - t1 <= 345600 ORDER BY user_id""".stripMargin,
     // q106: q81's exact bigram scores + q30's language heuristic, then
     // the same integer rank→bucket math replayed with window functions —
     // bucket = (3·(rank−1)) DIV n + 1 over (mean desc, doc_id)

@@ -91,4 +91,29 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     assert(out.length == 1)
     assert(out.head.getSeq[String](2).toList == List("early", "mid", "late"))
   }
+
+  test("funnel: ordered min-chain, horizon filter, same-second chaining") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1 converts: A@10, B@20 (the B@5 BEFORE A must not count), C@30
+      (1L, ts(5), "B"), (1L, ts(10), "A"), (1L, ts(20), "B"), (1L, ts(30), "C"),
+      // user 2: no C — never completes
+      (2L, ts(10), "A"), (2L, ts(20), "B"),
+      // user 3: completes but outside the horizon (C at 10 + 5000)
+      (3L, ts(10), "A"), (3L, ts(20), "B"), (3L, ts(5010), "C"),
+      // user 4: all three steps in the SAME second — >= chains them
+      (4L, ts(100), "A"), (4L, ts(100), "B"), (4L, ts(100), "C")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Sessions
+      .funnel(ev, "user_id", "ts", "event_type", Seq("A", "B", "C"), withinSeconds = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((1L, 10L, 20L, 30L), (4L, 100L, 100L, 100L)))
+    // greedy-earliest is deterministic under repartitioning
+    val rep = Sessions
+      .funnel(ev.repartition(5), "user_id", "ts", "event_type", Seq("A", "B", "C"), 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rep == got)
+  }
 }

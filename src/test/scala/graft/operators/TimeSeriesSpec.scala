@@ -31,4 +31,28 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     // user 2: a single-slot span has nothing to fill
     assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq(1.0))
   }
+
+  test("rollingAggregate: trailing range frame, exact quantized sums, peers included") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 10L, ts(0), 1.5),   // (id, key=10, sec 0)
+      (2L, 10L, ts(100), 2.0),
+      (3L, 10L, ts(700), 4.0), // window [100, 700]: sec 0 falls out
+      (4L, 10L, ts(700), 8.0), // same-second peer: shares the frame
+      (5L, 20L, ts(50), 1.0)   // other key: isolated
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries
+      .rollingAggregate(ev, "user_id", "ts", "event_id", "value", windowSeconds = 600)
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // event 1: only itself; event 2: events at sec 0 and 100
+    assert(got(0) == ((1L, 1L, 1500000L, 1500000L, 1500000L)))
+    assert(got(1) == ((2L, 2L, 3500000L, 1500000L, 2000000L)))
+    // events 3 and 4 are PEERS at sec 700: both frames cover
+    // {100, 700, 700} — count 3, sum 2.0+4.0+8.0
+    assert(got(2) == ((3L, 3L, 14000000L, 2000000L, 8000000L)))
+    assert(got(3) == got(2).copy(_1 = 4L))
+    assert(got(4) == ((5L, 1L, 1000000L, 1000000L, 1000000L)))
+  }
 }
