@@ -571,6 +571,65 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** TOKEN ENTROPY per document: `H = −Σ_t (c_t/n)·ln(c_t/n)` over the
+    * document's own unigram distribution — the token-diversity quality
+    * signal (near 0 for "spam spam spam", `ln(n)` for all-distinct
+    * text) that complements [[repetitionScore]]'s single-worst-gram
+    * ratio with a whole-distribution measure.
+    *
+    * Cross-engine determinism: counts are exact BIGINTs; `ln(c/n)` is
+    * [[pseudoLn]] on the one correctly-rounded double `c/n ∈ (0, 1]`
+    * (inside the series' sweet spot), quantized per (doc, token) to
+    * `l = floor(scale·pseudoLn)`; the document's entropy numerator is
+    * then the pure BIGINT sum `−Σ c·l`, order-free — divide by
+    * `n·scale` for nats. Docs with no tokens are omitted.
+    *
+    * Scale shape: one explode partially aggregated to (doc, token)
+    * counts, one doc-level re-aggregation; per-doc totals ride the
+    * grouping key the same way [[repetitionScore]]'s do — no join, no
+    * window.
+    */
+  def tokenEntropy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(scale > 0, s"scale must be positive: $scale")
+    val counts = docs
+      .select(
+        col(idCol).as("doc_id"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+    val withN = counts
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        // carry the (token, count) pairs? no — re-join-free: aggregate
+        // the per-token term directly in a second pass below
+        collect_list(col("c")).as("_cs"))
+    // the per-token quantized term depends only on (c, n): compute it
+    // row-locally over the carried count list — the list is the doc's
+    // DISTINCT vocabulary (bounded per doc), not the corpus
+    withN
+      .select(
+        col("doc_id").as(idCol),
+        col("n_tokens"),
+        col("n_distinct"),
+        (-aggregate(
+          transform(
+            col("_cs"),
+            c =>
+              c * floor(
+                pseudoLn(c.cast("double") / col("n_tokens").cast("double")) *
+                  lit(scale.toDouble)).cast("long")),
+          lit(0L),
+          (acc, x) => acc + x)).as("entropy_num_scaled"))
+      .orderBy(idCol)
+  }
+
   /** Fixed 8-term atanh (Gregory) series surrogate for `ln(x)`:
     * `2·artanh(z)` truncated at `z^15`, `z = (x-1)/(x+1)` — every step a
     * single IEEE-754 correctly-rounded double op over the previous ones,

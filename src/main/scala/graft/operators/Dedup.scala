@@ -89,12 +89,36 @@ object Dedup {
       maxDocsPerShingle: Int = 100,
       persistIntermediate: Boolean = true
   ): DataFrame = {
+    val base = shingleSets(docs, idCol, textCol, n, persistIntermediate)
+    // scores stay exact over the FULL shingle sets — the cap bounds only
+    // the candidate generation
+    rescoreExactJaccardSets(cappedCandidates(base, maxDocsPerShingle), base, threshold)
+  }
+
+  /** Per-doc `(doc_id, shs)` distinct-shingle sets, empty-docs dropped —
+    * the shared front of the capped pair generators.
+    */
+  private def shingleSets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      persistIntermediate: Boolean
+  ): DataFrame = {
     import graft.functions.TextExpressions.word_shingles
-    val base = persisted(
+    persisted(
       fanOut(docs)
         .select(col(idCol).as("doc_id"), word_shingles(col(textCol), n).as("shs"))
         .where(size(col("shs")) > 0),
       persistIntermediate)
+  }
+
+  /** Frequency-capped shared-shingle candidate pairs over a
+    * [[shingleSets]] table: shingles in more than `maxDocsPerShingle`
+    * docs are excluded from candidate generation (fan-out bounded at
+    * cap² per shingle); output is the distinct (doc_a < doc_b) pair set.
+    */
+  private def cappedCandidates(base: DataFrame, maxDocsPerShingle: Int): DataFrame = {
     val sh = base.select(col("doc_id"), explode(col("shs")).as("shingle"))
     val rare = sh
       .groupBy("shingle")
@@ -104,13 +128,61 @@ object Dedup {
     val capped = sh.join(rare, "shingle")
     val a = capped.as("a")
     val b = capped.as("b")
-    val candidates = a
+    a
       .join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // scores stay exact over the FULL shingle sets — the cap bounds only
-    // the candidate generation
-    rescoreExactJaccardSets(candidates, base, threshold)
+  }
+
+  /** CONTAINMENT near-dup pairs: directed `(inner, outer)` pairs where
+    * at least `threshold` of `inner`'s distinct shingles appear in
+    * `outer` — `|A∩B| / |A|`, Broder's containment. Catches what
+    * symmetric Jaccard structurally CANNOT: an excerpt, quote, or
+    * abstract fully inside a much larger document scores
+    * containment ≈ 1 while its Jaccard ≈ |A|/|B| ≈ 0 — the
+    * "drop the quoted fragment, keep the host" dedup decision.
+    *
+    * Same scale shape as [[ngramJaccardPairsCapped]]: df-capped
+    * shared-shingle candidates (bounded fan-out), then the fixed-width
+    * sorted-array rescore — one merge-walk intersection per pair, both
+    * directions emitted from the SAME joined row (no second join), each
+    * kept independently against the threshold.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocsPerShingle: Int = 100,
+      persistIntermediate: Boolean = true
+  ): DataFrame = {
+    val base = shingleSets(docs, idCol, textCol, n, persistIntermediate)
+    val sets = base.select(
+      col("doc_id"),
+      size(col("shs")).as("n"),
+      sort_array(col("shs")).as("sset"))
+    val aSide = sets.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sset").as("sa"))
+    val bSide = sets.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sset").as("sb"))
+    val scored = cappedCandidates(base, maxDocsPerShingle)
+      .join(aSide.hint("shuffle_hash"), "doc_a")
+      .join(bSide.hint("shuffle_hash"), "doc_b")
+      .withColumn(
+        "common",
+        graft.functions.TextExpressions.sorted_intersect_count(col("sa"), col("sb")))
+    val ab = scored.select(
+      col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),
+      col("common"), col("na").as("n_inner"))
+    val ba = scored.select(
+      col("doc_b").as("inner_id"), col("doc_a").as("outer_id"),
+      col("common"), col("nb").as("n_inner"))
+    ab.union(ba)
+      .withColumn("containment", col("common").cast("double") / col("n_inner"))
+      .where(col("containment") >= threshold)
+      .select(
+        col("inner_id"), col("outer_id"), col("n_inner"), col("common"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("inner_id", "outer_id")
   }
 
   /** Optional caching for intermediates reused across multiple join

@@ -1047,6 +1047,19 @@ object PipelineQueries {
         .transform(ev => graft.operators.Sessions.funnel(
           ev, "user_id", "ts", "event_type",
           Seq("view", "click", "purchase"), withinSeconds = 345600L))
+    },
+    // Per-doc unigram entropy: whole-distribution token diversity,
+    // exact BIGINT numerator via the pseudoLn-quantized per-token term
+    // (see Curation.tokenEntropy)
+    "q114_token_entropy" -> { (s, dir) =>
+      graft.operators.Curation.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+    },
+    // Directed containment pairs |A∩B|/|A| >= 0.9: the excerpt/quote
+    // detector symmetric Jaccard structurally misses
+    // (see Dedup.containmentPairs)
+    "q115_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(
+        t(s, dir, "documents"), "doc_id", "text", 3, 0.9, maxDocsPerShingle = 5)
     }
   )
 
@@ -2239,6 +2252,54 @@ object PipelineQueries {
         |       WHERE e.t = 'purchase' AND e.s >= s2.t2 GROUP BY e.k, s2.t1, s2.t2)
         |SELECT k AS user_id, t1, t2, t3 FROM s3
         |WHERE t3 - t1 <= 345600 ORDER BY user_id""".stripMargin,
+    // q114: the entropy numerator replayed — same c/n double, same
+    // pseudoLn polynomial, same floor quantization, exact integer sum
+    "q114_token_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TokensSql) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+         |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |        CAST(count(*) AS BIGINT) AS n_distinct FROM c GROUP BY 1),
+         |xr AS (SELECT c.doc_id, c.c, n.n_tokens, n.n_distinct,
+         |         CAST(c.c AS DOUBLE) / CAST(n.n_tokens AS DOUBLE) AS x
+         |       FROM c JOIN n USING (doc_id)),
+         |zz AS (SELECT doc_id, c, n_tokens, n_distinct,
+         |         (x - CAST(1.0 AS DOUBLE)) / (x + CAST(1.0 AS DOUBLE)) AS z FROM xr),
+         |z2 AS (SELECT doc_id, c, n_tokens, n_distinct, z, z * z AS q FROM zz),
+         |lr AS (SELECT doc_id, c, n_tokens, n_distinct,
+         |         CAST(floor(((CAST(2.0 AS DOUBLE) * z) * (CAST(1.0 AS DOUBLE)
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(5.0 AS DOUBLE))
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(7.0 AS DOUBLE))
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(9.0 AS DOUBLE))
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(11.0 AS DOUBLE))
+         |           + q * ((CAST(1.0 AS DOUBLE) / CAST(13.0 AS DOUBLE))
+         |           + q * (CAST(1.0 AS DOUBLE) / CAST(15.0 AS DOUBLE))))))))))
+         |           * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS l
+         |       FROM z2)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  CAST(-sum(c * l) AS BIGINT) AS entropy_num_scaled
+         |FROM lr GROUP BY doc_id, n_tokens, n_distinct ORDER BY doc_id""".stripMargin,
+    // q115: q40's capped candidates, then BOTH directed containments
+    // from the shared common count — same double division and rounding
+    "q115_containment" ->
+      s"""WITH $ShinglesCte,
+         |$CappedCandCte,
+         |common AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS common
+         |           FROM cand c
+         |           JOIN sh a ON a.doc_id = c.doc_a
+         |           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |           GROUP BY c.doc_a, c.doc_b),
+         |dir AS (SELECT m.doc_a AS inner_id, m.doc_b AS outer_id, m.common,
+         |               CAST(ca.n AS BIGINT) AS n_inner
+         |        FROM common m JOIN cnt ca ON ca.doc_id = m.doc_a
+         |        UNION ALL
+         |        SELECT m.doc_b, m.doc_a, m.common, CAST(cb.n AS BIGINT)
+         |        FROM common m JOIN cnt cb ON cb.doc_id = m.doc_b)
+         |SELECT inner_id, outer_id, n_inner, common,
+         |  round(CAST(common AS DOUBLE) / n_inner, 6) AS containment
+         |FROM dir
+         |WHERE CAST(common AS DOUBLE) / n_inner >= 0.9
+         |ORDER BY inner_id, outer_id""".stripMargin,
     // q106: q81's exact bigram scores + q30's language heuristic, then
     // the same integer rank→bucket math replayed with window functions —
     // bucket = (3·(rank−1)) DIV n + 1 over (mean desc, doc_id)

@@ -324,6 +324,29 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(rep == rows)
   }
 
+  test("tokenEntropy: zero for constant docs, ~ln(n) for all-distinct, deterministic") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),            // one token type -> H = 0 exactly
+      (2L, "a b c d e f g h"),                // 8 distinct -> H = ln(8)
+      (3L, "x x y y"),                        // H = ln(2)
+      (4L, "")                                // no tokens -> omitted
+    ).toDF("doc_id", "text")
+    val rows = Curation.tokenEntropy(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!rows.contains(4L))
+    assert(rows(1L) == ((4L, 1L, 0L))) // pseudoLn(1) = 0 exactly
+    // entropy in nats = num / (n * scale); pseudoLn is within 0.1% of
+    // ln on (1/8, 1]
+    val h2 = rows(2L)._3.toDouble / (8L * 1000000L)
+    assert(math.abs(h2 - math.log(8.0)) < 0.01, s"h2=$h2")
+    val h3 = rows(3L)._3.toDouble / (4L * 1000000L)
+    assert(math.abs(h3 - math.log(2.0)) < 0.01, s"h3=$h3")
+    // exact-integer determinism under repartitioning
+    val rep = Curation.tokenEntropy(df.repartition(5), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep == rows)
+  }
+
   test("negativeSamples: ring walk, positive exclusion, determinism") {
     val docs = (0L until 10L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val excl = Seq((1L, 2L)).toDF("doc_a", "doc_b")

@@ -189,6 +189,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("containmentPairs: excerpt inside a host scores ~1 where Jaccard misses it") {
+    val host = (1 to 60).map("w" + _).mkString(" ")       // 58 trigrams
+    val excerpt = (20 to 30).map("w" + _).mkString(" ")   // 9 trigrams, all in host
+    val other = (100 to 140).map("z" + _).mkString(" ")
+    val df = Seq((1L, host), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.9, maxDocsPerShingle = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // the excerpt (2) is fully contained in the host (1)...
+    assert(cont.keySet == Set((2L, 1L)))
+    assert(cont((2L, 1L)) == 1.0)
+    // ...while symmetric Jaccard (9/58) is nowhere near any threshold
+    val jac = Dedup.ngramJaccardPairsCapped(df, "doc_id", "text", 3, 0.8, 10)
+    assert(jac.isEmpty)
+  }
+
   test("simhash near-dup: catches small token edits, orders pairs") {
     val base = (1 to 40).map("tok" + _).mkString(" ")
     val df = Seq(
