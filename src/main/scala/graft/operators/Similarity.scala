@@ -371,14 +371,21 @@ object Similarity {
       centIdCol: String,
       centVecCol: String,
       indexPath: String,
-      files: Int = 0
+      files: Int = 0,
+      metaCols: Seq[String] = Nil
   ): Unit = {
     val nFiles =
       if (files > 0) files else math.max(1, spark.sparkContext.defaultParallelism)
+    // metaCols ride the postings as TOP-LEVEL columns so a filtered
+    // probe's predicate reaches the parquet scan (PushedFilters +
+    // row-group stats) — the filter prunes IO, it does not post-filter
+    // a wider read (see ivfTopKIndexedFiltered)
     val postings = emb
-      .select(col(idCol), col(vecCol))
+      .select((idCol +: vecCol +: metaCols).map(col): _*)
       .join(ivfAssign(emb, idCol, vecCol, centroids, centIdCol, centVecCol), idCol)
-      .select(col("centroid_id").cast("long").as("centroid_id"), col(idCol), col(vecCol))
+      .select(
+        (col("centroid_id").cast("long").as("centroid_id") +: col(idCol) +: col(vecCol) +:
+          metaCols.map(col)): _*)
     // heal a prior build's torn whole-index swap before replacing it
     Incremental.recoverAll(spark, indexPath)
     val staging = indexPath + "_staging"
@@ -503,6 +510,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** FILTERED ANN against the persisted index — "nearest neighbours
+    * WHERE label = x", the hybrid vector-plus-metadata query every
+    * production vector store serves. `predicate` references metadata
+    * columns stored in the postings at [[ivfBuild]] time (`metaCols`),
+    * so it is applied ON the candidate scan — pushed to parquet
+    * (PushedFilters + row-group stats) alongside the centroid-bucket
+    * pruning, pruning IO rather than post-filtering a wider read. The
+    * filter runs BEFORE the top-k cut, so matching neighbours are never
+    * crowded out of k by filtered-out ones; recall stays bounded by
+    * `nprobe` exactly as in [[ivfTopKIndexed]].
+    */
+  def ivfTopKIndexedFiltered(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      k: Int,
+      nprobe: Int,
+      predicate: Column,
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    require(k > 0, "ivfTopKIndexedFiltered: k must be positive")
+    indexedProbeCandidates(
+      spark, indexPath, idCol, vecCol, query, nprobe, excludeId,
+      "ivfTopKIndexedFiltered", Some(predicate))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF RADIUS search against the persisted index: every indexed
     * neighbour with `cos_sim >= minSim` among the probed buckets — the
     * "give me everything this close" probe (near-dup candidate pull,
@@ -552,7 +589,8 @@ object Similarity {
       query: DataFrame,
       nprobe: Int,
       excludeId: Option[Long],
-      caller: String
+      caller: String,
+      metaFilter: Option[Column] = None
   ): DataFrame = {
     require(nprobe > 0, s"$caller: nprobe must be positive")
     require(query.columns.length == 1, s"$caller: query must be a one-row, one-column DataFrame")
@@ -606,7 +644,10 @@ object Similarity {
       case Some(id) => cand.where(col(idCol) =!= id)
       case None     => cand
     }
-    excluded
+    // metadata predicate directly on the scanned postings columns —
+    // pushed to parquet next to the exclude/bucket predicates
+    val filtered = metaFilter.fold(excluded)(excluded.where)
+    filtered
       .where(col("centroid_id").isin(probed.map(Long.box): _*))
       .select(col(idCol), round(cosine(col(vecCol), qVec), 6).as("cos_sim"))
       .where(col("cos_sim").isNotNull)

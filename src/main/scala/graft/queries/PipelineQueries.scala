@@ -1060,6 +1060,23 @@ object PipelineQueries {
     "q115_containment" -> { (s, dir) =>
       Dedup.containmentPairs(
         t(s, dir, "documents"), "doc_id", "text", 3, 0.9, maxDocsPerShingle = 5)
+    },
+    // FILTERED ANN over the persisted IVF index: nearest neighbours
+    // WHERE label = 1 — the label rides the postings as a top-level
+    // column, so the predicate prunes the scan next to the bucket
+    // pruning, and the filter runs BEFORE the top-k cut
+    // (see Similarity.ivfTopKIndexedFiltered)
+    "q116_ann_filtered" -> { (s, dir) =>
+      val tmp = freshScratch(s, dir, "q116", Seq("_staging"))
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfBuild(
+        s, emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 16), "vec_id", "embedding",
+        tmp, files = 8, metaCols = Seq("label"))
+      Similarity.ivfTopKIndexedFiltered(
+        s, tmp, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0L).select("embedding"),
+        k = 10, nprobe = 4, predicate = col("label") === 1, excludeId = Some(0L))
     }
   )
 
@@ -1642,6 +1659,7 @@ object PipelineQueries {
     // index) — the physical round trip must reproduce identical rows.
     "q75_ann_ivf" -> IvfAnnOracleSql,
     "q76_ann_ivf_indexed" -> IvfAnnOracleSql,
+    "q116_ann_filtered" -> IvfAnnFilteredOracleSql,
     // q78 probes the incrementally-grown index; an append under the
     // stored centroids is observationally a full build, so the oracle is
     // q75/q76's verbatim
@@ -2430,6 +2448,19 @@ object PipelineQueries {
         |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim
         |FROM sc WHERE n2a > 0 AND n2b > 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Filtered variant of [[IvfAnnOracleSql]] (q116): the probe pipeline
+    * is byte-identical — the one difference is the label predicate on
+    * the candidate set, spliced into the re-rank's WHERE so the CTE
+    * bodies can never drift from the unfiltered oracle.
+    */
+  private lazy val IvfAnnFilteredOracleSql: String = {
+    val spliced = IvfAnnOracleSql.replace(
+      " WHERE e.vec_id <> 0",
+      " WHERE e.vec_id <> 0 AND e.label = 1")
+    require(spliced != IvfAnnOracleSql, "q116 oracle splice anchor not found")
+    spliced
+  }
 
   /** Radius variant of [[IvfAnnOracleSql]] (q83): the probe pipeline is
     * IDENTICAL — same assignment, same probed buckets, same exact-cosine

@@ -349,6 +349,39 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("filtered probe: predicate on stored metadata, applied before the top-k cut") {
+    val idx = scratch("filtered")
+    Similarity.ivfBuild(
+      spark, emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 16), "vec_id", "embedding", idx, files = 8,
+      metaCols = Seq("label"))
+    val got = Similarity
+      .ivfTopKIndexedFiltered(
+        spark, idx, "vec_id", "embedding", queryVec,
+        k = 10, nprobe = 4, predicate = col("label") === 1, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty && got.size <= 10)
+    // ground truth: the UNfiltered probe's candidate ranking restricted
+    // to label=1 ids, then cut at k — filter-before-cut means the two
+    // must agree exactly (the filtered result is never crowded out)
+    val label1 = emb.where(col("label") === 1).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val unfiltered = Similarity
+      .ivfTopKIndexed(spark, idx, "vec_id", "embedding", queryVec,
+        k = 1000000, nprobe = 4, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(p => label1.contains(p._1)).take(10).toSeq
+    assert(got == unfiltered)
+    got.foreach { case (id, _) => assert(label1.contains(id)) }
+    // the label predicate must reach the parquet scan of the postings
+    val fs = new Path(s"$idx/postings").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$idx/postings")))
+    val plan = spark.read.parquet(s"$idx/postings").where(col("label") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,1)]")
+      || plan.contains("PushedFilters: [EqualTo(label,1)"), plan.take(600))
+  }
+
   test("a NULL query vector yields a schema-stable empty result, not an NPE") {
     val idx = buildCorpusIndex("nullq", files = 2)
     val nullQ = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS embedding")
