@@ -752,6 +752,38 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupByPairs]] with a QUALITY-PREFERRING survivor election: per
+    * connected component, keep the member with the highest
+    * `preference` (ties to the smallest id) instead of blindly the
+    * minimum id — "of these near-duplicates, keep the longest / the
+    * highest-quality-scored one", which is what a curation pipeline
+    * actually wants (the min-id survivor can be the truncated copy).
+    *
+    * The election is a partial-aggregable `max(struct(pref, −id))` per
+    * cluster label — the [[lineDedup]] pattern: every member of a hot
+    * cluster collapses map-side, and no per-cluster window funnels a
+    * giant component into one unsplittable task.
+    */
+  def dedupByPairsPreferring(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      preference: Column
+  ): DataFrame = {
+    val labels = connectedComponents(pairs)
+    val members = docs
+      .select(col(idCol).as("node"), preference.as("_pref"))
+      .join(labels, "node")
+    val winners = members
+      .groupBy("label")
+      .agg(max(struct(col("_pref").as("p"), (-col("node")).as("ni"))).as("_w"))
+      .select((-col("_w.ni")).as("_keep"))
+    val losers = members
+      .join(winners, members("node") === winners("_keep"), "left_anti")
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash dup groups: identical 64-bit signatures bucketed together. */
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     simhash(docs, idCol, textCol)

@@ -1061,6 +1061,17 @@ object PipelineQueries {
       Dedup.containmentPairs(
         t(s, dir, "documents"), "doc_id", "text", 3, 0.9, maxDocsPerShingle = 5)
     },
+    // Quality-preferring dedup: per near-dup cluster keep the LONGEST
+    // member (ties to min id) instead of the min id — the survivor a
+    // curation pipeline actually wants (see Dedup.dedupByPairsPreferring)
+    "q117_dedup_keep_best" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairsCapped(
+        docs, "doc_id", "text", 3, 0.8, maxDocsPerShingle = 5)
+      Dedup.dedupByPairsPreferring(docs, "doc_id", pairs, col("n_chars"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
     // FILTERED ANN over the persisted IVF index: nearest neighbours
     // WHERE label = 1 — the label rides the postings as a top-level
     // column, so the predicate prunes the scan next to the bucket
@@ -1361,6 +1372,23 @@ object PipelineQueries {
       s"""WITH RECURSIVE $ShinglesCte,
          |$CappedClosureCte,
          |losers AS (SELECT node FROM reach GROUP BY node HAVING node <> min(r))
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM losers)
+         |ORDER BY doc_id""".stripMargin,
+    // q117: q63's clusters with the quality-preferring election —
+    // per-label argmax by (n_chars desc, node)
+    "q117_dedup_keep_best" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$CappedClosureCte,
+         |lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+         |mem AS (SELECT l.node, l.label, d.n_chars FROM lab l
+         |        JOIN documents d ON d.doc_id = l.node),
+         |win AS (SELECT node FROM (
+         |          SELECT node, row_number() OVER (
+         |            PARTITION BY label ORDER BY n_chars DESC, node) AS rn
+         |          FROM mem) WHERE rn = 1),
+         |losers AS (SELECT node FROM mem
+         |           WHERE node NOT IN (SELECT node FROM win))
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM losers)
          |ORDER BY doc_id""".stripMargin,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -187,6 +187,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
         (r.getAs[Long]("keep_id"), r.getAs[Long]("n_members"))).sorted.toSeq
       assert(gotRows == bySize, s"$name: group rows $gotRows != partition $bySize")
     }
+  }
+
+  test("dedupByPairsPreferring: keeps the best member, not the min id; no window") {
+    val textA = (1 to 30).map("w" + _).mkString(" ")
+    val df = Seq(
+      (1L, textA, 10L),            // min id but SHORT
+      (2L, textA + " extra", 50L), // the longest member — must survive
+      (3L, textA, 10L),
+      (9L, "unrelated totally different content here", 7L)
+    ).toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val best = Dedup.dedupByPairsPreferring(df, "doc_id", pairs, col("n_chars"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best == Set(2L, 9L)) // 2 wins its cluster; 9 untouched
+    val minId = Dedup.dedupByPairs(df, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 9L)) // the min-id policy keeps the short copy
+    // tie on preference -> smallest id
+    val tied = Dedup.dedupByPairsPreferring(
+      df.withColumn("n_chars", lit(5L)), "doc_id", pairs, col("n_chars"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tied == Set(1L, 9L))
+    // the election is an aggregation, never a per-cluster window
+    val plan = Dedup.dedupByPairsPreferring(df, "doc_id", pairs, col("n_chars"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
   }
 
   test("containmentPairs: excerpt inside a host scores ~1 where Jaccard misses it") {
