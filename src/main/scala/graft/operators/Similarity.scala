@@ -441,18 +441,32 @@ object Similarity {
     Incremental.recoverAll(spark, indexPath)
     Incremental.recoverAll(spark, centroidsPath(indexPath))
     val cents = spark.read.parquet(centroidsPath(indexPath))
+    // the persisted postings schema is the contract: an index built
+    // with metaCols (filtered probes) must keep receiving those
+    // columns, or appended vectors would carry NULL metadata and
+    // silently vanish from every filtered probe. Footer-only read.
+    val metaCols = spark.read
+      .parquet(postingsPath(indexPath))
+      .schema.fieldNames.toSeq
+      .filterNot(Set("centroid_id", idCol, vecCol))
+    val missing = metaCols.filterNot(newEmb.columns.contains)
+    require(missing.isEmpty,
+      s"ivfAppend: index stores metadata columns [${metaCols.mkString(", ")}] " +
+        s"but the batch lacks [${missing.mkString(", ")}]")
     // pin the batch: it feeds BOTH sides of the assignment join and the
     // clustered write's range-sampling pass — an unpinned
     // nondeterministic source (sample/limit/changing input) could
     // re-roll between scans and silently drop vectors from the index,
     // the same failure class mergeFileGranular pins its batch against
     val batch = newEmb
-      .select(col(idCol), col(vecCol))
+      .select((idCol +: vecCol +: metaCols).map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val postings = batch
         .join(ivfAssign(batch, idCol, vecCol, cents, "centroid_id", "centroid"), idCol)
-        .select(col("centroid_id").cast("long").as("centroid_id"), col(idCol), col(vecCol))
+        .select(
+          (col("centroid_id").cast("long").as("centroid_id") +: col(idCol) +: col(vecCol) +:
+            metaCols.map(col)): _*)
       FileMerge.appendStaged(
         spark, postings, postingsPath(indexPath), "centroid_id", files, commitId)
     } finally batch.unpersist(blocking = false)

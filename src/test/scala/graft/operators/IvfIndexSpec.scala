@@ -382,6 +382,36 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       || plan.contains("PushedFilters: [EqualTo(label,1)"), plan.take(600))
   }
 
+  test("ivfAppend preserves stored metadata: appended vectors stay filter-visible") {
+    val idx = scratch("filtered_append")
+    val half = emb.where(col("vec_id") < 250)
+    Similarity.ivfBuild(
+      spark, half, "vec_id", "embedding",
+      emb.where(col("vec_id") < 16), "vec_id", "embedding", idx, files = 4,
+      metaCols = Seq("label"))
+    // a batch WITHOUT the stored metadata column must be rejected —
+    // otherwise its vectors would carry NULL labels and silently
+    // vanish from every filtered probe
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(
+        spark, emb.where(col("vec_id") >= 250).select("vec_id", "embedding"),
+        "vec_id", "embedding", idx)
+    }
+    assert(e.getMessage.contains("label"))
+    // with the column supplied, appended vectors answer filtered probes
+    assert(Similarity.ivfAppend(
+      spark, emb.where(col("vec_id") >= 250), "vec_id", "embedding", idx))
+    val got = Similarity
+      .ivfTopKIndexedFiltered(
+        spark, idx, "vec_id", "embedding", queryVec,
+        k = 1000000, nprobe = 16, predicate = col("label") === 1, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val appendedLabel1 = emb.where(col("vec_id") >= 250 && col("label") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // nprobe = all 16 centroids -> every label-1 vector is a candidate
+    assert(appendedLabel1.subsetOf(got), s"missing ${appendedLabel1 -- got}")
+  }
+
   test("a NULL query vector yields a schema-stable empty result, not an NPE") {
     val idx = buildCorpusIndex("nullq", files = 2)
     val nullQ = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS embedding")
