@@ -769,8 +769,21 @@ object Dedup {
       idCol: String,
       pairs: DataFrame,
       preference: Column
+  ): DataFrame =
+    survivorsPreferringByLabels(docs, idCol, connectedComponents(pairs), preference)
+
+  /** [[dedupByPairsPreferring]]'s election over an ALREADY-COMPUTED
+    * `(node, label)` cluster table — for pipelines that share one
+    * closure across several views (cluster report, min-id survivors,
+    * best-member survivors), where re-running the transitive closure
+    * per view would triple the most expensive stage.
+    */
+  def survivorsPreferringByLabels(
+      docs: DataFrame,
+      idCol: String,
+      labels: DataFrame,
+      preference: Column
   ): DataFrame = {
-    val labels = connectedComponents(pairs)
     val members = docs
       .select(col(idCol).as("node"), preference.as("_pref"))
       .join(labels, "node")

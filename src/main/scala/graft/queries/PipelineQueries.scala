@@ -1065,10 +1065,10 @@ object PipelineQueries {
     // member (ties to min id) instead of the min id — the survivor a
     // curation pipeline actually wants (see Dedup.dedupByPairsPreferring)
     "q117_dedup_keep_best" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairsCapped(
-        docs, "doc_id", "text", 3, 0.8, maxDocsPerShingle = 5)
-      Dedup.dedupByPairsPreferring(docs, "doc_id", pairs, col("n_chars"))
+      // rides q62/q63's session-cached closure: three views of ONE pair
+      // set must not pay the pair generation + closure three times
+      Dedup.survivorsPreferringByLabels(
+        t(s, dir, "documents"), "doc_id", nearDupLabels(s, dir), col("n_chars"))
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     },
