@@ -40,6 +40,8 @@ object PipelineQueries {
     */
   private val nearDupLabelCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val cappedPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Scratch paths with a registered exit-time cleanup hook (q73/q76). */
   private val q73Scratch = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -77,6 +79,23 @@ object PipelineQueries {
     tmp
   }
 
+  /** The capped scored pair set (threshold 0.8, cap 5) — computed and
+    * CACHED once per (session, corpus): q40 reports it, q111 excludes
+    * against it, and the closure below consumes it. A pipeline running
+    * several views of one pair set must not pay the generation per
+    * view (the q62/q63 argument, extended to every consumer).
+    */
+  private def cappedPairs(s: SparkSession, dir: String): DataFrame = {
+    cappedPairsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    cappedPairsCache.computeIfAbsent(
+      (s, dir),
+      { key =>
+        Dedup.ngramJaccardPairsCapped(
+          t(key._1, key._2, "documents"), "doc_id", "text", 3, 0.8, maxDocsPerShingle = 5)
+          .cache()
+      })
+  }
+
   private def nearDupLabels(s: SparkSession, dir: String): DataFrame = {
     // evict entries of stopped sessions: their checkpoint blocks are gone
     // and the dead SparkSession reference would otherwise pin them (and
@@ -84,11 +103,7 @@ object PipelineQueries {
     nearDupLabelCache.keySet.removeIf(_._1.sparkContext.isStopped)
     nearDupLabelCache.computeIfAbsent(
       (s, dir),
-      { key =>
-        val pairs = Dedup.ngramJaccardPairsCapped(
-          t(key._1, key._2, "documents"), "doc_id", "text", 3, 0.8, maxDocsPerShingle = 5)
-        Dedup.connectedComponents(pairs)
-      })
+      key => Dedup.connectedComponents(cappedPairs(key._1, key._2)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -158,10 +173,7 @@ object PipelineQueries {
     // seen in more than 5 docs are excluded from candidate generation
     // (bounds the shared-shingle join fan-out at cap² per shingle); pairs
     // are still scored with exact Jaccard over full shingle sets.
-    "q40_dedup_jaccard_capped" -> { (s, dir) =>
-      Dedup.ngramJaccardPairsCapped(
-        t(s, dir, "documents"), "doc_id", "text", 3, 0.8, maxDocsPerShingle = 5)
-    },
+    "q40_dedup_jaccard_capped" -> { (s, dir) => cappedPairs(s, dir) },
     // MinHash+LSH with md5-derived hashes: the fully oracle-checked LSH
     // pipeline (signatures, banding, candidate join, exact rescore all
     // replicated in DuckDB SQL). q25 stays as the xxhash64 fast path.
@@ -1023,10 +1035,8 @@ object PipelineQueries {
     // with q40's capped near-dup pairs excluded so no positive leaks in
     // as a negative (see Curation.negativeSamples)
     "q111_negative_samples" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairsCapped(
-        docs, "doc_id", "text", 3, 0.8, maxDocsPerShingle = 5)
-      graft.operators.Curation.negativeSamples(docs, "doc_id", k = 3, pairs)
+      graft.operators.Curation.negativeSamples(
+        t(s, dir, "documents"), "doc_id", k = 3, cappedPairs(s, dir))
     },
     // Per-user sliding 10-minute window over the event stream: trailing
     // count/sum/min/max per event, values quantized to scaled BIGINTs
