@@ -272,15 +272,50 @@ object Dedup {
       base: DataFrame,
       threshold: Double
   ): DataFrame = {
-    val sets = base.select(
-      col("doc_id"),
-      size(col("shs")).as("n"),
-      sort_array(col("shs")).as("sset"))
-    val aSide = sets.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sset").as("sa"))
-    val bSide = sets.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sset").as("sb"))
-    candidates
-      .join(aSide.hint("shuffle_hash"), "doc_a")
-      .join(bSide.hint("shuffle_hash"), "doc_b")
+    val aSide = sortedSetsOf(base, "doc_a", "na", "sa")
+    val bSide = sortedSetsOf(base, "doc_b", "nb", "sb")
+    scoreJoinedSets(
+      candidates
+        .join(aSide.hint("shuffle_hash"), "doc_a")
+        .join(bSide.hint("shuffle_hash"), "doc_b"),
+      threshold)
+  }
+
+  /** [[rescoreExactJaccardSets]] for the INCREMENTAL shape, where every
+    * candidate pair is (corpus doc_a, batch doc_b) and the caller has
+    * MEASURED the batch as broadcast-scale: the corpus set table is
+    * never shuffled at all — it streams once past the broadcast
+    * candidate pairs, and the batch's own set table rides a second
+    * broadcast. Per-batch rescore cost = one corpus shingle scan, the
+    * documented ingest contract. The candidate set is bounded by
+    * (batch docs × their corpus matches); a batch that defeats the
+    * caller's measured guard takes the shuffle shape instead.
+    */
+  private def rescoreExactJaccardSetsBroadcastBatch(
+      candidates: DataFrame,
+      corpusBase: DataFrame,
+      batchBase: DataFrame,
+      threshold: Double
+  ): DataFrame =
+    scoreJoinedSets(
+      sortedSetsOf(corpusBase, "doc_a", "na", "sa")
+        .join(broadcast(candidates), "doc_a")
+        .join(broadcast(sortedSetsOf(batchBase, "doc_b", "nb", "sb")), "doc_b"),
+      threshold)
+
+  private def sortedSetsOf(
+      base: DataFrame,
+      idAs: String,
+      nAs: String,
+      setAs: String
+  ): DataFrame =
+    base.select(
+      col("doc_id").as(idAs),
+      size(col("shs")).as(nAs),
+      sort_array(col("shs")).as(setAs))
+
+  private def scoreJoinedSets(joined: DataFrame, threshold: Double): DataFrame =
+    joined
       .withColumn(
         "common",
         graft.functions.TextExpressions.sorted_intersect_count(col("sa"), col("sb")))
@@ -288,7 +323,6 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** MinHash + LSH banding with md5-derived hashes — the oracle-replicable
     * variant of [[minhashLshPairs]]: slot `k`'s minhash is the
@@ -454,11 +488,20 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    val allSets = corpusBase.union(batchBase).select(col("doc_id"), col("shs"))
     val release: () => Unit =
       if (persistIntermediate) { () => { corpusBase.unpersist(); batchBase.unpersist(): Unit } }
       else () => ()
-    (rescoreExactJaccardSets(candidates, allSets, threshold), release)
+    // the same measured guard that chose the banding strategy picks the
+    // rescore shape: a broadcast-scale batch rescans the corpus sets
+    // ONCE with zero corpus shuffle; an oversized batch falls back to
+    // the shuffle-hash rescore over the union
+    val rescored =
+      if (bandedRows <= maxBroadcastBandedRows)
+        rescoreExactJaccardSetsBroadcastBatch(candidates, corpusBase, batchBase, threshold)
+      else
+        rescoreExactJaccardSets(
+          candidates, corpusBase.union(batchBase).select(col("doc_id"), col("shs")), threshold)
+    (rescored, release)
   }
 
   /** NOVELTY filter: the batch docs that are neither exact nor near
