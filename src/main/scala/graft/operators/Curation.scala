@@ -57,8 +57,19 @@ object Curation {
 
   /** Per-group cap (domain balancing): keep at most `k` rows per group,
     * preferring by `rankCols` order (ties must be broken to a total
-    * order for determinism). One window per group partition — the
-    * standard "no domain may dominate the corpus" curation step.
+    * order for determinism) — the standard "no domain may dominate the
+    * corpus" curation step.
+    *
+    * Skew shape: a bare per-group window funnels EVERY row of a hot
+    * group through one unsplittable task — at 100 TB with a handful of
+    * domains that is a handful of tasks for the whole corpus (the q82
+    * window-skew class). Two phases instead: (1) top-k per
+    * (group, input-partition) — the window key includes the physical
+    * partition id, so no cell ever exceeds one input partition's rows;
+    * (2) exact top-k over the surviving candidates, whose input is
+    * bounded by k × partitions per group, not by group size. The global
+    * top-k of a group is always a subset of the union of its
+    * per-partition top-ks, so the result is exactly the naive window's.
     */
   def capPerGroup(
       df: DataFrame,
@@ -67,10 +78,23 @@ object Curation {
       k: Int
   ): DataFrame = {
     require(k > 0)
-    require(!df.columns.contains("_rn"),
-      "capPerGroup: reserved working column '_rn' already exists in the input")
-    val w = Window.partitionBy(col(groupCol)).orderBy(rankCols: _*)
-    df.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+    val reserved = Seq("_rn", "_cap_pid")
+    require(reserved.forall(c => !df.columns.contains(c)),
+      s"capPerGroup: reserved working column already exists (${reserved.mkString(", ")})")
+    val local = df
+      .withColumn("_cap_pid", spark_partition_id())
+      .withColumn(
+        "_rn",
+        row_number().over(
+          Window.partitionBy(col(groupCol), col("_cap_pid")).orderBy(rankCols: _*)))
+      .where(col("_rn") <= k)
+      .drop("_rn", "_cap_pid")
+    local
+      .withColumn(
+        "_rn",
+        row_number().over(Window.partitionBy(col(groupCol)).orderBy(rankCols: _*)))
+      .where(col("_rn") <= k)
+      .drop("_rn")
   }
 
   /** Frequency-ranked VOCABULARY build: tokens occurring at least

@@ -32,6 +32,18 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(byGroup.values.forall(_.length == 4))
     // keeps the TOP scores of each group
     assert(byGroup("g0").map(_._3).sorted.toSeq == Seq(240L, 270L, 300L).prepended(210L))
+    // the two-phase (partition-local then candidate) cap is exact: the
+    // result is invariant to how the input is partitioned, including
+    // the one-hot-group case the naive window concentrates into 1 task
+    val hot = (1 to 500).map(i => (i.toLong, "hot", (i * 37 % 101).toLong))
+      .toDF("id", "g", "score")
+    def capped(d: org.apache.spark.sql.DataFrame) =
+      Curation.capPerGroup(d, "g", Seq(col("score").desc, col("id")), 7)
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val want = capped(hot.coalesce(1))
+    assert(capped(hot.repartition(13)) == want)
+    assert(capped(hot.repartition(32)) == want)
+    assert(want.length == 7)
   }
 
   test("buildVocab: dense ids in (count desc, token) order, minCount enforced") {
