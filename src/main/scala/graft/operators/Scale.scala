@@ -120,24 +120,78 @@ object Scale {
       .mode("overwrite")
       .parquet(path)
 
+  /** Range-partition `df` by `order`, sort within partitions, and
+    * materialize the result with an EAGER `localCheckpoint` — the shared
+    * front half of [[globalDenseRank]] / [[globalRunningSum]]. The
+    * checkpoint is what makes the fan-out cheap: both primitives need the
+    * partitioned data twice (once for metadata-scale per-partition totals,
+    * once for the row-level prefix walk), and WITHOUT materialization the
+    * two consumers each re-evaluate the entire upstream plan plus the
+    * range shuffle — ReuseExchange does NOT save them, because column
+    * pruning narrows the totals branch's projection under its exchange,
+    * so the two exchanges no longer canonicalize equal (measured: two
+    * independent ShuffleQueryStages, each rescanning the source). The
+    * checkpointed blocks distribute across executors (MEMORY_AND_DISK)
+    * and are reclaimed by the ContextCleaner once the plan is GC'd —
+    * the [[graft.operators.Similarity]] batch-probe discipline.
+    */
+  private def rangeSortedCheckpoint(
+      df: DataFrame,
+      order: Seq[Column],
+      parts: Int
+  ): DataFrame =
+    df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint()
+
+  /** Per-partition (rowCount, non-null value count, value sum) of the
+    * checkpointed partitions, collected to the driver — ONE ROW PER
+    * PARTITION, bounded by the cluster's parallelism, never by the data.
+    * With no `valueCol` the value stats are zero (rank only needs counts).
+    */
+  private def partitionTotals(ranged: DataFrame, valueCol: Option[String], parts: Int)
+      : Array[(Long, Long, Long)] = {
+    val vc = valueCol.map(col).getOrElse(lit(null).cast("long"))
+    val rows = ranged
+      .groupBy(spark_partition_id().as("_pt_pid"))
+      .agg(
+        count(lit(1)).as("_pt_rows"),
+        count(vc).as("_pt_vals"),
+        sum(vc).as("_pt_sum"))
+      .collect()
+    val out = Array.fill(parts)((0L, 0L, 0L))
+    rows.foreach { r =>
+      out(r.getInt(0)) = (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3))
+    }
+    out
+  }
+
   /** Global 1-based dense rank in `order` WITHOUT funnelling the data
     * through a single ordered partition (the `row_number().over(
-    * Window.orderBy(...))` shape every executor-bottleneck audit flags):
+    * Window.orderBy(...))` shape every executor-bottleneck audit flags).
+    * This is Spark's own `RDD.zipWithIndex` construction lifted to
+    * DataFrames:
     *
-    *   1. range-repartition on the sort keys — partitions hold disjoint,
-    *      partition-id-ordered key ranges (RangePartitioning respects the
-    *      sort directions, so partition 0 holds the first rows of the
-    *      requested order);
-    *   2. rank locally per partition (`row_number` over the partition id);
-    *   3. add each partition's starting offset, computed from per-partition
-    *      COUNTS — one row per partition, bounded by the cluster's
-    *      parallelism, never by the data, so the cumulative-sum window
-    *      over them is metadata-scale.
+    *   1. range-repartition on the sort keys and sort within partitions —
+    *      partitions hold disjoint, partition-id-ordered key ranges
+    *      (RangePartitioning respects the sort directions, so partition 0
+    *      holds the first rows of the requested order) — then
+    *      `localCheckpoint` ONCE ([[rangeSortedCheckpoint]]: upstream and
+    *      the shuffle are evaluated exactly once);
+    *   2. collect per-partition ROW COUNTS to the driver — metadata-scale,
+    *      one row per partition — and prefix-sum them into starting
+    *      offsets;
+    *   3. one `mapPartitions` walk over the sorted blocks assigns
+    *      `offset + local position`. No window, and crucially NO second
+    *      corpus shuffle: a `Window.partitionBy(spark_partition_id())`
+    *      would re-shuffle everything on the pid (Catalyst cannot know the
+    *      data is already pid-clustered), which is exactly the exchange
+    *      this shape deletes. The per-partition prefix walk is the one
+    *      computation Catalyst genuinely cannot express without that
+    *      shuffle — the documented `mapPartitions` justification.
     *
-    * The ranked subtree feeds both the counts and the final join from one
-    * plan, so the range exchange is computed once (ReuseExchange) and both
-    * sides see identical partition boundaries. `order` must be a TOTAL
-    * order for the rank to be deterministic. Appends `outCol` (BIGINT).
+    * `order` must be a TOTAL order for the rank to be deterministic.
+    * Appends `outCol` (BIGINT, 1-based).
     */
   def globalDenseRank(
       df: DataFrame,
@@ -145,58 +199,47 @@ object Scale {
       outCol: String,
       partitions: Int = 0
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{Encoders, Row}
     require(order.nonEmpty, "globalDenseRank: empty sort order")
-    val reserved = Seq("_gdr_pid", "_gdr_rn", "_gdr_c", "_gdr_off")
-    require(reserved.forall(c => !df.columns.contains(c)),
-      s"globalDenseRank: reserved working column already exists in the input (${reserved.mkString(", ")})")
+    require(!df.columns.contains(outCol),
+      s"globalDenseRank: output column $outCol already exists in the input")
     val parts =
       if (partitions > 0) partitions
       else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
-    val ranged = df
-      .repartitionByRange(parts, order: _*)
-      .withColumn("_gdr_pid", spark_partition_id())
-    val local = ranged.withColumn(
-      "_gdr_rn",
-      row_number().over(Window.partitionBy("_gdr_pid").orderBy(order: _*)))
-    // cumulative count of all EARLIER partitions; this window runs over
-    // ONE ROW PER PARTITION (metadata-scale), not over the data. The
-    // partition key is an always-zero expression that Catalyst can NOT
-    // constant-fold away (a literal gets folded, leaving an empty
-    // partition spec and a spurious "no partition defined / moving all
-    // data to a single partition" warning on every run): the single
-    // group is the intended shape, declared so the log stays clean and
-    // a warning grep only ever surfaces REAL funnels
-    val offsets = ranged
-      .groupBy("_gdr_pid")
-      .agg(count(lit(1)).as("_gdr_c"))
-      .withColumn(
-        "_gdr_off",
-        coalesce(
-          sum("_gdr_c").over(
-            Window.partitionBy(pmod(col("_gdr_pid"), lit(1))).orderBy("_gdr_pid")
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select("_gdr_pid", "_gdr_off")
-    local
-      .join(broadcast(offsets), "_gdr_pid")
-      .withColumn(outCol, (col("_gdr_off") + col("_gdr_rn")).cast("long"))
-      .drop("_gdr_pid", "_gdr_rn", "_gdr_off")
+    val ranged = rangeSortedCheckpoint(df, order, parts)
+    val totals = partitionTotals(ranged, None, parts)
+    val offsets = totals.scanLeft(0L)(_ + _._1).init
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    ranged.mapPartitions { it =>
+      var pos = offsets(org.apache.spark.TaskContext.getPartitionId())
+      it.map { r =>
+        pos += 1L
+        Row.fromSeq(r.toSeq :+ pos)
+      }
+    }(Encoders.row(schema))
   }
 
   /** Global RUNNING SUM over a total order without ever funnelling the
     * data through one ordered partition — [[globalDenseRank]]'s
-    * rank-and-offset construction applied to a SUM: range-partition by
-    * `order`, run the cumulative window per partition (parallel), then
-    * offset each partition by the total of all EARLIER partitions — one
-    * row per partition, metadata-scale. The classic use is prefix
+    * zipWithIndex construction applied to a SUM: range-partition +
+    * partition-sort by `order`, checkpoint once, collect per-partition
+    * value totals (metadata-scale: one row per partition), prefix-sum
+    * them on the driver, then one `mapPartitions` walk accumulates
+    * `earlier partitions' total + local running sum`. One upstream
+    * evaluation, one shuffle, no window (and no window-by-partition-id
+    * re-shuffle — see [[globalDenseRank]]). The classic use is prefix
     * selection under a budget ([[graft.operators.Curation.budgetSelect]]):
     * `sum(x) OVER (ORDER BY ...)` with no PARTITION BY is exactly the
     * window shape Spark executes in a single task. `order` must be a
     * total order for the result to be deterministic; the summed column
     * should be integral (BIGINT sums are exact and order-independent —
-    * a double running sum would depend on partition boundaries).
-    * Appends `outCol` = inclusive running total (BIGINT).
+    * a double running sum would depend on partition boundaries). NULL
+    * values add nothing, and — matching ANSI window-SUM semantics — the
+    * running total is NULL until the first non-null value in the global
+    * order. Appends `outCol` = inclusive running total (BIGINT).
     */
   def globalRunningSum(
       df: DataFrame,
@@ -205,40 +248,37 @@ object Scale {
       outCol: String,
       partitions: Int = 0
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{Encoders, Row}
     require(order.nonEmpty, "globalRunningSum: empty sort order")
-    val reserved = Seq("_grs_pid", "_grs_v", "_grs_run", "_grs_off")
+    val reserved = Seq("_grs_v")
     require(reserved.forall(c => !df.columns.contains(c)),
       s"globalRunningSum: reserved working column already exists (${reserved.mkString(", ")})")
+    require(!df.columns.contains(outCol),
+      s"globalRunningSum: output column $outCol already exists in the input")
     val parts =
       if (partitions > 0) partitions
       else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
-    val ranged = df
-      .withColumn("_grs_v", valueCol.cast("long"))
-      .repartitionByRange(parts, order: _*)
-      .withColumn("_grs_pid", spark_partition_id())
-    val local = ranged.withColumn(
-      "_grs_run",
-      sum("_grs_v").over(
-        Window.partitionBy("_grs_pid").orderBy(order: _*)
-          .rowsBetween(Window.unboundedPreceding, 0)))
-    // one row per partition; same non-foldable single-group key as
-    // globalDenseRank (see the comment there)
-    val offsets = ranged
-      .groupBy("_grs_pid")
-      .agg(sum("_grs_v").as("_grs_c"))
-      .withColumn(
-        "_grs_off",
-        coalesce(
-          sum("_grs_c").over(
-            Window.partitionBy(pmod(col("_grs_pid"), lit(1))).orderBy("_grs_pid")
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select("_grs_pid", "_grs_off")
-    local
-      .join(broadcast(offsets), "_grs_pid")
-      .withColumn(outCol, (col("_grs_off") + col("_grs_run")).cast("long"))
-      .drop("_grs_pid", "_grs_v", "_grs_run", "_grs_off")
+    val ranged = rangeSortedCheckpoint(
+      df.withColumn("_grs_v", valueCol.cast("long")), order, parts)
+    val vIdx = ranged.columns.length - 1
+    val totals = partitionTotals(ranged, Some("_grs_v"), parts)
+    val offsets = totals.scanLeft(0L)(_ + _._3).init
+    val seenBefore = totals.scanLeft(0L)(_ + _._2).init.map(_ > 0L)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields.patch(vIdx, Nil, 1) :+
+        org.apache.spark.sql.types.StructField(
+          outCol, org.apache.spark.sql.types.LongType, nullable = true))
+    ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = offsets(pid)
+      var seen = seenBefore(pid)
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) { acc += r.getLong(vIdx); seen = true }
+        val run: Any = if (seen) java.lang.Long.valueOf(acc) else null
+        val cells = r.toSeq
+        Row.fromSeq(cells.patch(vIdx, Nil, 1) :+ run)
+      }
+    }(Encoders.row(schema))
   }
 
   /** Deterministic TRAINING-ORDER SHUFFLE: a reproducible pseudo-random

@@ -74,13 +74,12 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
   test("vocab ranking never funnels the data through one ordered partition") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b c d")).toDF("doc_id", "text")
     val plan = Curation.buildVocab(docs, "text", 1L).queryExecution.executedPlan.toString
-    // the token-level rank window must be partitioned; only the
-    // partition-count cumulative sum (one row per partition) may run in
-    // a single partition
-    assert(plan.contains("row_number() windowspecdefinition(_gdr_pid"), plan.take(1200))
-    val dataWindowUnpartitioned = plan.linesIterator.exists(l =>
-      l.contains("row_number() windowspecdefinition(") && !l.contains("_gdr_pid"))
-    assert(!dataWindowUnpartitioned, plan.take(1200))
+    // ranks come from globalDenseRank's zipWithIndex walk over the
+    // checkpointed range partitions — no window operator may appear
+    // anywhere (a row_number window would be the single-task funnel;
+    // a pid-partitioned one would be the deleted second shuffle)
+    assert(plan.contains("MapPartitions"), plan.take(1200))
+    assert(!plan.contains("windowspecdefinition"), plan.take(1200))
   }
 
   test("repetitionScore: repeated trigram dominates; short docs omitted") {

@@ -232,15 +232,15 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     val want = df.select("k").as[Long].collect().sorted.toSeq
     assert(got == want)
     assert(ranked.select("rk").as[Long].collect().sorted.toSeq == (1L to 10000L))
-    // the DATA-sized window is partitioned (by _gdr_pid) — the only
-    // single-partition stage left is the cumulative sum over the
-    // per-partition COUNTS (one row per partition, like any count()'s
-    // final stage), never the ranked rows themselves
+    // zipWithIndex shape: positions come from one mapPartitions walk over
+    // the checkpointed range partitions — no window operator at all (a
+    // global row_number window would be the single-task funnel; a
+    // pid-partitioned one would shuffle the corpus a second time), and no
+    // exchange either (the one shuffle is paid inside the checkpoint)
     val plan = ranked.queryExecution.executedPlan.toString
-    assert(plan.contains("row_number() windowspecdefinition(_gdr_pid"), plan.take(1200))
-    val dataWindowUnpartitioned = plan.linesIterator.exists(l =>
-      l.contains("row_number() windowspecdefinition(") && !l.contains("_gdr_pid"))
-    assert(!dataWindowUnpartitioned, plan.take(1200))
+    assert(plan.contains("MapPartitions"), plan.take(1200))
+    assert(!plan.contains("windowspecdefinition"), plan.take(1200))
+    assert(!plan.contains("Exchange"), plan.take(1200))
   }
 
   test("trainingShuffle: deterministic, seed-sensitive, partition-invariant permutation") {
@@ -265,12 +265,10 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       .orderBy("k", "id").select("id").as[Long].collect().toSeq
     val gotOrder = a.orderBy("train_pos").select("id").as[Long].collect().toSeq
     assert(gotOrder == wantOrder)
-    // inherits globalDenseRank's no-funnel shape: no unpartitioned
-    // data-sized window anywhere in the plan
+    // inherits globalDenseRank's no-funnel zipWithIndex shape: no
+    // window operator anywhere in the plan
     val plan = a.queryExecution.executedPlan.toString
-    val dataWindowUnpartitioned = plan.linesIterator.exists(l =>
-      l.contains("row_number() windowspecdefinition(") && !l.contains("_gdr_pid"))
-    assert(!dataWindowUnpartitioned, plan.take(1200))
+    assert(!plan.contains("windowspecdefinition"), plan.take(1200))
   }
 
   test("k-way Morton interleave: bit layout + exact 2-dim equivalence") {
@@ -333,11 +331,13 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(got == expect)
     assert(run(3) == expect && run(32) == expect,
       "running totals must not depend on the partition count")
-    // and no single-partition data window: every Window in the plan is
-    // keyed by the range-partition id or the 1-row-per-partition offsets
+    // zipWithIndex shape: one mapPartitions accumulator walk, no window
+    // operator, no exchange (the one shuffle is inside the checkpoint)
     val plan = Scale.globalRunningSum(rows, Seq(col("id").asc), col("v"), "cum")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("_grs_pid"), plan.take(300))
+    assert(plan.contains("MapPartitions"), plan.take(1200))
+    assert(!plan.contains("windowspecdefinition"), plan.take(1200))
+    assert(!plan.contains("Exchange"), plan.take(1200))
   }
 
   test("budgetSelect keeps exactly the prefix that fits the budget") {
