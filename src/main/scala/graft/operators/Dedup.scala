@@ -266,7 +266,31 @@ object Dedup {
     * count, so it holds at 1000 executors. Shared verification tail of
     * every candidate-generation strategy (capped shared-shingle,
     * MinHash-LSH, incremental) — candidates-only work, never all-pairs.
+    *
+    * The shuffle-hash shape is the 100×-safe one, but it is NOT hinted
+    * unconditionally: at small scale forcing two corpus shuffles where
+    * the whole set table fits an executor costs more than it saves, so
+    * the shape is MEASURED (the [[graft.operators.Scale.joinSkewAware]]
+    * probe-before-join move): one metadata aggregation over `base`
+    * estimates the set table's broadcast build bytes, and only a table
+    * under [[MaxBroadcastSetBytes]] takes the zero-shuffle double
+    * broadcast. The estimate is conservative per shingle (UTF8String
+    * header + ~n-gram payload) so the cutover errs toward the
+    * shuffle-hash shape.
     */
+  private[operators] val MaxBroadcastSetBytes: Long = 256L * 1024 * 1024
+
+  /** Estimated broadcast-build bytes of a `(doc_id, shs)` set table:
+    * one metadata-scale aggregation (rows + total shingles), priced at
+    * 64 B per shingle string and 80 B per row of struct overhead.
+    */
+  private def estimatedSetBytes(base: DataFrame): Long = {
+    val r = base.agg(count(lit(1)), sum(size(col("shs")))).head()
+    val rows = r.getLong(0)
+    val shingles = if (r.isNullAt(1)) 0L else r.getLong(1)
+    shingles * 64L + rows * 80L
+  }
+
   private def rescoreExactJaccardSets(
       candidates: DataFrame,
       base: DataFrame,
@@ -274,11 +298,16 @@ object Dedup {
   ): DataFrame = {
     val aSide = sortedSetsOf(base, "doc_a", "na", "sa")
     val bSide = sortedSetsOf(base, "doc_b", "nb", "sb")
-    scoreJoinedSets(
-      candidates
-        .join(aSide.hint("shuffle_hash"), "doc_a")
-        .join(bSide.hint("shuffle_hash"), "doc_b"),
-      threshold)
+    val joined =
+      if (estimatedSetBytes(base) <= MaxBroadcastSetBytes)
+        candidates
+          .join(broadcast(aSide), "doc_a")
+          .join(broadcast(bSide), "doc_b")
+      else
+        candidates
+          .join(aSide.hint("shuffle_hash"), "doc_a")
+          .join(bSide.hint("shuffle_hash"), "doc_b")
+    scoreJoinedSets(joined, threshold)
   }
 
   /** [[rescoreExactJaccardSets]] for the INCREMENTAL shape, where every
@@ -488,19 +517,44 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+    // The broadcast rescore ships TWO things to every executor, and the
+    // banded-row guard above bounds NEITHER: the candidate pair set
+    // (batch docs × their corpus matches — unbounded when a batch doc
+    // hits a hot corpus bucket of boilerplate near-dups) and the batch's
+    // full sorted shingle arrays (far heavier per row than the ~80-byte
+    // banded rows the banding bound was sized for). So the rescore shape
+    // gets its OWN measurements: the candidates are materialized (cached
+    // — they are reused verbatim by the rescore) and counted, and the
+    // batch set table's build bytes are estimated like any other
+    // rescore input. Either bound tripping degrades to the measured
+    // shuffle rescore over the union, which is always safe.
+    val (rescored, releaseCand): (DataFrame, () => Unit) =
+      if (bandedRows <= maxBroadcastBandedRows) {
+        val cand = candidates.persist()
+        val candRows = cand.count()
+        if (candRows * 96L <= MaxBroadcastSetBytes &&
+            estimatedSetBytes(batchBase) <= MaxBroadcastSetBytes)
+          (rescoreExactJaccardSetsBroadcastBatch(cand, corpusBase, batchBase, threshold),
+            () => cand.unpersist(): Unit)
+        else {
+          org.slf4j.LoggerFactory
+            .getLogger(getClass)
+            .warn(
+              s"incrementalNearDupMd5: broadcast-scale batch but $candRows candidate " +
+                "pairs / batch set bytes exceed the broadcast bound — taking the " +
+                "measured shuffle rescore over the union instead")
+          (rescoreExactJaccardSets(
+            cand, corpusBase.union(batchBase).select(col("doc_id"), col("shs")), threshold),
+            () => cand.unpersist(): Unit)
+        }
+      } else
+        (rescoreExactJaccardSets(
+          candidates, corpusBase.union(batchBase).select(col("doc_id"), col("shs")), threshold),
+          () => ())
     val release: () => Unit =
-      if (persistIntermediate) { () => { corpusBase.unpersist(); batchBase.unpersist(): Unit } }
-      else () => ()
-    // the same measured guard that chose the banding strategy picks the
-    // rescore shape: a broadcast-scale batch rescans the corpus sets
-    // ONCE with zero corpus shuffle; an oversized batch falls back to
-    // the shuffle-hash rescore over the union
-    val rescored =
-      if (bandedRows <= maxBroadcastBandedRows)
-        rescoreExactJaccardSetsBroadcastBatch(candidates, corpusBase, batchBase, threshold)
-      else
-        rescoreExactJaccardSets(
-          candidates, corpusBase.union(batchBase).select(col("doc_id"), col("shs")), threshold)
+      if (persistIntermediate) { () =>
+        { corpusBase.unpersist(); batchBase.unpersist(); releaseCand() }
+      } else releaseCand
     (rescored, release)
   }
 

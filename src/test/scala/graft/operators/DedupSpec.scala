@@ -66,20 +66,36 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
   test("incremental near-dup: oversized batch degrades broadcast hint to shuffle, same answer") {
     val corpus = docs.where(col("doc_id") < 400)
     val batch = docs.where(col("doc_id") >= 400)
-    val hinted = Dedup.incrementalNearDupMd5(corpus, batch, "doc_id", "text", 3, 0.8)
-    // bound of 0 banded rows: every non-empty batch exceeds it
-    val degraded = Dedup.incrementalNearDupMd5(
-      corpus, batch, "doc_id", "text", 3, 0.8, maxBroadcastBandedRows = 0L)
     // the measured guard must drop the explicit broadcast hint from the
-    // candidate join (AQE may still pick BHJ at runtime for a side it
-    // MEASURES as small — the contract is no unconditional driver-side
-    // collect of an unbounded batch)
-    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
-      "strategy=broadcast".r.findAllIn(df.queryExecution.optimizedPlan.toString).length
-    assert(hintCount(hinted) >= 1, "default path lost its broadcast hint")
-    assert(hintCount(degraded) == 0, "degraded path still hints broadcast")
+    // BANDING candidate join (AQE may still pick BHJ at runtime for a
+    // side it MEASURES as small — the contract is no unconditional
+    // driver-side collect of an unbounded batch). The rescore's own
+    // measured broadcast hints (keyed on doc_a/doc_b, never band) are
+    // legitimate in both paths, so the assertion targets the join that
+    // carries the (band, bucket) condition. Two print forms: an uncached
+    // plan carries the logical rightHint=(strategy=broadcast) on the
+    // join line; the measured-broadcast path caches the candidate pairs,
+    // so the banding join appears as the already-finalized
+    // BroadcastHashJoin inside the InMemoryRelation's stored plan.
+    def bandJoinHinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.linesIterator.exists(l =>
+        (l.contains("strategy=broadcast") && l.contains("band")) ||
+          l.contains("BroadcastHashJoin [band"))
+    // Managed variant + release between runs: CacheManager matches plans
+    // with hints canonicalized away, so without the release the degraded
+    // query would silently reuse the HINTED run's cached candidates and
+    // the plan inspection would see the wrong shape
+    val (hinted, rel1) =
+      Dedup.incrementalNearDupMd5Managed(corpus, batch, "doc_id", "text", 3, 0.8)
+    assert(bandJoinHinted(hinted), "default path lost its banding broadcast hint")
     val a = hinted.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    rel1()
+    // bound of 0 banded rows: every non-empty batch exceeds it
+    val (degraded, rel2) = Dedup.incrementalNearDupMd5Managed(
+      corpus, batch, "doc_id", "text", 3, 0.8, maxBroadcastBandedRows = 0L)
+    assert(!bandJoinHinted(degraded), "degraded path still hints the banding broadcast")
     val b = degraded.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    rel2()
     assert(a.nonEmpty && a == b)
   }
 
@@ -145,6 +161,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val wide = Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text", 3, 0.8, maxDocsPerShingle = 10000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wide == exact.keySet)
+  }
+
+  test("rescore shape is measured: a small set table broadcasts, no forced shuffle-hash") {
+    // the fixture corpus's set table is a few MB — far under the
+    // broadcast bound — so the exact-Jaccard rescore must take the
+    // zero-shuffle double-broadcast shape, not the unconditional
+    // shuffle-hash hint r11 shipped (the 100×-scale shape is still
+    // exercised: estimatedSetBytes grows past the bound with the corpus)
+    val out = Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text", 3, 0.8)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("ShuffledHashJoin"), plan.take(1500))
   }
 
   test("q26 closure: simhash group invariants that hold across hash families") {
