@@ -602,11 +602,18 @@ object Curation {
     * ratio with a whole-distribution measure.
     *
     * Cross-engine determinism: counts are exact BIGINTs; `ln(c/n)` is
-    * [[pseudoLn]] on the one correctly-rounded double `c/n ∈ (0, 1]`
-    * (inside the series' sweet spot), quantized per (doc, token) to
-    * `l = floor(scale·pseudoLn)`; the document's entropy numerator is
-    * then the pure BIGINT sum `−Σ c·l`, order-free — divide by
-    * `n·scale` for nats. Docs with no tokens are omitted.
+    * [[pseudoLn]] on the one correctly-rounded double `c/n ∈ (0, 1]`,
+    * quantized per (doc, token) to `l = floor(scale·pseudoLn)`; the
+    * document's entropy numerator is then the pure BIGINT sum `−Σ c·l`,
+    * order-free — divide by `n·scale` for nats. Docs with no tokens are
+    * omitted. Like [[domainShift]], the result is a DETERMINISTIC
+    * SCORING TRANSFORM, not libm `ln`: [[pseudoLn]]'s accuracy fades
+    * outside `[1/8, 8]`, and rare tokens in a diverse doc have
+    * `c/n` well below 1/8 (e.g. pseudoLn(0.01) ≈ −3.76 vs
+    * ln(0.01) = −4.61), so H is systematically UNDERESTIMATED for any
+    * doc whose vocabulary exceeds ~8 distinct tokens. Ranking by
+    * diversity is preserved in practice; absolute nats are not — treat
+    * the value as a monotone quality score, not an information measure.
     *
     * Scale shape: one explode partially aggregated to (doc, token)
     * counts, one doc-level re-aggregation; per-doc totals ride the
@@ -834,8 +841,10 @@ object Curation {
     * walk — the "random negatives, reproducibly" step of contrastive
     * embedding training. Each id gets a ring position by ranking
     * `md5(salt:id)` (an engine-reproducible pseudo-random permutation);
-    * anchor i's candidates are the next `k` ids around the ring
-    * (wrapping), and any pair present in `excludePairs` — e.g. a
+    * anchor i's candidates are the next `min(k, n−1)` ids around the
+    * ring (wrapping; the clamp stops a k ≥ n walk from lapping the ring
+    * and emitting one neg_id at several slots of the same anchor), and
+    * any pair present in `excludePairs` — e.g. a
     * near-dup pair set, since positives must not leak in as negatives —
     * is anti-joined away, leaving ≤ k slots per anchor. Changing
     * `salt` redraws the whole sample.
@@ -865,9 +874,14 @@ object Curation {
       Seq(col("_h")), "_pos")
     val n = ring.agg(count(lit(1))).head().getLong(0)
     require(n > 1, s"negativeSamples: need at least 2 distinct ids, got $n")
+    // a walk of n-1 steps visits every OTHER id exactly once; more would
+    // wrap past a full revolution and emit the same neg_id at several
+    // slots for one anchor, silently violating the "up to k negatives"
+    // contract — so the slot count is clamped to min(k, n-1)
+    val kEff = math.min(k.toLong, n - 1)
     val anchors = ring
       .select(col(idCol).as("anchor_id"), col("_pos"))
-      .withColumn("slot", explode(sequence(lit(1), lit(k))))
+      .withColumn("slot", explode(sequence(lit(1L), lit(kEff))))
       .withColumn("_negpos", ((col("_pos") - 1 + col("slot")) % n) + 1)
     val negs = ring.select(col(idCol).as("neg_id"), col("_pos").as("_negpos"))
     val excl = excludePairs
@@ -875,7 +889,7 @@ object Curation {
       .union(excludePairs.select(col(pb).as("anchor_id"), col(pa).as("neg_id")))
     anchors
       .join(negs, "_negpos")
-      .where(col("anchor_id") =!= col("neg_id")) // k >= ring size wraps onto self
+      .where(col("anchor_id") =!= col("neg_id")) // unreachable under the clamp; kept as belt-and-braces
       .join(excl, Seq("anchor_id", "neg_id"), "left_anti")
       .select(col("anchor_id"), col("slot").cast("long").as("slot"), col("neg_id"))
       .orderBy("anchor_id", "slot")

@@ -189,6 +189,15 @@ object Invert {
     // replay must be a silent no-op, not an error
     if (commitId.exists(id => FileMerge.appendCommitted(spark, indexPath, id)))
       return false
+    // schema-version check BEFORE the footer read: an index persisted
+    // before max_doc became a top-level column would otherwise fail the
+    // footer-stats lookup with an opaque missing-column error and no
+    // hint that a rebuild is the (only) migration path
+    require(
+      spark.read.parquet(indexPath).columns.contains("max_doc"),
+      s"appendToIndex: index at $indexPath predates the doc-granularity append " +
+        "watermark (no top-level max_doc column) — rebuild it with writeIndex " +
+        "before appending")
     val maxIndexed = graft.sources.Lake
       .footerStats(spark, indexPath, "max_doc")
       .head()

@@ -100,6 +100,13 @@ object Sessions {
   ): DataFrame = {
     require(steps.nonEmpty, "funnel: empty steps")
     require(withinSeconds >= 0, s"funnel: negative horizon $withinSeconds")
+    // the step-time outputs t1..tN share the result schema with keyCol —
+    // the capPerGroup reserved-column discipline, so a key literally
+    // named "t1" fails fast instead of yielding an ambiguous select
+    val reserved = (1 to steps.length).map(j => s"t$j")
+    require(!reserved.contains(keyCol),
+      s"funnel: key column $keyCol collides with a step-time output column " +
+        s"(${reserved.mkString(", ")})")
     val base = events.select(
       col(keyCol).as("k"),
       col(tsCol).cast("long").as("s"),

@@ -77,6 +77,15 @@ object TimeSeries {
   ): DataFrame = {
     require(windowSeconds > 0, s"rollingAggregate: windowSeconds must be positive")
     require(scale > 0, s"rollingAggregate: scale must be positive")
+    // working/output names introduced below — the capPerGroup /
+    // globalDenseRank reserved-column discipline: a caller whose key/id
+    // column is literally named "sec" would otherwise get an ambiguous
+    // -column failure (or a silently misbound select)
+    val reserved = Seq("sec", "_v", "n_window", "sum_scaled", "min_scaled", "max_scaled")
+    require(
+      !Seq(keyCol, idCol).exists(reserved.contains),
+      s"rollingAggregate: key/id column collides with a reserved output name " +
+        s"(${reserved.mkString(", ")})")
     val w = Window
       .partitionBy(col(keyCol))
       .orderBy(col("sec"))

@@ -388,4 +388,21 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(other.sorted != got.sorted)
   }
+
+  test("negativeSamples: k >= n clamps to n-1 steps — no lapped duplicate negatives") {
+    val docs = (0L until 4L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    // k = 9 over a 4-id ring: an unclamped walk would lap the ring twice
+    // and emit each neg_id at three different slots per anchor
+    val got = Curation.negativeSamples(docs, "doc_id", k = 9, none).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.keySet == (0L until 4L).toSet)
+    byAnchor.foreach { case (a, rows) =>
+      assert(rows.size == 3, s"anchor $a: expected n-1 = 3 slots, got ${rows.size}")
+      assert(rows.map(_._3).distinct.size == 3, s"anchor $a emitted a duplicate negative")
+      assert(rows.map(_._3).toSet == (0L until 4L).toSet - a,
+        s"anchor $a should see every other id exactly once")
+    }
+  }
 }

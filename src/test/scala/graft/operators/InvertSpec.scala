@@ -152,6 +152,23 @@ class InvertSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("strictly increasing"))
   }
 
+  test("appendToIndex: a pre-watermark index (no max_doc column) fails with a rebuild hint") {
+    val dir = java.nio.file.Files.createTempDirectory("invert_legacy").toString + "/index"
+    val first = (0L until 50L).map(i => (i, "alpha beta")).toDF("doc_id", "text")
+    // simulate an index persisted before max_doc became a top-level
+    // column: build the modern postings, drop the watermark columns,
+    // write the result as the "legacy" index
+    Invert.writeIndex(
+      spark,
+      Invert.postingLists(first, "doc_id", "text", 100L).drop("min_doc", "max_doc"),
+      dir, files = 1)
+    val batch = (100L until 120L).map(i => (i, "beta gamma")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Invert.appendToIndex(spark, batch, "doc_id", "text", dir, blockDocs = 100L)
+    }
+    assert(e.getMessage.contains("rebuild it with writeIndex"), e.getMessage)
+  }
+
   test("a torn index swap heals on the next read") {
     val root = java.nio.file.Files.createTempDirectory("invert_heal").toString
     val dir = s"$root/index"

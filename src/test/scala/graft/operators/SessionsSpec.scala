@@ -116,4 +116,12 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(rep == got)
   }
+
+  test("funnel: a key column named like a step-time output fails fast") {
+    val ev = Seq(("u", new Timestamp(0L), "A")).toDF("t1", "ts", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      Sessions.funnel(ev, "t1", "ts", "event_type", Seq("A", "B"), withinSeconds = 10)
+    }
+    assert(e.getMessage.contains("step-time output column"), e.getMessage)
+  }
 }

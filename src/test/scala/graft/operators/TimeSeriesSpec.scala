@@ -55,4 +55,12 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     assert(got(3) == got(2).copy(_1 = 4L))
     assert(got(4) == ((5L, 1L, 1000000L, 1000000L, 1000000L)))
   }
+
+  test("rollingAggregate: a key/id column named like a working column fails fast") {
+    val ev = Seq((1L, 10L, new Timestamp(0L), 1.0)).toDF("sec", "user_id", "ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.rollingAggregate(ev, "user_id", "ts", "sec", "value", windowSeconds = 10)
+    }
+    assert(e.getMessage.contains("reserved output name"), e.getMessage)
+  }
 }
