@@ -112,8 +112,24 @@ object Bench {
     // a skip-run's totals are not comparable to a full run's: record the
     // skip set so the artifact carries that evidence itself
     val skipJson = skip.toSeq.sorted.map(JsonUtil.quote).mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"skipped":$skipJson,"pass1_total":${r3(t1)},"pass2_total":${r3(t2)},"loadavg_start":${JsonUtil.quote(loadStart)},"loadavg_end":${JsonUtil.quote(loadEnd)},"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"skipped":$skipJson,"pass1_total":${r3(t1)},"pass2_total":${r3(t2)},"loadavg_start":${JsonUtil.quote(loadStart)},"loadavg_end":${JsonUtil.quote(loadEnd)},"sf":"$sfDir"}"""
+    println(line)
+    // stdout tails get truncated by capture windows once the corpus is
+    // large (r11's driver artifact kept only 69/117 per-query numbers):
+    // also write the full line to a file so every recorded artifact is
+    // machine-readable end to end. SPARK_GRAFT_BENCH_OUT overrides the
+    // default ./bench_out.json.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full JSON written to $outPath")
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.plans.Runner.Job
+
+/** Scale end-to-end driver run (the r11 verdict's E1-at-scale ask): the
+  * two orchestration drivers exercised against a REAL scaled corpus as a
+  * recorded artifact, not just their specs' fixtures.
+  *
+  *   - [[LakeDriver]]: full-lake layered ingestion of every TPC-H-ish
+  *     table (layer 0) plus a SQL-filtered derived table that reads
+  *     layer-0 lake output (layer 1), operational metadata per batch,
+  *     reconciliation report at the end — `driver_ingestions.py`'s
+  *     whole lifecycle at data volume.
+  *   - [[CurationDriver]]: the five-stage training-data pipeline
+  *     (validate → dedup → decontaminate → quality+redact →
+  *     shuffle+pack) over the scaled `documents` table with a planted
+  *     benchmark overlap.
+  *
+  * Prints ONE JSON line with per-stage durations and row counts so the
+  * run can be recorded beside the bench artifacts. Usage:
+  * `runMain graft.ScaleE2E <sfDir> <scratchRoot>`.
+  */
+object ScaleE2E {
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
+    catch { case _: Throwable => "unavailable" }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: ScaleE2E <sfDir> <scratchRoot>")
+    val (sfDir, root) = (args(0), args(1))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg()
+
+    // ---- Part 1: LakeDriver over the full relational table set ----
+    val tables =
+      Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    val depCsv = {
+      val p = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+        .resolve("deps.csv")
+      val rows = tables.map(t => s"${t.capitalize},,0") :+ "Open_orders,Orders,1"
+      java.nio.file.Files.writeString(p, "Table,Parent Table,Layer\n" + rows.mkString("\n") + "\n")
+      p.toString
+    }
+    val registry: Map[String, Job] =
+      tables.map { tbl =>
+        s"ing_$tbl" -> LakeDriver.ingestJob(
+          s => s.read.parquet(s"$sfDir/$tbl.parquet"), tbl, root)
+      }.toMap +
+        ("ing_open_orders" -> LakeDriver.ingestJob(
+          s => s.read.parquet(s"$root/datalake/orders"),
+          "open_orders", root,
+          filterSql = Some("SELECT * FROM open_orders WHERE o_orderstatus = 'O'")))
+    val t0 = System.nanoTime()
+    val lake = LakeDriver.run(
+      spark, LakeDriver.Config(root, Some(depCsv), jobPrefix = "ing_"), registry)
+    val lakeSec = (System.nanoTime() - t0) / 1e9
+    val lakeOk = lake.records.count(_.job_status == "SUCCESS")
+    val reconRows = lake.recon.count()
+
+    // ---- Part 2: CurationDriver over the scaled documents corpus ----
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val bench = docs.where(col("doc_id") % 17 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000000L)
+    val t1 = System.nanoTime()
+    val cur = CurationDriver.run(
+      spark, docs, bench, CurationDriver.Config(root = s"$root/curation"))
+    val curSec = (System.nanoTime() - t1) / 1e9
+    val curOk = cur.records.count(_.job_status == "SUCCESS")
+
+    def r3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val stageJson = cur.stageCounts
+      .map { case (k, v) => JsonUtil.quote(k) + ":" + v }.mkString("{", ",", "}")
+    val jobsJson = (lake.records ++ cur.records)
+      .map(r => JsonUtil.quote(r.job_name) + ":" + r.job_duration)
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"e2e","lake_sec":${r3(lakeSec)},"lake_jobs_ok":$lakeOk,"lake_jobs":${lake.records.size},"recon_rows":$reconRows,"curation_sec":${r3(curSec)},"curation_jobs_ok":$curOk,"curation_jobs":${cur.records.size},"stage_counts":$stageJson,"job_durations_sec":$jobsJson,"loadavg_start":${JsonUtil.quote(loadStart)},"loadavg_end":${JsonUtil.quote(loadavg())},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

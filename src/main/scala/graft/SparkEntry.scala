@@ -50,8 +50,12 @@ object SparkEntry {
         "same operator under an oracle-replicable hash rather than a value-equal twin. " +
         "A q25-style transitive chain was TRIED in r11 and empirically fails: the two " +
         "families merge different near-dup sets (SimHash locality is hash-specific), " +
-        "so no engine-independent oracle can exist. Machine-checkable gate: DedupSpec " +
+        "so no engine-independent oracle can exist. Machine-checkable gates: DedupSpec " +
         "'q26 closure' pins the family-independent invariants (exact-dup refinement, " +
-        "keep_id/n_members structure) for BOTH signature families")
+        "keep_id/n_members structure) for BOTH signature families, and since r12 the " +
+        "query output itself carries an invariant digest — exactdup_split_count, the " +
+        "number of identical-token-set dup groups the signature grouping splits, 0 by " +
+        "construction for any correct implementation — so the dumped parquet pins " +
+        "structure even under the driver's rows-only check")
   )
 }

@@ -116,8 +116,30 @@ object PipelineQueries {
     "q25_dedup_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
     },
+    // Permanently rows-only under the driver (see SparkEntry.oracleNotes:
+    // raw-xxhash64 signature groups have no engine-independent oracle),
+    // so the query emits its OWN invariant digest: alongside each group's
+    // (keep_id, n_members), a global exactdup_split_count — the number of
+    // identical-TOKEN-SET duplicate groups this signature grouping splits.
+    // SimHash is a pure function of the distinct token set, so the count
+    // is 0 by construction for ANY correct implementation and hash
+    // family; a nonzero value in the dumped parquet is a machine-visible
+    // regression even though the row shape is only rows-counted.
     "q26_dedup_simhash" -> { (s, dir) =>
-      Dedup.simhashGroups(t(s, dir, "documents"), "doc_id", "text")
+      val docs = t(s, dir, "documents")
+      val tokenSetDigest = docs.select(
+        col("doc_id"),
+        md5(array_join(array_sort(array_distinct(Text.tokens(col("text")))), " ")).as("tsd"))
+      val violations = Dedup.simhash(docs, "doc_id", "text")
+        .join(tokenSetDigest, "doc_id")
+        .groupBy("tsd")
+        .agg(countDistinct("simhash").as("ns"))
+        .where(col("ns") > 1)
+        .agg(count(lit(1)).as("exactdup_split_count"))
+      Dedup.simhashGroups(docs, "doc_id", "text")
+        .select("keep_id", "n_members")
+        .crossJoin(broadcast(violations))
+        .orderBy("keep_id")
     },
     "q27_knn_cosine" -> { (s, dir) =>
       Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 20)
@@ -1098,6 +1120,30 @@ object PipelineQueries {
         s, tmp, "vec_id", "embedding",
         emb.where(col("vec_id") === 0L).select("embedding"),
         k = 10, nprobe = 4, predicate = col("label") === 1, excludeId = Some(0L))
+    },
+    // BM25 over the PERSISTED index lifecycle (q108's pattern with
+    // q107's query): writeIndex on the first half, appendToIndex the
+    // second half mid-block, readIndex, then the ranked retrieval.
+    // Gated by q107's exact oracle SQL, so a divergence is the
+    // physical lifecycle's fault by construction — this closes the one
+    // persisted face q108 left spec-only (phrase search was oracled,
+    // BM25 was not).
+    "q118_bm25_persisted" -> { (s, dir) =>
+      val tmp = freshScratch(s, dir, "q118", Seq("_staging", "_fmerge"))
+      val docs = t(s, dir, "documents")
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      graft.operators.Invert.writeIndex(
+        s,
+        graft.operators.Invert
+          .postingLists(docs.where(col("doc_id") <= cut), "doc_id", "text", blockDocs = 100L),
+        tmp, files = 8)
+      graft.operators.Invert.appendToIndex(
+        s, docs.where(col("doc_id") > cut), "doc_id", "text", tmp,
+        blockDocs = 100L, files = 4, commitId = Some("q118_b0"))
+      graft.operators.Invert.bm25TopK(
+        graft.operators.Invert.readIndex(s, tmp),
+        graft.operators.Invert.docLengths(docs, "doc_id", "text"),
+        Seq("customer", "vector", "stream"), k = 20)
     }
   )
 
@@ -2271,7 +2317,7 @@ object PipelineQueries {
          |       FROM documents),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rk),
          |aa AS (SELECT rk.doc_id AS anchor_id, rk.pos, CAST(s.i AS BIGINT) AS slot
-         |       FROM rk, UNNEST(range(1, 4)) AS s(i)),
+         |       FROM rk CROSS JOIN nn, UNNEST(range(1, least(4, nn.n))) AS s(i)),
          |jj AS (SELECT aa.anchor_id, aa.slot, g.doc_id AS neg_id
          |       FROM aa CROSS JOIN nn
          |       JOIN rk g ON g.pos = ((aa.pos - 1 + aa.slot) % nn.n) + 1
@@ -2393,7 +2439,17 @@ object PipelineQueries {
     // per-document arithmetic (mirroring Invert.bm25TopK), so a libm
     // 1-ulp divergence can flip at most |query| roundings — the
     // per-(term,doc) stage is pure correctly-rounded IEEE arithmetic
-    "q107_bm25" ->
+    "q107_bm25" -> Bm25OracleSql,
+    // q118: the persisted-index BM25 must give exactly q107's answer —
+    // SAME oracle text, so any divergence is the write/append/read
+    // lifecycle's fault by construction (the q108 gating pattern)
+    "q118_bm25_persisted" -> Bm25OracleSql
+  )
+
+  // Shared by q107 (in-memory index) and q118 (persisted lifecycle):
+  // the BM25 ranked-retrieval ground truth with per-term idf
+  // quantization (mirrors Invert.bm25TopK's determinism recipe).
+  private lazy val Bm25OracleSql =
       s"""WITH t2 AS (SELECT doc_id, $TokensSql AS toks FROM documents),
          |tp AS (SELECT doc_id, toks[CAST(u.i AS INT)] AS term
          |       FROM t2, UNNEST(range(1, len(toks) + 1)) AS u(i)),
@@ -2420,7 +2476,6 @@ object PipelineQueries {
          |  CAST(sum(s) AS BIGINT) AS score_scaled
          |FROM sc GROUP BY doc_id
          |ORDER BY score_scaled DESC, doc_id LIMIT 20""".stripMargin
-  )
 
   /** Shared BPE-trainer CTE chain (q85/q86): word types × counts, the
     * symbol sequence encoded as a space-delimited string (' a b c '),
