@@ -158,15 +158,7 @@ object Dedup {
       persistIntermediate: Boolean = true
   ): DataFrame = {
     val base = shingleSets(docs, idCol, textCol, n, persistIntermediate)
-    val sets = base.select(
-      col("doc_id"),
-      size(col("shs")).as("n"),
-      sort_array(col("shs")).as("sset"))
-    val aSide = sets.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sset").as("sa"))
-    val bSide = sets.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sset").as("sb"))
-    val scored = cappedCandidates(base, maxDocsPerShingle)
-      .join(aSide.hint("shuffle_hash"), "doc_a")
-      .join(bSide.hint("shuffle_hash"), "doc_b")
+    val scored = joinedSortedSets(cappedCandidates(base, maxDocsPerShingle), base)
       .withColumn(
         "common",
         graft.functions.TextExpressions.sorted_intersect_count(col("sa"), col("sb")))
@@ -276,9 +268,14 @@ object Dedup {
     * under [[MaxBroadcastSetBytes]] takes the zero-shuffle double
     * broadcast. The estimate is conservative per shingle (UTF8String
     * header + ~n-gram payload) so the cutover errs toward the
-    * shuffle-hash shape.
+    * shuffle-hash shape. The bound is set AT the measured crossover,
+    * not at driver capacity: on this corpus shape the broadcast wins at
+    * a ~16 MB estimated build (sf0.1: q64 2.98→2.55 s) and LOSES by
+    * ~35% at ~150 MB (sf1: 7.6→10.3 s in the first r12 cut at a 256 MB
+    * bound), so 64 MB keeps the win and returns the mid-scale runs to
+    * the shuffle-hash plan.
     */
-  private[operators] val MaxBroadcastSetBytes: Long = 256L * 1024 * 1024
+  private[operators] val MaxBroadcastSetBytes: Long = 64L * 1024 * 1024
 
   /** Estimated broadcast-build bytes of a `(doc_id, shs)` set table:
     * one metadata-scale aggregation (rows + total shingles), priced at
@@ -291,24 +288,30 @@ object Dedup {
     shingles * 64L + rows * 80L
   }
 
+  /** Candidates joined to both per-doc sorted-set sides, with the
+    * MEASURED join shape (see [[MaxBroadcastSetBytes]]): the shared
+    * front of [[rescoreExactJaccardSets]] and [[containmentPairs]].
+    * Output columns: candidates' ++ (na, sa, nb, sb).
+    */
+  private def joinedSortedSets(candidates: DataFrame, base: DataFrame): DataFrame = {
+    val aSide = sortedSetsOf(base, "doc_a", "na", "sa")
+    val bSide = sortedSetsOf(base, "doc_b", "nb", "sb")
+    if (estimatedSetBytes(base) <= MaxBroadcastSetBytes)
+      candidates
+        .join(broadcast(aSide), "doc_a")
+        .join(broadcast(bSide), "doc_b")
+    else
+      candidates
+        .join(aSide.hint("shuffle_hash"), "doc_a")
+        .join(bSide.hint("shuffle_hash"), "doc_b")
+  }
+
   private def rescoreExactJaccardSets(
       candidates: DataFrame,
       base: DataFrame,
       threshold: Double
-  ): DataFrame = {
-    val aSide = sortedSetsOf(base, "doc_a", "na", "sa")
-    val bSide = sortedSetsOf(base, "doc_b", "nb", "sb")
-    val joined =
-      if (estimatedSetBytes(base) <= MaxBroadcastSetBytes)
-        candidates
-          .join(broadcast(aSide), "doc_a")
-          .join(broadcast(bSide), "doc_b")
-      else
-        candidates
-          .join(aSide.hint("shuffle_hash"), "doc_a")
-          .join(bSide.hint("shuffle_hash"), "doc_b")
-    scoreJoinedSets(joined, threshold)
-  }
+  ): DataFrame =
+    scoreJoinedSets(joinedSortedSets(candidates, base), threshold)
 
   /** [[rescoreExactJaccardSets]] for the INCREMENTAL shape, where every
     * candidate pair is (corpus doc_a, batch doc_b) and the caller has
