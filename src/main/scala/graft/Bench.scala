@@ -61,8 +61,18 @@ object Bench {
     val unknownSkips = skip -- SparkEntry.queries.keySet
     require(unknownSkips.isEmpty,
       s"SPARK_GRAFT_SKIP names not in the corpus: ${unknownSkips.toSeq.sorted.mkString(",")}")
+    // SPARK_GRAFT_ONLY: comma-separated allow-list for ISOLATION runs —
+    // timing one suspect query on a quiet host without the rest of the
+    // corpus competing for cache/disk (the r11-verdict isolation ask).
+    // Composes with SKIP (skip wins).
+    val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val unknownOnly = only -- SparkEntry.queries.keySet
+    require(unknownOnly.isEmpty,
+      s"SPARK_GRAFT_ONLY names not in the corpus: ${unknownOnly.toSeq.sorted.mkString(",")}")
     val failMsgs = scala.collection.mutable.LinkedHashMap[String, String]()
     def onePass(): Seq[(String, Double, Boolean)] = SparkEntry.queries.toSeq
+      .filter(q => only.isEmpty || only.contains(q._1))
       .filterNot(q => skip.contains(q._1)).map {
       case (name, fn) =>
         // one query's fatal failure (e.g. an executor OOM at a scale-up

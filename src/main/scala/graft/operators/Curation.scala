@@ -533,7 +533,7 @@ object Curation {
       scale: Long = 1000000L
   ): DataFrame = {
     require(nBuckets > 0, s"lmPerplexityBuckets: nBuckets must be positive, got $nBuckets")
-    val reserved = Seq("_lpb_rank", "_lpb_n", "_lpb_off", "mean_p_scaled", "bucket")
+    val reserved = Seq("_lpb_rank", "_lpb_n", "_lpb_off", "_lpb_lang", "mean_p_scaled", "bucket")
     require(reserved.forall(c => !docs.columns.contains(c)),
       s"lmPerplexityBuckets: reserved column already present (${reserved.mkString(", ")})")
     val scored = lmBigramScoreUnordered(docs, idCol, textCol, scale)
@@ -543,22 +543,18 @@ object Curation {
       scored,
       Seq(col(langCol), col("mean_p_scaled").desc, col(idCol)),
       "_lpb_rank")
-    // one row per language; the same non-foldable single-group window
-    // idiom as globalDenseRank's offsets (see the comment there)
-    val langOffsets = scored
-      .groupBy(col(langCol))
-      .agg(count(lit(1)).as("_lpb_n"))
-      .withColumn(
-        "_lpb_off",
-        coalesce(
-          sum("_lpb_n").over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(pmod(col("_lpb_n"), lit(1))).orderBy(col(langCol))
-              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-          lit(0L)))
+    // per-language size and starting offset, derived from the RANKED
+    // output itself (rank is language-first, so a language's offset is
+    // its min rank − 1): one metadata-scale aggregation over the
+    // checkpointed rank walk. Deriving it from `scored` instead — the
+    // r11 shape — re-evaluated the whole bigram-scoring subplan a
+    // second time (the q100 fork-without-persist defect, one level up).
+    val langOffsets = ranked
+      .groupBy(col(langCol).as("_lpb_lang"))
+      .agg(count(lit(1)).as("_lpb_n"), (min("_lpb_rank") - 1).as("_lpb_off"))
     ranked
-      .join(broadcast(langOffsets), ranked(langCol) <=> langOffsets(langCol))
-      .drop(langOffsets(langCol))
+      .join(broadcast(langOffsets), col(langCol) <=> col("_lpb_lang"))
+      .drop("_lpb_lang")
       .withColumn(
         "bucket",
         expr(s"(($nBuckets * (_lpb_rank - _lpb_off - 1)) DIV _lpb_n) + 1").cast("int"))
