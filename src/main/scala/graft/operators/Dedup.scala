@@ -277,6 +277,19 @@ object Dedup {
     */
   private[operators] val MaxBroadcastSetBytes: Long = 64L * 1024 * 1024
 
+  /** The INCREMENTAL batch-broadcast rescore gets its own, higher
+    * crossover: its fallback is not "shuffle the corpus once" but
+    * "shuffle corpus ∪ batch on EVERY ingest batch", so a batch build
+    * side keeps winning as broadcast well past the symmetric bound.
+    * Measured on the same corpus shape (sf1, ~150 MB estimated batch
+    * build): batch-broadcast 19.7 s vs union-shuffle 42.6 s on the
+    * ingest e2e — the 64 MB symmetric crossover is the wrong constant
+    * here by >2×. 256 MB still bounds the executor build comfortably
+    * (the estimate overshoots actual bytes ~4×), and a corpus-scale
+    * batch (sf10: ≳ GB estimates) still degrades to the union shuffle.
+    */
+  private[operators] val MaxBroadcastBatchSetBytes: Long = 256L * 1024 * 1024
+
   /** Estimated broadcast-build bytes of a `(doc_id, shs)` set table:
     * one metadata-scale aggregation (rows + total shingles), priced at
     * 64 B per shingle string and 80 B per row of struct overhead.
@@ -529,14 +542,17 @@ object Dedup {
     // gets its OWN measurements: the candidates are materialized (cached
     // — they are reused verbatim by the rescore) and counted, and the
     // batch set table's build bytes are estimated like any other
-    // rescore input. Either bound tripping degrades to the measured
-    // shuffle rescore over the union, which is always safe.
+    // rescore input — but against [[MaxBroadcastBatchSetBytes]], the
+    // incremental crossover, because the fallback here re-shuffles
+    // corpus ∪ batch per ingest batch rather than once. Either bound
+    // tripping degrades to the measured shuffle rescore over the
+    // union, which is always safe.
     val (rescored, releaseCand): (DataFrame, () => Unit) =
       if (bandedRows <= maxBroadcastBandedRows) {
         val cand = candidates.persist()
         val candRows = cand.count()
         if (candRows * 96L <= MaxBroadcastSetBytes &&
-            estimatedSetBytes(batchBase) <= MaxBroadcastSetBytes)
+            estimatedSetBytes(batchBase) <= MaxBroadcastBatchSetBytes)
           (rescoreExactJaccardSetsBroadcastBatch(cand, corpusBase, batchBase, threshold),
             () => cand.unpersist(): Unit)
         else {
