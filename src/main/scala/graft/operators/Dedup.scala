@@ -290,6 +290,21 @@ object Dedup {
     */
   private[operators] val MaxBroadcastBatchSetBytes: Long = 256L * 1024 * 1024
 
+  /** Third leg of the incremental gate: the CORPUS the broadcast-batch
+    * rescore streams past. The zero-shuffle shape scans the persisted
+    * corpus set table end to end on every batch; that stream is the
+    * cheap side only while the table stays cache-resident. Measured on
+    * the ingest e2e with near-identical batch sizes at both scales:
+    * ~160 MB estimated corpus → broadcast-batch wins 2× (17.6 s vs
+    * 42.6 s union-shuffle at sf1); ~1.6 GB → it LOSES 2× (122 s vs
+    * 67 s at sf10), the per-batch full stream having outgrown what the
+    * shuffle-hash join's partitioned overlap costs. 512 MB sits at the
+    * geometric midpoint of the two measurements. Because the ingest
+    * corpus GROWS batch over batch, gating on the measured corpus makes
+    * the shape adaptive per batch: early broadcast, late shuffle.
+    */
+  private[operators] val MaxStreamedCorpusSetBytes: Long = 512L * 1024 * 1024
+
   /** Estimated broadcast-build bytes of a `(doc_id, shs)` set table:
     * one metadata-scale aggregation (rows + total shingles), priced at
     * 64 B per shingle string and 80 B per row of struct overhead.
@@ -552,7 +567,8 @@ object Dedup {
         val cand = candidates.persist()
         val candRows = cand.count()
         if (candRows * 96L <= MaxBroadcastSetBytes &&
-            estimatedSetBytes(batchBase) <= MaxBroadcastBatchSetBytes)
+            estimatedSetBytes(batchBase) <= MaxBroadcastBatchSetBytes &&
+            estimatedSetBytes(corpusBase) <= MaxStreamedCorpusSetBytes)
           (rescoreExactJaccardSetsBroadcastBatch(cand, corpusBase, batchBase, threshold),
             () => cand.unpersist(): Unit)
         else {
