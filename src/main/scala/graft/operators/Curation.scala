@@ -676,6 +676,34 @@ object Curation {
         z2 * (lit(1.0 / 13.0) + z2 * lit(1.0 / 15.0))))))))
   }
 
+  /** ln(2) as the shortest-round-trip double literal — parsed to the
+    * identical IEEE bits by any engine, unlike a libm `log(2)` call.
+    */
+  private val Ln2 = 0.6931471805599453
+
+  /** Deterministic ln of a POSITIVE BIGINT count, accurate over the
+    * full range — the range-reduced upgrade of [[pseudoLn]], whose raw
+    * series degrades outside `[1/8, 8]` (the documented bias in
+    * [[tokenEntropy]]/[[domainShift]]). `ln(c) = e·ln2 + ln(m)` with
+    * the binary exponent `e = length(bin(c)) − 1` taken EXACTLY from
+    * the integer's binary-string length (no libm `log2`, whose last-ulp
+    * rounding at power-of-two boundaries could flip a `floor`
+    * quantization cross-engine) and the mantissa
+    * `m = c / 2^e ∈ [1, 2)` — squarely inside the series' sweet spot,
+    * where 8 atanh terms are good to ~1e-9 relative. `2^e` is an exact
+    * integer shift, the division one correctly-rounded IEEE op, so the
+    * whole expression is engine-reproducible like [[pseudoLn]] itself,
+    * but the value is a real logarithm (≤ ~1e-9 off true ln), not a
+    * scoring transform. DuckDB replays it verbatim: `bin()`, `<<`, and
+    * the same polynomial.
+    */
+  private[graft] def lnOfCount(c: Column): Column = {
+    val e = (length(bin(c)) - lit(1)).cast("int")
+    val m = c.cast("double") /
+      call_function("shiftleft", lit(1L), e).cast("double")
+    e.cast("double") * lit(Ln2) + pseudoLn(m)
+  }
+
   /** DSIR-style IMPORTANCE RESAMPLING (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling" — re-derived for the
     * distributed setting, not transliterated): rank raw documents by how
@@ -830,6 +858,94 @@ object Curation {
         col("n_terms"),
         col("kl_num_scaled"))
       .orderBy(groupCol)
+  }
+
+  /** PMI COLLOCATION MINING: the corpus's top-`k` adjacent-token
+    * bigrams by pointwise mutual information — the phrase-mining signal
+    * behind tokenizer vocabulary construction and collocation-aware
+    * quality filters ("new york" is a unit; "of the" is not).
+    *
+    *   PMI(a,b) = ln( P(ab) / (P(a)·P(b)) ),
+    *   P(ab) = c_ab/B,  P(a) = c_a/N
+    *
+    * with c_ab the adjacent-bigram count, c_a/c_b full unigram counts,
+    * B total bigram positions, N total tokens — all exact BIGINTs.
+    *
+    * Cross-engine determinism WITH real-log accuracy: the five factors
+    * are combined in log space, each via [[lnOfCount]] (exact binary
+    * exponent + in-range [[pseudoLn]] mantissa, ~1e-9 relative), in one
+    * fixed association order mirrored textually by the oracle SQL:
+    * `ln c_ab − ln c_a − ln c_b − ln B + 2·ln N`, quantized ONCE at the
+    * end to `floor(scale·pmi)`. Unlike the raw-series scorers
+    * ([[domainShift]], [[tokenEntropy]]) this value is a true PMI in
+    * nats (to ~1e-8), because every mantissa the series sees lies in
+    * [1, 2).
+    *
+    * Scale shape (100 TB): one explode to bigram positions partially
+    * aggregated map-side to (a, b) counts; `minCount` prunes the hapax
+    * tail BEFORE any join (the overwhelming majority of distinct
+    * bigrams at corpus scale); two |vocab|-bounded equi-joins attach
+    * unigram counts; totals ride a broadcast single row; the top-k is
+    * a TakeOrdered over (pmi desc, a, b) — no global sort shuffle, no
+    * window, nothing driver-side beyond k rows.
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      k: Int = 100,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(k > 0, s"k must be positive: $k")
+    require(scale > 0, s"scale must be positive: $scale")
+    // deliberately NOT persisted: the unigram and bigram passes each
+    // re-tokenize (one cheap codegen'd scan apiece) rather than pinning
+    // corpus-scale token arrays in executor storage
+    val toks = docs
+      .select(graft.functions.Text.tokens(col(textCol)).as("_toks"))
+    val ct = toks
+      .select(explode(col("_toks")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("c"))
+    val nn = ct.agg(sum(col("c")).as("n"))
+    // adjacent pairs; sequence(1, size-1) needs size >= 2 (a descending
+    // sequence on shorter docs would fabricate a reversed "bigram")
+    val bg = toks
+      .where(size(col("_toks")) >= 2)
+      .select(
+        explode(
+          transform(
+            sequence(lit(1), size(col("_toks")) - 1),
+            i =>
+              struct(
+                element_at(col("_toks"), i).as("tok_a"),
+                element_at(col("_toks"), i + 1).as("tok_b")))).as("_bg"))
+      .select(col("_bg.tok_a"), col("_bg.tok_b"))
+    val bb = bg.agg(count(lit(1)).as("b"))
+    val ab = bg
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val joined = ab
+      .join(ct.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
+      .join(ct.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
+      .crossJoin(broadcast(nn))
+      .crossJoin(broadcast(bb))
+    val pmi = lnOfCount(col("c_ab")) - lnOfCount(col("c_a")) -
+      lnOfCount(col("c_b")) - lnOfCount(col("b")) +
+      lit(2.0) * lnOfCount(col("n"))
+    val out = joined
+      .select(
+        col("tok_a"),
+        col("tok_b"),
+        col("c_ab"),
+        col("c_a"),
+        col("c_b"),
+        floor(pmi * lit(scale.toDouble)).cast("long").as("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+    out
   }
 
   /** CONTRASTIVE NEGATIVE SAMPLING: for every anchor document, up to

@@ -1144,6 +1144,18 @@ object PipelineQueries {
         graft.operators.Invert.readIndex(s, tmp),
         graft.operators.Invert.docLengths(docs, "doc_id", "text"),
         Seq("customer", "vector", "stream"), k = 20)
+    },
+    // q119: PMI collocation mining — top-100 adjacent bigrams by
+    // pointwise mutual information over exact BIGINT counts. The log is
+    // Curation.lnOfCount: exact binary exponent from the integer's
+    // bin() length plus the pseudoLn series on the [1,2) mantissa, so
+    // the value is a REAL log (~1e-9 relative) yet every double op is
+    // engine-reproducible; the oracle replays the identical expression
+    // shape (bin length, integer shift, same polynomial, same
+    // association order, one final floor quantization)
+    "q119_pmi_collocations" -> { (s, dir) =>
+      graft.operators.Curation.pmiCollocations(
+        t(s, dir, "documents"), "text", minCount = 5L, k = 100)
     }
   )
 
@@ -2443,7 +2455,15 @@ object PipelineQueries {
     // q118: the persisted-index BM25 must give exactly q107's answer —
     // SAME oracle text, so any divergence is the write/append/read
     // lifecycle's fault by construction (the q108 gating pattern)
-    "q118_bm25_persisted" -> Bm25OracleSql
+    "q118_bm25_persisted" -> Bm25OracleSql,
+    // q119: PMI collocations — exact BIGINT counts; each log replayed
+    // as Curation.lnOfCount's exact shape: binary exponent from
+    // length(bin(x)) - 1 (integer-exact in both engines, no libm log2),
+    // mantissa x / (1 << e) as one correctly-rounded IEEE division, the
+    // same 8-term atanh polynomial, same association order, ONE final
+    // floor quantization. All numeric literals CAST AS DOUBLE (DuckDB
+    // parses bare decimals as DECIMAL, whose arithmetic is not IEEE).
+    "q119_pmi_collocations" -> PmiOracleSql
   )
 
   // Shared by q107 (in-memory index) and q118 (persisted lifecycle):
@@ -2476,6 +2496,59 @@ object PipelineQueries {
          |  CAST(sum(s) AS BIGINT) AS score_scaled
          |FROM sc GROUP BY doc_id
          |ORDER BY score_scaled DESC, doc_id LIMIT 20""".stripMargin
+
+  /** q119's oracle: generated rather than handwritten because the
+    * range-reduced log replay repeats the same five-stage shape for
+    * five counts (c_ab, c_a, c_b, B, N). Mirrors
+    * `Curation.lnOfCount`/`pseudoLn` TEXTUALLY: same mantissa
+    * construction, same polynomial, same association order.
+    */
+  private lazy val PmiOracleSql: String = {
+    // (SQL count column, short tag) — tags name the staged e/m/z/q/l cols
+    val xs = Seq("c_ab" -> "ab", "c_a" -> "ca", "c_b" -> "cb", "b" -> "bb", "n" -> "nn")
+    def d(s: String) = s"CAST($s AS DOUBLE)"
+    val keep = "tok_a, tok_b, c_ab, c_a, c_b"
+    val mm = xs.map { case (x, t) =>
+      s"length(bin($x)) - 1 AS e_$t, " +
+        s"${d(x)} / ${d(s"(CAST(1 AS BIGINT) << (length(bin($x)) - 1))")} AS m_$t"
+    }.mkString(", ")
+    val es = xs.map { case (_, t) => s"e_$t" }.mkString(", ")
+    val zz = xs.map { case (_, t) =>
+      s"(m_$t - ${d("1.0")}) / (m_$t + ${d("1.0")}) AS z_$t"
+    }.mkString(", ")
+    val zs = xs.map { case (_, t) => s"z_$t" }.mkString(", ")
+    val qq = xs.map { case (_, t) => s"z_$t * z_$t AS q_$t" }.mkString(", ")
+    def poly(t: String) =
+      s"(${d("2.0")} * z_$t) * (${d("1.0")} + q_$t * ((${d("1.0")} / ${d("3.0")}) " +
+        s"+ q_$t * ((${d("1.0")} / ${d("5.0")}) + q_$t * ((${d("1.0")} / ${d("7.0")}) " +
+        s"+ q_$t * ((${d("1.0")} / ${d("9.0")}) + q_$t * ((${d("1.0")} / ${d("11.0")}) " +
+        s"+ q_$t * ((${d("1.0")} / ${d("13.0")}) + q_$t * (${d("1.0")} / ${d("15.0")}))))))))"
+    val ll = xs.map { case (_, t) =>
+      s"${d(s"e_$t")} * ${d("0.6931471805599453")} + ${poly(t)} AS l_$t"
+    }.mkString(", ")
+    s"""WITH t AS (SELECT $TokensSql AS toks FROM documents),
+       |tk AS (SELECT unnest(toks) AS tok FROM t),
+       |ct AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+       |cn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
+       |bg AS (SELECT toks[CAST(u.i AS INT)] AS tok_a,
+       |              toks[CAST(u.i AS INT) + 1] AS tok_b
+       |       FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+       |cbb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bg),
+       |ab AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab FROM bg
+       |       GROUP BY 1, 2 HAVING count(*) >= 5),
+       |j AS (SELECT ab.tok_a, ab.tok_b, ab.c_ab, ca.c AS c_a, cb.c AS c_b,
+       |             cn.n, cbb.b
+       |      FROM ab JOIN ct ca ON ca.tok = ab.tok_a
+       |      JOIN ct cb ON cb.tok = ab.tok_b, cn, cbb),
+       |mm AS (SELECT $keep, $mm FROM j),
+       |zz AS (SELECT $keep, $es, $zz FROM mm),
+       |qz AS (SELECT $keep, $es, $zs, $qq FROM zz),
+       |ll AS (SELECT $keep, $ll FROM qz)
+       |SELECT $keep,
+       |  CAST(floor((l_ab - l_ca - l_cb - l_bb + ${d("2.0")} * l_nn)
+       |    * ${d("1000000.0")}) AS BIGINT) AS pmi_scaled
+       |FROM ll ORDER BY pmi_scaled DESC, tok_a, tok_b LIMIT 100""".stripMargin
+  }
 
   /** Shared BPE-trainer CTE chain (q85/q86): word types × counts, the
     * symbol sequence encoded as a space-delimited string (' a b c '),

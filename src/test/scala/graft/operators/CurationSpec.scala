@@ -405,4 +405,51 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         s"anchor $a should see every other id exactly once")
     }
   }
+
+  test("pmiCollocations: true-log accuracy, exact counts, collocation ranks first") {
+    // "new york" always adjacent (8×); "of" and "the" frequent but never
+    // adjacent to each other; filler tokens pad the distributions
+    val docs = (
+      (1 to 8).map(i => (i.toLong, "new york of kappa the lambda")) ++
+        (9 to 12).map(i => (i.toLong, "of kappa the lambda mu nu"))
+    ).toDF("doc_id", "text")
+    val out = Curation.pmiCollocations(docs, "text", minCount = 4L, k = 50)
+    assert(out.columns.toSeq ==
+      Seq("tok_a", "tok_b", "c_ab", "c_a", "c_b", "pmi_scaled"))
+    val rows = out.collect()
+    // PMI prefers rarer perfectly-associated pairs: mu/nu (4 of 4
+    // occurrences adjacent, rarest) over new/york (8 of 8) over
+    // of/kappa (always adjacent but the most frequent tokens)
+    val pos = rows.zipWithIndex.map { case (r, i) =>
+      (r.getString(0), r.getString(1)) -> i
+    }.toMap
+    assert(pos(("mu", "nu")) < pos(("new", "york")))
+    assert(pos(("new", "york")) < pos(("of", "kappa")))
+    // every returned bigram respects minCount
+    assert(rows.forall(_.getLong(2) >= 4L))
+    // the quantized score IS floor(1e6 * true PMI) from the exact
+    // counts: lnOfCount is a real log to ~1e-9, so re-deriving with
+    // math.log lands within one quantum of every row
+    val toks = docs.collect().flatMap(_.getString(1).split("\\s+")).toSeq
+    val n = toks.size.toDouble
+    val uni = toks.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val bigrams = docs.collect().flatMap { r =>
+      val w = r.getString(1).split("\\s+"); w.zip(w.tail)
+    }.toSeq
+    val b = bigrams.size.toDouble
+    rows.foreach { r =>
+      val (a2, b2) = (r.getString(0), r.getString(1))
+      val cab = bigrams.count(p => p._1 == a2 && p._2 == b2).toDouble
+      assert(r.getLong(2) == cab.toLong)
+      assert(r.getLong(3) == uni(a2) && r.getLong(4) == uni(b2))
+      val pmi = math.log(cab / b / ((uni(a2) / n) * (uni(b2) / n)))
+      assert(math.abs(r.getLong(5) - math.floor(pmi * 1e6)) <= 1,
+        s"($a2,$b2): got ${r.getLong(5)}, true ${math.floor(pmi * 1e6)}")
+    }
+    // scale shape: no window anywhere in the plan, top-k is TakeOrdered
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "pmiCollocations must stay window-free")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-k should be a TakeOrdered, not a full sort")
+  }
 }
