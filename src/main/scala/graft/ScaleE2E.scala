@@ -84,14 +84,35 @@ object ScaleE2E {
     val curSec = (System.nanoTime() - t1) / 1e9
     val curOk = cur.records.count(_.job_status == "SUCCESS")
 
+    // ---- Part 3: the "day 2" INCREMENTAL curation run — a new batch
+    // against yesterday's stage_dedup as the existing corpus. Half the
+    // batch repeats corpus texts verbatim (the novelty filter should
+    // drop them without the corpus self-joining), half is genuinely new
+    // (token order reversed → disjoint shingles), so the increment that
+    // flows through decontaminate/quality/pack has real volume.
+    val day2 = docs.where(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000000L)
+      .withColumn(
+        "text",
+        when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+          .otherwise(concat_ws(" ", reverse(split(col("text"), " ")))))
+    val t2 = System.nanoTime()
+    val inc = CurationDriver.run(
+      spark, day2, bench,
+      CurationDriver.Config(
+        root = s"$root/curation_day2",
+        existingCorpusPath = Some(s"$root/curation/stage_dedup")))
+    val incSec = (System.nanoTime() - t2) / 1e9
+    val incOk = inc.records.count(_.job_status == "SUCCESS")
+
     def r3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val stageJson = cur.stageCounts
-      .map { case (k, v) => JsonUtil.quote(k) + ":" + v }.mkString("{", ",", "}")
-    val jobsJson = (lake.records ++ cur.records)
+    def countsJson(cs: Seq[(String, Long)]) =
+      cs.map { case (k, v) => JsonUtil.quote(k) + ":" + v }.mkString("{", ",", "}")
+    val jobsJson = (lake.records ++ cur.records ++ inc.records)
       .map(r => JsonUtil.quote(r.job_name) + ":" + r.job_duration)
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"e2e","lake_sec":${r3(lakeSec)},"lake_jobs_ok":$lakeOk,"lake_jobs":${lake.records.size},"recon_rows":$reconRows,"curation_sec":${r3(curSec)},"curation_jobs_ok":$curOk,"curation_jobs":${cur.records.size},"stage_counts":$stageJson,"job_durations_sec":$jobsJson,"loadavg_start":${JsonUtil.quote(loadStart)},"loadavg_end":${JsonUtil.quote(loadavg())},"sf":"$sfDir"}""")
+      s"""{"metric":"e2e","lake_sec":${r3(lakeSec)},"lake_jobs_ok":$lakeOk,"lake_jobs":${lake.records.size},"recon_rows":$reconRows,"curation_sec":${r3(curSec)},"curation_jobs_ok":$curOk,"curation_jobs":${cur.records.size},"stage_counts":${countsJson(cur.stageCounts)},"incremental_sec":${r3(incSec)},"incremental_jobs_ok":$incOk,"incremental_stage_counts":${countsJson(inc.stageCounts)},"job_durations_sec":$jobsJson,"loadavg_start":${JsonUtil.quote(loadStart)},"loadavg_end":${JsonUtil.quote(loadavg())},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
