@@ -524,4 +524,53 @@ object Incremental {
       packed.select(col(pk) +: others.map(c => col(s"_row.$c").as(c)): _*)
     }
   }
+
+  /** SNAPSHOT DIFF: the audit face of [[merge]] — which unique-keyed
+    * rows were `added`, `removed`, or `changed` between two versions of
+    * a table ("what did last night's MERGE actually do?" /
+    * "reconcile the lake copy against the source extract"). Unchanged
+    * rows are dropped: the output is the delta, metadata-scale when the
+    * change rate is.
+    *
+    * Change detection is an md5 digest of the compared columns
+    * (joined on the 0x01 control byte, nulls as a 0x00 sentinel —
+    * bytes that never occur in printable column text, so adjacent
+    * columns cannot collude to fake a match; values cast to string the
+    * way both engines print them) — so the full-outer join carries
+    * ONE 32-char digest per side instead of every compared column
+    * twice, and the comparison is row-local.
+    *
+    * Scale shape: digest projection is row-local; the full-outer join
+    * shuffles both sides on the key ONCE (co-partitioned, AQE-sized) —
+    * the same plan [[merge]] uses, so a lake that bucketed its tables
+    * for merging diffs shuffle-free too. Keys must be unique per side
+    * (the merge precondition); duplicate keys make "changed" ambiguous.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCol: String,
+      compareCols: Seq[String]
+  ): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff: no columns to compare")
+    require(!compareCols.contains(keyCol),
+      s"snapshotDiff: key column $keyCol cannot also be compared")
+    val reserved = Seq("_od", "_nd", "change_type")
+    require(reserved.forall(c => !oldDf.columns.contains(c) && !newDf.columns.contains(c)),
+      s"snapshotDiff: reserved working column already exists (${reserved.mkString(", ")})")
+    def digest(df: DataFrame, as: String): DataFrame =
+      df.select(
+        col(keyCol),
+        md5(concat_ws("\u0001",
+          compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(as))
+    digest(oldDf, "_od")
+      .join(digest(newDf, "_nd"), Seq(keyCol), "full_outer")
+      .where(col("_od").isNull || col("_nd").isNull || col("_od") =!= col("_nd"))
+      .select(
+        col(keyCol),
+        when(col("_od").isNull, "added")
+          .when(col("_nd").isNull, "removed")
+          .otherwise("changed")
+          .as("change_type"))
+  }
 }

@@ -596,4 +596,64 @@ object Scale {
       saltedEquiJoin(skewed, other, skewedKey, otherKey, factor, joinType)
     }
   }
+
+  /** K-MINIMUM-VALUES distinct-count sketch per group: the mergeable
+    * cardinality primitive ("how many distinct tokens / users / URLs
+    * per domain?") for inputs whose per-group value sets are far too
+    * large to count exactly at 100 TB. Keeps each group's `k` smallest
+    * value hashes; with `R` = the k-th smallest hash on a `[0, 2^52)`
+    * scale, the standard KMV estimator is `(k−1) · 2^52 / R`
+    * (Bar-Yossef et al., "Counting distinct elements in a data
+    * stream"). Groups with fewer than `k` distinct hashes report their
+    * EXACT count — the estimator's own below-k rule.
+    *
+    * Every arithmetic step is exact-integer so a SQL oracle can replay
+    * it bit-for-bit: the hash is the first 13 hex digits of `md5`
+    * (52 bits — lexicographic hex order IS numeric order, and both
+    * engines print lowercase), and the estimate is one BIGINT integer
+    * division `(k−1)·2^52 DIV kth_hash` — no doubles anywhere.
+    *
+    * Scale shape: the hash projection is row-local; `.distinct()` on
+    * `(group, hash)` partially aggregates map-side, so duplicate values
+    * collapse before the one corpus shuffle; the k-smallest cut rides
+    * [[Curation.capPerGroup]]'s two-phase partition-local top-k (no
+    * global per-group window — a group with billions of distinct
+    * values contributes at most `k` rows per partition to phase 2);
+    * the final aggregation sees ≤ `k` rows per group. Output rows are
+    * one per group: metadata-scale. The kept hash set is exactly the
+    * mergeable KMV summary — union two groups' rows and re-cut to `k`
+    * to merge sketches (what a multi-day incremental rollup would do).
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: Column,
+      k: Int
+  ): DataFrame = {
+    require(k > 1 && k <= 2048, s"kmvDistinct: k must be in [2, 2048], got $k")
+    val reserved = Seq("_h", "n_kept", "kth_hash", "est_distinct")
+    require(reserved.forall(c => !df.columns.contains(c)),
+      s"kmvDistinct: reserved working column already exists (${reserved.mkString(", ")})")
+    require(!reserved.contains(groupCol),
+      s"kmvDistinct: group column $groupCol collides with an output column")
+    val numerator = (k - 1).toLong << 52 // k ≤ 2048 keeps this < 2^63
+    val hashed = df
+      .select(
+        col(groupCol),
+        conv(substring(md5(valueCol.cast("string")), 1, 13), 16, 10).cast("long").as("_h"))
+      .distinct()
+    Curation
+      .capPerGroup(hashed, groupCol, Seq(col("_h").asc), k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"), max(col("_h")).as("kth_hash"))
+      .select(
+        col(groupCol),
+        col("n_kept"),
+        col("kth_hash"),
+        // below k distinct → exact; kth_hash = 0 is unreachable there
+        // (distinct hashes, k ≥ 2 ⇒ the max of ≥ 2 values exceeds 0)
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"${numerator}L DIV kth_hash"))
+          .as("est_distinct"))
+  }
 }

@@ -162,4 +162,114 @@ object Sessions {
       .select(col(keyCol), col("seq_index").cast("long").as("seq_index"),
         col("events"), col("n_events"))
   }
+
+  /** COHORT RETENTION grid: users bucketed by their first active
+    * period (the cohort), counted in every later period they return —
+    * `(cohort_bucket, bucket_offset) → n_users`, plus the cohort's
+    * size so a retention ratio is one division away. The standard
+    * product / corpus-freshness analytics primitive ("of the users who
+    * arrived in week W, how many were still active k weeks later?").
+    *
+    * Buckets are absolute indexes `epoch_seconds DIV bucketSeconds`
+    * (86400 for daily cohorts, 604800 for weekly) — integer division
+    * on the whole-second floor (the [[byGap]] engine-portability
+    * rule), not calendar `date_trunc`, so the bucket boundary is a
+    * pure arithmetic fact both engines compute identically (no
+    * week-start / locale semantics involved).
+    *
+    * Scale shape: ONE corpus shuffle — `collect_set` of the user's
+    * distinct active weeks is partial-aggregable (map-side dedup before
+    * the exchange), and per-user state is the user's distinct-week set,
+    * bounded by the time range rather than the event count. The cohort
+    * is `array_min` of that set (row-local), the explode emits one row
+    * per (user, active week) — at most weeks-per-range per user — and
+    * the final grid aggregation shuffles only those. `count(*)` IS
+    * distinct users by construction (one row per user per week), so no
+    * `countDistinct` re-shuffle; cohort sizes are the grid's own
+    * offset-0 rows joined back broadcast (the grid is
+    * |cohorts| × |offsets|, metadata-scale).
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      bucketSeconds: Long = 604800L
+  ): DataFrame = {
+    require(bucketSeconds > 0,
+      s"retentionCohorts: bucketSeconds must be positive, got $bucketSeconds")
+    val reserved = Seq("_sec", "_wk", "_wks", "cohort_bucket", "bucket_offset", "n_users", "cohort_size")
+    require(reserved.forall(c => !events.columns.contains(c)),
+      s"retentionCohorts: reserved working column already exists (${reserved.mkString(", ")})")
+    val perUser = events
+      .select(col(userCol), col(tsCol).cast("long").as("_sec"))
+      .withColumn("_wk", expr(s"_sec DIV $bucketSeconds"))
+      .groupBy(col(userCol))
+      .agg(collect_set(col("_wk")).as("_wks"))
+    val grid = perUser
+      .select(array_min(col("_wks")).as("cohort_bucket"), explode(col("_wks")).as("_wk"))
+      .groupBy(col("cohort_bucket"), (col("_wk") - col("cohort_bucket")).as("bucket_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = grid
+      .where(col("bucket_offset") === 0)
+      .select(col("cohort_bucket"), col("n_users").as("cohort_size"))
+    grid
+      .join(broadcast(sizes), Seq("cohort_bucket"))
+      .select("cohort_bucket", "bucket_offset", "n_users", "cohort_size")
+  }
+
+  /** NEXT-EVENT TRANSITION MATRIX: counts of consecutive
+    * `(from_type → to_type)` pairs per entity, with the conditional
+    * transition probability as exact integer micro-units
+    * (`n · 1e6 DIV row_total` — one BIGINT division, no doubles) —
+    * the first-order Markov summary of the event stream, i.e. the
+    * label/statistics stage of next-event-prediction data work that
+    * [[eventSequences]] builds training rows for.
+    *
+    * Ordering is [[byGap]]'s engine-portable total order: whole-second
+    * floor of the timestamp, same-second ties pinned by `tieCol`.
+    * Consecutive means adjacent in that per-entity order; transitions
+    * never cross entities.
+    *
+    * Scale shape: ONE corpus shuffle — the per-entity ordered event
+    * list is a partial-aggregable `collect_list` groupBy
+    * ([[eventSequences]]'s shape; per-entity state is the entity's own
+    * events, irreducible for adjacency), pairing is row-local array
+    * arithmetic, and everything after aggregates the
+    * |types|² transition space: metadata-scale. The row-total join is
+    * |types| rows — broadcast.
+    */
+  def transitionCounts(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String
+  ): DataFrame = {
+    val reserved = Seq("_ev", "_p", "from_type", "to_type", "n", "row_total", "p_micro")
+    require(reserved.forall(c => !events.columns.contains(c)),
+      s"transitionCounts: reserved working column already exists (${reserved.mkString(", ")})")
+    val sec = col(tsCol).cast("long")
+    val ordered = events
+      .groupBy(col(keyCol))
+      // struct sort order = field order: (second, tie, event) — the
+      // [[byGap]] total order, as ONE aggregation
+      .agg(sort_array(collect_list(struct(sec.as("s"), col(tieCol).as("t"),
+        col(typeCol).as("e")))).as("_ev"))
+    val pairs = ordered
+      .where(size(col("_ev")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("_ev")) - 1),
+        i => struct(
+          element_at(col("_ev"), i)("e").as("from_type"),
+          element_at(col("_ev"), i + 1)("e").as("to_type")))).as("_p"))
+      .select(col("_p.from_type"), col("_p.to_type"))
+    val counts = pairs.groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("row_total"))
+    counts
+      .join(broadcast(totals), Seq("from_type"))
+      // exact micro-probability; n ≤ ~9.2e12 before the scale-up
+      // overflows int64 — far beyond any per-(type,type) count here
+      .withColumn("p_micro", expr("(n * 1000000L) DIV row_total"))
+      .select("from_type", "to_type", "n", "row_total", "p_micro")
+  }
 }

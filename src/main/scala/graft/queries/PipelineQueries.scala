@@ -1156,6 +1156,58 @@ object PipelineQueries {
     "q119_pmi_collocations" -> { (s, dir) =>
       graft.operators.Curation.pmiCollocations(
         t(s, dir, "documents"), "text", minCount = 5L, k = 100)
+    },
+    // q120: DAILY cohort retention over the event stream — users
+    // bucketed by their first active day, counted in every day they
+    // return, with cohort sizes riding the grid's own offset-0 rows.
+    // One corpus shuffle: partial-aggregable collect_set of each
+    // user's distinct active days (see Sessions.retentionCohorts)
+    "q120_retention_cohorts" -> { (s, dir) =>
+      graft.queries.RelationalQueries.events(s, dir)
+        .transform(ev =>
+          graft.operators.Sessions.retentionCohorts(
+            ev, "user_id", "ts", bucketSeconds = 86400L))
+        .orderBy("cohort_bucket", "bucket_offset")
+    },
+    // q121: KMV distinct-count sketch — per-source distinct-TRIGRAM
+    // cardinality (the dedup working-set sizing question) from each
+    // source's 64 smallest md5-prefix hashes; the estimator is ONE
+    // BIGINT integer division, replayed verbatim by the oracle
+    // (see Scale.kmvDistinct)
+    "q121_kmv_distinct" -> { (s, dir) =>
+      Scale
+        .kmvDistinct(
+          t(s, dir, "documents")
+            .select(col("source"), explode(Text.shingles(col("text"), 3)).as("sh")),
+          "source", col("sh"), k = 64)
+        .orderBy("source")
+    },
+    // q122: first-order Markov transition matrix over the event
+    // stream — consecutive (from → to) event-type counts per user with
+    // exact-integer micro-probabilities (see Sessions.transitionCounts)
+    "q122_event_transitions" -> { (s, dir) =>
+      graft.queries.RelationalQueries.events(s, dir)
+        .transform(ev => graft.operators.Sessions.transitionCounts(
+          ev, "user_id", "ts", "event_id", "event_type"))
+        .orderBy("from_type", "to_type")
+    },
+    // q123: snapshot diff — the audit face of MERGE. Two versions of
+    // the documents table derived deterministically in-query (drops on
+    // each side + a text revision), diffed to added/removed/changed
+    // rows via per-side row digests and ONE co-keyed full-outer join
+    // (see Incremental.snapshotDiff)
+    "q123_snapshot_diff" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.where(col("doc_id") % 17 =!= 0)
+      val newSnap = docs
+        .where(col("doc_id") % 19 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      graft.operators.Incremental
+        .snapshotDiff(oldSnap, newSnap, "doc_id",
+          Seq("text", "lang", "source", "n_chars"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2463,7 +2515,77 @@ object PipelineQueries {
     // same 8-term atanh polynomial, same association order, ONE final
     // floor quantization. All numeric literals CAST AS DOUBLE (DuckDB
     // parses bare decimals as DECIMAL, whose arithmetic is not IEEE).
-    "q119_pmi_collocations" -> PmiOracleSql
+    "q119_pmi_collocations" -> PmiOracleSql,
+    // q120: day buckets are absolute epoch-second DIV 86400 indexes
+    // (pure integer arithmetic on the whole-second floor — no calendar
+    // semantics), counts are exact; count(*) over the distinct
+    // (user, day) rows IS distinct users by construction
+    "q120_retention_cohorts" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_bucket FROM w GROUP BY user_id),
+        |g AS (SELECT c.cohort_bucket, w.wk - c.cohort_bucket AS bucket_offset,
+        |        CAST(count(*) AS BIGINT) AS n_users
+        |      FROM w JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT g.cohort_bucket, g.bucket_offset, g.n_users, s.n_users AS cohort_size
+        |FROM g JOIN g s ON s.cohort_bucket = g.cohort_bucket AND s.bucket_offset = 0
+        |ORDER BY g.cohort_bucket, g.bucket_offset""".stripMargin,
+    // q121: the KMV estimator replayed exact-integer — hash = first 13
+    // hex digits of md5 as a 52-bit BIGINT (lowercase hex on both
+    // engines; lexicographic = numeric order), k-th smallest via a
+    // row_number cut, estimate = (k−1)·2^52 // kth_hash with BIGINT
+    // integer division (no doubles anywhere in the query). Values are
+    // the per-doc DISTINCT word trigrams (ShinglesCte's construction);
+    // the sketch's own (source, hash) distinct collapses cross-doc
+    // repeats identically on both engines
+    "q121_kmv_distinct" ->
+      s"""WITH $ShinglesCte,
+         |ssrc AS (SELECT d.source, sh.shingle
+         |         FROM sh JOIN documents d USING (doc_id)),
+         |dd AS (SELECT DISTINCT source,
+         |        CAST('0x' || substring(md5(shingle), 1, 13) AS BIGINT) AS h FROM ssrc),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM dd),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |        max(h) AS kth_hash FROM r WHERE rn <= 64 GROUP BY source)
+         |SELECT source, n_kept, kth_hash,
+         |  CASE WHEN n_kept < 64 THEN n_kept
+         |       ELSE (CAST(63 AS BIGINT) << 52) // kth_hash END AS est_distinct
+         |FROM s ORDER BY source""".stripMargin,
+    // q122: consecutive pairs replayed as a lead() over the same
+    // engine-portable total order (whole-second floor, event_id ties);
+    // probability = exact BIGINT micro-units, one integer division
+    "q122_event_transitions" ->
+      """WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+        |             event_id, event_type FROM events),
+        |p AS (SELECT user_id, event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY s, event_id)
+        |          AS to_type FROM e),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.row_total,
+        |  CAST((c.n * 1000000) // t.row_total AS BIGINT) AS p_micro
+        |FROM c JOIN t USING (from_type) ORDER BY 1, 2""".stripMargin,
+    // q123: the same two derived snapshots, the same 0x01-joined /
+    // 0x00-null-sentinel md5 row digest, one FULL OUTER JOIN — rows
+    // where either side is absent or digests differ
+    "q123_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang, source,
+        |             CAST(n_chars AS VARCHAR))) AS d
+        |           FROM documents WHERE doc_id % 17 <> 0),
+        |n AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |        CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END,
+        |        lang, source, CAST(n_chars AS VARCHAR))) AS d
+        |      FROM documents WHERE doc_id % 19 <> 0),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.d AS od, n.d AS nd
+        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN od IS NULL THEN 'added'
+        |       WHEN nd IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change_type
+        |FROM j WHERE od IS NULL OR nd IS NULL OR od <> nd
+        |ORDER BY doc_id""".stripMargin
   )
 
   // Shared by q107 (in-memory index) and q118 (persisted lifecycle):

@@ -345,4 +345,43 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     // no-op when live exists
     assert(!Incremental.recoverInterruptedSwap(spark, live))
   }
+
+  test("snapshotDiff: added/removed/changed classified; unchanged rows dropped") {
+    val oldSnap = Seq(
+      (1L, "same", 10L),
+      (2L, "will change", 20L),
+      (3L, "will be removed", 30L)
+    ).toDF("id", "body", "n")
+    val newSnap = Seq(
+      (1L, "same", 10L),
+      (2L, "changed!", 20L),
+      (4L, "brand new", 40L)
+    ).toDF("id", "body", "n")
+    val got = Incremental.snapshotDiff(oldSnap, newSnap, "id", Seq("body", "n"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("snapshotDiff: null is distinct from the empty string and from absence") {
+    val oldSnap = Seq((1L, Some("x")), (2L, Some(""))).toDF("id", "body")
+    val newSnap = Seq((1L, None: Option[String]), (2L, Some(""))).toDF("id", "body")
+    val got = Incremental.snapshotDiff(oldSnap, newSnap, "id", Seq("body"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // row 2 ("" → "") is unchanged; row 1 ("x" → NULL) is a change
+    assert(got == Seq((1L, "changed")))
+  }
+
+  test("snapshotDiff: contract guards fail fast") {
+    val df1 = Seq((1L, "a")).toDF("id", "body")
+    assert(intercept[IllegalArgumentException] {
+      Incremental.snapshotDiff(df1, df1, "id", Seq.empty)
+    }.getMessage.contains("no columns to compare"))
+    assert(intercept[IllegalArgumentException] {
+      Incremental.snapshotDiff(df1, df1, "id", Seq("id", "body"))
+    }.getMessage.contains("cannot also be compared"))
+    val clash = Seq((1L, "a", "x")).toDF("id", "body", "change_type")
+    assert(intercept[IllegalArgumentException] {
+      Incremental.snapshotDiff(clash, clash, "id", Seq("body"))
+    }.getMessage.contains("reserved working column"))
+  }
 }

@@ -382,4 +382,40 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.matches("(?s).*Window.*partitionBy.*\\bg\\b.*"), plan.take(300))
     assert(!plan.contains("windowspecdefinition(g#"), plan.take(300))
   }
+
+  test("kmvDistinct: below-k groups are exact, above-k groups estimate within KMV error") {
+    val rows = ((0 until 10).map(i => (s"v$i", "small")) ++
+      (0 until 2000).map(i => (s"x$i", "big")) ++
+      // duplicates must not move either group (sketch sees distinct values)
+      (0 until 10).map(i => (s"v$i", "small"))).toDF("v", "g")
+    val got = Scale.kmvDistinct(rows, "g", col("v"), k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got("small") == ((10L, 10L)), "below k: exact count")
+    val (nKept, est) = got("big")
+    assert(nKept == 64L)
+    // KMV relative stderr is 1/sqrt(k−2) ≈ 12.7% at k=64; 4σ bound
+    assert(est > 1000 && est < 3000, s"estimate $est implausible for 2000 distinct")
+  }
+
+  test("kmvDistinct: partitioning-independent, duplicate-union-invariant, window-skew-free") {
+    val rows = (0 until 500).map(i => (s"t$i", s"g${i % 3}")).toDF("v", "g")
+    val kmv = Scale.kmvDistinct(rows, "g", col("v"), k = 16)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(Scale.kmvDistinct(rows.repartition(11), "g", col("v"), k = 16)
+      .orderBy("g").collect().map(_.toSeq).toSeq == kmv)
+    // the mergeability property that makes the sketch a sketch:
+    // re-feeding the same values cannot change the k smallest hashes
+    assert(Scale.kmvDistinct(rows.union(rows), "g", col("v"), k = 16)
+      .orderBy("g").collect().map(_.toSeq).toSeq == kmv)
+    // the k-smallest cut must ride capPerGroup's two-phase
+    // partition-local top-k (its _cap_pid pre-cut bounds what the
+    // per-group phase ever sees), not a single global per-group window
+    val plan = Scale.kmvDistinct(rows, "g", col("v"), k = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_cap_pid"), s"expected the two-phase top-k shape:\n${plan.take(300)}")
+    val e = intercept[IllegalArgumentException] {
+      Scale.kmvDistinct(rows.withColumnRenamed("v", "kth_hash"), "g", col("kth_hash"), 16)
+    }
+    assert(e.getMessage.contains("reserved working column"), e.getMessage)
+  }
 }

@@ -124,4 +124,86 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("step-time output column"), e.getMessage)
   }
+
+  test("retentionCohorts: first-week cohorts, offsets, sizes; same-week repeats collapse") {
+    val wk = 604800L
+    def at(week: Long, off: Long = 0L) = new Timestamp((week * wk + off) * 1000L)
+    val ev = Seq(
+      // user 1: weeks 10, 11, 13 (two events in week 10 count once)
+      (1L, at(10)), (1L, at(10, 3600)), (1L, at(11)), (1L, at(13)),
+      // user 2: weeks 10, 13
+      (2L, at(10)), (2L, at(13)),
+      // user 3: cohort 11 only — a one-week user still forms offset 0
+      (3L, at(11, wk - 1)) // last second of week 11 stays in week 11
+    ).toDF("user_id", "ts")
+    val got = Sessions
+      .retentionCohorts(ev, "user_id", "ts")
+      .orderBy("cohort_bucket", "bucket_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (10L, 0L, 2L, 2L), // cohort 10: both users present at offset 0
+      (10L, 1L, 1L, 2L), // week 11: only user 1
+      (10L, 3L, 2L, 2L), // week 13: both return
+      (11L, 0L, 1L, 1L)  // user 3's singleton cohort
+    ))
+    // result is partitioning-independent
+    val rep = Sessions.retentionCohorts(ev.repartition(7), "user_id", "ts")
+      .orderBy("cohort_bucket", "bucket_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rep == got)
+    // a finer bucket reshapes the same events: daily cohorts from the
+    // same fixture — user 3's single event lands in day 11·7+6
+    val daily = Sessions.retentionCohorts(ev, "user_id", "ts", bucketSeconds = 86400L)
+      .orderBy("cohort_bucket", "bucket_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(daily == Seq(
+      (70L, 0L, 2L, 2L),  // users 1+2 first active day 70 (= week 10)
+      (70L, 7L, 1L, 2L),  // user 1 returns day 77 (= week 11)
+      (70L, 21L, 2L, 2L), // both return day 91 (= week 13)
+      (83L, 0L, 1L, 1L)   // user 3: week 11's last second = day 83
+    ))
+  }
+
+  test("transitionCounts: per-key adjacency, exact micro-probabilities, tie order") {
+    def at(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1: A→B→A (B's two outgoing transitions split 50/50)
+      (1L, 10L, at(1), "A"), (1L, 11L, at(2), "B"), (1L, 12L, at(3), "A"),
+      // user 2: B→C; the chain must not cross into user 1
+      (2L, 20L, at(1), "B"), (2L, 21L, at(2), "C"),
+      // user 3: same-second pair — order pinned by the tie column
+      (3L, 31L, at(5), "C"), (3L, 30L, at(5), "A")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Sessions.transitionCounts(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      ("A", "B", 1L, 2L, 500000L), // user 1
+      ("A", "C", 1L, 2L, 500000L), // user 3: tie broken by id — 30 (A) precedes 31 (C)
+      ("B", "A", 1L, 2L, 500000L),
+      ("B", "C", 1L, 2L, 500000L)
+    ))
+    val rep = Sessions.transitionCounts(
+      ev.repartition(5), "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(rep == got)
+  }
+
+  test("retentionCohorts: window-free plan and reserved-column guard") {
+    val ev = Seq((1L, new Timestamp(0L))).toDF("user_id", "ts")
+    val plan = Sessions.retentionCohorts(ev, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"retention grid must stay window-free:\n${plan.take(500)}")
+    val clash = Seq((1L, new Timestamp(0L), 0L)).toDF("user_id", "ts", "cohort_bucket")
+    val e = intercept[IllegalArgumentException] {
+      Sessions.retentionCohorts(clash, "user_id", "ts")
+    }
+    assert(e.getMessage.contains("reserved working column"), e.getMessage)
+  }
 }
