@@ -613,16 +613,18 @@ object Scale {
     * engines print lowercase), and the estimate is one BIGINT integer
     * division `(k−1)·2^52 DIV kth_hash` — no doubles anywhere.
     *
-    * Scale shape: the hash projection is row-local; `.distinct()` on
-    * `(group, hash)` partially aggregates map-side, so duplicate values
-    * collapse before the one corpus shuffle; the k-smallest cut rides
-    * [[Curation.capPerGroup]]'s two-phase partition-local top-k (no
-    * global per-group window — a group with billions of distinct
-    * values contributes at most `k` rows per partition to phase 2);
-    * the final aggregation sees ≤ `k` rows per group. Output rows are
-    * one per group: metadata-scale. The kept hash set is exactly the
-    * mergeable KMV summary — union two groups' rows and re-cut to `k`
-    * to merge sketches (what a multi-day incremental rollup would do).
+    * Scale shape: the hash projection is row-local, and the k-smallest
+    * DISTINCT cut is [[graft.functions.KmvSketchAgg]] — a custom
+    * Catalyst `TypedImperativeAggregate` whose bounded buffer reduces
+    * every map-side partition to at most `k` longs per group BEFORE the
+    * one exchange, then merges buffers on the reduce side (the
+    * associative sketch union). The shuffle therefore carries
+    * `|groups| × k` longs per partition — never the corpus's distinct
+    * value set, which a `distinct().groupBy()` formulation would drag
+    * through the wire in full just to keep `k` rows of it. Output rows
+    * are one per group: metadata-scale. The kept hash array IS the
+    * mergeable KMV summary — union two sketches and re-cut to `k` to
+    * merge (what a multi-day incremental rollup would do).
     */
   def kmvDistinct(
       df: DataFrame,
@@ -631,21 +633,22 @@ object Scale {
       k: Int
   ): DataFrame = {
     require(k > 1 && k <= 2048, s"kmvDistinct: k must be in [2, 2048], got $k")
-    val reserved = Seq("_h", "n_kept", "kth_hash", "est_distinct")
+    val reserved = Seq("_h", "_kept", "n_kept", "kth_hash", "est_distinct")
     require(reserved.forall(c => !df.columns.contains(c)),
       s"kmvDistinct: reserved working column already exists (${reserved.mkString(", ")})")
     require(!reserved.contains(groupCol),
       s"kmvDistinct: group column $groupCol collides with an output column")
     val numerator = (k - 1).toLong << 52 // k ≤ 2048 keeps this < 2^63
-    val hashed = df
-      .select(
+    df.select(
         col(groupCol),
         conv(substring(md5(valueCol.cast("string")), 1, 13), 16, 10).cast("long").as("_h"))
-      .distinct()
-    Curation
-      .capPerGroup(hashed, groupCol, Seq(col("_h").asc), k)
+      .where(col("_h").isNotNull) // null values carry no identity — skip
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_kept"), max(col("_h")).as("kth_hash"))
+      .agg(graft.functions.SketchExpressions.kmv_sketch(col("_h"), k).as("_kept"))
+      .select(
+        col(groupCol),
+        size(col("_kept")).cast("long").as("n_kept"),
+        element_at(col("_kept"), size(col("_kept"))).as("kth_hash"))
       .select(
         col(groupCol),
         col("n_kept"),

@@ -407,12 +407,14 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     // re-feeding the same values cannot change the k smallest hashes
     assert(Scale.kmvDistinct(rows.union(rows), "g", col("v"), k = 16)
       .orderBy("g").collect().map(_.toSeq).toSeq == kmv)
-    // the k-smallest cut must ride capPerGroup's two-phase
-    // partition-local top-k (its _cap_pid pre-cut bounds what the
-    // per-group phase ever sees), not a single global per-group window
+    // the k-smallest cut must be the bounded-buffer sketch AGGREGATE
+    // (map-side partial_kmv_sketch before the exchange), not a distinct
+    // + top-k over the full distinct-value set
     val plan = Scale.kmvDistinct(rows, "g", col("v"), k = 16)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("_cap_pid"), s"expected the two-phase top-k shape:\n${plan.take(300)}")
+    assert(plan.contains("partial_kmv_sketch"),
+      s"expected a map-side partial sketch aggregate:\n${plan.take(400)}")
+    assert(!plan.contains("Window"), s"sketch must not need a window:\n${plan.take(400)}")
     val e = intercept[IllegalArgumentException] {
       Scale.kmvDistinct(rows.withColumnRenamed("v", "kth_hash"), "g", col("kth_hash"), 16)
     }
