@@ -1,15 +1,16 @@
 package graft.functions
 
 import java.nio.ByteBuffer
+import java.util.Comparator
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 
 /** Custom Catalyst AGGREGATE for the KMV distinct-count sketch: per
   * group, the `k` smallest DISTINCT values of a LONG child — evaluated
@@ -101,6 +102,125 @@ case class KmvSketchAgg(
     copy(child = newChild)
 }
 
+/** Custom Catalyst AGGREGATE for bounded TOP-K-ROWS-PER-GROUP: per
+  * group, the `k` best `(ord, tag)` pairs under the total order
+  * "`ord` DESC, `tag` ASC" — the `row_number() OVER (PARTITION BY g
+  * ORDER BY ord DESC, tag) <= k` answer, WITHOUT the window. The
+  * window formulation shuffles EVERY row of the corpus to its group's
+  * partition and sorts it there just to discard all but `k` rows —
+  * the canonical 100 TB anti-shape (and a skew magnet: one hot group
+  * serializes on one task). Here the bounded buffer runs inside
+  * ObjectHashAggregate's map side, so each partition forwards at most
+  * `k` pairs per group into the one exchange and the reduce side
+  * merges buffers under the same cap — shuffle volume is
+  * `|groups| × k × 16` bytes per partition regardless of row count,
+  * and a hot group costs exactly what a cold one does.
+  *
+  * Pairs are DISTINCT under the buffer (a `TreeSet`), so callers must
+  * pass a tie-break `tag` that is unique per row (an id) — the same
+  * precondition that makes the `row_number` formulation deterministic
+  * at all. `eval` emits the pairs best-first as
+  * `ARRAY<STRUCT<ord, tag>>`; `merge` is associative/commutative, so
+  * the result is independent of partitioning and arrival order.
+  */
+case class TopKPairsAgg(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[(Long, Long)]]
+  with BinaryLike[Expression] {
+
+  require(k >= 1 && k <= 65536, s"topk_pairs: k must be in [1, 65536], got $k")
+
+  override def prettyName: String = "topk_pairs"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("ord", LongType, nullable = false),
+      StructField("tag", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  // best-first: highest ord wins, lowest tag breaks ties — so `last`
+  // is always the weakest kept pair and eviction is O(log k); a
+  // serializable singleton because the expression ships in the task
+  // closure (an anonymous Comparator fails closure serialization)
+  private def cmp: Comparator[(Long, Long)] = TopKPairsAgg.BestFirst
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Long, Long)] =
+    new java.util.TreeSet[(Long, Long)](cmp)
+
+  private def insert(buf: java.util.TreeSet[(Long, Long)], p: (Long, Long)): Unit =
+    if (buf.size < k) { buf.add(p); () }
+    else if (cmp.compare(p, buf.last) < 0) {
+      // add() returns false for a duplicate — only then is nothing evicted
+      if (buf.add(p)) { buf.pollLast(); () }
+    }
+
+  override def update(
+      buf: java.util.TreeSet[(Long, Long)],
+      input: InternalRow): java.util.TreeSet[(Long, Long)] = {
+    val o = left.eval(input)
+    val t = right.eval(input)
+    if (o != null && t != null) insert(buf, (o.asInstanceOf[Long], t.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[(Long, Long)],
+      other: java.util.TreeSet[(Long, Long)]): java.util.TreeSet[(Long, Long)] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[(Long, Long)]): Any = {
+    val out = new Array[Any](buf.size)
+    var i = 0
+    val it = buf.iterator() // iterates best-first per cmp — rank order
+    while (it.hasNext) {
+      val p = it.next()
+      out(i) = InternalRow(p._1, p._2)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Long, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16 * buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) { val p = it.next(); bb.putLong(p._1); bb.putLong(p._2) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Long, Long)] = {
+    val buf = createAggregationBuffer()
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.hasRemaining) buf.add((bb.getLong, bb.getLong))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKPairsAgg =
+    copy(left = newLeft, right = newRight)
+}
+
+object TopKPairsAgg {
+  /** "`ord` DESC, `tag` ASC" as a serializable singleton. */
+  private[functions] object BestFirst
+    extends Comparator[(Long, Long)] with Serializable {
+    override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val byOrd = java.lang.Long.compare(b._1, a._1)
+      if (byOrd != 0) byOrd else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+}
+
 object SketchExpressions {
 
   /** `k` smallest distinct values of a LONG column per group, ascending
@@ -109,4 +229,14 @@ object SketchExpressions {
   def kmv_sketch(values: Column, k: Int): Column =
     ColumnBridge.column(
       KmvSketchAgg(ColumnBridge.expression(values), k).toAggregateExpression())
+
+  /** `k` best `(ord, tag)` pairs per group under "`ord` DESC, `tag`
+    * ASC", best-first (see [[TopKPairsAgg]]). Both columns must be
+    * LONG; `tag` should be unique per row for row-top-k semantics.
+    */
+  def topk_pairs(ord: Column, tag: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKPairsAgg(
+        ColumnBridge.expression(ord), ColumnBridge.expression(tag), k)
+        .toAggregateExpression())
 }

@@ -659,4 +659,89 @@ object Scale {
           .otherwise(expr(s"${numerator}L DIV kth_hash"))
           .as("est_distinct"))
   }
+
+  /** TOP-K ROWS PER GROUP without a window: the
+    * `row_number() OVER (PARTITION BY group ORDER BY ord DESC, tag)
+    * <= k` answer computed by [[graft.functions.TopKPairsAgg]] — a
+    * bounded-buffer Catalyst aggregate whose map side reduces every
+    * partition to at most `k` `(ord, tag)` pairs per group BEFORE the
+    * exchange (shuffle volume `|groups| × k × 16` bytes per partition,
+    * never the corpus), then `posexplode`s the best-first array back
+    * to rows with an explicit 1-based `rank`. The window formulation
+    * shuffles and sorts EVERY corpus row into its group's partition
+    * just to discard all but `k`, and serializes each hot group on one
+    * task — this shape's per-group cost is flat by construction, the
+    * third member of the window-skew audit family (capPerGroup's
+    * two-phase cut, globalDenseRank's range walk) and the one to
+    * prefer when k is small and both sort key and tie-break fit in a
+    * LONG. `tagCol` must be unique per row (the same precondition
+    * that makes `row_number` deterministic); both columns are cast to
+    * LONG by the caller's expressions.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      ordCol: Column,
+      tagCol: Column,
+      k: Int,
+      ordName: String = "ord",
+      tagName: String = "tag"
+  ): DataFrame = {
+    require(k >= 1 && k <= 65536, s"topKPerGroup: k must be in [1, 65536], got $k")
+    val outCols = Seq("rank", ordName, tagName)
+    require(outCols.distinct.size == outCols.size && !outCols.contains(groupCol),
+      s"topKPerGroup: output columns must be distinct from each other and from " +
+        s"$groupCol (got ${outCols.mkString(", ")})")
+    require(!df.columns.contains("_tk") && groupCol != "_tk",
+      "topKPerGroup: reserved working column _tk already exists")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.SketchExpressions
+        .topk_pairs(ordCol.cast("long"), tagCol.cast("long"), k).as("_tk"))
+      .select(col(groupCol), posexplode(col("_tk")))
+      .select(
+        col(groupCol),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.ord").as(ordName),
+        col("col.tag").as(tagName))
+  }
+
+  /** DETERMINISTIC per-group uniform sample of `k` rows — the "pull a
+    * fixed-size eyeball sample of every domain / source / shard" stage
+    * of corpus QA, where `sample(fraction)` is useless (hot groups
+    * drown cold ones; fractions can't promise "k per group") and any
+    * RNG-based pick is irreproducible across reruns and engines.
+    * Each row's priority is the 52-bit md5 prefix of `"seed:id"` — a
+    * uniform but fully deterministic permutation of the group, reseeded
+    * wholesale by changing `seed` — and the sample is the `k`
+    * highest-priority rows, ranked. Exact-integer end to end (the
+    * [[kmvDistinct]] hash idiom), so a SQL oracle replays it
+    * bit-for-bit.
+    *
+    * Scale shape: the priority is row-local codegen'd md5; the cut is
+    * [[topKPerGroup]]'s bounded aggregate, so every map-side partition
+    * forwards at most `k` `(priority, id)` pairs per group into the one
+    * exchange — per-group cost is flat regardless of group size, the
+    * reservoir-sampling distributed shape (priority sampling; the
+    * `row_number` formulation would shuffle and sort every corpus row
+    * into its group just to keep `k`). `idCol` must be unique per row:
+    * it is both the sampling unit and the tie-break, and duplicate ids
+    * would collapse into one kept pair.
+    */
+  def groupSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: Column,
+      k: Int,
+      seed: String,
+      idName: String = "id"
+  ): DataFrame = {
+    require(!df.columns.contains("_pri") && groupCol != "_pri",
+      "groupSample: reserved working column _pri already exists")
+    topKPerGroup(
+      df.withColumn("_pri",
+        conv(substring(md5(concat_ws(":", lit(seed), idCol.cast("string"))), 1, 13), 16, 10)
+          .cast("long")),
+      groupCol, col("_pri"), idCol, k,
+      ordName = "priority", tagName = idName)
+  }
 }

@@ -1208,6 +1208,45 @@ object PipelineQueries {
         .snapshotDiff(oldSnap, newSnap, "doc_id",
           Seq("text", "lang", "source", "n_chars"))
         .orderBy("doc_id")
+    },
+    // q124: the STREAMING engine under the batch oracle — gap
+    // sessionization via flatMapGroupsWithState (custom per-user
+    // state, event-time timeouts) replayed over the events parquet as
+    // a file stream, output through a parquet SINK, and gated by the
+    // same islands SQL that oracles batch q35. The far-future
+    // sentinel that lets the final no-data micro-batch flush every
+    // open session is filtered back out inside replaySessionize
+    "q124_stream_sessionize" -> { (s, dir) =>
+      val ev = graft.queries.RelationalQueries.eventsStream(s, dir)
+        .select(col("user_id"), col("ts").cast("long").as("sec"), col("value"))
+      graft.streaming.Streams
+        .replaySessionize(ev, gapSec = 21600L, sentinelSec = 32503680000L)
+        .select(
+          col("user_id"), col("session_start_sec"), col("n_events"),
+          col("duration_sec"), round(col("value_sum"), 2).as("value_sum"))
+        .orderBy("user_id", "session_start_sec")
+    },
+    // q125: bounded top-k rows per group — the row_number() <= k
+    // answer from TopKPairsAgg's map-side-capped buffers (see
+    // Scale.topKPerGroup): shuffle carries at most k (ord, tag) pairs
+    // per group per partition, no Window, no corpus sort
+    "q125_topk_group" -> { (s, dir) =>
+      Scale
+        .topKPerGroup(
+          t(s, dir, "documents"), "source",
+          col("n_chars"), col("doc_id"), k = 5,
+          ordName = "n_chars", tagName = "doc_id")
+        .orderBy("source", "rank")
+    },
+    // q126: deterministic per-group uniform sample — md5-priority
+    // reservoir ranked by the same bounded aggregate as q125; seed
+    // change = wholesale resample, rerun = identical rows
+    "q126_group_sample" -> { (s, dir) =>
+      Scale
+        .groupSample(
+          t(s, dir, "documents"), "source",
+          col("doc_id"), k = 4, seed = "s12", idName = "doc_id")
+        .orderBy("source", "rank")
     }
   )
 
@@ -2585,7 +2624,52 @@ object PipelineQueries {
         |       WHEN nd IS NULL THEN 'removed'
         |       ELSE 'changed' END AS change_type
         |FROM j WHERE od IS NULL OR nd IS NULL OR od <> nd
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // q124: q35's islands SQL with the session keyed by its start
+    // second instead of a per-user ordinal (the streaming operator
+    // emits sessions as they close, so an ordinal would impose a
+    // global per-user order the stream never materializes). Window
+    // tie order uses (sec, value) — island MEMBERSHIP only depends on
+    // the floored-second deltas, so any within-second order yields
+    // the same sessions, and every emitted aggregate is
+    // order-independent (min/max/count/rounded sum)
+    "q124_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, value,
+        |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |f AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+        |                       OR sec - lag(sec) OVER w > 21600 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, value)),
+        |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, value
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |      FROM f)
+        |SELECT user_id, min(sec) AS session_start_sec, count(*) AS n_events,
+        |  max(sec) - min(sec) AS duration_sec, round(sum(value), 2) AS value_sum
+        |FROM g GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start_sec""".stripMargin,
+    // q125: the window formulation the aggregate replaces — DuckDB can
+    // afford it at oracle scale; doc_id is the unique tie-break that
+    // makes both formulations deterministic
+    "q125_topk_group" ->
+      """WITH r AS (SELECT source, n_chars, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |                     ORDER BY n_chars DESC, doc_id) AS rank
+        |FROM documents)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, n_chars, doc_id
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    // q126: the identical 52-bit md5-prefix priority (kmvDistinct's
+    // exact-integer hash idiom), ranked by the window formulation the
+    // bounded aggregate replaces
+    "q126_group_sample" ->
+      """WITH p AS (SELECT source, doc_id,
+        |  CAST('0x' || substr(md5('s12:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |       AS BIGINT) AS priority
+        |FROM documents),
+        |r AS (SELECT source, priority, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |                     ORDER BY priority DESC, doc_id) AS rank
+        |FROM p)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, priority, doc_id
+        |FROM r WHERE rank <= 4 ORDER BY source, rank""".stripMargin
   )
 
   // Shared by q107 (in-memory index) and q118 (persisted lifecycle):

@@ -33,7 +33,36 @@ object RelationalQueries {
     */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** The same events table as a STREAMING source (file-source replay of
+    * the parquet), with the identical `ts` normalization — the physical
+    * precision adaptation is schema-driven, so it applies to a
+    * streaming DataFrame unchanged.
+    */
+  private[queries] def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    // the file-stream source requires a DIRECTORY; the testdata table is
+    // a single parquet file, so expose it through a temp dir (symlink —
+    // zero copy; fall back to a copy if the temp fs refuses links)
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_events_stream")
+        val link = d.resolve("events.parquet")
+        try java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(java.nio.file.Paths.get(path), link)
+        }
+        d.toString
+      }
+    normalizeEventTs(s.readStream.schema(s.read.parquet(path).schema).parquet(streamDir))
+  }
+
+  private def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -44,7 +73,6 @@ object RelationalQueries {
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
 
   /** Flagship (E2, `table_jobs/nis_policies.py:21-32`): two-hop inner
     * equi-join + 60-ish-element IN-list + aliased star projection, executed

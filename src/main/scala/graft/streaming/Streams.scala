@@ -695,6 +695,57 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
+  /** Run [[sessionizeStream]] over a FINITE streaming input end-to-end
+    * and hand back the closed sessions as a batch DataFrame — the
+    * harness that lets the driver's SQL oracle gate the STREAMING
+    * engine against the batch `Sessions.byGap` semantics (q124).
+    *
+    * `events` must be a streaming DataFrame with exactly
+    * `(user_id LONG, sec LONG, value DOUBLE)`. Because the stream is
+    * finite, the last open session per user would otherwise sit in
+    * state forever (event-time timeouts only fire once the watermark
+    * passes them, and the watermark only moves when data arrives): a
+    * single far-future sentinel event for the reserved `user_id = -1`
+    * is unioned in, the final no-data micro-batch fires every real
+    * session's timeout, and the sentinel's own — still open — session
+    * is the one row never emitted. Output goes through a parquet SINK,
+    * not the driver (memory-sink would collect every session row onto
+    * the driver — at 100 TB that is the job's output, not a result
+    * set), and is read back as the returned DataFrame.
+    */
+  def replaySessionize(
+      events: DataFrame,
+      gapSec: Long,
+      sentinelSec: Long
+  ): DataFrame = {
+    require(events.isStreaming, "replaySessionize: events must be a streaming DataFrame")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_replay").toString
+    val sentDir = s"$base/sentinel"
+    val outDir = s"$base/out"
+    val ckptDir = s"$base/ckpt"
+    Seq((-1L, sentinelSec, 0.0)).toDF("user_id", "sec", "value")
+      .coalesce(1).write.parquet(sentDir)
+    val sentinel = spark.readStream
+      .schema(spark.read.parquet(sentDir).schema)
+      .parquet(sentDir)
+    val sessions = sessionizeStream(
+      events.unionByName(sentinel).as[SessionEvent], gapSec)
+    val q = sessions.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    spark.read.parquet(outDir).where(col("user_id") >= 0)
+  }
+
   /** Watermarked stream-stream inner join: right rows within ±`within`
     * of the left row's event time, equi-matched on `keyCol`. Both sides
     * carry watermarks and the join condition is time-bounded in both

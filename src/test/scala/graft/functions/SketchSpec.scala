@@ -77,4 +77,84 @@ class SketchSpec extends AnyFunSuite {
   test("k must exceed 1") {
     assert(intercept[IllegalArgumentException](agg(1)).getMessage.contains("k must be > 1"))
   }
+
+  // ---- TopKPairsAgg: the bounded row-top-k buffer ----
+
+  private def tkAgg(k: Int) = TopKPairsAgg(
+    BoundReference(0, LongType, nullable = true),
+    BoundReference(1, LongType, nullable = true), k)
+
+  private def topkOf(k: Int, pairs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val a = tkAgg(k)
+    val buf = pairs.foldLeft(a.createAggregationBuffer()) { (b, p) =>
+      a.update(b, org.apache.spark.sql.catalyst.InternalRow(p._1, p._2))
+    }
+    val arr = a.eval(buf).asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+    }
+  }
+
+  /** The `row_number() <= k` reference answer: ord DESC, tag ASC, distinct pairs. */
+  private def windowRef(k: Int, pairs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    pairs.distinct
+      .sorted(Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long))
+      .take(k)
+
+  test("topk: keeps the k best (ord DESC, tag ASC) pairs, best-first") {
+    val in = Seq((5L, 10L), (9L, 3L), (5L, 2L), (9L, 7L), (1L, 1L))
+    assert(topkOf(3, in) == Seq((9L, 3L), (9L, 7L), (5L, 2L)))
+    // fewer than k pairs → all of them, still ranked
+    assert(topkOf(10, in) == windowRef(10, in))
+    assert(topkOf(2, Seq.empty) == Seq.empty)
+  }
+
+  test("topk: order-invariant, duplicate-blind, equals the window answer (property)") {
+    val prop = Prop.forAll { (xs: List[(Long, Long)], seed: Long) =>
+      val shuffled = new scala.util.Random(seed).shuffle(xs ++ xs)
+      topkOf(4, shuffled) == windowRef(4, xs)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("topk: merge is associative with the same capped answer") {
+    val prop = Prop.forAll { (a: List[(Long, Long)], b: List[(Long, Long)]) =>
+      val ag = tkAgg(4)
+      def bufOf(xs: List[(Long, Long)]) = xs.foldLeft(ag.createAggregationBuffer()) {
+        (s, p) => ag.update(s, org.apache.spark.sql.catalyst.InternalRow(p._1, p._2))
+      }
+      val merged = ag.eval(ag.merge(bufOf(a), bufOf(b)))
+        .asInstanceOf[ArrayData]
+      val got = (0 until merged.numElements()).map { i =>
+        val r = merged.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+      got == windowRef(4, a ++ b)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("topk: serialize/deserialize round-trips the buffer exactly") {
+    val a = tkAgg(8)
+    val buf = Seq((5L, 1L), (-3L, 2L), (Long.MaxValue, Long.MinValue), (0L, 0L))
+      .foldLeft(a.createAggregationBuffer()) { (b, p) =>
+        a.update(b, org.apache.spark.sql.catalyst.InternalRow(p._1, p._2))
+      }
+    val back = a.deserialize(a.serialize(buf))
+    assert(back.size == buf.size)
+    val (bi, fi) = (back.iterator(), buf.iterator())
+    while (fi.hasNext) assert(bi.next() == fi.next())
+  }
+
+  test("topk: null on either side carries no identity; k bounds enforced") {
+    val a = tkAgg(3)
+    val buf = a.createAggregationBuffer()
+    a.update(buf, org.apache.spark.sql.catalyst.InternalRow(null, 1L))
+    a.update(buf, org.apache.spark.sql.catalyst.InternalRow(1L, null))
+    a.update(buf, org.apache.spark.sql.catalyst.InternalRow(7L, 7L))
+    assert(a.eval(buf).asInstanceOf[ArrayData].numElements() == 1)
+    assert(intercept[IllegalArgumentException](tkAgg(0)).getMessage.contains("[1, 65536]"))
+    assert(intercept[IllegalArgumentException](tkAgg(65537)).getMessage.contains("[1, 65536]"))
+  }
 }

@@ -420,4 +420,69 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("reserved working column"), e.getMessage)
   }
+
+  test("topKPerGroup: equals row_number() <= k, window-free, map-side-capped") {
+    val rows = (0 until 600)
+      .map(i => (s"g${i % 5}", (i * 37 % 250).toLong, i.toLong))
+      .toDF("g", "score", "id")
+    val got = Scale.topKPerGroup(rows, "g", col("score"), col("id"), k = 7,
+      ordName = "score", tagName = "id")
+    val ref = rows
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("score").desc, col("id"))).cast("long"))
+      .where(col("rank") <= 7)
+      .select("g", "rank", "score", "id")
+    assert(got.orderBy("g", "rank").collect().map(_.toSeq).toSeq ==
+      ref.orderBy("g", "rank").collect().map(_.toSeq).toSeq)
+    // partitioning-independent
+    assert(Scale.topKPerGroup(rows.repartition(13), "g", col("score"), col("id"), 7,
+        "score", "id").orderBy("g", "rank").collect().map(_.toSeq).toSeq ==
+      got.orderBy("g", "rank").collect().map(_.toSeq).toSeq)
+    // the plan must be the bounded aggregate, not a window sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_pairs"),
+      s"expected a map-side partial topk aggregate:\n${plan.take(400)}")
+    assert(!plan.contains("Window"), s"top-k must not need a window:\n${plan.take(400)}")
+  }
+
+  test("topKPerGroup: contract guards") {
+    val rows = Seq(("a", 1L, 1L)).toDF("g", "score", "id")
+    val clash = intercept[IllegalArgumentException] {
+      Scale.topKPerGroup(rows, "g", col("score"), col("id"), 3,
+        ordName = "g", tagName = "id")
+    }
+    assert(clash.getMessage.contains("distinct"), clash.getMessage)
+    val reserved = intercept[IllegalArgumentException] {
+      Scale.topKPerGroup(rows.withColumnRenamed("score", "_tk"), "g",
+        col("_tk"), col("id"), 3)
+    }
+    assert(reserved.getMessage.contains("reserved working column"), reserved.getMessage)
+    assert(intercept[IllegalArgumentException] {
+      Scale.topKPerGroup(rows, "g", col("score"), col("id"), 0)
+    }.getMessage.contains("[1, 65536]"))
+  }
+
+  test("groupSample: k-per-group, reproducible, seed-sensitive, window-free") {
+    val rows = (0 until 400).map(i => (s"g${i % 4}", i.toLong)).toDF("g", "id")
+    val a = Scale.groupSample(rows, "g", col("id"), k = 5, seed = "sA")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    // exactly k per group (every group has >= k rows), ids drawn from the group
+    assert(a.groupBy(_._1).view.mapValues(_.size).toMap ==
+      Map("g0" -> 5, "g1" -> 5, "g2" -> 5, "g3" -> 5))
+    a.foreach { case (g, _, id) => assert(s"g${id % 4}" == g) }
+    // rerun is identical; a different seed is a different permutation
+    assert(Scale.groupSample(rows, "g", col("id"), 5, "sA")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq == a)
+    assert(Scale.groupSample(rows, "g", col("id"), 5, "sB")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq != a)
+    // below-k groups return the whole group
+    val tiny = Seq(("g", 1L), ("g", 2L)).toDF("g", "id")
+    assert(Scale.groupSample(tiny, "g", col("id"), 5, "sA").count() == 2)
+    // same bounded-aggregate plan as topKPerGroup
+    val plan = Scale.groupSample(rows, "g", col("id"), 5, "sA")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_pairs") && !plan.contains("Window"),
+      plan.take(400))
+  }
 }

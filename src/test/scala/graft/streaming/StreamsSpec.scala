@@ -127,6 +127,42 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("replaySessionize: finite replay emits EVERY session and drops the sentinel") {
+    val base = Files.createTempDirectory("stream_rs").toString
+    val in = s"$base/in"
+    // user 1: two sessions (gap 3600); user 2: one session — the LAST
+    // session per user is exactly what the sentinel must flush (a bare
+    // stream would leave it open forever)
+    Seq((1L, 100L, 1.0), (1L, 110L, 2.0), (2L, 105L, 5.0),
+      (1L, 5100L, 1.0), (1L, 5110L, 3.0))
+      .toDF("user_id", "sec", "value").coalesce(1).write.parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    val got = Streams.replaySessionize(
+      Streams.fileStream(spark, in, schema), gapSec = 3600L,
+      sentinelSec = 1000000L)
+      .select("user_id", "session_start_sec", "n_events", "duration_sec", "value_sum")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (1L, 100L, 2L, 10L, 3.0),
+      (1L, 5100L, 2L, 10L, 4.0),
+      (2L, 105L, 1L, 0L, 5.0)))
+
+    // the batch engine agrees on the session partition (q35 semantics)
+    val batch = graft.operators.Sessions.byGap(
+      spark.read.parquet(in).withColumn("ts", col("sec").cast("timestamp")),
+      "user_id", "ts", "value", "value", 3600L)
+      .select("n_events", "duration_sec", "value_sum")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch == got.map(t => (t._3, t._4, t._5)))
+
+    // a non-streaming input is a contract violation, not a silent batch run
+    val e = intercept[IllegalArgumentException] {
+      Streams.replaySessionize(spark.read.parquet(in), 3600L, 1000000L)
+    }
+    assert(e.getMessage.contains("streaming"), e.getMessage)
+  }
+
   test("stream-stream join matches rows within the time bound only") {
     val base = Files.createTempDirectory("streamj").toString
     val (inL, inR) = (s"$base/l", s"$base/r")
