@@ -1247,6 +1247,17 @@ object PipelineQueries {
           t(s, dir, "documents"), "source",
           col("doc_id"), k = 4, seed = "s12", idName = "doc_id")
         .orderBy("source", "rank")
+    },
+    // q127: the WATERMARKED WINDOWED AGGREGATION face of the streaming
+    // engine under the batch oracle — tumbling hourly windows flushed
+    // by the q124 sentinel pattern, window starts as epoch seconds
+    "q127_stream_windowed_agg" -> { (s, dir) =>
+      graft.streaming.Streams
+        .replayWindowedCounts(
+          graft.queries.RelationalQueries.eventsStream(s, dir),
+          "ts", "event_type", "value",
+          windowSec = 3600L, sentinelSec = 32503680000L)
+        .orderBy("window_start_sec", "event_type")
     }
   )
 
@@ -2669,7 +2680,16 @@ object PipelineQueries {
         |                     ORDER BY priority DESC, doc_id) AS rank
         |FROM p)
         |SELECT source, CAST(rank AS BIGINT) AS rank, priority, doc_id
-        |FROM r WHERE rank <= 4 ORDER BY source, rank""".stripMargin
+        |FROM r WHERE rank <= 4 ORDER BY source, rank""".stripMargin,
+    // q127: tumbling-window floor on the whole-second epoch — identical
+    // hour assignment to Spark's window() for any sub-second precision
+    "q127_stream_windowed_agg" ->
+      """WITH e AS (SELECT event_type, value,
+        |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events)
+        |SELECT (sec // 3600) * 3600 AS window_start_sec, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM e GROUP BY 1, 2
+        |ORDER BY window_start_sec, event_type""".stripMargin
   )
 
   // Shared by q107 (in-memory index) and q118 (persisted lifecycle):

@@ -732,7 +732,18 @@ object Streams {
       .parquet(sentDir)
     val sessions = sessionizeStream(
       events.unionByName(sentinel).as[SessionEvent], gapSec)
-    val q = sessions.writeStream
+    drainToParquet(sessions.toDF(), outDir, ckptDir)
+      .where(col("user_id") >= 0)
+  }
+
+  /** Drain a FINITE streaming DataFrame through a parquet SINK and read
+    * the result back as a batch DataFrame. The sink is a real file sink
+    * (exactly the 100 TB output path) — a memory sink would collect the
+    * job's entire output onto the driver.
+    */
+  private def drainToParquet(out: DataFrame, outDir: String, ckptDir: String): DataFrame = {
+    val spark = out.sparkSession
+    val q = out.writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", ckptDir)
@@ -743,7 +754,60 @@ object Streams {
     } finally {
       q.stop()
     }
-    spark.read.parquet(outDir).where(col("user_id") >= 0)
+    spark.read.parquet(outDir)
+  }
+
+  /** Run [[windowedCounts]] over a FINITE streaming input end-to-end
+    * and hand back the flushed windows as a batch DataFrame — the
+    * replay harness that lets a batch SQL oracle gate the WATERMARKED
+    * WINDOWED-AGGREGATION face of the streaming engine (q127), the
+    * [[replaySessionize]] pattern applied to the built-in stateful
+    * operator instead of custom state.
+    *
+    * `events` must be a streaming DataFrame carrying `tsCol` TIMESTAMP,
+    * `keyCol` STRING and `valueCol` DOUBLE. Append mode only emits a
+    * window once the watermark passes its end, and the watermark only
+    * moves when data arrives — so on a finite stream the trailing
+    * windows would never flush: one far-future sentinel event for the
+    * reserved `sentinelKey` advances the watermark and the final
+    * no-data micro-batch flushes every real window. The sentinel's own
+    * window (still open: its end exceeds the watermark it set) is
+    * filtered back out by its reserved key. Output is
+    * `(window_start_sec, keyCol, n, value_sum)` with the window start
+    * as epoch seconds — engine-portable, no raw timestamps.
+    */
+  def replayWindowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowSec: Long,
+      sentinelSec: Long,
+      sentinelKey: String = "__graft_sentinel__"
+  ): DataFrame = {
+    require(events.isStreaming, "replayWindowedCounts: events must be a streaming DataFrame")
+    require(windowSec > 0, s"replayWindowedCounts: windowSec must be positive, got $windowSec")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_win_replay").toString
+    val sentDir = s"$base/sentinel"
+    Seq((sentinelSec, sentinelKey, 0.0)).toDF("sec", keyCol, valueCol)
+      .select(timestamp_seconds(col("sec")).as(tsCol), col(keyCol), col(valueCol))
+      .coalesce(1).write.parquet(sentDir)
+    val sentinel = spark.readStream
+      .schema(spark.read.parquet(sentDir).schema)
+      .parquet(sentDir)
+    val agg = windowedCounts(
+      events.select(col(tsCol), col(keyCol), col(valueCol)).unionByName(sentinel),
+      tsCol, keyCol, valueCol,
+      window_ = s"$windowSec seconds", watermark = "0 seconds")
+    drainToParquet(agg, s"$base/out", s"$base/ckpt")
+      .where(col(keyCol) =!= sentinelKey)
+      .select(
+        col("window.start").cast("long").as("window_start_sec"),
+        col(keyCol),
+        col("n"),
+        round(col("value_sum"), 2).as("value_sum"))
   }
 
   /** Watermarked stream-stream inner join: right rows within ±`within`

@@ -163,6 +163,36 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("streaming"), e.getMessage)
   }
 
+  test("replayWindowedCounts: every window flushes, sentinel excluded") {
+    val base = Files.createTempDirectory("stream_rw").toString
+    val in = s"$base/in"
+    // two keys across two hourly windows; the LAST window is what the
+    // sentinel must flush (append mode would otherwise hold it open)
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), "click", 2.25),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), "view", 4.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 01:05:00"), "view", 3.0))
+      .toDF("ts", "event_type", "value").coalesce(1).write.parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    val got = Streams.replayWindowedCounts(
+      Streams.fileStream(spark, in, schema),
+      "ts", "event_type", "value", windowSec = 3600L,
+      sentinelSec = java.sql.Timestamp.valueOf("2030-01-01 00:00:00").getTime / 1000L)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L
+    assert(got == Set(
+      (h0, "click", 2L, 3.25),
+      (h0, "view", 1L, 4.0),
+      (h0 + 3600L, "view", 1L, 3.0)))
+    val e = intercept[IllegalArgumentException] {
+      Streams.replayWindowedCounts(spark.read.parquet(in), "ts", "event_type",
+        "value", 3600L, 0L)
+    }
+    assert(e.getMessage.contains("streaming"), e.getMessage)
+  }
+
   test("stream-stream join matches rows within the time bound only") {
     val base = Files.createTempDirectory("streamj").toString
     val (inL, inR) = (s"$base/l", s"$base/r")
