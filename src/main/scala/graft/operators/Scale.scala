@@ -744,4 +744,55 @@ object Scale {
       groupCol, col("_pri"), idCol, k,
       ordName = "priority", tagName = idName)
   }
+
+  /** Deterministic WEIGHTED per-group sample of `k` rows by PRIORITY
+    * SAMPLING (Duffield, Lund & Thorup, "Priority sampling for
+    * estimation of arbitrary subset sums", JACM 2007): each row gets
+    * priority `q = w / u` for a uniform `u ∈ (0, 1]`, and the sample is
+    * the `k` highest-priority rows — heavier rows surface more often,
+    * lighter rows still can, and the scheme supports unbiased
+    * subset-sum estimation from the kept priorities. The "pull an
+    * eyeball sample weighted by token count / quality score" stage of
+    * corpus QA.
+    *
+    * Determinism and cross-engine replay: `u` is derived from the
+    * 52-bit md5 prefix of `"seed:id"` ([[groupSample]]'s idiom) cut to
+    * 31 bits — `u = (⌊h/2^21⌋ + 1) / 2^31` — and the priority is the
+    * exact BIGINT `⌊(w · 2^31) / (⌊h/2^21⌋ + 1)⌋`: integer arithmetic
+    * end to end, so a SQL oracle replays it bit-for-bit (the floor
+    * costs nothing statistically; 31 uniform bits is far beyond what a
+    * k-of-group sample can distinguish). Rows with non-positive weight
+    * are excluded (zero weight must never be sampled; the division
+    * would also lose them to priority 0 ties). `weightCol` must stay
+    * below 2^31 so the shifted product cannot overflow a BIGINT.
+    *
+    * Scale shape: priority is row-local codegen'd md5 + two integer
+    * ops; the cut is [[topKPerGroup]]'s bounded aggregate — at most `k`
+    * `(priority, id)` pairs per group leave each map-side partition,
+    * flat per-group cost however hot the group.
+    */
+  def weightedGroupSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: Column,
+      weightCol: String,
+      k: Int,
+      seed: String,
+      idName: String = "id"
+  ): DataFrame = {
+    val reserved = Seq("_h", "_pri")
+    require(reserved.forall(c => !df.columns.contains(c) && groupCol != c),
+      s"weightedGroupSample: reserved working column already exists (${reserved.mkString(", ")})")
+    require(df.columns.contains(weightCol),
+      s"weightedGroupSample: weight column $weightCol not found")
+    topKPerGroup(
+      df.where(col(weightCol) > 0)
+        .withColumn("_h",
+          conv(substring(md5(concat_ws(":", lit(seed), idCol.cast("string"))), 1, 13), 16, 10)
+            .cast("long"))
+        .withColumn("_pri", expr(
+          s"shiftleft(CAST($weightCol AS BIGINT), 31) DIV (shiftright(_h, 21) + 1)")),
+      groupCol, col("_pri"), idCol, k,
+      ordName = "priority", tagName = idName)
+  }
 }

@@ -1258,6 +1258,16 @@ object PipelineQueries {
           "ts", "event_type", "value",
           windowSec = 3600L, sentinelSec = 32503680000L)
         .orderBy("window_start_sec", "event_type")
+    },
+    // q128: weighted per-group sample — Duffield-Lund-Thorup priority
+    // sampling with exact-integer priorities, char-count-weighted so
+    // long documents surface proportionally in the QA sample
+    "q128_weighted_sample" -> { (s, dir) =>
+      Scale
+        .weightedGroupSample(
+          t(s, dir, "documents"), "source",
+          col("doc_id"), "n_chars", k = 4, seed = "w12", idName = "doc_id")
+        .orderBy("source", "rank")
     }
   )
 
@@ -2689,7 +2699,24 @@ object PipelineQueries {
         |SELECT (sec // 3600) * 3600 AS window_start_sec, event_type,
         |       count(*) AS n, round(sum(value), 2) AS value_sum
         |FROM e GROUP BY 1, 2
-        |ORDER BY window_start_sec, event_type""".stripMargin
+        |ORDER BY window_start_sec, event_type""".stripMargin,
+    // q128: the identical exact-integer priority-sampling arithmetic —
+    // 52-bit md5 prefix cut to 31 uniform bits, BIGINT floor division
+    // (DuckDB // == Spark DIV for non-negative operands)
+    "q128_weighted_sample" ->
+      """WITH p AS (SELECT source, doc_id, n_chars,
+        |  CAST('0x' || substr(md5('w12:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |       AS BIGINT) AS h
+        |FROM documents WHERE n_chars > 0),
+        |q AS (SELECT source, doc_id,
+        |  (CAST(n_chars AS BIGINT) * 2147483648) // ((h // 2097152) + 1) AS priority
+        |FROM p),
+        |r AS (SELECT source, priority, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |                     ORDER BY priority DESC, doc_id) AS rank
+        |FROM q)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, priority, doc_id
+        |FROM r WHERE rank <= 4 ORDER BY source, rank""".stripMargin
   )
 
   // Shared by q107 (in-memory index) and q118 (persisted lifecycle):

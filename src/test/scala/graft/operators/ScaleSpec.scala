@@ -485,4 +485,37 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("partial_topk_pairs") && !plan.contains("Window"),
       plan.take(400))
   }
+
+  test("weightedGroupSample: weight-biased, deterministic, zero-weight excluded") {
+    // one heavy row (weight 100000) among 99 light rows (weight 1):
+    // priority q = w/u with u uniform on (0,1] — the heavy row misses a
+    // k=5 sample only if 5 light rows draw u below ~5e-5, so across 40
+    // seeds it must essentially always be kept; exact misses are
+    // deterministic per seed, so this is a fixed check, not a flake
+    val rows = ((0 until 99).map(i => ("g", i.toLong, 1L)) :+ ("g", 999L, 100000L))
+      .toDF("g", "id", "w")
+    val kept = (0 until 40).count { s =>
+      Scale.weightedGroupSample(rows, "g", col("id"), "w", k = 5, seed = s"seed$s")
+        .collect().exists(_.getLong(3) == 999L)
+    }
+    assert(kept >= 38, s"heavy row kept in only $kept/40 samples")
+    // deterministic rerun; zero/negative weights never sampled
+    val zw = rows.withColumn("w", when(col("id") < 50, lit(0L)).otherwise(col("w")))
+    val got = Scale.weightedGroupSample(zw, "g", col("id"), "w", 5, "sA")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(Scale.weightedGroupSample(zw, "g", col("id"), "w", 5, "sA")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq == got)
+    got.foreach { case (_, id) => assert(id >= 50) }
+    // bounded-aggregate plan; reserved-column guard
+    val plan = Scale.weightedGroupSample(rows, "g", col("id"), "w", 5, "sA")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_pairs") && !plan.contains("Window"),
+      plan.take(400))
+    assert(intercept[IllegalArgumentException] {
+      Scale.weightedGroupSample(rows.withColumn("_h", lit(1)), "g", col("id"), "w", 5, "sA")
+    }.getMessage.contains("reserved"))
+    assert(intercept[IllegalArgumentException] {
+      Scale.weightedGroupSample(rows, "g", col("id"), "nope", 5, "sA")
+    }.getMessage.contains("not found"))
+  }
 }
