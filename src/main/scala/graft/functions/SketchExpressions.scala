@@ -221,6 +221,181 @@ object TopKPairsAgg {
   }
 }
 
+/** Custom Catalyst AGGREGATE for per-group FREQUENT ITEMS: the
+  * SpaceSaving sketch (Metwally, Agrawal & El Abbadi, "Efficient
+  * computation of frequent and top-k elements in data streams") over a
+  * STRING child, one bounded counter map per group. While a group's
+  * distinct-item count stays within `capacity` the counts are EXACT
+  * (`err` = 0 for every item — the sketch's own below-capacity rule);
+  * past it, an unseen item replaces a current minimum, inheriting its
+  * count as the overestimation bound (`cnt − err ≤ true ≤ cnt`), and
+  * WHICH tail items survive becomes arrival/merge-order dependent —
+  * the standard sketch trade, documented here because Spark does not
+  * fix partition arrival order. Eviction picks the minimum by
+  * `(count, err DESC, item)` so the choice is at least deterministic
+  * per buffer state.
+  *
+  * The 100 TB shape: the map lives inside ObjectHashAggregate's map
+  * side, so each partition forwards at most `capacity` counters per
+  * group into the one exchange — "top terms per domain" in one pass
+  * without shuffling the (group, term) pair corpus. `eval` emits all
+  * kept items as `ARRAY<STRUCT<item, cnt, err>>` sorted by
+  * `cnt` DESC, `item` ASC (the `row_number` tie order, so an exact
+  * below-capacity sketch slices straight into a ranked top-k).
+  *
+  * Merge sums counts and errs for shared items, then evicts back down
+  * to `capacity` — the Agarwal et al. mergeable-summaries rule,
+  * associative in the exact regime.
+  */
+case class FreqItemsAgg(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]]
+  with UnaryLike[Expression] {
+
+  require(capacity >= 1 && capacity <= 65536,
+    s"freq_items: capacity must be in [1, 65536], got $capacity")
+
+  override def prettyName: String = "freq_items"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("err", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
+    new java.util.HashMap[String, Array[Long]]()
+
+  // (count asc, err desc, item asc): the least-valuable kept counter —
+  // fewest observations, loosest bound, latest name
+  private def evictionKey(buf: java.util.HashMap[String, Array[Long]]): String = {
+    var best: String = null
+    var bc = Long.MaxValue
+    var be = -1L
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0); val er = e.getValue()(1)
+      if (c < bc || (c == bc && (er > be || (er == be &&
+          (best == null || e.getKey.compareTo(best) < 0))))) {
+        best = e.getKey; bc = c; be = er
+      }
+    }
+    best
+  }
+
+  private def observe(
+      buf: java.util.HashMap[String, Array[Long]],
+      item: String, cnt: Long, err: Long): Unit = {
+    val cur = buf.get(item)
+    if (cur != null) { cur(0) += cnt; cur(1) += err }
+    else if (buf.size < capacity) buf.put(item, Array(cnt, err))
+    else {
+      // SpaceSaving replacement: the new item inherits the evicted
+      // minimum's count as its overestimation bound
+      val victim = evictionKey(buf)
+      val vc = buf.remove(victim)(0)
+      buf.put(item, Array(vc + cnt, vc + err))
+    }
+  }
+
+  override def update(
+      buf: java.util.HashMap[String, Array[Long]],
+      input: InternalRow): java.util.HashMap[String, Array[Long]] = {
+    val v = child.eval(input)
+    if (v != null) {
+      observe(buf, v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString, 1L, 0L)
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.HashMap[String, Array[Long]],
+      other: java.util.HashMap[String, Array[Long]]): java.util.HashMap[String, Array[Long]] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      observe(buf, e.getKey, e.getValue()(0), e.getValue()(1))
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.HashMap[String, Array[Long]]): Any = {
+    val entries = new Array[(String, Long, Long)](buf.size)
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      entries(i) = (e.getKey, e.getValue()(0), e.getValue()(1))
+      i += 1
+    }
+    java.util.Arrays.sort(entries.asInstanceOf[Array[AnyRef]], FreqItemsAgg.ByCountDesc)
+    new GenericArrayData(entries.map { case (item, c, er) =>
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(item), c, er)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Array[Long]]): Array[Byte] = {
+    var bytes = 4
+    val sizes = new java.util.HashMap[String, Array[Byte]](buf.size)
+    val it0 = buf.keySet().iterator()
+    while (it0.hasNext) {
+      val k = it0.next()
+      val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      sizes.put(k, b)
+      bytes += 4 + b.length + 16
+    }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = sizes.get(e.getKey)
+      bb.putInt(kb.length); bb.put(kb)
+      bb.putLong(e.getValue()(0)); bb.putLong(e.getValue()(1))
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Array[Long]] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.HashMap[String, Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](bb.getInt)
+      bb.get(kb)
+      buf.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        Array(bb.getLong, bb.getLong))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FreqItemsAgg =
+    copy(child = newChild)
+}
+
+object FreqItemsAgg {
+  /** `cnt` DESC, `item` ASC — the ranked-output order. */
+  private[functions] object ByCountDesc extends Comparator[AnyRef] with Serializable {
+    override def compare(xa: AnyRef, xb: AnyRef): Int = {
+      val a = xa.asInstanceOf[(String, Long, Long)]
+      val b = xb.asInstanceOf[(String, Long, Long)]
+      val byCnt = java.lang.Long.compare(b._2, a._2)
+      if (byCnt != 0) byCnt else a._1.compareTo(b._1)
+    }
+  }
+}
+
 object SketchExpressions {
 
   /** `k` smallest distinct values of a LONG column per group, ascending
@@ -239,4 +414,13 @@ object SketchExpressions {
       TopKPairsAgg(
         ColumnBridge.expression(ord), ColumnBridge.expression(tag), k)
         .toAggregateExpression())
+
+  /** SpaceSaving frequent-items sketch of a STRING column per group:
+    * up to `capacity` `(item, cnt, err)` counters, `cnt` DESC / `item`
+    * ASC (see [[FreqItemsAgg]]; exact with `err` = 0 while the group's
+    * distinct-item count fits the capacity).
+    */
+  def freq_items(item: Column, capacity: Int): Column =
+    ColumnBridge.column(
+      FreqItemsAgg(ColumnBridge.expression(item), capacity).toAggregateExpression())
 }

@@ -795,4 +795,47 @@ object Scale {
       groupCol, col("_pri"), idCol, k,
       ordName = "priority", tagName = idName)
   }
+
+  /** TOP-K FREQUENT ITEMS per group — "most common tokens / URLs /
+    * error codes per domain" — by the SpaceSaving sketch
+    * ([[graft.functions.FreqItemsAgg]]): one bounded counter map per
+    * group inside the map-side aggregate, so each partition forwards at
+    * most `capacity` counters per group into the one exchange instead
+    * of shuffling the full `(group, item)` pair corpus that the
+    * `groupBy(group, item).count()` formulation drags through the wire
+    * (that shape's shuffle is corpus-vocabulary-sized, and the second
+    * top-k cut costs another exchange). Counts are EXACT with `err` = 0
+    * while each group's distinct-item count fits `capacity`; beyond it
+    * they become SpaceSaving estimates (`cnt − err ≤ true ≤ cnt`) and
+    * tail membership turns arrival-order dependent — size `capacity`
+    * to the expected per-group vocabulary when exactness matters.
+    * Output: `(group, rank, item, cnt, err)`, rank 1-based in
+    * `cnt` DESC / `item` ASC order.
+    */
+  def freqItemsPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: Column,
+      k: Int,
+      capacity: Int,
+      itemName: String = "item"
+  ): DataFrame = {
+    require(k >= 1 && k <= capacity,
+      s"freqItemsPerGroup: need 1 <= k <= capacity, got k=$k capacity=$capacity")
+    val outCols = Seq("rank", itemName, "cnt", "err")
+    require(outCols.distinct.size == outCols.size && !outCols.contains(groupCol),
+      s"freqItemsPerGroup: output columns must be distinct from each other and from " +
+        s"$groupCol (got ${outCols.mkString(", ")})")
+    require(!df.columns.contains("_fi") && groupCol != "_fi",
+      "freqItemsPerGroup: reserved working column _fi already exists")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.SketchExpressions.freq_items(itemCol, capacity).as("_fi"))
+      .select(col(groupCol), posexplode(slice(col("_fi"), 1, k)))
+      .select(
+        col(groupCol),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as(itemName),
+        col("col.cnt").as("cnt"),
+        col("col.err").as("err"))
+  }
 }

@@ -1268,6 +1268,19 @@ object PipelineQueries {
           t(s, dir, "documents"), "source",
           col("doc_id"), "n_chars", k = 4, seed = "w12", idName = "doc_id")
         .orderBy("source", "rank")
+    },
+    // q129: top-k frequent tokens per source via the SpaceSaving
+    // counter-map aggregate — capacity 4096 far exceeds the fixture
+    // vocabulary, so counts are exact (err = 0) and the oracle is the
+    // plain GROUP BY answer; the bounded map is the corpus-scale shape
+    "q129_freq_terms" -> { (s, dir) =>
+      Scale
+        .freqItemsPerGroup(
+          t(s, dir, "documents")
+            .select(col("source"),
+              explode(graft.functions.Text.tokens(col("text"))).as("tok")),
+          "source", col("tok"), k = 5, capacity = 4096, itemName = "term")
+        .orderBy("source", "rank")
     }
   )
 
@@ -2716,7 +2729,22 @@ object PipelineQueries {
         |                     ORDER BY priority DESC, doc_id) AS rank
         |FROM q)
         |SELECT source, CAST(rank AS BIGINT) AS rank, priority, doc_id
-        |FROM r WHERE rank <= 4 ORDER BY source, rank""".stripMargin
+        |FROM r WHERE rank <= 4 ORDER BY source, rank""".stripMargin,
+    // q129: q57's tokenization, exact counts, the row_number cut the
+    // bounded sketch replaces; err is identically 0 in the exact regime
+    "q129_freq_terms" ->
+      """WITH toks AS (SELECT source,
+        |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     x -> x <> '')) AS term
+        |FROM documents),
+        |c AS (SELECT source, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |r AS (SELECT source, term, cnt,
+        |  row_number() OVER (PARTITION BY source
+        |                     ORDER BY cnt DESC, term) AS rank
+        |FROM c)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, term, cnt,
+        |       CAST(0 AS BIGINT) AS err
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
   )
 
   // Shared by q107 (in-memory index) and q118 (persisted lifecycle):

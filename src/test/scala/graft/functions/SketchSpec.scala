@@ -147,6 +147,62 @@ class SketchSpec extends AnyFunSuite {
     while (fi.hasNext) assert(bi.next() == fi.next())
   }
 
+  // ---- FreqItemsAgg: the SpaceSaving counter map ----
+
+  private def fiAgg(cap: Int) = FreqItemsAgg(
+    BoundReference(0, org.apache.spark.sql.types.StringType, nullable = true), cap)
+
+  private def feed(a: FreqItemsAgg, items: Seq[String]) =
+    items.foldLeft(a.createAggregationBuffer()) { (b, s) =>
+      a.update(b, org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    }
+
+  private def entriesOf(a: FreqItemsAgg, buf: java.util.HashMap[String, Array[Long]]) = {
+    val arr = a.eval(buf).asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 3)
+      (r.getUTF8String(0).toString, r.getLong(1), r.getLong(2))
+    }
+  }
+
+  test("freq: exact counts below capacity, cnt DESC / item ASC, err 0") {
+    val a = fiAgg(8)
+    val got = entriesOf(a, feed(a, Seq("b", "a", "b", "c", "a", "b")))
+    assert(got == Seq(("b", 3L, 0L), ("a", 2L, 0L), ("c", 1L, 0L)))
+  }
+
+  test("freq: exact regime is order-invariant and merge is count addition (property)") {
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf("a", "b", "c", "d", "e"))
+    val prop = Prop.forAll(gen, gen, org.scalacheck.Gen.long) { (xs, ys, seed) =>
+      val a = fiAgg(8) // capacity 8 > 5 possible items: always exact
+      val shuffled = new scala.util.Random(seed).shuffle(xs ++ ys)
+      val merged = entriesOf(a, a.merge(feed(a, xs), feed(a, ys)))
+      merged == entriesOf(a, feed(a, shuffled))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("freq: above capacity the new item inherits the evicted minimum's count as err") {
+    val a = fiAgg(2)
+    // a:3, b:1 — then c evicts b (the min), entering with cnt 2, err 1
+    val got = entriesOf(a, feed(a, Seq("a", "a", "a", "b", "c")))
+    assert(got == Seq(("a", 3L, 0L), ("c", 2L, 1L)))
+    // SpaceSaving guarantee on the survivor: cnt − err <= true <= cnt
+    assert(got.forall { case (_, c, e) => c - e >= 0 })
+  }
+
+  test("freq: serde round-trips; nulls carry no identity; capacity bounds enforced") {
+    val a = fiAgg(8)
+    val buf = feed(a, Seq("x", "y", "x", ""))
+    a.update(buf, org.apache.spark.sql.catalyst.InternalRow(null))
+    val back = a.deserialize(a.serialize(buf))
+    assert(entriesOf(a, back) == entriesOf(a, buf))
+    assert(entriesOf(a, buf) == Seq(("x", 2L, 0L), ("", 1L, 0L), ("y", 1L, 0L)))
+    assert(intercept[IllegalArgumentException](fiAgg(0)).getMessage.contains("[1, 65536]"))
+  }
+
   test("topk: null on either side carries no identity; k bounds enforced") {
     val a = tkAgg(3)
     val buf = a.createAggregationBuffer()

@@ -518,4 +518,32 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       Scale.weightedGroupSample(rows, "g", col("id"), "nope", 5, "sA")
     }.getMessage.contains("not found"))
   }
+
+  test("freqItemsPerGroup: equals the exact GROUP BY top-k, bounded-map plan") {
+    val rows = (0 until 900)
+      .map(i => (s"g${i % 3}", s"t${i % (7 + i % 3)}"))
+      .toDF("g", "item_s")
+    val got = Scale.freqItemsPerGroup(rows, "g", col("item_s"), k = 4,
+      capacity = 64, itemName = "term")
+    val ref = rows.groupBy("g", "item_s").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("cnt").desc, col("item_s"))).cast("long"))
+      .where(col("rank") <= 4)
+      .select(col("g"), col("rank"), col("item_s").as("term"), col("cnt"),
+        lit(0L).as("err"))
+    assert(got.orderBy("g", "rank").collect().map(_.toSeq).toSeq ==
+      ref.orderBy("g", "rank").collect().map(_.toSeq).toSeq)
+    // partitioning-independent in the exact regime
+    assert(Scale.freqItemsPerGroup(rows.repartition(13), "g", col("item_s"), 4, 64,
+        "term").orderBy("g", "rank").collect().map(_.toSeq).toSeq ==
+      got.orderBy("g", "rank").collect().map(_.toSeq).toSeq)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_freq_items"),
+      s"expected a map-side partial sketch aggregate:\n${plan.take(400)}")
+    assert(!plan.contains("Window"), plan.take(400))
+    assert(intercept[IllegalArgumentException] {
+      Scale.freqItemsPerGroup(rows, "g", col("item_s"), k = 10, capacity = 4)
+    }.getMessage.contains("k <= capacity"))
+  }
 }
