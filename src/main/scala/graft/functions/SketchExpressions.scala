@@ -246,6 +246,12 @@ object TopKPairsAgg {
   * Merge sums counts and errs for shared items, then evicts back down
   * to `capacity` — the Agarwal et al. mergeable-summaries rule,
   * associative in the exact regime.
+  *
+  * Eviction scans the map for its minimum (O(capacity) per evicting
+  * insert): fine while evictions are rare (capacity sized to the
+  * vocabulary, the intended regime); a stream whose per-group
+  * cardinality dwarfs the capacity would want SpaceSaving's
+  * stream-summary structure (O(1) eviction) instead.
   */
 case class FreqItemsAgg(
     child: Expression,
