@@ -694,6 +694,14 @@ object Scale {
         s"$groupCol (got ${outCols.mkString(", ")})")
     require(!df.columns.contains("_tk") && groupCol != "_tk",
       "topKPerGroup: reserved working column _tk already exists")
+    // the LONG casts must be lossless: a fractional/string ord or tag
+    // would cast to null (or truncate) and the aggregate SKIPS nulls —
+    // silent row loss, not an error — so reject non-integral inputs here
+    Seq(("ord", ordCol), ("tag", tagCol)).foreach { case (role, c) =>
+      val dt = df.select(c).schema.head.dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"topKPerGroup: $role column must be an integral type, got ${dt.typeName}")
+    }
     df.groupBy(col(groupCol))
       .agg(graft.functions.SketchExpressions
         .topk_pairs(ordCol.cast("long"), tagCol.cast("long"), k).as("_tk"))
@@ -791,7 +799,14 @@ object Scale {
           conv(substring(md5(concat_ws(":", lit(seed), idCol.cast("string"))), 1, 13), 16, 10)
             .cast("long"))
         .withColumn("_pri", expr(
-          s"shiftleft(CAST($weightCol AS BIGINT), 31) DIV (shiftright(_h, 21) + 1)")),
+          // weights at or above 2^31 would overflow the shifted product
+          // SILENTLY (negative priorities) — fail loudly instead
+          s"""CASE WHEN CAST($weightCol AS BIGINT) >= 2147483648
+             |THEN CAST(raise_error(concat(
+             |  'weightedGroupSample: weight must be below 2^31, got ',
+             |  CAST($weightCol AS STRING))) AS BIGINT)
+             |ELSE shiftleft(CAST($weightCol AS BIGINT), 31)
+             |     DIV (shiftright(_h, 21) + 1) END""".stripMargin)),
       groupCol, col("_pri"), idCol, k,
       ordName = "priority", tagName = idName)
   }

@@ -458,6 +458,15 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
         col("_tk"), col("id"), 3)
     }
     assert(reserved.getMessage.contains("reserved working column"), reserved.getMessage)
+    // non-integral ord/tag would cast to null and silently drop rows
+    val frac = intercept[IllegalArgumentException] {
+      Scale.topKPerGroup(rows, "g", col("score").cast("double"), col("id"), 3)
+    }
+    assert(frac.getMessage.contains("integral type"), frac.getMessage)
+    val strTag = intercept[IllegalArgumentException] {
+      Scale.topKPerGroup(rows, "g", col("score"), col("id").cast("string"), 3)
+    }
+    assert(strTag.getMessage.contains("integral type"), strTag.getMessage)
     assert(intercept[IllegalArgumentException] {
       Scale.topKPerGroup(rows, "g", col("score"), col("id"), 0)
     }.getMessage.contains("[1, 65536]"))
@@ -517,6 +526,12 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Scale.weightedGroupSample(rows, "g", col("id"), "nope", 5, "sA")
     }.getMessage.contains("not found"))
+    // weights at or above 2^31 would overflow silently — must raise
+    val big = Seq(("g", 1L, 3000000000L)).toDF("g", "id", "w")
+    val e = intercept[Exception] {
+      Scale.weightedGroupSample(big, "g", col("id"), "w", 1, "sA").collect()
+    }
+    assert(e.getMessage.contains("weight must be below 2^31"), e.getMessage)
   }
 
   test("freqItemsPerGroup: equals the exact GROUP BY top-k, bounded-map plan") {
