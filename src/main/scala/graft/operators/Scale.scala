@@ -638,13 +638,22 @@ object Scale {
       s"kmvDistinct: reserved working column already exists (${reserved.mkString(", ")})")
     require(!reserved.contains(groupCol),
       s"kmvDistinct: group column $groupCol collides with an output column")
+    kmvEstimate(
+      df.select(col(groupCol), kmvHash(valueCol).as("_h"))
+        .where(col("_h").isNotNull) // null values carry no identity — skip
+        .groupBy(col(groupCol))
+        .agg(graft.functions.SketchExpressions.kmv_sketch(col("_h"), k).as("_kept")),
+      groupCol, k)
+  }
+
+  /** The 52-bit md5-prefix hash shared by every KMV face. */
+  private def kmvHash(valueCol: Column): Column =
+    conv(substring(md5(valueCol.cast("string")), 1, 13), 16, 10).cast("long")
+
+  /** The KMV estimator tail over `(groupCol, _kept ARRAY<LONG>)`. */
+  private def kmvEstimate(sketched: DataFrame, groupCol: String, k: Int): DataFrame = {
     val numerator = (k - 1).toLong << 52 // k ≤ 2048 keeps this < 2^63
-    df.select(
-        col(groupCol),
-        conv(substring(md5(valueCol.cast("string")), 1, 13), 16, 10).cast("long").as("_h"))
-      .where(col("_h").isNotNull) // null values carry no identity — skip
-      .groupBy(col(groupCol))
-      .agg(graft.functions.SketchExpressions.kmv_sketch(col("_h"), k).as("_kept"))
+    sketched
       .select(
         col(groupCol),
         size(col("_kept")).cast("long").as("n_kept"),
@@ -658,6 +667,63 @@ object Scale {
         when(col("n_kept") < k, col("n_kept"))
           .otherwise(expr(s"${numerator}L DIV kth_hash"))
           .as("est_distinct"))
+  }
+
+  /** Per-group KMV sketch ARRAYS — the persistable mergeable summary a
+    * multi-shard/multi-day rollup stores per `(group…, shard)` row:
+    * the `k` smallest distinct 52-bit value hashes, ascending. Feed
+    * the stored arrays to [[kmvMerge]] to roll shards up to per-group
+    * estimates without revisiting the data — the shape that turns a
+    * 100 TB "distinct per domain, updated daily" job into one
+    * sketch-build per new day plus a metadata-scale merge.
+    */
+  def kmvSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      k: Int
+  ): DataFrame = {
+    require(k > 1 && k <= 2048, s"kmvSketch: k must be in [2, 2048], got $k")
+    require(groupCols.nonEmpty, "kmvSketch: need at least one group column")
+    val reserved = Seq("_h", "kmv_sketch")
+    require(reserved.forall(c => !df.columns.contains(c) && !groupCols.contains(c)),
+      s"kmvSketch: reserved working column already exists (${reserved.mkString(", ")})")
+    df.select(groupCols.map(col) :+ kmvHash(valueCol).as("_h"): _*)
+      .where(col("_h").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.SketchExpressions.kmv_sketch(col("_h"), k).as("kmv_sketch"))
+  }
+
+  /** MERGE per-shard KMV sketches up to per-group estimates: union the
+    * kept hashes and re-cut to the `k` smallest distinct — by the KMV
+    * union property this equals sketching the union of the raw data
+    * directly (any hash among the global k smallest is necessarily
+    * among its own shard's k smallest), so the output is IDENTICAL to
+    * [[kmvDistinct]] over the combined input, row for row. Input cost
+    * is `|sketch rows| × k` longs — metadata-scale — regardless of the
+    * corpus the sketches summarize; the same `kmv_sketch` aggregate
+    * performs the re-cut with map-side-bounded buffers. `k` must be
+    * the k the sketches were built with (a larger k would under-fill
+    * from summaries that already discarded hashes and silently
+    * misreport exactness).
+    */
+  def kmvMerge(
+      sketches: DataFrame,
+      groupCol: String,
+      sketchCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 1 && k <= 2048, s"kmvMerge: k must be in [2, 2048], got $k")
+    val reserved = Seq("_h", "_kept", "n_kept", "kth_hash", "est_distinct")
+    require(reserved.forall(c => !sketches.columns.contains(c)),
+      s"kmvMerge: reserved working column already exists (${reserved.mkString(", ")})")
+    require(!reserved.contains(groupCol),
+      s"kmvMerge: group column $groupCol collides with an output column")
+    kmvEstimate(
+      sketches.select(col(groupCol), explode(col(sketchCol)).as("_h"))
+        .groupBy(col(groupCol))
+        .agg(graft.functions.SketchExpressions.kmv_sketch(col("_h"), k).as("_kept")),
+      groupCol, k)
   }
 
   /** TOP-K ROWS PER GROUP without a window: the

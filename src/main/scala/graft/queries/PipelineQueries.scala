@@ -1281,6 +1281,18 @@ object PipelineQueries {
               explode(graft.functions.Text.tokens(col("text"))).as("tok")),
           "source", col("tok"), k = 5, capacity = 4096, itemName = "term")
         .orderBy("source", "rank")
+    },
+    // q130: the KMV sketch's MERGEABILITY under the oracle — per-shard
+    // sketches (doc_id mod 8 stands in for daily batches) unioned and
+    // re-cut to per-source estimates; by the union property the answer
+    // is row-identical to q121's direct sketch, and q121's SQL gates it
+    "q130_kmv_rollup" -> { (s, dir) =>
+      val sharded = Scale.kmvSketch(
+        t(s, dir, "documents")
+          .select(col("source"), pmod(col("doc_id"), lit(8)).as("shard"),
+            explode(Text.shingles(col("text"), 3)).as("sh")),
+        Seq("source", "shard"), col("sh"), k = 64)
+      Scale.kmvMerge(sharded, "source", "kmv_sketch", k = 64).orderBy("source")
     }
   )
 
@@ -2611,20 +2623,7 @@ object PipelineQueries {
     // the per-doc DISTINCT word trigrams (ShinglesCte's construction);
     // the sketch's own (source, hash) distinct collapses cross-doc
     // repeats identically on both engines
-    "q121_kmv_distinct" ->
-      s"""WITH $ShinglesCte,
-         |ssrc AS (SELECT d.source, sh.shingle
-         |         FROM sh JOIN documents d USING (doc_id)),
-         |dd AS (SELECT DISTINCT source,
-         |        CAST('0x' || substring(md5(shingle), 1, 13) AS BIGINT) AS h FROM ssrc),
-         |r AS (SELECT source, h,
-         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM dd),
-         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
-         |        max(h) AS kth_hash FROM r WHERE rn <= 64 GROUP BY source)
-         |SELECT source, n_kept, kth_hash,
-         |  CASE WHEN n_kept < 64 THEN n_kept
-         |       ELSE (CAST(63 AS BIGINT) << 52) // kth_hash END AS est_distinct
-         |FROM s ORDER BY source""".stripMargin,
+    "q121_kmv_distinct" -> KmvBySourceSql,
     // q122: consecutive pairs replayed as a lead() over the same
     // engine-portable total order (whole-second floor, event_id ties);
     // probability = exact BIGINT micro-units, one integer division
@@ -2744,8 +2743,31 @@ object PipelineQueries {
         |FROM c)
         |SELECT source, CAST(rank AS BIGINT) AS rank, term, cnt,
         |       CAST(0 AS BIGINT) AS err
-        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    // q130: q121's exact SQL — the union property makes the rollup's
+    // answer identical to the direct sketch
+    "q130_kmv_rollup" -> KmvBySourceSql
   )
+
+  // Shared by q121 (direct per-source sketch) and q130 (per-shard
+  // sketches merged by union + re-cut): the KMV union property makes
+  // the two-level rollup's answer IDENTICAL to the direct sketch, so
+  // one oracle gates both — any divergence is the merge's fault by
+  // construction.
+  private lazy val KmvBySourceSql =
+    s"""WITH $ShinglesCte,
+       |ssrc AS (SELECT d.source, sh.shingle
+       |         FROM sh JOIN documents d USING (doc_id)),
+       |dd AS (SELECT DISTINCT source,
+       |        CAST('0x' || substring(md5(shingle), 1, 13) AS BIGINT) AS h FROM ssrc),
+       |r AS (SELECT source, h,
+       |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM dd),
+       |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |        max(h) AS kth_hash FROM r WHERE rn <= 64 GROUP BY source)
+       |SELECT source, n_kept, kth_hash,
+       |  CASE WHEN n_kept < 64 THEN n_kept
+       |       ELSE (CAST(63 AS BIGINT) << 52) // kth_hash END AS est_distinct
+       |FROM s ORDER BY source""".stripMargin
 
   // Shared by q107 (in-memory index) and q118 (persisted lifecycle):
   // the BM25 ranked-retrieval ground truth with per-term idf

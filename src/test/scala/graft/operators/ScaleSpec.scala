@@ -534,6 +534,33 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("weight must be below 2^31"), e.getMessage)
   }
 
+  test("kmvSketch + kmvMerge: sharded rollup equals the direct sketch exactly") {
+    val rows = (0 until 800).map(i => (s"v${i % 331}", s"g${i % 3}", i % 7)).toDF("v", "g", "shard")
+    val direct = Scale.kmvDistinct(rows, "g", col("v"), k = 16)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    // the union property: any global k-smallest hash is in its shard's
+    // k smallest, so union + re-cut loses nothing — row-identical output
+    val merged = Scale.kmvMerge(
+      Scale.kmvSketch(rows, Seq("g", "shard"), col("v"), 16), "g", "kmv_sketch", 16)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(merged == direct)
+    // a different sharding cannot change the answer either
+    val reshard = Scale.kmvMerge(
+      Scale.kmvSketch(rows.withColumn("shard", pmod(crc32(col("v")), lit(5))),
+        Seq("g", "shard"), col("v"), 16), "g", "kmv_sketch", 16)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(reshard == direct)
+    // the merge input is sketch rows, not the corpus; re-cut is the
+    // same bounded aggregate
+    val plan = Scale.kmvMerge(
+      Scale.kmvSketch(rows, Seq("g", "shard"), col("v"), 16), "g", "kmv_sketch", 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_kmv_sketch") && !plan.contains("Window"), plan.take(400))
+    assert(intercept[IllegalArgumentException] {
+      Scale.kmvMerge(rows.withColumnRenamed("v", "kth_hash"), "g", "kmv_sketch", 16)
+    }.getMessage.contains("reserved"))
+  }
+
   test("freqItemsPerGroup: equals the exact GROUP BY top-k, bounded-map plan") {
     val rows = (0 until 900)
       .map(i => (s"g${i % 3}", s"t${i % (7 + i % 3)}"))
