@@ -835,6 +835,51 @@ object Streams {
            |AND r.$rightTime <= l.$leftTime + interval $within""".stripMargin))
   }
 
+  /** Run [[joinStreamsWithin]] over two FINITE streaming inputs
+    * end-to-end and hand back the matched rows as a batch DataFrame —
+    * the replay harness that lets a batch SQL oracle gate the
+    * STREAM-STREAM JOIN face of the streaming engine (q131), completing
+    * the set after custom state (q124) and windowed aggregation (q127).
+    *
+    * Unlike those two, an APPEND-mode inner join emits each match in
+    * the micro-batch where it completes — no watermark has to pass
+    * anything before output appears — so this replay needs no sentinel:
+    * the watermarks here exist purely to bound join STATE (rows older
+    * than `withinSec` behind the watermark are dropped from the state
+    * store), which is the property that keeps the operator alive on an
+    * unbounded 100 TB/day stream. On a finite replay the file source
+    * delivers every available file before the first watermark update,
+    * so no match can be lost to state expiry and the result is exactly
+    * the batch join — which is what the oracle checks.
+    *
+    * Both inputs must carry `keyCol` plus their own time column; all
+    * other column names must be disjoint across the two sides, since
+    * the joined row carries both sides' columns side by side.
+    */
+  def replayJoinWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTime: String,
+      rightTime: String,
+      withinSec: Long
+  ): DataFrame = {
+    require(left.isStreaming && right.isStreaming,
+      "replayJoinWithin: both inputs must be streaming DataFrames")
+    require(withinSec > 0, s"replayJoinWithin: withinSec must be positive, got $withinSec")
+    val overlap = (left.columns.toSet - keyCol).intersect(right.columns.toSet - keyCol)
+    require(overlap.isEmpty,
+      s"replayJoinWithin: non-key columns must be disjoint, both sides have ${overlap.mkString(", ")}")
+    val base = java.nio.file.Files.createTempDirectory("graft_join_replay").toString
+    val joined = joinStreamsWithin(
+      left, right, keyCol, leftTime, rightTime, within = s"$withinSec seconds")
+    val out = joined.select(
+      col(s"l.$keyCol").as(keyCol) +:
+        (left.columns.filterNot(_ == keyCol).map(c => col(s"l.$c")) ++
+          right.columns.filterNot(_ == keyCol).map(c => col(s"r.$c"))).toSeq: _*)
+    drainToParquet(out, s"$base/out", s"$base/ckpt")
+  }
+
   /** Watermarked windowed aggregate over an event-time column — bounded
     * state, append-safe at scale.
     */

@@ -218,6 +218,40 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(rows == Set(("click1", "buy_near")))
   }
 
+  test("replayJoinWithin drains the interval join through the parquet sink") {
+    val base = Files.createTempDirectory("streamjr").toString
+    val (inL, inR) = (s"$base/l", s"$base/r")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "c1"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "c2"))
+      .toDF("user_id", "l_ts", "l_tag").write.parquet(inL)
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), "p_near"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 16:00:00"), "p_far"))
+      .toDF("user_id", "r_ts", "r_tag").write.parquet(inR)
+    val got = Streams.replayJoinWithin(
+      Streams.fileStream(spark, inL, spark.read.parquet(inL).schema),
+      Streams.fileStream(spark, inR, spark.read.parquet(inR).schema),
+      "user_id", "l_ts", "r_ts", withinSec = 3600L)
+    assert(got.columns.toSeq ==
+      Seq("user_id", "l_ts", "l_tag", "r_ts", "r_tag"))
+    assert(got.select($"l_tag", $"r_tag").as[(String, String)].collect().toSet ==
+      Set(("c1", "p_near")))
+    val eBatch = intercept[IllegalArgumentException] {
+      Streams.replayJoinWithin(spark.read.parquet(inL),
+        Streams.fileStream(spark, inR, spark.read.parquet(inR).schema),
+        "user_id", "l_ts", "r_ts", withinSec = 3600L)
+    }
+    assert(eBatch.getMessage.contains("streaming"), eBatch.getMessage)
+    val eOverlap = intercept[IllegalArgumentException] {
+      Streams.replayJoinWithin(
+        Streams.fileStream(spark, inL, spark.read.parquet(inL).schema)
+          .withColumnRenamed("l_tag", "tag"),
+        Streams.fileStream(spark, inR, spark.read.parquet(inR).schema)
+          .withColumnRenamed("r_tag", "tag"),
+        "user_id", "l_ts", "r_ts", withinSec = 3600L)
+    }
+    assert(eOverlap.getMessage.contains("disjoint"), eOverlap.getMessage)
+  }
+
   test("watermarked windowed aggregate over a replayed stream") {
     val base = Files.createTempDirectory("stream2").toString
     val in = s"$base/in"
