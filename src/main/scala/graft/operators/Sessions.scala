@@ -25,21 +25,7 @@ object Sessions {
       gapSeconds: Long
   ): DataFrame = {
     val sec = col(tsCol).cast("long")
-    // order by the floored second (not the raw timestamp) so session
-    // assignment is identical across engines with different sub-second
-    // precision; tieCol pins same-second ordering
-    val w = Window.partitionBy(col(keyCol)).orderBy(sec, col(tieCol))
-    val flagged = events
-      .withColumn("_prev_sec", lag(sec, 1).over(w))
-      .withColumn(
-        "_new_s",
-        when(col("_prev_sec").isNull || sec - col("_prev_sec") > gapSeconds, 1).otherwise(0)
-      )
-    val sessioned = flagged.withColumn(
-      "session_seq",
-      sum(col("_new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    )
-    sessioned
+    sessioned(events, keyCol, tsCol, tieCol, gapSeconds)
       .groupBy(col(keyCol), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -47,6 +33,53 @@ object Sessions {
         round(sum(col(valueCol)), 2).as("value_sum")
       )
       .orderBy(col(keyCol), col("session_seq"))
+  }
+
+  /** Session INTERVALS: the same gap-based grouping as [[byGap]], but
+    * reduced to each session's time span — `(keyCol, session_seq,
+    * start_sec, end_sec)` with both bounds inclusive whole-second
+    * epochs. The interval form is what overlap analytics consume (e.g.
+    * [[TimeSeries.intervalConcurrency]]'s sweep line).
+    */
+  def intervals(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      gapSeconds: Long
+  ): DataFrame = {
+    val sec = col(tsCol).cast("long")
+    sessioned(events, keyCol, tsCol, tieCol, gapSeconds)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(min(sec).as("start_sec"), max(sec).as("end_sec"))
+      .orderBy(col(keyCol), col("session_seq"))
+  }
+
+  /** Shared core of [[byGap]]/[[intervals]]: events with their
+    * per-key `session_seq` (1-based) attached. One shuffle on the key;
+    * ordering is by the floored second (not the raw timestamp) so
+    * session assignment is identical across engines with different
+    * sub-second precision, with `tieCol` pinning same-second order.
+    */
+  private def sessioned(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      gapSeconds: Long
+  ): DataFrame = {
+    val sec = col(tsCol).cast("long")
+    val w = Window.partitionBy(col(keyCol)).orderBy(sec, col(tieCol))
+    events
+      .withColumn("_prev_sec", lag(sec, 1).over(w))
+      .withColumn(
+        "_new_s",
+        when(col("_prev_sec").isNull || sec - col("_prev_sec") > gapSeconds, 1).otherwise(0)
+      )
+      .withColumn(
+        "session_seq",
+        sum(col("_new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
   }
 
   /** Fixed-length training-sequence construction: each key's events,

@@ -105,4 +105,43 @@ object TimeSeries {
         min(col("_v")).over(w).as("min_scaled"),
         max(col("_v")).over(w).as("max_scaled"))
   }
+
+  /** Interval-overlap SWEEP LINE: how many intervals are active at each
+    * moment. Each input row is an inclusive `[startCol, endCol]` span
+    * (whole-second epochs, any integral or castable type); the output
+    * is the CHANGE-POINT timeline — one row per second where the count
+    * changes, `(sec, net, active)` with `net` the concurrency delta at
+    * that second and `active` the number of spans covering it (valid
+    * until the next change point). Classic uses: peak concurrent
+    * sessions, datacenter job overlap, license seats in use.
+    *
+    * Scale shape: the corpus of intervals is first reduced to net
+    * deltas per second — a partial-aggregable groupBy whose result is
+    * bounded by the number of DISTINCT change seconds (at most
+    * 2·|intervals|, usually far less), so the only corpus-scale
+    * shuffle carries two +/-1 rows per interval with map-side combine.
+    * The running count then rides [[Scale.globalRunningSum]]'s
+    * zipWithIndex shape over the already-small change table: one range
+    * shuffle, no single-task window, no per-key skew (there is no
+    * key — the timeline is global by definition, which is exactly why
+    * the naive `sum() OVER (ORDER BY sec)` serializes on one task).
+    */
+  def intervalConcurrency(
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String
+  ): DataFrame = {
+    val reserved = Seq("sec", "net", "active", "_ic_d")
+    require(
+      !Seq(startCol, endCol).exists(reserved.contains),
+      s"intervalConcurrency: start/end column collides with a reserved output name " +
+        s"(${reserved.mkString(", ")})")
+    val deltas = intervals
+      .select(col(startCol).cast("long").as("sec"), lit(1L).as("_ic_d"))
+      .unionAll(intervals.select(
+        (col(endCol).cast("long") + 1L).as("sec"), lit(-1L).as("_ic_d")))
+      .groupBy(col("sec"))
+      .agg(sum(col("_ic_d")).as("net"))
+    Scale.globalRunningSum(deltas, Seq(col("sec")), col("net"), "active")
+  }
 }

@@ -1293,6 +1293,43 @@ object PipelineQueries {
             explode(Text.shingles(col("text"), 3)).as("sh")),
         Seq("source", "shard"), col("sh"), k = 64)
       Scale.kmvMerge(sharded, "source", "kmv_sketch", k = 64).orderBy("source")
+    },
+    // q131: the STREAM-STREAM JOIN face of the streaming engine under
+    // the batch oracle — click-to-purchase attribution: purchases by
+    // the same user within 2 h after a click, matched by the
+    // watermarked interval join (state bounded by the time band) and
+    // replayed through the parquet sink. Timestamps are quantized to
+    // whole seconds BEFORE the join so both engines band identically.
+    "q131_stream_join" -> { (s, dir) =>
+      def side(tpe: String, p: String) =
+        graft.queries.RelationalQueries.eventsStream(s, dir)
+          .where(col("event_type") === tpe)
+          .select(col("user_id"),
+            timestamp_seconds(col("ts").cast("long")).as(s"${p}_t"),
+            col("event_id").as(s"${p}_id"),
+            col("value").as(s"${p}_value"))
+      graft.streaming.Streams
+        .replayJoinWithin(side("click", "click"), side("purchase", "purchase"),
+          "user_id", "click_t", "purchase_t", withinSec = 7200L)
+        .where(col("purchase_t") >= col("click_t"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("click_t").cast("long").as("click_sec"),
+          col("purchase_t").cast("long").as("purchase_sec"),
+          col("click_value"), col("purchase_value"))
+        .orderBy("click_id", "purchase_id")
+    },
+    // q132: interval-overlap sweep line — peak concurrent sessions:
+    // gap-sessionized spans reduced to +/-1 change points (one
+    // partial-aggregable shuffle bounded by distinct seconds), running
+    // count via the zipWithIndex shape (no single-task global window)
+    "q132_concurrency" -> { (s, dir) =>
+      graft.operators.TimeSeries
+        .intervalConcurrency(
+          graft.operators.Sessions.intervals(
+            graft.queries.RelationalQueries.events(s, dir),
+            "user_id", "ts", "event_id", 21600L),
+          "start_sec", "end_sec")
+        .orderBy("sec")
     }
   )
 
@@ -2746,7 +2783,43 @@ object PipelineQueries {
         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     // q130: q121's exact SQL — the union property makes the rollup's
     // answer identical to the direct sketch
-    "q130_kmv_rollup" -> KmvBySourceSql
+    "q130_kmv_rollup" -> KmvBySourceSql,
+    // q131: the batch interval join the streaming engine must agree
+    // with — whole-second epochs band identically on both engines
+    "q131_stream_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS click_sec,
+        |             value AS click_value
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, event_id AS purchase_id,
+        |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS purchase_sec,
+        |             value AS purchase_value
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id, click_sec, purchase_sec,
+        |       click_value, purchase_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND purchase_sec >= click_sec AND purchase_sec <= click_sec + 7200
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    // q132: q35's islands CTE reduced to session spans, then the sweep
+    // line as a window running sum over per-second net deltas
+    "q132_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |f AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+        |                       OR sec - lag(sec) OVER w > 21600 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |      FROM f),
+        |s AS (SELECT user_id, session_seq, min(sec) AS start_sec, max(sec) AS end_sec
+        |      FROM g GROUP BY user_id, session_seq),
+        |d AS (SELECT start_sec AS sec, 1 AS dd FROM s
+        |      UNION ALL SELECT end_sec + 1 AS sec, -1 AS dd FROM s),
+        |n AS (SELECT sec, CAST(sum(dd) AS BIGINT) AS net FROM d GROUP BY sec)
+        |SELECT sec, net,
+        |  CAST(sum(net) OVER (ORDER BY sec
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active
+        |FROM n ORDER BY sec""".stripMargin
   )
 
   // Shared by q121 (direct per-source sketch) and q130 (per-shard

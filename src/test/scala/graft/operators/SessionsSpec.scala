@@ -28,6 +28,24 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     ))
   }
 
+  test("intervals: same grouping as byGap, inclusive whole-second spans") {
+    val ev = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 100L, ts("2024-01-01 10:10:00"), 2.0),
+      (3L, 100L, ts("2024-01-01 12:00:00"), 4.0), // gap 110 min → new session
+      (4L, 200L, ts("2024-01-01 10:05:00"), 8.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val base = ts("2024-01-01 10:00:00").getTime / 1000L
+    val out = Sessions.intervals(ev, "user_id", "ts", "event_id", gapSeconds = 3600)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (100L, 1L, base, base + 600L),
+      (100L, 2L, base + 7200L, base + 7200L),
+      (200L, 1L, base + 300L, base + 300L)
+    ))
+  }
+
   test("exact-gap events stay in one session (> not >=)") {
     val ev = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00"), 1.0),

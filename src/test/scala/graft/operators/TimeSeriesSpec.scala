@@ -63,4 +63,33 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("reserved output name"), e.getMessage)
   }
+
+  test("intervalConcurrency: change-point timeline counts overlapping spans") {
+    // [0,10], [5,20], [15,30], [100,100] — overlaps at 5..10 and 15..20
+    val spans = Seq((0L, 10L), (5L, 20L), (15L, 30L), (100L, 100L))
+      .toDF("s", "e")
+    val got = TimeSeries.intervalConcurrency(spans, "s", "e")
+      .orderBy("sec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 1L),    // [0,10] opens
+      (5L, 1L, 2L),    // [5,20] opens → two active
+      (11L, -1L, 1L),  // [0,10] closes AFTER its inclusive end
+      (15L, 1L, 2L),   // [15,30] opens while [5,20] still active
+      (21L, -1L, 1L),
+      (31L, -1L, 0L),  // timeline returns to zero between bursts
+      (100L, 1L, 1L),
+      (101L, -1L, 0L)
+    ))
+    // same-second open+close collapses to one net row
+    val touch = Seq((0L, 5L), (6L, 9L)).toDF("s", "e") // close at 6, open at 6
+    val net = TimeSeries.intervalConcurrency(touch, "s", "e")
+      .where($"sec" === 6L).collect()
+    assert(net.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.intervalConcurrency(spans.withColumnRenamed("s", "sec"), "sec", "e")
+    }
+    assert(e.getMessage.contains("reserved output name"), e.getMessage)
+  }
 }
