@@ -1,19 +1,29 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, RelationalGroupedDataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Grouped quantiles, two ways.
+/** Grouped quantiles, three ways.
   *
   * [[exact]] is the interpolated percentile (q37's oracle definition,
   * DuckDB `quantile_cont`) — it buffers and sorts every group's values,
   * which is fine for a small report but wrong as the default at 100 TB.
   *
-  * [[approx]] is the documented scale path: Spark's `approx_percentile`
+  * [[approx]] is the built-in scale path: Spark's `approx_percentile`
   * sketch is single-pass, bounded-memory and mergeable, so a grouped
   * quantile costs one partially-aggregated shuffle like any other agg.
   * Its guarantee: the returned value's rank is within `n / accuracy` of
   * the requested rank (an actual element of the data, not interpolated).
+  * What it cannot be is cross-engine DETERMINISTIC — the GK summary's
+  * answer depends on merge order, so no SQL oracle can replay it.
+  *
+  * [[histogram]] is the deterministic bounded sketch: fixed-width
+  * integer bins, so the quantile comes out as the bin holding the
+  * target rank (error ≤ the bin width by construction, independent of
+  * data order, merge order, partitioning, or engine). Every step is
+  * exact-integer arithmetic, which is what lets a plain SQL oracle
+  * replay it bit-for-bit (q133).
   */
 object Quantiles {
 
@@ -37,6 +47,68 @@ object Quantiles {
     val aggs =
       percentiles.map(p => percentile_approx(col(valueCol), lit(p), lit(accuracy)).as(name(p)))
     grouped(df, groupCols).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fixed-width HISTOGRAM quantiles per group: for each whole percent
+    * `p` in `percentiles`, the inclusive lower bound of the bin holding
+    * the group's `ceil(p·n/100)`-th smallest value (1-based rank over
+    * non-null values) — i.e. the true p-th percentile rounded down to a
+    * `binWidth` boundary, an under-estimate by less than `binWidth`.
+    * Output: `(groupCol, n, p{p}_lo…)`, all BIGINT.
+    *
+    * Scale shape: ONE corpus-scale shuffle — the partial-aggregable
+    * `groupBy(group, bin).count()` whose result is bounded by
+    * |groups| × |bins|, never by row count. The cumulative walk and the
+    * rank probes run on that bounded bin table (windows partitioned by
+    * group over ≤ |bins| rows — sketch-scale state, not the corpus-
+    * window-skew shape this codebase audits against). Bin counts are
+    * trivially mergeable (integer addition), so shard-and-rollup works
+    * the same way as the KMV sketch's union (q130).
+    *
+    * Contract: `valueCol` must be integral-valued and NON-NEGATIVE
+    * (`value DIV binWidth` must floor identically on every engine;
+    * negative inputs fail loudly rather than bin off-by-one). Nulls are
+    * excluded, matching aggregate semantics. Groups with no non-null
+    * value produce no row.
+    */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      binWidth: Long,
+      percentiles: Seq[Int]
+  ): DataFrame = {
+    require(binWidth > 0, s"histogram: binWidth must be positive, got $binWidth")
+    require(percentiles.nonEmpty, "histogram: no percentiles requested")
+    require(percentiles.forall(p => p >= 1 && p <= 100),
+      s"histogram: percentiles must be whole percents in [1, 100], got $percentiles")
+    require(percentiles.distinct == percentiles,
+      s"histogram: duplicate percentiles in $percentiles")
+    val reserved = Seq("_hq_bin", "_hq_cnt", "_hq_cum", "_hq_n")
+    require(!reserved.contains(groupCol),
+      s"histogram: group column collides with a reserved working name " +
+        s"(${reserved.mkString(", ")})")
+    val v = col(valueCol).cast("long")
+    val guarded = when(v < 0L,
+      raise_error(concat(lit(s"histogram: negative $valueCol value "), v.cast("string"),
+        lit(" — non-negative contract")))).otherwise(v)
+    val bins = df
+      .where(v.isNotNull)
+      .select(col(groupCol), guarded.as("_hq_v"))
+      .groupBy(col(groupCol), expr(s"_hq_v DIV $binWidth").as("_hq_bin"))
+      .agg(count(lit(1)).as("_hq_cnt"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("_hq_bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("_hq_cum", sum(col("_hq_cnt")).over(wCum))
+      .withColumn("_hq_n", sum(col("_hq_cnt")).over(Window.partitionBy(col(groupCol))))
+    val probes = percentiles.map { p =>
+      (min(when(col("_hq_cum") >= expr(s"(_hq_n * $p + 99) DIV 100"), col("_hq_bin")))
+        * binWidth).as(s"p${p}_lo")
+    }
+    cum
+      .groupBy(col(groupCol))
+      .agg(max(col("_hq_n")).as("n"), probes: _*)
   }
 
   private def grouped(df: DataFrame, groupCols: Seq[String]): RelationalGroupedDataset =

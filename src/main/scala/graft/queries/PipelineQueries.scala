@@ -1330,6 +1330,16 @@ object PipelineQueries {
             "user_id", "ts", "event_id", 21600L),
           "start_sec", "end_sec")
         .orderBy("sec")
+    },
+    // q133: deterministic histogram quantiles — the oracle-replayable
+    // bounded percentile sketch (fixed 256-char bins over document
+    // lengths; the GK approx_percentile answer is merge-order-dependent
+    // and so can never be driver-gated — this one is)
+    "q133_hist_quantiles" -> { (s, dir) =>
+      graft.operators.Quantiles
+        .histogram(t(s, dir, "documents"), "n_chars", "source",
+          binWidth = 256L, percentiles = Seq(50, 90, 99))
+        .orderBy("source")
     }
   )
 
@@ -2819,7 +2829,23 @@ object PipelineQueries {
         |SELECT sec, net,
         |  CAST(sum(net) OVER (ORDER BY sec
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active
-        |FROM n ORDER BY sec""".stripMargin
+        |FROM n ORDER BY sec""".stripMargin,
+    // q133: identical integer arithmetic — bin = v // width, rank =
+    // ceil(p*n/100) as (p*n + 99) // 100, quantile = first bin whose
+    // cumulative count reaches the rank, reported as bin * width
+    "q133_hist_quantiles" ->
+      """WITH c AS (SELECT source, n_chars // 256 AS bin, count(*) AS cnt
+        |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT source, bin, cnt,
+        |        sum(cnt) OVER (PARTITION BY source ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER (PARTITION BY source) AS n
+        |      FROM c)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) * 256 AS BIGINT) AS p50_lo,
+        |  CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END) * 256 AS BIGINT) AS p90_lo,
+        |  CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) * 256 AS BIGINT) AS p99_lo
+        |FROM m GROUP BY source ORDER BY source""".stripMargin
   )
 
   // Shared by q121 (direct per-source sketch) and q130 (per-shard

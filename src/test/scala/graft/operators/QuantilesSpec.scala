@@ -32,4 +32,44 @@ class QuantilesSpec extends AnyFunSuite with SparkSpec {
     assert(out.columns.toSeq == Seq("p50", "p99_9"))
     assert(out.count() == 1)
   }
+
+  test("histogram: bin lower bounds bracket the ceil-rank order statistic") {
+    import spark.implicits._
+    // group a: 1..100; group b: ten copies of 7
+    val df = ((1 to 100).map(v => ("a", v.toLong)) ++
+      Seq.fill(10)(("b", 7L))).toDF("g", "v")
+    val got = Quantiles.histogram(df, "v", "g", binWidth = 8L, percentiles = Seq(50, 90, 99))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // a: rank(50) = 50 → bin 50/8 = 6 → lo 48; rank(90) = 90 → bin 11 → 88;
+    //    rank(99) = 99 → bin 12 → 96
+    // b: every rank hits value 7 → bin 0 → lo 0
+    assert(got.toSeq == Seq(("a", 100L, 48L, 88L, 96L), ("b", 10L, 0L, 0L, 0L)))
+    // binWidth = 1: the lower bound IS the exact order statistic
+    val exact1 = Quantiles.histogram(df, "v", "g", binWidth = 1L, percentiles = Seq(50, 99))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(exact1.toSeq == Seq(("a", 50L, 99L), ("b", 7L, 7L)))
+    // error bound: lo <= true percentile < lo + binWidth
+    assert(48L <= 50L && 50L < 48L + 8L)
+  }
+
+  test("histogram: nulls excluded, negative values and bad args fail fast") {
+    import spark.implicits._
+    val withNull = Seq(("a", Some(3L)), ("a", None), ("a", Some(5L)))
+      .toDF("g", "v")
+    val row = Quantiles.histogram(withNull, "v", "g", 1L, Seq(100)).collect().head
+    assert(row.getLong(1) == 2L && row.getLong(2) == 5L) // n counts non-null only
+    val neg = Seq(("a", -1L)).toDF("g", "v")
+    val e = intercept[Exception] {
+      Quantiles.histogram(neg, "v", "g", 8L, Seq(50)).collect()
+    }
+    assert(e.getMessage.contains("non-negative"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Quantiles.histogram(withNull, "v", "g", 0L, Seq(50)))
+    intercept[IllegalArgumentException](
+      Quantiles.histogram(withNull, "v", "g", 8L, Seq(0)))
+    intercept[IllegalArgumentException](
+      Quantiles.histogram(withNull, "v", "g", 8L, Seq(50, 50)))
+  }
 }
