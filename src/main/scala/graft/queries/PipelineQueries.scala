@@ -1331,6 +1331,17 @@ object PipelineQueries {
           "start_sec", "end_sec")
         .orderBy("sec")
     },
+    // q134: the STREAMING DEDUP face under the batch oracle — the
+    // admitted-key set of dropDuplicatesWithinWatermark equals
+    // SELECT DISTINCT on a finite replay (bounded state in production:
+    // keys expire with the watermark)
+    "q134_stream_dedup" -> { (s, dir) =>
+      graft.streaming.Streams
+        .replayDedupKeys(
+          graft.queries.RelationalQueries.eventsStream(s, dir),
+          Seq("user_id", "event_type"), eventTimeCol = Some("ts"))
+        .orderBy("user_id", "event_type")
+    },
     // q133: deterministic histogram quantiles — the oracle-replayable
     // bounded percentile sketch (fixed 256-char bins over document
     // lengths; the GK approx_percentile answer is merge-order-dependent
@@ -2845,7 +2856,12 @@ object PipelineQueries {
         |  CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) * 256 AS BIGINT) AS p50_lo,
         |  CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END) * 256 AS BIGINT) AS p90_lo,
         |  CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) * 256 AS BIGINT) AS p99_lo
-        |FROM m GROUP BY source ORDER BY source""".stripMargin
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // q134: the admitted-key set is the distinct-key set by the finite-
+    // replay argument (watermarks advance only between micro-batches)
+    "q134_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin
   )
 
   // Shared by q121 (direct per-source sketch) and q130 (per-shard

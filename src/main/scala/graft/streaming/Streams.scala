@@ -880,6 +880,37 @@ object Streams {
     drainToParquet(out, s"$base/out", s"$base/ckpt")
   }
 
+  /** Run [[dedupStream]] over a FINITE streaming input end-to-end and
+    * hand back the admitted KEYS as a batch DataFrame — the replay
+    * harness that lets a `SELECT DISTINCT` oracle gate the STREAMING
+    * DEDUP face (q134). Only the key columns are returned: WHICH
+    * duplicate row survives is arrival-order-dependent on any engine
+    * (the first one wins), but the SET of admitted keys is not — that
+    * set is the operator's contract, and the thing the oracle checks.
+    *
+    * The event-time path exercises `dropDuplicatesWithinWatermark`
+    * (bounded state — the only dedup that survives an unbounded
+    * stream). A key could legitimately be re-admitted once the
+    * watermark passes its first occurrence; watermarks only advance
+    * BETWEEN micro-batches, so on a finite replay the admitted set is
+    * exactly the distinct-key set, while an unbounded deployment
+    * degrades gracefully to "exact within the watermark horizon".
+    */
+  def replayDedupKeys(
+      events: DataFrame,
+      keyCols: Seq[String],
+      eventTimeCol: Option[String] = None,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    require(events.isStreaming, "replayDedupKeys: events must be a streaming DataFrame")
+    require(keyCols.nonEmpty, "replayDedupKeys: no key columns")
+    val base = java.nio.file.Files.createTempDirectory("graft_dedup_replay").toString
+    val keep = (keyCols ++ eventTimeCol).distinct.map(col)
+    val deduped = dedupStream(events.select(keep: _*), keyCols, eventTimeCol, watermark)
+    drainToParquet(deduped, s"$base/out", s"$base/ckpt")
+      .select(keyCols.map(col): _*)
+  }
+
   /** Watermarked windowed aggregate over an event-time column — bounded
     * state, append-safe at scale.
     */

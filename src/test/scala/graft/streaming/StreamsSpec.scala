@@ -252,6 +252,27 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(eOverlap.getMessage.contains("disjoint"), eOverlap.getMessage)
   }
 
+  test("replayDedupKeys admits each key once and returns only key columns") {
+    val base = Files.createTempDirectory("streamdd").toString
+    val in = s"$base/in"
+    Seq(
+      (1L, "a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, "a", java.sql.Timestamp.valueOf("2024-01-01 10:05:00")), // dup key
+      (1L, "b", java.sql.Timestamp.valueOf("2024-01-01 10:06:00")),
+      (2L, "a", java.sql.Timestamp.valueOf("2024-01-01 10:07:00"))
+    ).toDF("uid", "kind", "ts").write.parquet(in)
+    val got = Streams.replayDedupKeys(
+      Streams.fileStream(spark, in, spark.read.parquet(in).schema),
+      Seq("uid", "kind"), eventTimeCol = Some("ts"))
+    assert(got.columns.toSeq == Seq("uid", "kind"))
+    assert(got.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (1L, "b"), (2L, "a")))
+    val e = intercept[IllegalArgumentException] {
+      Streams.replayDedupKeys(spark.read.parquet(in), Seq("uid"))
+    }
+    assert(e.getMessage.contains("streaming"), e.getMessage)
+  }
+
   test("watermarked windowed aggregate over a replayed stream") {
     val base = Files.createTempDirectory("stream2").toString
     val in = s"$base/in"
