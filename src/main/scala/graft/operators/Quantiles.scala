@@ -111,6 +111,58 @@ object Quantiles {
       .agg(max(col("_hq_n")).as("n"), probes: _*)
   }
 
+  /** Per-ROW percentile rank from the [[histogram]] sketch — the
+    * QUANTILE TRANSFORM of feature engineering: each row gains
+    * `outCol` = `100 · (#values in strictly lower bins) DIV n`, a
+    * deterministic lower bound on its true percentile rank within its
+    * group (tight to one bin: every value in the row's own bin reports
+    * the same rank).
+    *
+    * Scale shape: the corpus is touched exactly TWICE and shuffled
+    * ZERO times — one partial-aggregable pass builds the bin table
+    * (bounded by |groups| × |bins|), which then comes back as a
+    * BROADCAST join on `(group, bin)`. The per-group-window
+    * formulation (`percent_rank() OVER (PARTITION BY group ORDER BY
+    * v)`) shuffles and sorts the whole corpus and serializes hot
+    * groups on single tasks; this one never moves the corpus at all.
+    * Same non-negative integral contract as [[histogram]].
+    */
+  def cdfRank(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      binWidth: Long,
+      outCol: String = "pct_lo"
+  ): DataFrame = {
+    require(binWidth > 0, s"cdfRank: binWidth must be positive, got $binWidth")
+    val reserved = Seq("_hq_bin", "_hq_cnt", "_hq_cum", "_hq_n", "_hq_v", outCol)
+    require(!df.columns.exists(reserved.contains),
+      s"cdfRank: input column collides with a reserved working/output name " +
+        s"(${reserved.mkString(", ")})")
+    val v = col(valueCol).cast("long")
+    val guarded = when(v < 0L,
+      raise_error(concat(lit(s"cdfRank: negative $valueCol value "), v.cast("string"),
+        lit(" — non-negative contract")))).otherwise(v)
+    val bins = df
+      .where(v.isNotNull)
+      .select(col(groupCol), guarded.as("_hq_v"))
+      .groupBy(col(groupCol), expr(s"_hq_v DIV $binWidth").as("_hq_bin"))
+      .agg(count(lit(1)).as("_hq_cnt"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("_hq_bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val table = bins
+      .withColumn("_hq_cum", sum(col("_hq_cnt")).over(wCum))
+      .withColumn("_hq_n", sum(col("_hq_cnt")).over(Window.partitionBy(col(groupCol))))
+      .select(col(groupCol).as("_hq_g"), col("_hq_bin").as("_hq_tbin"),
+        ((col("_hq_cum") - col("_hq_cnt")) * 100L).as("_hq_below100"), col("_hq_n"))
+    df.where(v.isNotNull)
+      .withColumn("_hq_bin", expr(s"CAST($valueCol AS BIGINT) DIV $binWidth"))
+      .join(broadcast(table),
+        col(groupCol) === col("_hq_g") && col("_hq_bin") === col("_hq_tbin"))
+      .withColumn(outCol, expr("_hq_below100 DIV _hq_n"))
+      .drop("_hq_g", "_hq_bin", "_hq_tbin", "_hq_below100", "_hq_n")
+  }
+
   private def grouped(df: DataFrame, groupCols: Seq[String]): RelationalGroupedDataset =
     if (groupCols.isEmpty) df.groupBy() else df.groupBy(groupCols.map(col): _*)
 

@@ -1351,6 +1351,16 @@ object PipelineQueries {
         .histogram(t(s, dir, "documents"), "n_chars", "source",
           binWidth = 256L, percentiles = Seq(50, 90, 99))
         .orderBy("source")
+    },
+    // q135: the quantile transform — per-document percentile rank of
+    // its length within its source, from the broadcast histogram (the
+    // corpus is never shuffled; the percent_rank window would sort it)
+    "q135_cdf_rank" -> { (s, dir) =>
+      graft.operators.Quantiles
+        .cdfRank(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "n_chars", "source", binWidth = 256L)
+        .orderBy("doc_id")
     }
   )
 
@@ -2861,7 +2871,22 @@ object PipelineQueries {
     // replay argument (watermarks advance only between micro-batches)
     "q134_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+    // q135: q133's bin table joined back per row — rank = percent of
+    // values in strictly lower bins, identical integer arithmetic
+    "q135_cdf_rank" ->
+      """WITH c AS (SELECT source, n_chars // 256 AS bin, count(*) AS cnt
+        |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT source, bin, cnt,
+        |        sum(cnt) OVER (PARTITION BY source ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER (PARTITION BY source) AS n
+        |      FROM c)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CAST(((m.cum - m.cnt) * 100) // m.n AS BIGINT) AS pct_lo
+        |FROM documents d JOIN m ON d.source = m.source AND d.n_chars // 256 = m.bin
+        |WHERE d.n_chars IS NOT NULL
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   // Shared by q121 (direct per-source sketch) and q130 (per-shard

@@ -54,6 +54,29 @@ class QuantilesSpec extends AnyFunSuite with SparkSpec {
     assert(48L <= 50L && 50L < 48L + 8L)
   }
 
+  test("cdfRank: percent of strictly-lower bins, corpus never shuffled") {
+    import spark.implicits._
+    val df = ((1 to 100).map(v => ("a", v.toLong, v.toLong)) ++
+      Seq((400L, 7L)).map { case (id, v) => ("b", id, v) }).toDF("g", "id", "v")
+    val got = Quantiles.cdfRank(df, "v", "g", binWidth = 10L)
+    val byId = got.collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // group a, bin of v=5 is bin 0 (values 1..9): 0 values below → 0
+    assert(byId(5L) == 0L)
+    // v=15 → bin 1; below = 9 values (1..9) → 900 DIV 100 = 9
+    assert(byId(15L) == 9L)
+    // v=95 → bin 9; below = 89 values (1..89) → 89
+    assert(byId(95L) == 89L)
+    // singleton group: its only bin has nothing below it
+    assert(byId(400L) == 0L)
+    // the corpus side rides a broadcast join — no corpus shuffle
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.cdfRank(df.withColumnRenamed("id", "pct_lo"), "v", "g", 10L)
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
   test("histogram: nulls excluded, negative values and bad args fail fast") {
     import spark.implicits._
     val withNull = Seq(("a", Some(3L)), ("a", None), ("a", Some(5L)))
