@@ -1361,6 +1361,16 @@ object PipelineQueries {
           t(s, dir, "documents").select("doc_id", "source", "n_chars"),
           "n_chars", "source", binWidth = 256L)
         .orderBy("doc_id")
+    },
+    // q136: per-user 3-sigma outlier events in exact integer arithmetic
+    // — (n·x−S)² > 9(nQ−S²) over cent-scaled moments, stats broadcast,
+    // flag row-local; no double ever crosses an engine boundary
+    "q136_zscore_outliers" -> { (s, dir) =>
+      graft.operators.Outliers
+        .zscoreFlags(
+          graft.queries.RelationalQueries.events(s, dir),
+          "user_id", "event_id", "value", k = 3, scale = 100L)
+        .orderBy("event_id")
     }
   )
 
@@ -2886,7 +2896,20 @@ object PipelineQueries {
         |  CAST(((m.cum - m.cnt) * 100) // m.n AS BIGINT) AS pct_lo
         |FROM documents d JOIN m ON d.source = m.source AND d.n_chars // 256 = m.bin
         |WHERE d.n_chars IS NOT NULL
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    // q136: the identical cleared-denominator inequality over BIGINT
+    // moments (DuckDB's HUGEINT sums hold the same exact values)
+    "q136_zscore_outliers" ->
+      """WITH v AS (SELECT user_id, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS sm,
+        |        CAST(sum(cents * cents) AS BIGINT) AS q
+        |      FROM v GROUP BY user_id)
+        |SELECT v.user_id, event_id, cents
+        |FROM v JOIN s USING (user_id)
+        |WHERE (n * cents - sm) * (n * cents - sm) > 9 * (n * q - sm * sm)
+        |ORDER BY event_id""".stripMargin
   )
 
   // Shared by q121 (direct per-source sketch) and q130 (per-shard
