@@ -726,6 +726,62 @@ object Scale {
       groupCol, k)
   }
 
+  /** PAIRWISE SET-OVERLAP estimates from stored KMV sketches — which
+    * group pairs share content, without revisiting the data (Beyer et
+    * al., SIGMOD 2007: the k smallest hashes of A ∪ B are computable
+    * from the two sketches alone, the fraction of them present in BOTH
+    * sketches estimates the Jaccard similarity, and intersection size
+    * follows as `jaccard × |A ∪ B|`). This is the cross-corpus dedup
+    * PLANNING query: at 100 TB the sketch table is metadata-scale
+    * (|groups| × k longs), so ranking source pairs by shared shingle
+    * volume costs a broadcast self-join over sketches instead of a
+    * corpus-scale pair join.
+    *
+    * For each pair (a < b): `n_common` = kept hashes of the combined
+    * sketch present in both sides, `union_est` = the KMV estimate of
+    * |A ∪ B| (exact below k, like [[kmvDistinct]]), `inter_est` =
+    * `n_common · (union_est DIV m)` and `jaccard_micro` =
+    * `n_common · 10⁶ DIV m` with `m = min(k, |combined|)` — all
+    * exact-integer, engine-replayable arithmetic. Estimates carry KMV's
+    * usual ~1/√k relative error; below-k pairs are exact by the same
+    * argument as [[kmvDistinct]].
+    */
+  def kmvOverlap(
+      sketches: DataFrame,
+      groupCol: String,
+      sketchCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 1 && k <= 2048, s"kmvOverlap: k must be in [2, 2048], got $k")
+    val out = Seq(s"${groupCol}_a", s"${groupCol}_b",
+      "n_common", "union_est", "inter_est", "jaccard_micro")
+    require(!out.contains(groupCol),
+      s"kmvOverlap: group column $groupCol collides with an output column")
+    val numerator = (k - 1).toLong << 52
+    val a = sketches.select(
+      col(groupCol).as(s"${groupCol}_a"), col(sketchCol).as("_ov_a"))
+    val b = sketches.select(
+      col(groupCol).as(s"${groupCol}_b"), col(sketchCol).as("_ov_b"))
+    a.join(broadcast(b), col(s"${groupCol}_a") < col(s"${groupCol}_b"))
+      .withColumn("_ov_u",
+        slice(array_sort(array_union(col("_ov_a"), col("_ov_b"))), 1, k))
+      .withColumn("_ov_m", size(col("_ov_u")).cast("long"))
+      .withColumn("_ov_c",
+        size(filter(col("_ov_u"),
+          h => array_contains(col("_ov_a"), h) && array_contains(col("_ov_b"), h)))
+          .cast("long"))
+      .withColumn("union_est",
+        when(col("_ov_m") < k, col("_ov_m"))
+          .otherwise(expr(s"${numerator}L DIV element_at(_ov_u, CAST(_ov_m AS INT))")))
+      .select(
+        col(s"${groupCol}_a"),
+        col(s"${groupCol}_b"),
+        col("_ov_c").as("n_common"),
+        col("union_est"),
+        (col("_ov_c") * expr("union_est DIV _ov_m")).as("inter_est"),
+        expr("_ov_c * 1000000L DIV _ov_m").as("jaccard_micro"))
+  }
+
   /** TOP-K ROWS PER GROUP without a window: the
     * `row_number() OVER (PARTITION BY group ORDER BY ord DESC, tag)
     * <= k` answer computed by [[graft.functions.TopKPairsAgg]] — a

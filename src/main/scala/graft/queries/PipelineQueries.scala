@@ -1371,6 +1371,17 @@ object PipelineQueries {
           graft.queries.RelationalQueries.events(s, dir),
           "user_id", "event_id", "value", k = 3, scale = 100L)
         .orderBy("event_id")
+    },
+    // q137: cross-source content-overlap matrix from the stored KMV
+    // sketches alone — the dedup planning query: which source pairs
+    // share shingle vocabulary, estimated without touching the corpus
+    "q137_kmv_overlap" -> { (s, dir) =>
+      val sk = Scale.kmvSketch(
+        t(s, dir, "documents")
+          .select(col("source"), explode(Text.shingles(col("text"), 3)).as("sh")),
+        Seq("source"), col("sh"), k = 64)
+      Scale.kmvOverlap(sk, "source", "kmv_sketch", k = 64)
+        .orderBy("source_a", "source_b")
     }
   )
 
@@ -2909,7 +2920,41 @@ object PipelineQueries {
         |SELECT v.user_id, event_id, cents
         |FROM v JOIN s USING (user_id)
         |WHERE (n * cents - sm) * (n * cents - sm) > 9 * (n * q - sm * sm)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    // q137: the same sketch algebra replayed from scratch — per-source
+    // k-smallest hash sets, pairwise combined, re-cut to k, counted;
+    // 4503599627370496 = 2^52, 63 = k-1
+    "q137_kmv_overlap" ->
+      s"""WITH $ShinglesCte,
+         |ssrc AS (SELECT d.source, sh.shingle
+         |         FROM sh JOIN documents d USING (doc_id)),
+         |dd AS (SELECT DISTINCT source,
+         |        CAST('0x' || substring(md5(shingle), 1, 13) AS BIGINT) AS h FROM ssrc),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM dd),
+         |sk AS (SELECT source, h FROM r WHERE rn <= 64),
+         |srcs AS (SELECT DISTINCT source FROM sk),
+         |pr AS (SELECT a.source AS sa, b.source AS sb
+         |       FROM srcs a JOIN srcs b ON a.source < b.source),
+         |uh AS (SELECT pr.sa, pr.sb, k.h,
+         |         max(CASE WHEN k.source = pr.sa THEN 1 ELSE 0 END) AS ia,
+         |         max(CASE WHEN k.source = pr.sb THEN 1 ELSE 0 END) AS ib
+         |       FROM pr JOIN sk k ON k.source IN (pr.sa, pr.sb)
+         |       GROUP BY pr.sa, pr.sb, k.h),
+         |ur AS (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+         |       FROM uh),
+         |t AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS m, max(h) AS kth,
+         |        CAST(sum(ia * ib) AS BIGINT) AS c
+         |      FROM ur WHERE rn <= 64 GROUP BY sa, sb),
+         |e AS (SELECT sa, sb, c, m,
+         |        CASE WHEN m < 64 THEN m
+         |             ELSE (63 * 4503599627370496) // kth END AS union_est
+         |      FROM t)
+         |SELECT sa AS source_a, sb AS source_b, c AS n_common,
+         |       CAST(union_est AS BIGINT) AS union_est,
+         |       CAST(c * (union_est // m) AS BIGINT) AS inter_est,
+         |       CAST(c * 1000000 // m AS BIGINT) AS jaccard_micro
+         |FROM e ORDER BY source_a, source_b""".stripMargin
   )
 
   // Shared by q121 (direct per-source sketch) and q130 (per-shard

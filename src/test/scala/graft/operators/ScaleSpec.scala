@@ -421,6 +421,40 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("reserved working column"), e.getMessage)
   }
 
+  test("kmvOverlap: identical, disjoint and overlapping pairs from sketches alone") {
+    // a == b (identical content), c disjoint from both, d = half of a
+    val va = (0 until 30).map(i => s"t$i")
+    val rows = (va.map(v => (v, "a")) ++ va.map(v => (v, "b")) ++
+      (0 until 30).map(i => (s"z$i", "c")) ++
+      va.take(15).map(v => (v, "d"))).toDF("v", "g")
+    val sk = Scale.kmvSketch(rows, Seq("g"), col("v"), k = 64)
+    val got = Scale.kmvOverlap(sk, "g", "kmv_sketch", k = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // everything is below k = 64, so every number is EXACT
+    assert(got(("a", "b")) == ((30L, 30L, 30L, 1000000L)))
+    assert(got(("a", "c")) == ((0L, 60L, 0L, 0L)))
+    assert(got(("a", "d")) == ((15L, 30L, 15L, 500000L)))
+    assert(got(("b", "c"))._1 == 0L && got(("c", "d"))._1 == 0L)
+    assert(got.size == 6) // 4 groups → 6 unordered pairs
+  }
+
+  test("kmvOverlap: above-k estimates within KMV error, sketch-only input") {
+    val rows = ((0 until 2000).map(i => (s"s$i", "a")) ++
+      (1000 until 3000).map(i => (s"s$i", "b"))).toDF("v", "g")
+    val sk = Scale.kmvSketch(rows, Seq("g"), col("v"), k = 256)
+    val r = Scale.kmvOverlap(sk, "g", "kmv_sketch", k = 256).collect().head
+    val (union, inter, jacc) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    // truth: |A ∪ B| = 3000, |A ∩ B| = 1000, J = 1/3; stderr ~ 1/√254
+    assert(union > 2400 && union < 3600, s"union_est $union implausible")
+    assert(inter > 600 && inter < 1500, s"inter_est $inter implausible")
+    assert(jacc > 230000 && jacc < 440000, s"jaccard_micro $jacc implausible")
+    intercept[IllegalArgumentException](
+      Scale.kmvOverlap(sk, "g", "kmv_sketch", k = 1))
+  }
+
   test("topKPerGroup: equals row_number() <= k, window-free, map-side-capped") {
     val rows = (0 until 600)
       .map(i => (s"g${i % 5}", (i * 37 % 250).toLong, i.toLong))
