@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -51,6 +51,27 @@ object ScaleOps {
       bit += 1
     }
     out
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 52 bits of the md5 digest of a string's UTF-8 bytes — the
+    * value `conv(substring(md5(s), 1, 13), 16, 10)` produces, computed
+    * straight from the digest bytes. The SQL formulation materializes a
+    * 32-char hex string per row and radix-parses 13 characters of it
+    * back; this path allocates nothing but the digest. 13 hex digits =
+    * bytes 0–5 in full plus the high nibble of byte 6.
+    */
+  def md5Prefix52(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 44) | ((d(1) & 0xffL) << 36) | ((d(2) & 0xffL) << 28) |
+      ((d(3) & 0xffL) << 20) | ((d(4) & 0xffL) << 12) | ((d(5) & 0xffL) << 4) |
+      ((d(6) & 0xf0L) >>> 4)
   }
 }
 
@@ -134,10 +155,38 @@ case class ZOrderNExpr(children: Seq[Expression]) extends Expression {
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** The 52-bit md5-prefix hash every exact-integer sampling/sketching
+  * face shares (KMV distinct, group/weighted sampling, training
+  * shuffle), as ONE codegen'd expression: value-identical to
+  * `conv(substring(md5(x), 1, 13), 16, 10)` — the oracle replays that
+  * SQL — but computed digest-to-long with no hex-string round-trip.
+  * The sketch queries are hash-throughput bound (row-local md5 over
+  * every shingle occurrence), so the per-row constant here is the
+  * whole cost model.
+  */
+case class Md5Prefix52Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"md5_prefix52 requires a STRING input, got ${child.dataType.sql}")
+  override def nullSafeEval(s: Any): Any =
+    ScaleOps.md5Prefix52(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.ScaleOps.md5Prefix52($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ScaleExpressions {
   def zorder2(a: Column, b: Column): Column =
     ColumnBridge.column(ZOrder2Expr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def zorderN(cols: Seq[Column]): Column =
     ColumnBridge.column(ZOrderNExpr(cols.map(ColumnBridge.expression)))
+
+  def md5Prefix52(s: Column): Column =
+    ColumnBridge.column(Md5Prefix52Expr(ColumnBridge.expression(s)))
 }

@@ -30,7 +30,11 @@ object Text {
     */
   def md5PrefixLong(key: Column, hexChars: Int): Column = {
     require(hexChars >= 1 && hexChars <= 15, s"md5PrefixLong: 1..15 hex chars, got $hexChars")
-    conv(substring(md5(key), 1, hexChars), 16, 10).cast("long")
+    // the 13-char (52-bit) width every sampling/sketching face uses has
+    // a dedicated digest-to-long expression (no hex round-trip); other
+    // widths keep the literal SQL shape the oracles replay
+    if (hexChars == 13) ScaleExpressions.md5Prefix52(key)
+    else conv(substring(md5(key), 1, hexChars), 16, 10).cast("long")
   }
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")

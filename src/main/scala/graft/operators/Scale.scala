@@ -646,9 +646,14 @@ object Scale {
       groupCol, k)
   }
 
-  /** The 52-bit md5-prefix hash shared by every KMV face. */
+  /** The 52-bit md5-prefix hash shared by every KMV face —
+    * [[graft.functions.Md5Prefix52Expr]], value-identical to the
+    * `conv(substring(md5(…), 1, 13), 16, 10)` SQL the oracles replay
+    * but computed digest-to-long (the sketch queries are
+    * hash-throughput bound, so the hex round-trip was the cost model).
+    */
   private def kmvHash(valueCol: Column): Column =
-    conv(substring(md5(valueCol.cast("string")), 1, 13), 16, 10).cast("long")
+    graft.functions.ScaleExpressions.md5Prefix52(valueCol.cast("string"))
 
   /** The KMV estimator tail over `(groupCol, _kept ARRAY<LONG>)`. */
   private def kmvEstimate(sketched: DataFrame, groupCol: String, k: Int): DataFrame = {
@@ -869,8 +874,8 @@ object Scale {
       "groupSample: reserved working column _pri already exists")
     topKPerGroup(
       df.withColumn("_pri",
-        conv(substring(md5(concat_ws(":", lit(seed), idCol.cast("string"))), 1, 13), 16, 10)
-          .cast("long")),
+        graft.functions.ScaleExpressions.md5Prefix52(
+          concat_ws(":", lit(seed), idCol.cast("string")))),
       groupCol, col("_pri"), idCol, k,
       ordName = "priority", tagName = idName)
   }
@@ -918,8 +923,8 @@ object Scale {
     topKPerGroup(
       df.where(col(weightCol) > 0)
         .withColumn("_h",
-          conv(substring(md5(concat_ws(":", lit(seed), idCol.cast("string"))), 1, 13), 16, 10)
-            .cast("long"))
+          graft.functions.ScaleExpressions.md5Prefix52(
+            concat_ws(":", lit(seed), idCol.cast("string"))))
         .withColumn("_pri", expr(
           // weights at or above 2^31 would overflow the shifted product
           // SILENTLY (negative priorities) — fail loudly instead

@@ -421,6 +421,23 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("reserved working column"), e.getMessage)
   }
 
+  test("md5Prefix52 expression is value-identical to the oracle's SQL formulation") {
+    import graft.functions.ScaleExpressions
+    val strs: Seq[Option[String]] =
+      (0 until 400).map(i => Some(s"doc $i " + ("xé中文 " * (i % 9)))) ++
+        Seq(Some(""), Some(" "), Some("::"), Some("\n"), Some("0"), None)
+    val df = strs.toDF("s")
+    val cmp = df.select(
+      ScaleExpressions.md5Prefix52($"s").as("fast"),
+      expr("CAST(conv(substring(md5(s), 1, 13), 16, 10) AS BIGINT)").as("sql"))
+    assert(cmp.where(
+      ($"fast" =!= $"sql") || ($"fast".isNull =!= $"sql".isNull)).count() == 0)
+    // non-string input is an analysis error, not a runtime surprise
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("v").select(ScaleExpressions.md5Prefix52($"v")).collect()
+    }
+  }
+
   test("kmvOverlap: identical, disjoint and overlapping pairs from sketches alone") {
     // a == b (identical content), c disjoint from both, d = half of a
     val va = (0 until 30).map(i => s"t$i")
