@@ -88,15 +88,94 @@ object Quantiles {
     require(!reserved.contains(groupCol),
       s"histogram: group column collides with a reserved working name " +
         s"(${reserved.mkString(", ")})")
+    quantileTail(
+      binCounts(df, valueCol, Seq(groupCol), binWidth)
+        .withColumnRenamed("bin", "_hq_bin").withColumnRenamed("cnt", "_hq_cnt"),
+      groupCol, binWidth, percentiles)
+  }
+
+  /** The persistable HISTOGRAM SKETCH: per-`groupCols` bin counts —
+    * `(groupCols…, bin, cnt)` with `bin = value DIV binWidth`. Bin
+    * counts merge by plain addition, so a multi-shard/multi-day rollup
+    * stores one sketch per `(group…, shard)` and feeds the stored rows
+    * to [[histogramMerge]] without revisiting the data — the
+    * [[graft.operators.Scale.kmvSketch]] lifecycle for quantiles.
+    * Same non-negative integral contract as [[histogram]].
+    */
+  def histogramSketch(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      binWidth: Long
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "histogramSketch: need at least one group column")
+    binCounts(df, valueCol, groupCols, binWidth)
+  }
+
+  /** MERGE per-shard histogram sketches up to per-group quantiles: sum
+    * the bin counts (the histogram union — exact, not approximate) and
+    * run the same estimator tail, so the output is IDENTICAL to
+    * [[histogram]] over the combined input, row for row. Input cost is
+    * the sketch rows — metadata-scale — regardless of the corpus they
+    * summarize. `binWidth` must be the width the sketches were built
+    * with (a different width would relabel bins, not rebucket values).
+    * `sketches` must carry `(groupCol, bin, cnt)`.
+    */
+  def histogramMerge(
+      sketches: DataFrame,
+      groupCol: String,
+      binWidth: Long,
+      percentiles: Seq[Int]
+  ): DataFrame = {
+    require(Seq("bin", "cnt").forall(sketches.columns.contains),
+      s"histogramMerge: sketch input must carry bin/cnt, got ${sketches.columns.mkString(", ")}")
+    quantileTail(
+      sketches
+        .groupBy(col(groupCol), col("bin").as("_hq_bin"))
+        .agg(sum(col("cnt")).as("_hq_cnt")),
+      groupCol, binWidth, percentiles)
+  }
+
+  /** Shared corpus pass of the histogram family: one partial-aggregable
+    * `groupBy(group…, bin).count()`, result bounded by
+    * |groups| × |bins|. Fails loudly on negative values (the engines
+    * would floor-divide them differently).
+    */
+  private def binCounts(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      binWidth: Long
+  ): DataFrame = {
+    require(binWidth > 0, s"histogram: binWidth must be positive, got $binWidth")
+    val reserved = Seq("_hq_bin", "_hq_cnt", "_hq_cum", "_hq_n", "_hq_v", "bin", "cnt")
+    require(!groupCols.exists(reserved.contains),
+      s"histogram: group column collides with a reserved working name " +
+        s"(${reserved.mkString(", ")})")
     val v = col(valueCol).cast("long")
     val guarded = when(v < 0L,
       raise_error(concat(lit(s"histogram: negative $valueCol value "), v.cast("string"),
         lit(" — non-negative contract")))).otherwise(v)
-    val bins = df
-      .where(v.isNotNull)
-      .select(col(groupCol), guarded.as("_hq_v"))
-      .groupBy(col(groupCol), expr(s"_hq_v DIV $binWidth").as("_hq_bin"))
-      .agg(count(lit(1)).as("_hq_cnt"))
+    df.where(v.isNotNull)
+      .select(groupCols.map(col) :+ guarded.as("_hq_v"): _*)
+      .groupBy(groupCols.map(col) :+ expr(s"_hq_v DIV $binWidth").as("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Shared estimator tail over `(groupCol, _hq_bin, _hq_cnt)`: the
+    * cumulative walk and ceil-rank probes on the bounded bin table.
+    */
+  private def quantileTail(
+      bins: DataFrame,
+      groupCol: String,
+      binWidth: Long,
+      percentiles: Seq[Int]
+  ): DataFrame = {
+    require(percentiles.nonEmpty, "histogram: no percentiles requested")
+    require(percentiles.forall(p => p >= 1 && p <= 100),
+      s"histogram: percentiles must be whole percents in [1, 100], got $percentiles")
+    require(percentiles.distinct == percentiles,
+      s"histogram: duplicate percentiles in $percentiles")
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("_hq_bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = bins

@@ -1382,6 +1382,41 @@ object PipelineQueries {
         Seq("source"), col("sh"), k = 64)
       Scale.kmvOverlap(sk, "source", "kmv_sketch", k = 64)
         .orderBy("source_a", "source_b")
+    },
+    // q138: histogram-sketch MERGEABILITY under the oracle — per-shard
+    // bin counts (doc_id mod 8 stands in for daily batches) summed and
+    // re-cut to per-source quantiles; exact union ⇒ row-identical to
+    // q133's direct histogram, and q133's SQL gates it
+    "q138_hist_rollup" -> { (s, dir) =>
+      val sk = graft.operators.Quantiles.histogramSketch(
+        t(s, dir, "documents")
+          .withColumn("shard", pmod(col("doc_id"), lit(8))),
+        "n_chars", Seq("source", "shard"), binWidth = 256L)
+      graft.operators.Quantiles
+        .histogramMerge(sk, "source", binWidth = 256L, percentiles = Seq(50, 90, 99))
+        .orderBy("source")
+    },
+    // q139: the LEFT OUTER stream-stream join face — every click, with
+    // its purchases within ±2 h or nulls once the watermark proves none
+    // can arrive; the sentinel flush makes the outer emission exact on
+    // a finite replay
+    "q139_stream_left_join" -> { (s, dir) =>
+      def side(tpe: String, p: String) =
+        graft.queries.RelationalQueries.eventsStream(s, dir)
+          .where(col("event_type") === tpe)
+          .select(col("user_id"),
+            timestamp_seconds(col("ts").cast("long")).as(s"${p}_t"),
+            col("event_id").as(s"${p}_id"),
+            col("value").as(s"${p}_value"))
+      graft.streaming.Streams
+        .replayJoinWithinOuter(side("click", "click"), side("purchase", "purchase"),
+          "user_id", "click_t", "purchase_t", withinSec = 7200L,
+          sentinelKey = -1L, sentinelSec = 32503680000L)
+        .select(col("user_id"), col("click_id"),
+          col("click_t").cast("long").as("click_sec"),
+          col("purchase_id"),
+          col("purchase_t").cast("long").as("purchase_sec"))
+        .orderBy("click_id", "purchase_id")
     }
   )
 
@@ -2875,19 +2910,11 @@ object PipelineQueries {
     // q133: identical integer arithmetic — bin = v // width, rank =
     // ceil(p*n/100) as (p*n + 99) // 100, quantile = first bin whose
     // cumulative count reaches the rank, reported as bin * width
-    "q133_hist_quantiles" ->
-      """WITH c AS (SELECT source, n_chars // 256 AS bin, count(*) AS cnt
-        |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
-        |m AS (SELECT source, bin, cnt,
-        |        sum(cnt) OVER (PARTITION BY source ORDER BY bin
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |        sum(cnt) OVER (PARTITION BY source) AS n
-        |      FROM c)
-        |SELECT source, CAST(max(n) AS BIGINT) AS n,
-        |  CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) * 256 AS BIGINT) AS p50_lo,
-        |  CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END) * 256 AS BIGINT) AS p90_lo,
-        |  CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) * 256 AS BIGINT) AS p99_lo
-        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q133_hist_quantiles" -> HistBySourceSql,
+    // q138: q133's exact SQL — histogram union is plain bin-count
+    // addition, so the sharded rollup's answer is identical to the
+    // direct histogram and one oracle gates both (the q130 pattern)
+    "q138_hist_rollup" -> HistBySourceSql,
     // q134: the admitted-key set is the distinct-key set by the finite-
     // replay argument (watermarks advance only between micro-batches)
     "q134_stream_dedup" ->
@@ -2954,8 +2981,41 @@ object PipelineQueries {
          |       CAST(union_est AS BIGINT) AS union_est,
          |       CAST(c * (union_est // m) AS BIGINT) AS inter_est,
          |       CAST(c * 1000000 // m AS BIGINT) AS jaccard_micro
-         |FROM e ORDER BY source_a, source_b""".stripMargin
+         |FROM e ORDER BY source_a, source_b""".stripMargin,
+    // q139: the batch LEFT JOIN the streaming outer emission must agree
+    // with; a click has either matches or exactly one null row, so null
+    // ordering never decides a tie
+    "q139_stream_left_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS click_sec
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, event_id AS purchase_id,
+        |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS purchase_sec
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, click_sec, purchase_id, purchase_sec
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |  AND p.purchase_sec >= c.click_sec - 7200
+        |  AND p.purchase_sec <= c.click_sec + 7200
+        |ORDER BY click_id, purchase_id""".stripMargin
   )
+
+  // Shared by q133 (direct histogram quantiles) and q138 (per-shard
+  // sketches merged by bin-count addition): the histogram union is
+  // exact, so the rollup's answer is IDENTICAL to the direct
+  // computation and any divergence is the merge's fault by construction.
+  private lazy val HistBySourceSql =
+    """WITH c AS (SELECT source, n_chars // 256 AS bin, count(*) AS cnt
+      |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+      |m AS (SELECT source, bin, cnt,
+      |        sum(cnt) OVER (PARTITION BY source ORDER BY bin
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(cnt) OVER (PARTITION BY source) AS n
+      |      FROM c)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) * 256 AS BIGINT) AS p50_lo,
+      |  CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END) * 256 AS BIGINT) AS p90_lo,
+      |  CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) * 256 AS BIGINT) AS p99_lo
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
 
   // Shared by q121 (direct per-source sketch) and q130 (per-shard
   // sketches merged by union + re-cut): the KMV union property makes

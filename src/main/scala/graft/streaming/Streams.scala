@@ -810,12 +810,14 @@ object Streams {
         round(col("value_sum"), 2).as("value_sum"))
   }
 
-  /** Watermarked stream-stream inner join: right rows within ±`within`
-    * of the left row's event time, equi-matched on `keyCol`. Both sides
-    * carry watermarks and the join condition is time-bounded in both
+  /** Watermarked stream-stream join: right rows within ±`within` of the
+    * left row's event time, equi-matched on `keyCol`. Both sides carry
+    * watermarks and the join condition is time-bounded in both
     * directions — the two requirements that let Spark expire join state
-    * instead of buffering either stream forever. Output columns keep
-    * their `l`/`r` qualifiers; callers select what they need.
+    * instead of buffering either stream forever. `joinType` admits the
+    * outer variants (an outer result row only emits once the watermark
+    * proves no match can still arrive). Output columns keep their
+    * `l`/`r` qualifiers; callers select what they need.
     */
   def joinStreamsWithin(
       left: DataFrame,
@@ -823,7 +825,8 @@ object Streams {
       keyCol: String,
       leftTime: String,
       rightTime: String,
-      within: String = "1 hour"
+      within: String = "1 hour",
+      joinType: String = "inner"
   ): DataFrame = {
     val l = left.withWatermark(leftTime, within).alias("l")
     val r = right.withWatermark(rightTime, within).alias("r")
@@ -832,7 +835,8 @@ object Streams {
       expr(
         s"""l.$keyCol = r.$keyCol
            |AND r.$rightTime >= l.$leftTime - interval $within
-           |AND r.$rightTime <= l.$leftTime + interval $within""".stripMargin))
+           |AND r.$rightTime <= l.$leftTime + interval $within""".stripMargin),
+      joinType)
   }
 
   /** Run [[joinStreamsWithin]] over two FINITE streaming inputs
@@ -878,6 +882,58 @@ object Streams {
         (left.columns.filterNot(_ == keyCol).map(c => col(s"l.$c")) ++
           right.columns.filterNot(_ == keyCol).map(c => col(s"r.$c"))).toSeq: _*)
     drainToParquet(out, s"$base/out", s"$base/ckpt")
+  }
+
+  /** [[replayJoinWithin]] for the LEFT OUTER variant — the face where
+    * the watermark is load-bearing for CORRECTNESS, not just state
+    * size: an unmatched left row only emits (right columns null) once
+    * the watermark proves no matching right row can still arrive, so a
+    * finite replay needs the q124 sentinel pattern — one far-future row
+    * per SIDE (the eviction watermark is the minimum across both
+    * streams) under a reserved `keyCol` value, unioned in before the
+    * join and filtered back out of the result. The final no-data
+    * micro-batch then flushes every real unmatched left. `keyCol` must
+    * be LONG on both sides; the sentinels carry nulls in every other
+    * non-time column.
+    */
+  def replayJoinWithinOuter(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTime: String,
+      rightTime: String,
+      withinSec: Long,
+      sentinelKey: Long,
+      sentinelSec: Long
+  ): DataFrame = {
+    require(left.isStreaming && right.isStreaming,
+      "replayJoinWithinOuter: both inputs must be streaming DataFrames")
+    require(withinSec > 0, s"replayJoinWithinOuter: withinSec must be positive, got $withinSec")
+    val overlap = (left.columns.toSet - keyCol).intersect(right.columns.toSet - keyCol)
+    require(overlap.isEmpty,
+      s"replayJoinWithinOuter: non-key columns must be disjoint, both sides have ${overlap.mkString(", ")}")
+    val spark = left.sparkSession
+    val base = java.nio.file.Files.createTempDirectory("graft_ojoin_replay").toString
+    def withSentinel(side: DataFrame, timeCol: String, dir: String): DataFrame = {
+      val row = org.apache.spark.sql.Row.fromSeq(side.schema.fields.map { f =>
+        if (f.name == keyCol) sentinelKey
+        else if (f.name == timeCol) new java.sql.Timestamp(sentinelSec * 1000L)
+        else null
+      }.toSeq)
+      spark.createDataFrame(java.util.Arrays.asList(row), side.schema)
+        .coalesce(1).write.parquet(dir)
+      side.unionByName(spark.readStream.schema(side.schema).parquet(dir))
+    }
+    val joined = joinStreamsWithin(
+      withSentinel(left, leftTime, s"$base/sl"),
+      withSentinel(right, rightTime, s"$base/sr"),
+      keyCol, leftTime, rightTime, s"$withinSec seconds", "left_outer")
+    val out = joined.select(
+      col(s"l.$keyCol").as(keyCol) +:
+        (left.columns.filterNot(_ == keyCol).map(c => col(s"l.$c")) ++
+          right.columns.filterNot(_ == keyCol).map(c => col(s"r.$c"))).toSeq: _*)
+    drainToParquet(out, s"$base/out", s"$base/ckpt")
+      .where(col(keyCol) =!= sentinelKey)
   }
 
   /** Run [[dedupStream]] over a FINITE streaming input end-to-end and

@@ -54,6 +54,24 @@ class QuantilesSpec extends AnyFunSuite with SparkSpec {
     assert(48L <= 50L && 50L < 48L + 8L)
   }
 
+  test("histogramSketch + histogramMerge: sharded rollup equals the direct histogram") {
+    import spark.implicits._
+    val df = (1 to 500)
+      .map(i => ("g" + (i % 3), i % 4, (i * 13 % 300).toLong))
+      .toDF("g", "shard", "v")
+    val direct = Quantiles.histogram(df, "v", "g", 16L, Seq(50, 90, 99))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    val sk = Quantiles.histogramSketch(df, "v", Seq("g", "shard"), 16L)
+    assert(sk.columns.toSeq == Seq("g", "shard", "bin", "cnt"))
+    val merged = Quantiles.histogramMerge(sk, "g", 16L, Seq(50, 90, 99))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(merged == direct)
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.histogramMerge(sk.withColumnRenamed("cnt", "count"), "g", 16L, Seq(50))
+    }
+    assert(e.getMessage.contains("bin/cnt"), e.getMessage)
+  }
+
   test("cdfRank: percent of strictly-lower bins, corpus never shuffled") {
     import spark.implicits._
     val df = ((1 to 100).map(v => ("a", v.toLong, v.toLong)) ++

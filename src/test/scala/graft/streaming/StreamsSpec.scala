@@ -252,6 +252,31 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(eOverlap.getMessage.contains("disjoint"), eOverlap.getMessage)
   }
 
+  test("replayJoinWithinOuter flushes unmatched lefts with nulls via the sentinel") {
+    val base = Files.createTempDirectory("streamoj").toString
+    val (inL, inR) = (s"$base/l", s"$base/r")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "c_matched"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "c_lonely"))
+      .toDF("user_id", "l_ts", "l_tag").write.parquet(inL)
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), "p_near"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 14:00:00"), "p_far")) // outside ±1h
+      .toDF("user_id", "r_ts", "r_tag").write.parquet(inR)
+    val got = Streams.replayJoinWithinOuter(
+      Streams.fileStream(spark, inL, spark.read.parquet(inL).schema),
+      Streams.fileStream(spark, inR, spark.read.parquet(inR).schema),
+      "user_id", "l_ts", "r_ts", withinSec = 3600L,
+      sentinelKey = -1L, sentinelSec = 4102444800L)
+    val rows = got.select($"l_tag", $"r_tag").as[(String, Option[String])]
+      .collect().toSet
+    assert(rows == Set(("c_matched", Some("p_near")), ("c_lonely", None)))
+    val e = intercept[IllegalArgumentException] {
+      Streams.replayJoinWithinOuter(spark.read.parquet(inL),
+        Streams.fileStream(spark, inR, spark.read.parquet(inR).schema),
+        "user_id", "l_ts", "r_ts", 3600L, -1L, 4102444800L)
+    }
+    assert(e.getMessage.contains("streaming"), e.getMessage)
+  }
+
   test("replayDedupKeys admits each key once and returns only key columns") {
     val base = Files.createTempDirectory("streamdd").toString
     val in = s"$base/in"
