@@ -1417,6 +1417,24 @@ object PipelineQueries {
           col("purchase_id"),
           col("purchase_t").cast("long").as("purchase_sec"))
         .orderBy("click_id", "purchase_id")
+    },
+    // q140: INCREMENTAL sketch maintenance under the oracle — the
+    // documents corpus replayed as a genuinely multi-batch stream
+    // (4 files, one per micro-batch), each batch appending its own
+    // per-source KMV rows to a persisted sketch table; the rolled-up
+    // estimate must be row-identical to q121's direct sketch no matter
+    // how the stream was batched, and q121's SQL gates it
+    "q140_stream_kmv" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_docs_stream").toString
+      val in = s"$base/in"
+      t(s, dir, "documents").select("source", "text")
+        .repartition(4).write.parquet(in)
+      val stream = graft.streaming.Streams
+        .fileStream(s, in, s.read.parquet(in).schema, maxFilesPerTrigger = 1)
+        .select(col("source"), explode(Text.shingles(col("text"), 3)).as("sh"))
+      graft.streaming.Streams
+        .replayKmvMaintenance(stream, "source", "sh", k = 64)
+        .orderBy("source")
     }
   )
 
@@ -2871,6 +2889,9 @@ object PipelineQueries {
     // q130: q121's exact SQL — the union property makes the rollup's
     // answer identical to the direct sketch
     "q130_kmv_rollup" -> KmvBySourceSql,
+    // q140: q121's exact SQL again — the streaming-maintained sketch
+    // table must answer identically regardless of micro-batching
+    "q140_stream_kmv" -> KmvBySourceSql,
     // q131: the batch interval join the streaming engine must agree
     // with — whole-second epochs band identically on both engines
     "q131_stream_join" ->

@@ -967,6 +967,48 @@ object Streams {
       .select(keyCols.map(col): _*)
   }
 
+  /** Streaming maintenance of a persisted KMV SKETCH TABLE — the
+    * incremental face of [[graft.operators.Scale.kmvSketch]]: each
+    * micro-batch is reduced to one sketch row per group (k longs) and
+    * APPENDED to `sketchDir`; per-group estimates at any moment are
+    * [[graft.operators.Scale.kmvMerge]] over the stored rows. By the
+    * KMV union property the merged answer is IDENTICAL to sketching
+    * all data seen so far directly — so a 100 TB/day "distinct per
+    * domain" job pays one sketch-build per batch plus a metadata-scale
+    * merge, never a re-scan (the [[appendStreamIvf]] /
+    * [[appendStreamIndex]] lifecycle applied to a summary instead of
+    * an index). The replay drives a FINITE stream end-to-end and hands
+    * back the merged estimates, which a batch SQL oracle gates (q140):
+    * correctness is independent of how the stream was micro-batched.
+    */
+  def replayKmvMaintenance(
+      rows: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int
+  ): DataFrame = {
+    require(rows.isStreaming, "replayKmvMaintenance: rows must be a streaming DataFrame")
+    val spark = rows.sparkSession
+    val base = java.nio.file.Files.createTempDirectory("graft_kmv_stream").toString
+    val sketchDir = s"$base/sketches"
+    val q = rows.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Scale
+          .kmvSketch(batch, Seq(groupCol), col(valueCol), k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sketchDir): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    graft.operators.Scale.kmvMerge(
+      spark.read.parquet(sketchDir), groupCol, "kmv_sketch", k)
+  }
+
   /** Watermarked windowed aggregate over an event-time column — bounded
     * state, append-safe at scale.
     */

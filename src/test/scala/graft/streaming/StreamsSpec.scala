@@ -277,6 +277,27 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("streaming"), e.getMessage)
   }
 
+  test("replayKmvMaintenance: batched sketch rollup equals the direct sketch") {
+    val base = Files.createTempDirectory("streamkmv").toString
+    val in = s"$base/in"
+    // two files → two micro-batches, values interleaved across them so
+    // per-batch sketches genuinely differ from the global one
+    (0 until 300).map(i => ("g" + (i % 2), s"v$i"))
+      .toDF("g", "v").repartition(2).write.parquet(in)
+    val got = Streams.replayKmvMaintenance(
+      Streams.fileStream(spark, in, spark.read.parquet(in).schema,
+        maxFilesPerTrigger = 1),
+      "g", "v", k = 16)
+    val direct = graft.operators.Scale.kmvDistinct(
+      spark.read.parquet(in), "g", $"v", k = 16)
+    assert(got.orderBy("g").collect().map(_.toSeq).toSeq ==
+      direct.orderBy("g").collect().map(_.toSeq).toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Streams.replayKmvMaintenance(spark.read.parquet(in), "g", "v", 16)
+    }
+    assert(e.getMessage.contains("streaming"), e.getMessage)
+  }
+
   test("replayDedupKeys admits each key once and returns only key columns") {
     val base = Files.createTempDirectory("streamdd").toString
     val in = s"$base/in"
