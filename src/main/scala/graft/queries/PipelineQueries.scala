@@ -1435,6 +1435,17 @@ object PipelineQueries {
       graft.streaming.Streams
         .replayKmvMaintenance(stream, "source", "sh", k = 64)
         .orderBy("source")
+    },
+    // q141: fuzzy record linkage over the part-name vocabulary — every
+    // name pair within edit distance 2, found by the q-gram count
+    // filter + levenshtein rescore, never the all-pairs product. The
+    // answer is vocabulary-bounded (the name domain is fixed while the
+    // corpus grows), which is what makes entity resolution feasible at
+    // 100 TB where content dedup (q24/q25) is corpus-bounded
+    "q141_fuzzy_linkage" -> { (s, dir) =>
+      graft.operators.Linkage
+        .fuzzyNamePairs(t(s, dir, "part"), "p_name", maxDist = 2)
+        .orderBy("name_a", "name_b")
     }
   )
 
@@ -3017,7 +3028,18 @@ object PipelineQueries {
         |FROM c LEFT JOIN p ON c.user_id = p.user_id
         |  AND p.purchase_sec >= c.click_sec - 7200
         |  AND p.purchase_sec <= c.click_sec + 7200
-        |ORDER BY click_id, purchase_id""".stripMargin
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    // q141: the oracle brute-forces the vocabulary cross product — the
+    // filtered join must produce the IDENTICAL pair set, so any count-
+    // filter false negative is a hash mismatch by construction
+    "q141_fuzzy_linkage" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part
+        |           WHERE p_name IS NOT NULL)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
+        |ORDER BY name_a, name_b""".stripMargin
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
