@@ -1446,6 +1446,17 @@ object PipelineQueries {
       graft.operators.Linkage
         .fuzzyNamePairs(t(s, dir, "part"), "p_name", maxDist = 2)
         .orderBy("name_a", "name_b")
+    },
+    // q142: exact-integer PageRank over the co-purchase graph — the
+    // authority signal a curation mix weights by, as an ITERATIVE
+    // operator (5 Pregel-style join+agg rounds, localCheckpoint per
+    // round) whose integer recurrence both engines replay identically
+    "q142_pagerank" -> { (s, dir) =>
+      val edges = graft.operators.Graph
+        .cooccurrenceEdges(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      graft.operators.Graph
+        .pageRankExact(edges, t(s, dir, "part"), "p_partkey", iterations = 5)
+        .orderBy("p_partkey")
     }
   )
 
@@ -3039,7 +3050,9 @@ object PipelineQueries {
         |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         |FROM n a JOIN n b ON a.name < b.name
         |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
-        |ORDER BY name_a, name_b""".stripMargin
+        |ORDER BY name_a, name_b""".stripMargin,
+    // q142: the identical integer recurrence, unrolled — see PageRankSql
+    "q142_pagerank" -> PageRankSql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -3079,6 +3092,36 @@ object PipelineQueries {
        |  CASE WHEN n_kept < 64 THEN n_kept
        |       ELSE (CAST(63 AS BIGINT) << 52) // kth_hash END AS est_distinct
        |FROM s ORDER BY source""".stripMargin
+
+  // The q142 recurrence unrolled: each iteration is the same exact-
+  // integer step (base 150000, damping 85//100, messages pr//deg), so
+  // the SQL is generated by the same loop the Spark side runs — any
+  // divergence is the distributed execution's fault by construction
+  private lazy val PageRankSql = {
+    val iters = (1 to 5).map { k =>
+      s"""p$k AS (SELECT v.vx,
+         |  CAST(150000 + (85 * COALESCE(m.msg, 0)) // 100 AS BIGINT) AS pr
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS vx, SUM(p${k - 1}.pr // d.deg) AS msg
+         |    FROM e JOIN p${k - 1} ON e.src = p${k - 1}.vx
+         |           JOIN d ON d.src = e.src
+         |    GROUP BY e.dst) m ON m.vx = v.vx)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+       |            FROM lineitem
+       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |sized AS (SELECT g FROM li GROUP BY g HAVING count(*) <= 1000),
+       |ic AS (SELECT li.g, li.i FROM li JOIN sized USING (g)),
+       |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+       |      FROM ic a JOIN ic b ON a.g = b.g AND a.i <> b.i),
+       |v AS (SELECT DISTINCT p_partkey AS vx FROM part
+       |      WHERE p_partkey IS NOT NULL),
+       |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |p0 AS (SELECT vx, CAST(1000000 AS BIGINT) AS pr FROM v),
+       |$iters
+       |SELECT vx AS p_partkey, pr AS rank_micro
+       |FROM p5 ORDER BY p_partkey""".stripMargin
+  }
 
   // Shared by q107 (in-memory index) and q118 (persisted lifecycle):
   // the BM25 ranked-retrieval ground truth with per-term idf

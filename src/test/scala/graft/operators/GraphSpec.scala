@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class GraphSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Reference implementation: the same exact-integer recurrence, run
+    * sequentially on the driver.
+    */
+  private def refRank(
+      verts: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    var pr = verts.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val msg = edges
+        .groupBy(_._2)
+        .map { case (dst, es) =>
+          dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+        }
+      pr = verts.map(v => v -> (150000L + 85L * msg.getOrElse(v, 0L) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("pageRankExact: matches the sequential recurrence, isolated vertex keeps base") {
+    // triangle + pendant + isolated vertex, undirected (mirrored)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+    val got = Graph.pageRankExact(edges, verts, "id", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    val want = refRank(Seq(1L, 2L, 3L, 4L, 9L), und ++ und.map(_.swap), 5)
+    assert(got == want)
+    assert(got(9L) == 150000L) // isolated: base rank only
+    assert(got(3L) > got(1L)) // the hub outranks triangle members
+    assert(got.values.forall(_ >= 150000L))
+  }
+
+  test("pageRankExact: partition-order independent (exact integers)") {
+    val und = (1L to 40L).map(i => (i, i % 7 + 100L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val verts = (und.flatMap(e => Seq(e._1, e._2))).distinct.toDF("id")
+    val a = Graph.pageRankExact(edges, verts, "id", 4).as[(Long, Long)].collect().toMap
+    val b = Graph.pageRankExact(edges.repartition(13), verts.repartition(3), "id", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("cooccurrenceEdges: mirrored, distinct, hot groups dropped at the cap") {
+    val items = Seq(
+      (10L, 1L), (10L, 2L), (10L, 2L), // dup item in group collapses
+      (20L, 2L), (20L, 3L), (20L, 4L),
+      (30L, 5L) // singleton: no pairs
+    ).toDF("g", "item")
+    val got = Graph.cooccurrenceEdges(items, "g", "item")
+      .as[(Long, Long)].collect().toSet
+    val want = Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (2L, 4L),
+      (4L, 2L), (3L, 4L), (4L, 3L))
+    assert(got == want)
+    // cap: the size-3 group 20 is dropped at maxGroupSize=2, group 10
+    // (2 distinct items) survives
+    val capped = Graph.cooccurrenceEdges(items, "g", "item", maxGroupSize = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L), (2L, 1L)))
+    intercept[IllegalArgumentException](
+      Graph.cooccurrenceEdges(items, "g", "item", maxGroupSize = 1))
+  }
+}
