@@ -281,6 +281,73 @@ object Scale {
     }(Encoders.row(schema))
   }
 
+  /** Global RUNNING MAX over a total order — [[globalRunningSum]]'s
+    * skeleton with a max accumulator: range-partition + partition-sort,
+    * checkpoint once, collect per-partition maxima (metadata-scale),
+    * prefix-max them on the driver, one `mapPartitions` walk. With
+    * `exclusive` the emitted value covers strict PREDECESSORS only
+    * (NULL for the first valued row) — the "best seen so far, not
+    * counting me" shape dominance tests need ([[Skyline]]); inclusive
+    * matches ANSI `max(x) OVER (ORDER BY …)`. NULL values never update
+    * the accumulator. Appends `outCol` (BIGINT, nullable).
+    */
+  def globalRunningMax(
+      df: DataFrame,
+      order: Seq[Column],
+      valueCol: Column,
+      outCol: String,
+      exclusive: Boolean = false,
+      partitions: Int = 0
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    require(order.nonEmpty, "globalRunningMax: empty sort order")
+    require(!df.columns.contains("_grm_v"),
+      "globalRunningMax: reserved working column already exists (_grm_v)")
+    require(!df.columns.contains(outCol),
+      s"globalRunningMax: output column $outCol already exists in the input")
+    val parts =
+      if (partitions > 0) partitions
+      else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val ranged = rangeSortedCheckpoint(
+      df.withColumn("_grm_v", valueCol.cast("long")), order, parts)
+    val vIdx = ranged.columns.length - 1
+    val stats = ranged
+      .groupBy(spark_partition_id().as("_pm_pid"))
+      .agg(count(col("_grm_v")).as("_pm_vals"), max(col("_grm_v")).as("_pm_max"))
+      .collect()
+    val pmax = Array.fill[Option[Long]](parts)(None)
+    stats.foreach { r =>
+      if (r.getLong(1) > 0L) pmax(r.getInt(0)) = Some(r.getLong(2))
+    }
+    val before = pmax
+      .scanLeft(Option.empty[Long]) {
+        case (Some(a), Some(b)) => Some(math.max(a, b))
+        case (a, None) => a
+        case (None, b) => b
+      }
+      .init
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields.patch(vIdx, Nil, 1) :+
+        org.apache.spark.sql.types.StructField(
+          outCol, org.apache.spark.sql.types.LongType, nullable = true))
+    ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = before(pid)
+      it.map { r =>
+        val cur = if (r.isNullAt(vIdx)) None else Some(r.getLong(vIdx))
+        val folded = (acc, cur) match {
+          case (Some(a), Some(c)) => Some(math.max(a, c))
+          case (a, None) => a
+          case (None, c) => c
+        }
+        val emit = if (exclusive) acc else folded
+        acc = folded
+        val out: Any = emit.map(java.lang.Long.valueOf).orNull
+        Row.fromSeq(r.toSeq.patch(vIdx, Nil, 1) :+ out)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Deterministic TRAINING-ORDER SHUFFLE: a reproducible pseudo-random
     * total order over a corpus — the "shuffle before sequence-packing"
     * stage of an LLM training-data pipeline — computed without ever

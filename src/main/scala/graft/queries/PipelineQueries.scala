@@ -1457,6 +1457,20 @@ object PipelineQueries {
       graft.operators.Graph
         .pageRankExact(edges, t(s, dir, "part"), "p_partkey", iterations = 5)
         .orderBy("p_partkey")
+    },
+    // q143: the information-density Pareto frontier — documents no
+    // other doc beats on BOTH vocabulary richness (maximize) and
+    // length (minimize); the staircase formulation over per-value
+    // maxima + exclusive global running max, never the quadratic
+    // NOT EXISTS the oracle replays
+    "q143_skyline" -> { (s, dir) =>
+      val dd = t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.distinctTokenCount(col("text")).as("n_distinct"),
+        col("n_chars"))
+      graft.operators.Skyline
+        .skyline2D(dd, "n_distinct", "n_chars", maximize1 = true, maximize2 = false)
+        .orderBy("doc_id")
     }
   )
 
@@ -3052,7 +3066,20 @@ object PipelineQueries {
         |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
         |ORDER BY name_a, name_b""".stripMargin,
     // q142: the identical integer recurrence, unrolled — see PageRankSql
-    "q142_pagerank" -> PageRankSql
+    "q142_pagerank" -> PageRankSql,
+    // q143: the textbook quadratic NOT EXISTS — the engine's staircase
+    // must select the identical frontier
+    "q143_skyline" ->
+      s"""WITH dd AS (SELECT doc_id,
+         |              len(list_distinct($TokensSql)) AS n_distinct,
+         |              n_chars
+         |            FROM documents
+         |            WHERE text IS NOT NULL AND n_chars IS NOT NULL)
+         |SELECT doc_id, n_distinct, n_chars FROM dd a
+         |WHERE NOT EXISTS (SELECT 1 FROM dd b
+         |  WHERE b.n_distinct >= a.n_distinct AND b.n_chars <= a.n_chars
+         |    AND (b.n_distinct > a.n_distinct OR b.n_chars < a.n_chars))
+         |ORDER BY doc_id""".stripMargin
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
