@@ -113,4 +113,67 @@ object Graph {
     }
     pr.select(col("_v").as(vertexCol), col("_pr").as("rank_micro"))
   }
+
+  /** Per-vertex TRIANGLE counts — the local clustering signal (how
+    * clique-like a node's neighborhood is; spam and boilerplate rings
+    * are dense, organic co-occurrence is sparse).
+    *
+    * The naive wedge join explodes on hubs: a degree-d vertex
+    * contributes d² wedge candidates. Orienting every edge from its
+    * lower-(degree, id) endpoint to the higher one caps the oriented
+    * out-degree at O(√|E|) — the "forward" algorithm (Schank & Wagner,
+    * 2005; the MapReduce formulation is Suri & Vassilvitskii, WWW
+    * 2011) — so the wedge join's per-vertex fan-out is bounded by the
+    * graph's arboricity, not by its hottest hub. Three equi-joins, no
+    * iteration: wedges at each triangle's minimum-key vertex, closed by
+    * the oriented edge between the two others, count each triangle
+    * exactly once.
+    *
+    * `edges` may be mirrored ([[cooccurrenceEdges]] output) or already
+    * canonical; self-loops and duplicates are normalized away.
+    * `vertices` fixes the universe — triangle-free vertices report 0.
+    */
+  def triangleCounts(
+      edges: DataFrame,
+      vertices: DataFrame,
+      vertexCol: String
+  ): DataFrame = {
+    val canon = edges
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .select(
+        least(col("src"), col("dst")).as("_a"),
+        greatest(col("src"), col("dst")).as("_b"))
+      .where(col("_a") =!= col("_b"))
+      .distinct()
+    val deg = canon.select(col("_a").as("_v"))
+      .unionByName(canon.select(col("_b").as("_v")))
+      .groupBy("_v").agg(count(lit(1)).as("_d"))
+    // orient low (deg, id) -> high (deg, id); ties broken by id, so the
+    // orientation is total and deterministic
+    val keyed = canon
+      .join(deg.select(col("_v").as("_a"), col("_d").as("_da")), Seq("_a"))
+      .join(deg.select(col("_v").as("_b"), col("_d").as("_db")), Seq("_b"))
+      .withColumn("_fwd", struct(col("_da"), col("_a")) < struct(col("_db"), col("_b")))
+    val o = keyed.select(
+      when(col("_fwd"), col("_a")).otherwise(col("_b")).as("_u"),
+      when(col("_fwd"), col("_b")).otherwise(col("_a")).as("_w"),
+      when(col("_fwd"), struct(col("_db").as("d"), col("_b").as("v")))
+        .otherwise(struct(col("_da").as("d"), col("_a").as("v"))).as("_kw"))
+    val e1 = o.select(col("_u"), col("_w").as("_w1"), col("_kw").as("_k1"))
+    val e2 = o.select(col("_u"), col("_w").as("_w2"), col("_kw").as("_k2"))
+    val wedges = e1.join(e2, Seq("_u")).where(col("_k1") < col("_k2"))
+    val closing = o.select(col("_u").as("_w1"), col("_w").as("_w2"))
+    val tri = wedges.join(closing, Seq("_w1", "_w2"))
+    val credited = tri.select(col("_u").as("_v"))
+      .unionByName(tri.select(col("_w1").as("_v")))
+      .unionByName(tri.select(col("_w2").as("_v")))
+      .groupBy("_v").agg(count(lit(1)).as("_n"))
+    vertices
+      .select(col(vertexCol).as("_v"))
+      .where(col("_v").isNotNull)
+      .distinct()
+      .join(credited, Seq("_v"), "left")
+      .select(col("_v").as(vertexCol),
+        coalesce(col("_n"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -1471,6 +1471,16 @@ object PipelineQueries {
       graft.operators.Skyline
         .skyline2D(dd, "n_distinct", "n_chars", maximize1 = true, maximize2 = false)
         .orderBy("doc_id")
+    },
+    // q144: per-part triangle counts in the co-purchase graph — local
+    // clustering via the degree-oriented wedge join (hub fan-out capped
+    // at O(sqrt(|E|)), each triangle counted once at its min-key vertex)
+    "q144_triangles" -> { (s, dir) =>
+      val edges = graft.operators.Graph
+        .cooccurrenceEdges(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      graft.operators.Graph
+        .triangleCounts(edges, t(s, dir, "part"), "p_partkey")
+        .orderBy("p_partkey")
     }
   )
 
@@ -3079,7 +3089,27 @@ object PipelineQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM dd b
          |  WHERE b.n_distinct >= a.n_distinct AND b.n_chars <= a.n_chars
          |    AND (b.n_distinct > a.n_distinct OR b.n_chars < a.n_chars))
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // q144: id-ordered 3-way join (a<b<c) enumerates each triangle
+    // once; the engine's degree orientation must credit identically
+    "q144_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |            FROM lineitem
+        |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sized AS (SELECT g FROM li GROUP BY g HAVING count(*) <= 1000),
+        |ic AS (SELECT li.g, li.i FROM li JOIN sized USING (g)),
+        |e AS (SELECT DISTINCT a.i AS s, b.i AS t
+        |      FROM ic a JOIN ic b ON a.g = b.g AND a.i < b.i),
+        |tr AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |       FROM e e1 JOIN e e2 ON e2.s = e1.t
+        |                 JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t),
+        |vt AS (SELECT a AS v FROM tr UNION ALL SELECT b FROM tr
+        |       UNION ALL SELECT c FROM tr),
+        |cnt AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM vt GROUP BY v)
+        |SELECT p_partkey, COALESCE(n, CAST(0 AS BIGINT)) AS n_triangles
+        |FROM (SELECT DISTINCT p_partkey FROM part WHERE p_partkey IS NOT NULL)
+        |LEFT JOIN cnt ON v = p_partkey
+        |ORDER BY p_partkey""".stripMargin
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard

@@ -49,6 +49,33 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("triangleCounts: matches brute force, zero rows kept, input form irrelevant") {
+    // K4 on 1-4 (every vertex in 3 triangles) + a pendant (5) + isolated (9)
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val vs = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val tris = for {
+        a <- vs; b <- vs if a < b; c <- vs if b < c
+        if es((a, b)) && es((b, c)) && es((a, c))
+      } yield (a, b, c)
+      tris.flatMap(t => Seq(t._1, t._2, t._3))
+        .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+    }
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val want = (1L to 5L).map(v => v -> brute(und).getOrElse(v, 0L)).toMap + (9L -> 0L)
+    // mirrored input (the cooccurrenceEdges form) and canonical input
+    // must agree; duplicates and a self-loop must be ignored
+    val mirrored = (und ++ und.map(_.swap) ++ Seq((1L, 2L), (3L, 3L))).toDF("src", "dst")
+    val got = Graph.triangleCounts(mirrored, verts, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got(1L) == 3L && got(5L) == 0L && got(9L) == 0L)
+    val canon = und.toDF("src", "dst")
+    assert(Graph.triangleCounts(canon, verts, "id")
+      .as[(Long, Long)].collect().toMap == want)
+  }
+
   test("cooccurrenceEdges: mirrored, distinct, hot groups dropped at the cap") {
     val items = Seq(
       (10L, 1L), (10L, 2L), (10L, 2L), // dup item in group collapses
