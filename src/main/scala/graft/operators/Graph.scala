@@ -86,7 +86,8 @@ object Graph {
       edges: DataFrame,
       vertices: DataFrame,
       vertexCol: String,
-      iterations: Int = 5
+      iterations: Int = 5,
+      maxBroadcastVertices: Long = 2000000L
   ): DataFrame = {
     require(iterations >= 1,
       s"pageRankExact: iterations must be at least 1, got $iterations")
@@ -94,17 +95,37 @@ object Graph {
       .select(col(vertexCol).as("_v"))
       .where(col("_v").isNotNull)
       .distinct()
+      .localCheckpoint()
+    // the edge list and degrees are loop-INVARIANT but referenced every
+    // iteration — pin them once instead of re-deriving the (for a
+    // co-occurrence graph, corpus-self-join-sized) upstream per round
     val e = edges.select(col("src").as("_src"), col("dst").as("_dst"))
-    val deg = e.groupBy("_src").agg(count(lit(1)).as("_deg"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("_src").as("_v")).agg(count(lit(1)).as("_deg"))
+      .localCheckpoint()
+    // checkpointed frames lose their size stats, so AQE will NOT pick a
+    // broadcast join on its own and every iteration would sort-merge
+    // the full edge list against a vertex-scale table — TWICE. The
+    // per-vertex contribution table is |V| rows; broadcast it under a
+    // measured bound (sf10 co-purchase, 200k vertices x 239M edges:
+    // 204 -> 91 s isolated). Past the bound (billion-vertex graphs)
+    // the shuffle shape is the correct one and AQE keys both sides.
+    val nVerts = verts.count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nVerts <= maxBroadcastVertices) broadcast(df) else df
     var pr = verts
       .withColumn("_pr", lit(1000000L))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
+      // fold rank and degree FIRST (vertex-scale join), so the edge
+      // list is joined once per iteration, not twice
+      val contrib = pr
+        .join(deg, Seq("_v"))
+        .select(col("_v").as("_src"), expr("_pr div _deg").as("_c"))
       val msgs = e
-        .join(pr.withColumnRenamed("_v", "_src"), Seq("_src"))
-        .join(deg, Seq("_src"))
+        .join(maybeBroadcast(contrib), Seq("_src"))
         .groupBy(col("_dst").as("_v"))
-        .agg(sum(expr("_pr div _deg")).as("_msg"))
+        .agg(sum(col("_c")).as("_msg"))
       pr = verts
         .join(msgs, Seq("_v"), "left")
         .select(col("_v"),
@@ -138,6 +159,8 @@ object Graph {
       vertices: DataFrame,
       vertexCol: String
   ): DataFrame = {
+    // referenced by the degree count AND both keyed joins — pin once so
+    // the upstream edge derivation runs once, not three times
     val canon = edges
       .where(col("src").isNotNull && col("dst").isNotNull)
       .select(
@@ -145,6 +168,7 @@ object Graph {
         greatest(col("src"), col("dst")).as("_b"))
       .where(col("_a") =!= col("_b"))
       .distinct()
+      .localCheckpoint()
     val deg = canon.select(col("_a").as("_v"))
       .unionByName(canon.select(col("_b").as("_v")))
       .groupBy("_v").agg(count(lit(1)).as("_d"))
@@ -154,11 +178,14 @@ object Graph {
       .join(deg.select(col("_v").as("_a"), col("_d").as("_da")), Seq("_a"))
       .join(deg.select(col("_v").as("_b"), col("_d").as("_db")), Seq("_b"))
       .withColumn("_fwd", struct(col("_da"), col("_a")) < struct(col("_db"), col("_b")))
+    // the oriented list feeds both wedge sides and the closing-edge
+    // probe — pin it so orientation runs once
     val o = keyed.select(
       when(col("_fwd"), col("_a")).otherwise(col("_b")).as("_u"),
       when(col("_fwd"), col("_b")).otherwise(col("_a")).as("_w"),
       when(col("_fwd"), struct(col("_db").as("d"), col("_b").as("v")))
         .otherwise(struct(col("_da").as("d"), col("_a").as("v"))).as("_kw"))
+      .localCheckpoint()
     val e1 = o.select(col("_u"), col("_w").as("_w1"), col("_kw").as("_k1"))
     val e2 = o.select(col("_u"), col("_w").as("_w2"), col("_kw").as("_k2"))
     val wedges = e1.join(e2, Seq("_u")).where(col("_k1") < col("_k2"))
