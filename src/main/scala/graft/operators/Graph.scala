@@ -203,4 +203,122 @@ object Graph {
       .select(col("_v").as(vertexCol),
         coalesce(col("_n"), lit(0L)).as("n_triangles"))
   }
+
+  /** Connected components by the ALTERNATING STAR algorithm (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * the general-graph complement to [[Dedup.connectedComponents]]'s
+    * min-label propagation. Min-label needs O(component diameter)
+    * rounds, which is the right trade for clique-ish near-dup graphs
+    * but an adversary on chain-shaped graphs (provenance chains, event
+    * successor graphs, long paths), where the diameter is the component
+    * SIZE. Alternating large-star/small-star contracts every component
+    * to a star pointing at its minimum id in O(log² n) rounds
+    * regardless of diameter:
+    *
+    *   large-star(u): every neighbor v > u re-points to
+    *                  m = min(N(u) ∪ {u})
+    *   small-star(u): every smaller neighbor (and u itself) re-points
+    *                  to the min of u's smaller neighborhood
+    *
+    * Both phases are one groupBy-min plus one equi-join on the edge
+    * list — NO per-node neighbor lists are ever collected, so a hub of
+    * any degree costs its edge rows and nothing more (the same reason
+    * [[triangleCounts]] orients by degree). Each round ends in a
+    * tracked `localCheckpoint` (the [[Dedup.connectedComponents]]
+    * lifecycle discipline: checkpoint RDDs are unpersisted as their
+    * round is superseded, so iteration does not leak executor storage).
+    *
+    * Convergence: small-star output is compared to its input (both are
+    * canonical larger→smaller distinct pair sets, so equal counts plus
+    * an empty one-sided EXCEPT prove set equality); a non-converged
+    * exit after `maxIter` rounds fails loudly rather than returning
+    * split components. Returns `(node, component)` over the `vertices`
+    * universe with component = min node id; isolated vertices map to
+    * themselves.
+    */
+  def connectedComponentsStar(
+      edges: DataFrame,
+      vertices: DataFrame,
+      vertexCol: String,
+      maxIter: Int = 50
+  ): DataFrame = {
+    require(maxIter >= 1,
+      s"connectedComponentsStar: maxIter must be at least 1, got $maxIter")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    // localCheckpoint persists outside the CacheManager, so
+    // Dataset.unpersist cannot free it — track the RDDs each checkpoint
+    // registers and release them when the round is superseded
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val ck = df.localCheckpoint()
+      val added = sc.getPersistentRDDs.collect { case (id, r) if !before(id) => r }.toSeq
+      (ck, added)
+    }
+    def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdds.foreach(_.unpersist(blocking = false))
+
+    // canonical form: distinct (hi, lo) pairs, self-loops dropped
+    var (canon, prevRdds) = checkpointTracked(
+      edges
+        .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+        .select(
+          greatest(col("src"), col("dst")).as("_hi"),
+          least(col("src"), col("dst")).as("_lo"))
+        .distinct())
+    var prevCount = canon.count()
+    var converged = prevCount == 0L
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the SYMMETRIC view: node u's neighborhood min
+      // m = min(N(u) ∪ {u}); every neighbor v > u re-points to m. Each
+      // input edge (u < v) survives as (v, min(m_u)) with m_u ≤ u < v,
+      // so the output is canonical hi→lo by construction.
+      val sym = canon.select(col("_hi").as("_u"), col("_lo").as("_v"))
+        .unionByName(canon.select(col("_lo").as("_u"), col("_hi").as("_v")))
+      val lsMin = sym.groupBy("_u").agg(min(col("_v")).as("_mn"))
+      val ls = sym
+        .join(lsMin, "_u")
+        .where(col("_v") > col("_u"))
+        .select(col("_v").as("_hi"), least(col("_u"), col("_mn")).as("_lo"))
+        .distinct()
+      // small-star over the oriented list: u's smaller neighbors (and u)
+      // re-point to the min of the smaller neighborhood. All output
+      // pairs stay hi→lo: _lo > m for the re-pointed neighbors (m is
+      // their min), _hi > m for u's own link.
+      val ssMin = ls.groupBy("_hi").agg(min(col("_lo")).as("_mn"))
+      val withMin = ls.join(ssMin, "_hi")
+      val (next, nextRdds) = checkpointTracked(
+        withMin
+          .where(col("_lo") =!= col("_mn"))
+          .select(col("_lo").as("_hi"), col("_mn").as("_lo"))
+          .unionByName(ssMin.select(col("_hi"), col("_mn").as("_lo")))
+          .distinct())
+      val nextCount = next.count()
+      // canonical distinct sets: |A| = |B| ∧ A \ B = ∅ ⟹ A = B
+      converged = nextCount == prevCount &&
+        next.except(canon).limit(1).count() == 0L
+      release(prevRdds)
+      prevRdds = nextRdds
+      canon = next
+      prevCount = nextCount
+      i += 1
+    }
+    require(converged,
+      s"connectedComponentsStar: NOT converged after $maxIter alternating rounds " +
+        s"($prevCount edges still moving) — raise maxIter")
+    // at convergence the edge set is a star forest: every non-root node
+    // appears exactly once as _hi with _lo = its component's min id.
+    // The final round's checkpoint stays persisted — the returned plan
+    // reads it lazily, and a truncated-lineage RDD cannot be recomputed
+    // after unpersist (same lifecycle as [[Dedup.connectedComponents]]'s
+    // last labels round).
+    val labels = canon.select(col("_hi").as("_v"), col("_lo").as("_c"))
+    vertices
+      .select(col(vertexCol).as("_v"))
+      .where(col("_v").isNotNull)
+      .distinct()
+      .join(labels, Seq("_v"), "left")
+      .select(col("_v").as(vertexCol), coalesce(col("_c"), col("_v")).as("component"))
+  }
 }

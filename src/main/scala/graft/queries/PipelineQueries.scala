@@ -1481,6 +1481,28 @@ object PipelineQueries {
       graft.operators.Graph
         .triangleCounts(edges, t(s, dir, "part"), "p_partkey")
         .orderBy("p_partkey")
+    },
+    // q145: connected components by the ALTERNATING STAR algorithm on a
+    // deliberately ADVERSARIAL-diameter graph — consecutive doc_ids
+    // chained, cut where an md5 bit says so (expected run length 64),
+    // so component diameters dwarf the round budget min-label
+    // propagation (q62's clique-ish near-dup regime) could afford.
+    // Star contraction converges in O(log² n) alternating rounds
+    // regardless of diameter; the oracle recomputes the closure with a
+    // recursive min-reachable-label query over the identical edge set.
+    "q145_cc_star" -> { (s, dir) =>
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id")).where(col("doc_id").isNotNull).distinct()
+      val chain = ids
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+        .join(ids.select(col("doc_id").as("dst")), "dst")
+        .where(
+          Text.md5PrefixLong(
+            concat(lit("cut:"), col("src").cast("string")), 13) % 64 =!= 0)
+        .select("src", "dst")
+      graft.operators.Graph
+        .connectedComponentsStar(chain, t(s, dir, "documents"), "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -3109,7 +3131,25 @@ object PipelineQueries {
         |SELECT p_partkey, COALESCE(n, CAST(0 AS BIGINT)) AS n_triangles
         |FROM (SELECT DISTINCT p_partkey FROM part WHERE p_partkey IS NOT NULL)
         |LEFT JOIN cnt ON v = p_partkey
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+    // q145: the oracle rebuilds the identical md5-cut chain and closes
+    // it with a recursive min-reachable-label walk — the star
+    // contraction must land on the same (node, min id) labeling
+    "q145_cc_star" ->
+      """WITH RECURSIVE
+        |ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL),
+        |ch AS (SELECT a.doc_id AS src, a.doc_id + 1 AS dst
+        |       FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+        |       WHERE CAST('0x' || substring(md5('cut:' || CAST(a.doc_id AS VARCHAR)), 1, 13)
+        |               AS BIGINT) % 64 <> 0),
+        |e AS (SELECT src, dst FROM ch UNION ALL SELECT dst, src FROM ch),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM ids
+        |  UNION
+        |  SELECT e.src, r.r FROM e JOIN reach r ON r.node = e.dst
+        |)
+        |SELECT node AS doc_id, min(r) AS component
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard

@@ -95,4 +95,77 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](
       Graph.cooccurrenceEdges(items, "g", "item", maxGroupSize = 1))
   }
+
+  /** Reference: driver-side union-find with min-id component labels. */
+  private def refComponents(
+      verts: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
+    def find(v: Long): Long = {
+      var r = v
+      while (parent(r) != r) r = parent(r)
+      var c = v
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    verts.map(v => v -> find(v)).toMap
+  }
+
+  test("connectedComponentsStar: long path converges in log rounds, not diameter") {
+    // a 200-node path has diameter 199 — min-label propagation would
+    // need 199 rounds; the alternating star algorithm must finish well
+    // inside maxIter = 16 (~2·log2)
+    val path = (1L until 200L).map(i => (i, i + 1))
+    val verts = (1L to 200L).toDF("id")
+    val got = Graph
+      .connectedComponentsStar(path.toDF("src", "dst"), verts, "id", maxIter = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 200L).map(_ -> 1L).toMap)
+  }
+
+  test("connectedComponentsStar: matches union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 25) {
+      val n = 2 + rnd.nextInt(60)
+      val verts = (1L to n.toLong) ++ Seq(900L, 901L) // two isolates
+      val edges = Seq.fill(rnd.nextInt(2 * n))(
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+      val got = Graph
+        .connectedComponentsStar(edges.toDF("src", "dst"), verts.toDF("id"), "id")
+        .as[(Long, Long)].collect().toMap
+      assert(got == refComponents(verts, edges), s"n=$n edges=$edges")
+    }
+  }
+
+  test("connectedComponentsStar: cycles, self-loops, mirrored dups, empty edges") {
+    val verts = (1L to 8L).toDF("id")
+    // 5-cycle + self loop + mirrored duplicate edge; 6,7,8 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L),
+      (3L, 3L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.connectedComponentsStar(edges, verts, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 7L, 8L -> 8L))
+    val none = Graph.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), verts, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(none == (1L to 8L).map(v => v -> v).toMap)
+  }
+
+  test("connectedComponentsStar: partition-order independent; loud non-convergence") {
+    val edges = (1L until 64L).map(i => (i, i + 1))
+    val verts = (1L to 64L).toDF("id")
+    val a = Graph.connectedComponentsStar(
+      edges.toDF("src", "dst"), verts, "id").as[(Long, Long)].collect().toMap
+    val b = Graph.connectedComponentsStar(
+      edges.toDF("src", "dst").repartition(13), verts.repartition(3), "id")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b && a.values.forall(_ == 1L))
+    intercept[IllegalArgumentException](
+      Graph.connectedComponentsStar(
+        edges.toDF("src", "dst"), verts, "id", maxIter = 1))
+  }
 }
