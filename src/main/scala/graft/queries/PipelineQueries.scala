@@ -1503,6 +1503,42 @@ object PipelineQueries {
       graft.operators.Graph
         .connectedComponentsStar(chain, t(s, dir, "documents"), "doc_id")
         .orderBy("doc_id")
+    },
+    // q146: Bloom-filter novelty gate for incremental ingest — the
+    // standing corpus (doc_id % 17 ≠ 3) builds a bounded word table
+    // (mBits/32 rows no matter the corpus size) over each document's
+    // HEAD FINGERPRINT (first 8 tokens — the cheap prefix signal
+    // near-dup families share); the batch probes it with two broadcast
+    // joins + a row-local bit test. bloom_hit = 0 is GUARANTEED novel
+    // (no false negatives — those docs skip the exact dedup path
+    // entirely); seen_exact rides alongside so the filter's
+    // deterministic false positives are visible in the artifact. Every
+    // bit position is exact-integer md5 arithmetic, so the oracle
+    // replays the filter — false positives included — bit for bit.
+    "q146_bloom_novelty" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val fp = array_join(slice(Text.tokens(col("text")), 1, 8), " ")
+      val corpus = docs.where(col("doc_id") % 17 =!= 3)
+        .select(fp.as("head_fp"))
+      val batch = docs.where(col("doc_id") % 17 === 3)
+        .select(col("doc_id"), fp.as("head_fp"))
+      val words = graft.operators.Bloom
+        .bloomWords(corpus, "head_fp", mBits = 16384, salt = "blm")
+      val probed = graft.operators.Bloom
+        .bloomProbe(batch, "head_fp", words, mBits = 16384, salt = "blm")
+      // exact ground truth on a digest key: the join ships 32-char
+      // hashes, never the fingerprints
+      val seen = corpus
+        .where(col("head_fp").isNotNull)
+        .select(md5(col("head_fp")).as("_th")).distinct()
+        .withColumn("_seen", lit(1L))
+      probed
+        .withColumn("_th", md5(col("head_fp")))
+        .join(seen, Seq("_th"), "left")
+        .select(
+          col("doc_id"), col("bloom_hit"),
+          coalesce(col("_seen"), lit(0L)).as("seen_exact"))
+        .orderBy("doc_id")
     }
   )
 
@@ -3149,7 +3185,36 @@ object PipelineQueries {
         |  SELECT e.src, r.r FROM e JOIN reach r ON r.node = e.dst
         |)
         |SELECT node AS doc_id, min(r) AS component
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // q146: the oracle rebuilds the identical Bloom filter (same md5
+    // positions, same 32-bit word packing) and must reproduce every
+    // probe answer INCLUDING the deterministic false positives
+    "q146_bloom_novelty" ->
+      s"""WITH fpd AS (SELECT doc_id,
+         |    array_to_string(($TokensSql)[1:8], ' ') AS fp FROM documents),
+         |corpus AS (SELECT fp FROM fpd WHERE doc_id % 17 <> 3),
+         |cd AS (SELECT DISTINCT fp FROM corpus WHERE fp IS NOT NULL),
+         |pos AS (SELECT CAST('0x' || substring(md5('blm1:' || fp), 1, 13) AS BIGINT) % 16384 AS p FROM corpus WHERE fp IS NOT NULL
+         |        UNION ALL
+         |        SELECT CAST('0x' || substring(md5('blm2:' || fp), 1, 13) AS BIGINT) % 16384 FROM corpus WHERE fp IS NOT NULL),
+         |w AS (SELECT p // 32 AS widx,
+         |        bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+         |      FROM pos GROUP BY 1),
+         |batch AS (SELECT doc_id, fp,
+         |    CAST('0x' || substring(md5('blm1:' || fp), 1, 13) AS BIGINT) % 16384 AS p1,
+         |    CAST('0x' || substring(md5('blm2:' || fp), 1, 13) AS BIGINT) % 16384 AS p2
+         |  FROM fpd WHERE doc_id % 17 = 3)
+         |SELECT b.doc_id,
+         |  CASE WHEN w1.word IS NOT NULL AND w2.word IS NOT NULL
+         |        AND (w1.word & (CAST(1 AS BIGINT) << CAST(b.p1 % 32 AS INT))) <> 0
+         |        AND (w2.word & (CAST(1 AS BIGINT) << CAST(b.p2 % 32 AS INT))) <> 0
+         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bloom_hit,
+         |  CASE WHEN EXISTS (SELECT 1 FROM cd WHERE cd.fp = b.fp)
+         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS seen_exact
+         |FROM batch b
+         |LEFT JOIN w w1 ON w1.widx = b.p1 // 32
+         |LEFT JOIN w w2 ON w2.widx = b.p2 // 32
+         |ORDER BY doc_id""".stripMargin
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class BloomSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val members = (1 to 300).map(i => s"doc text number $i")
+  private val mBits = 32 * 512 // 16384
+
+  test("bloomProbe: no false negatives — every built key hits") {
+    val words = Bloom.bloomWords(members.toDF("k"), "k", mBits)
+    val probed = Bloom.bloomProbe(members.toDF("k"), "k", words, mBits)
+    assert(probed.where($"bloom_hit" === 0L).count() == 0L)
+  }
+
+  test("bloomWords: bounded, deterministic under repartition") {
+    val a = Bloom.bloomWords(members.toDF("k"), "k", mBits)
+      .as[(Long, Long)].collect().toMap
+    val b = Bloom.bloomWords(members.toDF("k").repartition(13), "k", mBits)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.size <= mBits / 32)
+    assert(a.keys.forall(i => i >= 0 && i < mBits / 32))
+  }
+
+  test("bloomProbe: non-members mostly miss; false positives are deterministic") {
+    val words = Bloom.bloomWords(members.toDF("k"), "k", mBits)
+    val fresh = (1 to 300).map(i => s"unseen text $i").toDF("k")
+    val hits1 = Bloom.bloomProbe(fresh, "k", words, mBits)
+      .where($"bloom_hit" === 1L).as[(String, Long)].collect().toSet
+    // 600 bits set of 16384 → per-probe hit ~3.7%, two probes ~0.13%:
+    // expect ~0-3 false positives out of 300
+    assert(hits1.size <= 10)
+    val hits2 = Bloom.bloomProbe(fresh.repartition(7), "k", words, mBits)
+      .where($"bloom_hit" === 1L).as[(String, Long)].collect().toSet
+    assert(hits1 == hits2) // the SAME keys collide, every run
+  }
+
+  test("bloomProbe: null keys and absent words miss; salt redraws the filter") {
+    val words = Bloom.bloomWords(members.toDF("k"), "k", mBits)
+    val probed = Bloom.bloomProbe(
+      Seq[Option[String]](None, Some(members.head)).toDF("k"), "k", words, mBits)
+      .as[(Option[String], Long)].collect().toMap
+    assert(probed(None) == 0L && probed(Some(members.head)) == 1L)
+    // a different salt must not claim membership built under another
+    val other = Bloom.bloomProbe(
+      members.take(50).toDF("k"), "k", words, mBits, salt = "other")
+    assert(other.where($"bloom_hit" === 1L).count() < 10L)
+  }
+
+  test("contract guards: word width, broadcast bound, reserved columns") {
+    intercept[IllegalArgumentException](
+      Bloom.bloomWords(members.toDF("k"), "k", mBits = 100))
+    intercept[IllegalArgumentException](
+      Bloom.bloomWords(members.toDF("k"), "k", mBits = (1 << 30) + 32))
+    val words = Bloom.bloomWords(members.toDF("k"), "k", mBits)
+    intercept[IllegalArgumentException](
+      Bloom.bloomProbe(members.toDF("k").withColumn("_p1", $"k"), "k", words, mBits))
+    intercept[IllegalArgumentException](
+      Bloom.bloomProbe(
+        members.toDF("k").withColumn("bloom_hit", $"k"), "k", words, mBits))
+  }
+}
