@@ -177,6 +177,72 @@ object Dedup {
       .orderBy("inner_id", "outer_id")
   }
 
+  /** DUPLICATED-PASSAGE spans: the maximal runs of word positions whose
+    * `gramLen`-token windows each appear in at least `minDocs` distinct
+    * documents — the exact-substring dedup signal of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" (ACL
+    * 2022), where the unit of removal is the repeated PASSAGE (quoted
+    * boilerplate, licence blocks, syndicated paragraphs), not the whole
+    * document. Whole-doc dedup (exact/Jaccard/MinHash) structurally
+    * misses a 200-token boilerplate footer pasted into otherwise-unique
+    * documents; this operator finds exactly those spans.
+    *
+    * The suffix-array formulation is a single-machine algorithm; the
+    * distributed shape is positional fingerprints: (a) every position's
+    * `gramLen`-token window becomes a fixed-width md5 fingerprint
+    * (row-local, codegen'd — the shuffle carries 32-char digests, never
+    * the ~`gramLen`-word grams); (b) fingerprints seen in ≥ `minDocs`
+    * DISTINCT docs survive (two partial-aggregable shuffles, both
+    * bounded by the gram table); (c) each doc's surviving positions
+    * merge into maximal spans by the gap-1 island rule —
+    * [[Sessions.intervals]] with positions as "times", per-doc state
+    * bounded by document length. Repetition INSIDE one document does
+    * not make a gram "duplicated" (distinct-doc counting), matching the
+    * cross-document semantics of the paper.
+    *
+    * Returns `(doc_id, span_seq, start_pos, end_pos, n_grams)` with
+    * 1-based token positions, `end_pos` the last token of the last
+    * duplicated window (`= last gram start + gramLen − 1`).
+    */
+  def duplicatedPassages(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramLen: Int = 8,
+      minDocs: Int = 2,
+      persistIntermediate: Boolean = true
+  ): DataFrame = {
+    require(gramLen >= 2, s"duplicatedPassages: gramLen must be >= 2, got $gramLen")
+    require(minDocs >= 2, s"duplicatedPassages: minDocs must be >= 2, got $minDocs")
+    val toks = fanOut(docs)
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("_w"))
+      .where(size(col("_w")) >= gramLen)
+    val grams = persisted(
+      toks
+        .select(
+          col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(1, size(_w) - ${gramLen - 1}), " +
+              s"i -> md5(array_join(slice(_w, i, $gramLen), ' ')))")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("_g")),
+      persistIntermediate)
+    val dup = grams
+      .select("_g", "doc_id").distinct()
+      .groupBy("_g").agg(count(lit(1)).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select("_g")
+    val hits = grams.join(dup, Seq("_g"), "left_semi")
+    Sessions
+      .intervals(hits, "doc_id", "pos", "pos", gapSeconds = 1L)
+      .select(
+        col("doc_id"),
+        col("session_seq").cast("long").as("span_seq"),
+        col("start_sec").as("start_pos"),
+        (col("end_sec") + (gramLen - 1)).as("end_pos"),
+        (col("end_sec") - col("start_sec") + 1).as("n_grams"))
+      .orderBy("doc_id", "span_seq")
+  }
+
   /** Optional caching for intermediates reused across multiple join
     * branches. `persist = false` lets long-lived sessions opt out —
     * cached blocks otherwise accumulate in executor storage across

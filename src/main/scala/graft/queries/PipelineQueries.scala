@@ -1539,6 +1539,15 @@ object PipelineQueries {
           col("doc_id"), col("bloom_hit"),
           coalesce(col("_seen"), lit(0L)).as("seen_exact"))
         .orderBy("doc_id")
+    },
+    // q147: duplicated-PASSAGE spans (Lee et al., ACL 2022) — maximal
+    // token runs whose 8-gram windows each recur in ≥ 2 distinct docs:
+    // the boilerplate/quotation signal whole-document dedup cannot see.
+    // Positional md5 fingerprints (fixed-width shuffle keys), distinct-
+    // doc counting, then the gap-1 island merge per document.
+    "q147_dup_passages" -> { (s, dir) =>
+      graft.operators.Dedup
+        .duplicatedPassages(t(s, dir, "documents"), "doc_id", "text", gramLen = 8)
     }
   )
 
@@ -3214,7 +3223,27 @@ object PipelineQueries {
          |FROM batch b
          |LEFT JOIN w w1 ON w1.widx = b.p1 // 32
          |LEFT JOIN w w2 ON w2.widx = b.p2 // 32
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // q147: the oracle replays the identical positional-fingerprint
+    // pipeline — same tokenization, same md5-of-8-gram windows, same
+    // distinct-doc cut, same gap-1 island merge
+    "q147_dup_passages" ->
+      s"""WITH tok AS (SELECT doc_id, $TokensSql AS w FROM documents),
+         |g AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         |        md5(array_to_string(w[CAST(t.i AS INT):CAST(t.i + 7 AS INT)], ' ')) AS gram
+         |      FROM tok, UNNEST(range(1, len(w) - 6)) AS t(i)),
+         |dup AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+         |        GROUP BY gram HAVING count(*) >= 2),
+         |p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM p),
+         |sp AS (SELECT doc_id, min(pos) AS start_pos, max(pos) AS e
+         |       FROM isl GROUP BY doc_id, grp)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) AS BIGINT) AS span_seq,
+         |  start_pos, e + 7 AS end_pos, e - start_pos + 1 AS n_grams
+         |FROM sp ORDER BY doc_id, span_seq""".stripMargin
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard

@@ -407,4 +407,41 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)) ==
       ((6L, 0L, 0L, expect)))
   }
+
+  test("duplicatedPassages: shared runs found at their offsets and merged") {
+    val shared = (1 to 12).map(i => s"c$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$shared u1 u2 u3"), // shared at tokens 1..12
+      (2L, s"v1 v2 $shared w1"), // shared at tokens 3..14
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9") // unique — grams, none shared
+    ).toDF("id", "text")
+    val got = Dedup.duplicatedPassages(corpus, "id", "text", gramLen = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // 12-token run ⊃ 5 8-gram windows: starts 1..5 in doc 1, 3..7 in doc 2
+    assert(got == Set((1L, 1L, 1L, 12L, 5L), (2L, 1L, 3L, 14L, 5L)))
+  }
+
+  test("duplicatedPassages: multiple spans per doc; within-doc repetition excluded") {
+    val s1 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val s2 = (1 to 8).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$s1 z1 z2 z3 $s2"), // both runs: tokens 1..8 and 12..19
+      (2L, s"$s1 q1 q2"),
+      (3L, s"p1 $s2"),
+      (4L, s"$s1 $s1".replace("a", "r")), // self-repetition only: 1 distinct doc
+      (5L, "too short")
+    ).toDF("id", "text")
+    val got = Dedup.duplicatedPassages(corpus, "id", "text", gramLen = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 1L, 8L, 1L), (1L, 2L, 12L, 19L, 1L),
+      (2L, 1L, 1L, 8L, 1L), (3L, 1L, 2L, 9L, 1L)))
+    // minDocs above the family size: nothing survives
+    assert(Dedup.duplicatedPassages(corpus, "id", "text", gramLen = 8, minDocs = 3)
+      .count() == 0L)
+    intercept[IllegalArgumentException](
+      Dedup.duplicatedPassages(corpus, "id", "text", gramLen = 1))
+    intercept[IllegalArgumentException](
+      Dedup.duplicatedPassages(corpus, "id", "text", minDocs = 1))
+  }
 }
