@@ -177,6 +177,74 @@ object Dedup {
       .orderBy("inner_id", "outer_id")
   }
 
+  /** EXACT-threshold set-similarity self-join by PREFIX FILTERING
+    * (Chaudhuri et al., ICDE 2006; Bayardo et al., "Scaling Up All
+    * Pairs Similarity Search", WWW 2007) — the FULL-RECALL scale path
+    * to [[ngramJaccardPairs]]'s answer. The frequency cap
+    * ([[ngramJaccardPairsCapped]]) bounds candidate fan-out by trading
+    * recall: a pair whose entire overlap is stop-shingles is missed.
+    * The prefix filter bounds fan-out with NO false negatives: order
+    * every doc's shingles canonically (rarest-first by global document
+    * frequency, ties by shingle text) and keep only the first
+    * `|s| − ⌈t·|s|⌉ + 1` as its PREFIX; any pair with Jaccard ≥ t must
+    * share a prefix shingle (if C = A∩B and |C| ≥ ⌈t|A|⌉, the
+    * canonical-minimum element of C lands inside both prefixes by
+    * pigeonhole — each suffix holds only ⌈t|x|⌉ − 1 elements). The
+    * candidate join therefore touches ~(1−t) of each doc's shingles,
+    * and those are its RAREST, so hot boilerplate shingles almost never
+    * generate candidates. A length filter (J ≥ t ⟹ t·|A| ≤ |B| and
+    * t·|B| ≤ |A|) prunes inside the join condition; the exact
+    * sorted-set merge-walk rescore decides membership. Output is
+    * value-identical to the brute-force shared-shingle join at the
+    * same threshold — the oracle can be the ground-truth SQL verbatim.
+    *
+    * Both ceiling computations subtract a 1e-9 guard before `ceil`, so
+    * floating-point noise can only LENGTHEN a prefix or RELAX the
+    * length filter — never create a false negative.
+    *
+    * Scale: one df aggregation, one per-doc bounded aggregation
+    * (collect + row-local sort + slice — per-doc state is the doc's own
+    * shingle set), the prefix equi-join, then the candidates-only
+    * rescore. Candidate count is output-bound on dup families (their
+    * pairs ARE the answer) plus the rare-shingle collision tail.
+    */
+  def prefixFilterJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      persistIntermediate: Boolean = true
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixFilterJaccardPairs: threshold must be in (0, 1], got $threshold")
+    val base = shingleSets(docs, idCol, textCol, n, persistIntermediate)
+    val sh = base.select(col("doc_id"), explode(col("shs")).as("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    val prefixes = sh
+      .join(dfreq, "shingle")
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_srt"),
+        count(lit(1)).as("_n"))
+      .withColumn("_p",
+        (col("_n") - ceil(col("_n") * threshold - lit(1e-9)) + 1).cast("int"))
+      .select(col("doc_id"), col("_n"), explode(expr("slice(_srt, 1, _p)")).as("_s"))
+      .select(col("doc_id"), col("_n"), col("_s.shingle").as("shingle"))
+    val a = prefixes.as("a")
+    val b = prefixes.as("b")
+    val cand = a
+      .join(
+        b,
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a._n").cast("double") >= col("b._n") * threshold - 1e-9 &&
+          col("b._n").cast("double") >= col("a._n") * threshold - 1e-9)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    rescoreExactJaccardSets(cand, base, threshold)
+  }
+
   /** DUPLICATED-PASSAGE spans: the maximal runs of word positions whose
     * `gramLen`-token windows each appear in at least `minDocs` distinct
     * documents — the exact-substring dedup signal of Lee et al.,

@@ -1548,6 +1548,15 @@ object PipelineQueries {
     "q147_dup_passages" -> { (s, dir) =>
       graft.operators.Dedup
         .duplicatedPassages(t(s, dir, "documents"), "doc_id", "text", gramLen = 8)
+    },
+    // q148: EXACT set-similarity self-join by prefix filtering — q24's
+    // brute-force answer with full recall, but candidates only through
+    // each doc's ~(1−t) RAREST shingles plus a length filter, never the
+    // all-shingle equi-join (whose hot boilerplate shingles are the
+    // quadratic bomb) and never the df cap's recall trade (q40)
+    "q148_simjoin_prefix" -> { (s, dir) =>
+      graft.operators.Dedup
+        .prefixFilterJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
     }
   )
 
@@ -1661,6 +1670,27 @@ object PipelineQueries {
       |WHERE CAST(m.common AS DOUBLE) / (ca.n + cb.n - m.common) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Brute-force exact n-gram Jaccard at t = 0.8 — the ground truth
+    * shared by q24 (the brute-force generator itself) and q148 (the
+    * prefix-filter join, value-identical by the no-false-negative
+    * theorem): one text, so the two can never drift.
+    */
+  private lazy val NgramJaccardGroundTruthSql =
+    """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id)
+      |SELECT p.doc_a, p.doc_b,
+      |  round(CAST(p.common AS DOUBLE) / (ca.n + cb.n - p.common), 6) AS jaccard
+      |FROM pairs p
+      |JOIN cnt ca ON ca.doc_id = p.doc_a
+      |JOIN cnt cb ON cb.doc_id = p.doc_b
+      |WHERE CAST(p.common AS DOUBLE) / (ca.n + cb.n - p.common) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** md5 MinHash+LSH banding + exact rescore, DuckDB-side — the oracle
     * of q41, and (because the rescore leaves only banding misses as a
     * possible divergence, and the deterministic corpora have none) of
@@ -1683,21 +1713,12 @@ object PipelineQueries {
     "q23_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
-    "q24_dedup_ngram_jaccard" ->
-      """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |       FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY a.doc_id, b.doc_id)
-        |SELECT p.doc_a, p.doc_b,
-        |  round(CAST(p.common AS DOUBLE) / (ca.n + cb.n - p.common), 6) AS jaccard
-        |FROM pairs p
-        |JOIN cnt ca ON ca.doc_id = p.doc_a
-        |JOIN cnt cb ON cb.doc_id = p.doc_b
-        |WHERE CAST(p.common AS DOUBLE) / (ca.n + cb.n - p.common) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q24_dedup_ngram_jaccard" -> NgramJaccardGroundTruthSql,
+    // q148: the prefix filter computes the IDENTICAL answer with no
+    // false negatives by theorem, so the brute-force ground-truth SQL
+    // gates it verbatim — any candidate miss is a hash mismatch by
+    // construction (the q130/q108 shared-oracle pattern)
+    "q148_simjoin_prefix" -> NgramJaccardGroundTruthSql,
     "q27_knn_cosine" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sc AS (SELECT e.vec_id,

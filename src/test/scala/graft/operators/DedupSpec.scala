@@ -444,4 +444,43 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.duplicatedPassages(corpus, "id", "text", minDocs = 1))
   }
+
+  test("prefixFilterJaccardPairs: equals brute force on random corpora (full recall)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 8) {
+      val vocab = (1 to 12).map(i => s"w$i")
+      val corpus = (1L to 20L).map { id =>
+        val len = 5 + rnd.nextInt(15)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("id", "text")
+      for (t <- Seq(0.3, 0.5, 0.8)) {
+        val brute = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, t,
+          persistIntermediate = false)
+          .as[(Long, Long, Double)].collect().toSet
+        val fast = Dedup.prefixFilterJaccardPairs(corpus, "id", "text", 3, t,
+          persistIntermediate = false)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(fast == brute, s"trial=$trial t=$t")
+      }
+    }
+  }
+
+  test("prefixFilterJaccardPairs: finds the all-frequent-overlap pair the df cap misses") {
+    // a 7-copy exact-dup family: every shared shingle appears in 7 docs,
+    // so a df cap of 5 excludes them all from candidate generation —
+    // the cap's documented recall trade. The prefix filter has no cap.
+    val famText = (1 to 10).map(i => s"f$i").mkString(" ")
+    val corpus = ((1L to 7L).map(id => (id, famText)) ++
+      Seq((8L, "solo a b c d e f g"), (9L, "other h i j k l m n"))).toDF("id", "text")
+    val capped = Dedup.ngramJaccardPairsCapped(corpus, "id", "text", 3, 0.8,
+      maxDocsPerShingle = 5, persistIntermediate = false).count()
+    assert(capped == 0L)
+    val fast = Dedup.prefixFilterJaccardPairs(corpus, "id", "text", 3, 0.8,
+      persistIntermediate = false)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = (for (x <- 1L to 7L; y <- (x + 1) to 7L) yield (x, y, 1.0)).toSet
+    assert(fast == want)
+    intercept[IllegalArgumentException](
+      Dedup.prefixFilterJaccardPairs(corpus, "id", "text", 3, 0.0))
+  }
 }
