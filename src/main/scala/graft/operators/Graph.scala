@@ -204,6 +204,71 @@ object Graph {
         coalesce(col("_n"), lit(0L)).as("n_triangles"))
   }
 
+  /** Deterministic RANDOM WALKS — one walk of `walkLen` steps from every
+    * vertex, the corpus-generation step of random-walk graph embeddings
+    * (DeepWalk, Perozzi et al., KDD 2014; node2vec with p = q = 1).
+    * True RNG walks are irreproducible across engines and retries, so
+    * each step is HASH-SELECTED: among the current node's out-neighbors,
+    * take the one minimizing the 52-bit md5 prefix of
+    * `salt:root:step:neighbor` (ties — only possible as 52-bit
+    * collisions — break on the smaller neighbor id). Every neighbor is
+    * equally likely over salts, walks are independent across roots and
+    * steps (the root and step are inside the hash), and `salt` redraws
+    * the whole ensemble — reproducible sampling exactly like the
+    * [[graft.operators.Scale]] samplers. A dead-end node simply ends
+    * its walk early.
+    *
+    * Scale shape: each step is ONE equi-join of the edge list to the
+    * vertex-scale frontier (broadcast under the measured bound, the
+    * [[pageRankExact]] move) and ONE partial-aggregable min per root —
+    * the hash argmin needs no per-node neighbor ranking, so there are
+    * no per-node windows and a hub costs its edge rows and nothing
+    * more. Steps end in `localCheckpoint` so the plan stays one step
+    * deep. Returns `(vertexCol, step, node)`: step 0 is the root
+    * itself.
+    */
+  def randomWalks(
+      edges: DataFrame,
+      vertices: DataFrame,
+      vertexCol: String,
+      walkLen: Int,
+      salt: String = "walk",
+      maxBroadcastVertices: Long = 2000000L
+  ): DataFrame = {
+    require(walkLen >= 1, s"randomWalks: walkLen must be at least 1, got $walkLen")
+    val e = edges.select(col("src").as("_cur"), col("dst").as("_nxt"))
+      .where(col("_cur").isNotNull && col("_nxt").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val verts = vertices.select(col(vertexCol).as("_root"))
+      .where(col("_root").isNotNull).distinct()
+    val nVerts = verts.count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nVerts <= maxBroadcastVertices) broadcast(df) else df
+    var frontier = verts.withColumn("_cur", col("_root")).localCheckpoint()
+    val steps = scala.collection.mutable.ArrayBuffer(
+      frontier.select(col("_root"), lit(0L).as("step"), col("_cur").as("node")))
+    for (t <- 1 to walkLen) {
+      val scored = e.join(maybeBroadcast(frontier), Seq("_cur"))
+        .select(
+          col("_root"),
+          struct(
+            graft.functions.Text.md5PrefixLong(
+              concat_ws(":", lit(salt), col("_root").cast("string"),
+                lit(t.toString), col("_nxt").cast("string")), 13).as("h"),
+            col("_nxt").as("v")).as("_sc"))
+      frontier = scored
+        .groupBy("_root")
+        .agg(min(col("_sc")).as("_m"))
+        .select(col("_root"), col("_m.v").as("_cur"))
+        .localCheckpoint()
+      steps += frontier.select(col("_root"), lit(t.toLong).as("step"), col("_cur").as("node"))
+    }
+    steps.reduce(_ unionByName _)
+      .select(col("_root").as(vertexCol), col("step"), col("node"))
+      .orderBy(vertexCol, "step")
+  }
+
   /** Connected components by the ALTERNATING STAR algorithm (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
     * the general-graph complement to [[Dedup.connectedComponents]]'s

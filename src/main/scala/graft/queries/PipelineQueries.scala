@@ -1557,6 +1557,17 @@ object PipelineQueries {
     "q148_simjoin_prefix" -> { (s, dir) =>
       graft.operators.Dedup
         .prefixFilterJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+    },
+    // q149: deterministic random walks over the co-purchase graph — the
+    // DeepWalk corpus-generation step as hash-selected walks (uniform
+    // over salts, reproducible on any engine). Each step is one
+    // edge-to-frontier join + a partial-aggregable min per root: no
+    // per-node neighbor ranking, no windows, hubs cost their edge rows.
+    "q149_random_walks" -> { (s, dir) =>
+      val edges = graft.operators.Graph
+        .cooccurrenceEdges(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      graft.operators.Graph
+        .randomWalks(edges, t(s, dir, "part"), "p_partkey", walkLen = 4, salt = "wk")
     }
   )
 
@@ -3264,7 +3275,10 @@ object PipelineQueries {
          |SELECT doc_id,
          |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) AS BIGINT) AS span_seq,
          |  start_pos, e + 7 AS end_pos, e - start_pos + 1 AS n_grams
-         |FROM sp ORDER BY doc_id, span_seq""".stripMargin
+         |FROM sp ORDER BY doc_id, span_seq""".stripMargin,
+    // q149: the identical hash-argmin recurrence, unrolled — see
+    // RandomWalkSql
+    "q149_random_walks" -> RandomWalkSql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -3309,6 +3323,21 @@ object PipelineQueries {
   // integer step (base 150000, damping 85//100, messages pr//deg), so
   // the SQL is generated by the same loop the Spark side runs — any
   // divergence is the distributed execution's fault by construction
+  /** The mirrored, group-size-capped co-purchase graph over lineitem —
+    * ONE text shared by the q142 (PageRank) and q149 (random walks)
+    * oracles so the edge definition can never drift between them.
+    */
+  private lazy val CoPurchaseGraphCte =
+    """li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+      |            FROM lineitem
+      |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |sized AS (SELECT g FROM li GROUP BY g HAVING count(*) <= 1000),
+      |ic AS (SELECT li.g, li.i FROM li JOIN sized USING (g)),
+      |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+      |      FROM ic a JOIN ic b ON a.g = b.g AND a.i <> b.i),
+      |v AS (SELECT DISTINCT p_partkey AS vx FROM part
+      |      WHERE p_partkey IS NOT NULL)""".stripMargin
+
   private lazy val PageRankSql = {
     val iters = (1 to 5).map { k =>
       s"""p$k AS (SELECT v.vx,
@@ -3319,20 +3348,39 @@ object PipelineQueries {
          |           JOIN d ON d.src = e.src
          |    GROUP BY e.dst) m ON m.vx = v.vx)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
-       |            FROM lineitem
-       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-       |sized AS (SELECT g FROM li GROUP BY g HAVING count(*) <= 1000),
-       |ic AS (SELECT li.g, li.i FROM li JOIN sized USING (g)),
-       |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
-       |      FROM ic a JOIN ic b ON a.g = b.g AND a.i <> b.i),
-       |v AS (SELECT DISTINCT p_partkey AS vx FROM part
-       |      WHERE p_partkey IS NOT NULL),
+    s"""WITH $CoPurchaseGraphCte,
        |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
        |p0 AS (SELECT vx, CAST(1000000 AS BIGINT) AS pr FROM v),
        |$iters
        |SELECT vx AS p_partkey, pr AS rank_micro
        |FROM p5 ORDER BY p_partkey""".stripMargin
+  }
+
+  /** The q149 recurrence unrolled: each step scores the frontier's
+    * out-neighbors with the identical md5-prefix hash and takes the
+    * (hash, id)-minimum — generated by the same loop shape the Spark
+    * side runs, so any divergence is the distributed execution's fault
+    * by construction (the q142 oracle discipline).
+    */
+  private lazy val RandomWalkSql = {
+    val steps = (1 to 4).map { t =>
+      s"""s$t AS (SELECT w${t - 1}.root, e.dst,
+         |  CAST('0x' || substring(md5('wk:' || CAST(w${t - 1}.root AS VARCHAR) || ':$t:' || CAST(e.dst AS VARCHAR)), 1, 13) AS BIGINT) AS h
+         |  FROM w${t - 1} JOIN e ON e.src = w${t - 1}.cur),
+         |m$t AS (SELECT root, min(h) AS mh FROM s$t GROUP BY root),
+         |w$t AS (SELECT s$t.root, min(s$t.dst) AS cur FROM s$t
+         |        JOIN m$t ON m$t.root = s$t.root AND s$t.h = m$t.mh
+         |        GROUP BY s$t.root)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to 4)
+      .map(t => s"SELECT root, CAST($t AS BIGINT) AS step, cur AS node FROM w$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $CoPurchaseGraphCte,
+       |w0 AS (SELECT vx AS root, vx AS cur FROM v),
+       |$steps
+       |SELECT root AS p_partkey, step, node FROM (
+       |  $sel
+       |) ORDER BY p_partkey, step""".stripMargin
   }
 
   // Shared by q107 (in-memory index) and q118 (persisted lifecycle):

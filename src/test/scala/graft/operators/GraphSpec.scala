@@ -168,4 +168,80 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       Graph.connectedComponentsStar(
         edges.toDF("src", "dst"), verts, "id", maxIter = 1))
   }
+
+  /** Driver-side md5-prefix hash, bit-identical to Text.md5PrefixLong. */
+  private def md5Prefix52(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(7).map(b => f"$b%02x").mkString.take(13), 16)
+  }
+
+  /** Reference walks: sequential replay of the hash-argmin recurrence. */
+  private def refWalks(
+      verts: Seq[Long], edges: Seq[(Long, Long)], walkLen: Int, salt: String
+  ): Set[(Long, Long, Long)] = {
+    val adj = edges.distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    val out = scala.collection.mutable.Set[(Long, Long, Long)]()
+    for (r <- verts) {
+      var cur = r
+      var alive = true
+      out += ((r, 0L, r))
+      for (t <- 1 to walkLen if alive) {
+        adj.get(cur) match {
+          case Some(ns) if ns.nonEmpty =>
+            val nxt = ns.map(n => (md5Prefix52(s"$salt:$r:$t:$n"), n)).min._2
+            out += ((r, t.toLong, nxt))
+            cur = nxt
+          case _ => alive = false
+        }
+      }
+    }
+    out.toSet
+  }
+
+  test("randomWalks: matches the sequential hash-argmin replay") {
+    val rnd = new scala.util.Random(3)
+    for (trial <- 1 to 6) {
+      val n = 3 + rnd.nextInt(20)
+      val verts = (1L to n.toLong) :+ 500L // 500 is isolated: walk stops at step 0
+      val edges = Seq.fill(3 * n)((1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+        .filter(e => e._1 != e._2)
+      val got = Graph.randomWalks(
+        edges.toDF("src", "dst"), verts.toDF("id"), "id", walkLen = 5)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == refWalks(verts, edges, 5, "walk"), s"trial=$trial edges=$edges")
+    }
+  }
+
+  test("randomWalks: full length on a connected mirror, early stop at dead ends") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val mirrored = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val walks = Graph.randomWalks(mirrored, verts, "id", walkLen = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(walks.length == 3 * 5) // every walk runs all 4 steps + step 0
+    // directed chain: 1 -> 2 -> 3 (3 is a dead end)
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.randomWalks(chain, verts, "id", walkLen = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 3L),
+      (2L, 0L, 2L), (2L, 1L, 3L),
+      (3L, 0L, 3L)))
+  }
+
+  test("randomWalks: salt redraws; partition-order independent; guards") {
+    val und = (1L to 30L).flatMap(i => Seq((i, i % 30 + 1), (i % 30 + 1, i)))
+    val verts = (1L to 30L).toDF("id")
+    val a = Graph.randomWalks(und.toDF("src", "dst"), verts, "id", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Graph.randomWalks(und.toDF("src", "dst").repartition(11),
+      verts.repartition(5), "id", 3).as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+    val c = Graph.randomWalks(und.toDF("src", "dst"), verts, "id", 3, salt = "other")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a != c)
+    intercept[IllegalArgumentException](
+      Graph.randomWalks(und.toDF("src", "dst"), verts, "id", walkLen = 0))
+  }
 }
