@@ -1226,4 +1226,183 @@ object Similarity {
         col("_dropId").isNull.as("kept"))
       .orderBy(idCol)
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid, "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011) — the memory leg of the
+  // ANN family: vectors compressed to m byte-ish codes, distances
+  // estimated from m table lookups (ADC). IVF ([[ivfBuild]]) prunes WHAT
+  // to scan; PQ compresses what each scanned row COSTS — at 10⁹ vectors
+  // a float corpus is TBs while PQ codes are GBs, which is what lets the
+  // candidate scan stay in memory on a 1000-executor cluster.
+  // ---------------------------------------------------------------------
+
+  /** Squared L2 between two double arrays — deterministic left-fold, the
+    * [[dot]] discipline (PQ's native metric is L2, unlike the cosine
+    * faces).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Per-subspace codebooks: split every vector into `m` contiguous
+    * subvectors and run `iters` Lloyd rounds of k-means (squared-L2
+    * assignment, mean update) in EACH subspace — all subspaces train in
+    * the same jobs with `sub` as a grouping key, so the pass count does
+    * not grow with `m`. Determinism: seeds are the subvectors of the
+    * `k` smallest ids (engine-replayable, no RNG), assignment breaks
+    * ties on the lower centroid id, and the centroid STATE is quantized
+    * to 6 decimals between rounds — the rounded table is the canonical
+    * state both engines share, so iteration does not compound
+    * floating-point drift (the integer-PageRank move, applied to
+    * doubles). Empty clusters emit no row, the standard Lloyd behavior.
+    *
+    * Returns `(sub, cid, cvec ARRAY<DOUBLE>)`. Scale shape per round:
+    * one broadcast of the m·k codebook, one partial-aggregable argmin,
+    * one (sub, cid, pos)-grouped mean — never a per-vector window, and
+    * `localCheckpoint` keeps the loop one round deep.
+    */
+  def pqBuild(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int = 2
+  ): DataFrame = {
+    require(m >= 1, s"pqBuild: m must be at least 1, got $m")
+    require(k >= 2, s"pqBuild: k must be at least 2, got $k")
+    require(iters >= 1, s"pqBuild: iters must be at least 1, got $iters")
+    val spark = emb.sparkSession
+    val dim = emb
+      .where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"pqBuild: dim $dim not divisible into $m subspaces")
+    val d = dim / m
+    val subs = subspaces(emb, idCol, vecCol, m, d).localCheckpoint()
+    // seeds: the k smallest ids (driver-side: k values, metadata scale)
+    import spark.implicits._
+    val seedIds = subs.select(col("_vid")).distinct()
+      .orderBy("_vid").limit(k).as[Long].collect()
+    val seedMap = seedIds.sorted.zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }.toSeq.toDF("_vid", "cid")
+    var cents = subs
+      .join(broadcast(seedMap), "_vid")
+      .select(col("sub"), col("cid"), col("subvec").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val asg = pqAssign(subs, cents)
+      cents = subs
+        .join(asg, Seq("sub", "_vid"))
+        .select(col("sub"), col("cid"), posexplode(col("subvec")).as(Seq("pos", "_x")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(round(avg(col("_x")), 6).as("_mn"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("_mn")))),
+          s => s.getField("_mn")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** PQ codes: each vector's per-subspace nearest-centroid ids under a
+    * [[pqBuild]] codebook — `(idCol, sub, code)`, the compressed form a
+    * PQ index persists (m small ints per vector instead of `dim`
+    * floats).
+    */
+  def pqCodes(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: DataFrame,
+      m: Int
+  ): DataFrame = {
+    val dim = emb.where(col(vecCol).isNotNull).select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"pqCodes: dim $dim not divisible into $m subspaces")
+    pqAssign(subspaces(emb, idCol, vecCol, m, dim / m), codebook)
+      .select(col("_vid").as(idCol), col("sub"), col("cid").as("code"))
+  }
+
+  /** ADC top-k (asymmetric distance computation): the query stays a full
+    * vector; every corpus vector is scored as the SUM of its m
+    * subspace-centroid distances to the query — m lookups in an m·k
+    * distance table instead of a `dim`-float scan. The table is
+    * metadata-scale by construction, so it is computed once, collected,
+    * and baked into a row-local CASE expression evaluated over each
+    * row's code array in fixed subspace order — summation order is
+    * engine-independent, no join at query time beyond the code scan.
+    * Returns the `topK` (adc asc, id asc) rows as `(idCol, adc)`.
+    */
+  def pqAdcTopK(
+      codes: DataFrame,
+      idCol: String,
+      codebook: DataFrame,
+      query: DataFrame,
+      queryVecCol: String,
+      m: Int,
+      topK: Int
+  ): DataFrame = {
+    require(topK >= 1, s"pqAdcTopK: topK must be at least 1, got $topK")
+    val dim = query.select(size(col(queryVecCol))).head().getInt(0)
+    require(dim % m == 0, s"pqAdcTopK: query dim $dim not divisible into $m subspaces")
+    val qsubs = subspaces(query.select(lit(0L).as("_qid"), col(queryVecCol)),
+      "_qid", queryVecCol, m, dim / m)
+    // bounded collect: m·k distance-table entries (the probedIds move)
+    val dt: Map[(Int, Long), Double] = codebook
+      .join(broadcast(qsubs.select(col("sub"), col("subvec").as("_qv"))), "sub")
+      .select(col("sub"), col("cid"), l2sq(col("cvec"), col("_qv")).as("_d"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // per-id code array ordered by sub, then a fixed-order row-local sum
+    val codeArr = codes
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("_codes"))
+    val adc = (0 until m).map { s =>
+      val c = col("_codes").getItem(s)
+      // right-associated otherwise chain: each `when` receives its
+      // single `otherwise` exactly once
+      dt.keys.filter(_._1 == s).map(_._2).toSeq.sorted
+        .map(cid => when(c === cid, lit(dt((s, cid)))))
+        .reduceRightOption((a, b) => a.otherwise(b))
+        .getOrElse(lit(null).cast("double"))
+    }.reduce(_ + _)
+    codeArr
+      .select(col(idCol), round(adc, 6).as("adc"))
+      .where(col("adc").isNotNull)
+      .orderBy(col("adc"), col(idCol))
+      .limit(topK)
+  }
+
+  /** Shared subspace decomposition: `(_vid, sub, subvec ARRAY<DOUBLE>)`,
+    * rows with a wrong-length vector dropped (they cannot be coded).
+    */
+  private def subspaces(
+      emb: DataFrame, idCol: String, vecCol: String, m: Int, d: Int): DataFrame =
+    emb
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === m * d)
+      .select(
+        col(idCol).cast("long").as("_vid"),
+        posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), " +
+            s"s -> transform(slice($vecCol, s * $d + 1, $d), x -> CAST(x AS DOUBLE)))"))
+          .as(Seq("sub", "subvec")))
+
+  /** Squared-L2 argmin assignment per (sub, vector): ties break to the
+    * lower centroid id via the lexicographic min struct.
+    */
+  private def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame =
+    subs
+      .join(broadcast(codebook.select(col("sub"), col("cid"), col("cvec"))), "sub")
+      .select(col("sub"), col("_vid"),
+        struct(l2sq(col("subvec"), col("cvec")).as("_d"), col("cid")).as("_s"))
+      .where(col("_s._d").isNotNull)
+      .groupBy(col("sub"), col("_vid"))
+      .agg(min(col("_s")).as("_b"))
+      .select(col("sub"), col("_vid"), col("_b.cid").as("cid"))
 }

@@ -1568,6 +1568,22 @@ object PipelineQueries {
         .cooccurrenceEdges(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
       graft.operators.Graph
         .randomWalks(edges, t(s, dir, "part"), "p_partkey", walkLen = 4, salt = "wk")
+    },
+    // q150: product quantization + ADC retrieval — the MEMORY leg of the
+    // ANN family (IVF prunes what to scan; PQ compresses what each row
+    // costs: m codes instead of dim floats). Codebooks are per-subspace
+    // k-means with id-seeded init and round-6-quantized state between
+    // rounds, so both engines share the identical canonical codebook;
+    // the query scores every vector by m distance-table lookups summed
+    // in fixed subspace order.
+    "q150_pq_adc" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqBuild(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+      val codes = Similarity.pqCodes(emb, "vec_id", "embedding", cb, m = 4)
+      Similarity.pqAdcTopK(
+        codes, "vec_id", cb,
+        emb.where(col("vec_id") === 0L).select("embedding"), "embedding",
+        m = 4, topK = 20)
     }
   )
 
@@ -3278,7 +3294,11 @@ object PipelineQueries {
          |FROM sp ORDER BY doc_id, span_seq""".stripMargin,
     // q149: the identical hash-argmin recurrence, unrolled — see
     // RandomWalkSql
-    "q149_random_walks" -> RandomWalkSql
+    "q149_random_walks" -> RandomWalkSql,
+    // q150: the full PQ pipeline replayed — same seeds, same tie-breaks,
+    // same round-6 codebook state per round, same fixed-order ADC sum —
+    // see PqAdcSql
+    "q150_pq_adc" -> PqAdcSql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -3381,6 +3401,59 @@ object PipelineQueries {
        |SELECT root AS p_partkey, step, node FROM (
        |  $sel
        |) ORDER BY p_partkey, step""".stripMargin
+  }
+
+  /** q150's oracle: the whole PQ pipeline — subspace decomposition,
+    * id-seeded codebooks, two Lloyd rounds with round-6-quantized
+    * state, final assignment, distance table, fixed-order ADC sum —
+    * generated by the same loop shape the Spark side runs (the
+    * q142/q149 discipline). m = 4 subspaces of 16 dims, k = 8, query
+    * vec_id = 0, top 20 by (adc, vec_id).
+    */
+  private lazy val PqAdcSql = {
+    val (m, k, d) = (4, 8, 16)
+    def l2(a: String, b: String) =
+      s"(SELECT sum((z.a - z.b) * (z.a - z.b)) FROM (SELECT unnest($a) AS a, unnest($b) AS b) z)"
+    def assignStage(r: Int, cPrev: String) =
+      s"""d$r AS (SELECT sub.sub, sub.vec_id, c.cid,
+         |  ${l2("sub.sv", "c.cv")} AS l2
+         |  FROM sub JOIN $cPrev c ON c.sub = sub.sub),
+         |a$r AS (SELECT sub, vec_id, cid FROM (
+         |  SELECT sub, vec_id, cid,
+         |    row_number() OVER (PARTITION BY sub, vec_id ORDER BY l2, cid) AS rn
+         |  FROM d$r) WHERE rn = 1)""".stripMargin
+    def updateStage(r: Int) =
+      s"""c$r AS (SELECT u.sub, u.cid, list(u.mn ORDER BY u.pos) AS cv FROM (
+         |  SELECT a.sub, a.cid, CAST(t.i AS INT) AS pos,
+         |    round(avg(sub.sv[CAST(t.i AS INT)]), 6) AS mn
+         |  FROM a$r a JOIN sub ON sub.sub = a.sub AND sub.vec_id = a.vec_id,
+         |       UNNEST(range(1, ${d + 1})) AS t(i)
+         |  GROUP BY a.sub, a.cid, t.i) u GROUP BY u.sub, u.cid)""".stripMargin
+    val rounds = (1 to 2).map(r => assignStage(r, s"c${r - 1}") + ",\n" + updateStage(r))
+      .mkString(",\n")
+    val codeCols = (0 until m)
+      .map(s => s"max(CASE WHEN sub = $s THEN cid END) AS k$s").mkString(", ")
+    val dtJoins = (0 until m)
+      .map(s => s"JOIN dt t$s ON t$s.sub = $s AND t$s.cid = cd.k$s").mkString("\n")
+    val adcSum = (0 until m).map(s => s"t$s.d").reduce((a, b) => s"($a + $b)")
+    s"""WITH sub AS (SELECT vec_id, CAST(s.s AS INT) AS sub,
+       |    list_transform(embedding[CAST(s.s * $d + 1 AS INT):CAST(s.s * $d + $d AS INT)],
+       |                   x -> CAST(x AS DOUBLE)) AS sv
+       |  FROM embeddings, UNNEST(range(0, $m)) AS s(s)
+       |  WHERE embedding IS NOT NULL AND len(embedding) = ${m * d}),
+       |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+       |          FROM (SELECT DISTINCT vec_id FROM sub ORDER BY vec_id LIMIT $k)),
+       |c0 AS (SELECT sub.sub, seeds.cid, sub.sv AS cv FROM seeds JOIN sub USING (vec_id)),
+       |$rounds,
+       |${assignStage(3, "c2")},
+       |q AS (SELECT sub, sv FROM sub WHERE vec_id = 0),
+       |dt AS (SELECT c2.sub, c2.cid, ${l2("q.sv", "c2.cv")} AS d
+       |       FROM c2 JOIN q ON q.sub = c2.sub),
+       |cd AS (SELECT vec_id, $codeCols FROM a3 GROUP BY vec_id)
+       |SELECT cd.vec_id, round($adcSum, 6) AS adc
+       |FROM cd
+       |$dtJoins
+       |ORDER BY adc, vec_id LIMIT 20""".stripMargin
   }
 
   // Shared by q107 (in-memory index) and q118 (persisted lifecycle):

@@ -264,4 +264,94 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val mae = errs.sum / errs.size
     assert(mae < 0.25, s"mean |proj_cos - true_cos| = $mae")
   }
+
+  // --- product quantization ---
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def refL2sq(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+
+  /** Sequential replay of pqBuild: same seeds, tie-breaks, round-6 state. */
+  private def refPqBuild(
+      vecs: Map[Long, Seq[Double]], m: Int, k: Int, iters: Int
+  ): Map[(Int, Long), Seq[Double]] = {
+    val d = vecs.head._2.size / m
+    val subs = for (((id, v), s) <- vecs.toSeq.flatMap(e => (0 until m).map((e, _))))
+      yield (s, id, v.slice(s * d, s * d + d))
+    var cents: Map[(Int, Long), Seq[Double]] =
+      vecs.keys.toSeq.sorted.take(k).zipWithIndex.flatMap { case (id, i) =>
+        (0 until m).map(s => (s, i.toLong) -> vecs(id).slice(s * d, s * d + d))
+      }.toMap
+    for (_ <- 1 to iters) {
+      val asg = subs.map { case (s, id, sv) =>
+        val cid = cents.collect { case ((cs, c), cv) if cs == s => (refL2sq(sv, cv), c) }
+          .min._2
+        (s, cid, sv)
+      }
+      cents = asg.groupBy(t => (t._1, t._2)).map { case (key, rows) =>
+        val svs = rows.map(_._3)
+        key -> (0 until d).map(p => round6(svs.map(_(p)).sum / svs.size))
+      }
+    }
+    cents
+  }
+
+  test("pqBuild/pqCodes/pqAdcTopK: match the sequential replay") {
+    val rnd = new scala.util.Random(21)
+    // floats first: the engine casts FLOAT→DOUBLE, so the reference must
+    // replay exactly the float-rounded values
+    val fvecs: Map[Long, Seq[Float]] =
+      (1L to 30L).map(id => id -> Seq.fill(8)(rnd.nextGaussian().toFloat)).toMap
+    val vecs: Map[Long, Seq[Double]] = fvecs.map { case (id, v) => id -> v.map(_.toDouble) }
+    val df = fvecs.toSeq
+      .map { case (id, v) => (id, v.toArray) }
+      .toDF("vec_id", "embedding")
+    val (m, k, iters) = (2, 4, 2)
+    val want = refPqBuild(vecs, m, k, iters)
+    val cb = Similarity.pqBuild(df, "vec_id", "embedding", m, k, iters)
+    val got = cb.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    assert(got.keySet == want.keySet)
+    for (key <- want.keySet)
+      assert(got(key).zip(want(key)).forall { case (a, b) => math.abs(a - b) < 1e-9 }, s"$key")
+    // codes: the final assignment under the returned codebook
+    val codes = Similarity.pqCodes(df, "vec_id", "embedding", cb, m)
+    val gotCodes = codes.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val wantCodes = (for {
+      (id, v) <- vecs.toSeq; s <- 0 until m
+    } yield (id, s) -> want.collect {
+      case ((cs, c), cv) if cs == s => (refL2sq(v.slice(s * 4, s * 4 + 4), cv), c)
+    }.min._2).toMap
+    assert(gotCodes == wantCodes)
+    // ADC against query vec 1: fixed-order subspace sum, round 6
+    val q = df.where($"vec_id" === 1L).select($"embedding")
+    val topk = Similarity
+      .pqAdcTopK(codes, "vec_id", cb, q, "embedding", m, topK = 10)
+      .as[(Long, Double)].collect()
+    val qv = vecs(1L)
+    val wantAdc = vecs.keys.toSeq.map { id =>
+      val adc = (0 until m)
+        .map(s => refL2sq(qv.slice(s * 4, s * 4 + 4), want((s, wantCodes((id, s))))))
+        .reduce(_ + _)
+      (id, round6(adc))
+    }.sortBy(t => (t._2, t._1)).take(10)
+    assert(topk.toSeq == wantAdc)
+  }
+
+  test("pq: partition-order independent; contract guards") {
+    val rnd = new scala.util.Random(5)
+    val df = (1L to 40L).map(id => (id, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.pqBuild(df, "vec_id", "embedding", 2, 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    val b = Similarity.pqBuild(df.repartition(13), "vec_id", "embedding", 2, 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Similarity.pqBuild(df, "vec_id", "embedding", m = 3, k = 4)) // 8 % 3 != 0
+    intercept[IllegalArgumentException](
+      Similarity.pqBuild(df, "vec_id", "embedding", m = 2, k = 1))
+  }
 }
