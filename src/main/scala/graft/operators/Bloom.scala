@@ -64,6 +64,19 @@ object Bloom {
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(_pos % 32 AS INT)))").as("word"))
   }
 
+  /** Merge word-table shards ([[bloomWords]] outputs over disjoint or
+    * overlapping key sets, possibly tagged with extra columns): bitwise
+    * OR is associative and commutative and the bit positions are pure
+    * functions of the key, so `merge(build(A), build(B)) = build(A ∪ B)`
+    * EXACTLY — the Bloom filter is a mergeable sketch, maintainable
+    * shard-by-shard (daily batches, streaming micro-batches) with a
+    * metadata-scale merge instead of a corpus rebuild.
+    */
+  def mergeWords(shards: DataFrame): DataFrame =
+    shards
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(word)").as("word"))
+
   /** Probe: append `outCol` (BIGINT 1/0) to `df` — 1 iff BOTH probe bits
     * of `keyCol` are set in `words`. A missing word row (or a null key)
     * is a miss. `mBits`/`salt` must match the build. The words table is

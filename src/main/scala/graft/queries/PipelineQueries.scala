@@ -1517,28 +1517,11 @@ object PipelineQueries {
     // replays the filter — false positives included — bit for bit.
     "q146_bloom_novelty" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val fp = array_join(slice(Text.tokens(col("text")), 1, 8), " ")
       val corpus = docs.where(col("doc_id") % 17 =!= 3)
-        .select(fp.as("head_fp"))
-      val batch = docs.where(col("doc_id") % 17 === 3)
-        .select(col("doc_id"), fp.as("head_fp"))
+        .select(headFingerprint.as("head_fp"))
       val words = graft.operators.Bloom
         .bloomWords(corpus, "head_fp", mBits = 16384, salt = "blm")
-      val probed = graft.operators.Bloom
-        .bloomProbe(batch, "head_fp", words, mBits = 16384, salt = "blm")
-      // exact ground truth on a digest key: the join ships 32-char
-      // hashes, never the fingerprints
-      val seen = corpus
-        .where(col("head_fp").isNotNull)
-        .select(md5(col("head_fp")).as("_th")).distinct()
-        .withColumn("_seen", lit(1L))
-      probed
-        .withColumn("_th", md5(col("head_fp")))
-        .join(seen, Seq("_th"), "left")
-        .select(
-          col("doc_id"), col("bloom_hit"),
-          coalesce(col("_seen"), lit(0L)).as("seen_exact"))
-        .orderBy("doc_id")
+      bloomNoveltyProbe(docs, corpus, words)
     },
     // q147: duplicated-PASSAGE spans (Lee et al., ACL 2022) — maximal
     // token runs whose 8-gram windows each recur in ≥ 2 distinct docs:
@@ -1584,8 +1567,59 @@ object PipelineQueries {
         codes, "vec_id", cb,
         emb.where(col("vec_id") === 0L).select("embedding"), "embedding",
         m = 4, topK = 20)
+    },
+    // q151: the Bloom gate MAINTAINED INCREMENTALLY from a stream —
+    // bit_or union is exact, so a filter assembled from micro-batch
+    // shards is row-identical to q146's from-scratch build and q146's
+    // oracle gates the whole maintenance lifecycle by construction (the
+    // q140 mergeable-sketch pattern; one bounded shard append per
+    // batch, the corpus never rescanned).
+    "q151_stream_bloom" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Files.createTempDirectory("graft_bloomq_stream").toString
+      val in = s"$base/in"
+      docs.where(col("doc_id") % 17 =!= 3)
+        .select(headFingerprint.as("head_fp"))
+        .repartition(4).write.parquet(in)
+      val stream = graft.streaming.Streams
+        .fileStream(s, in, s.read.parquet(in).schema, maxFilesPerTrigger = 1)
+      val words = graft.streaming.Streams
+        .replayBloomMaintenance(stream, "head_fp", mBits = 16384, salt = "blm")
+      bloomNoveltyProbe(docs, s.read.parquet(in), words)
     }
   )
+
+  /** Head fingerprint (first 8 tokens) — the cheap prefix key the Bloom
+    * novelty faces (q146/q151) share.
+    */
+  private def headFingerprint: org.apache.spark.sql.Column =
+    array_join(slice(Text.tokens(col("text")), 1, 8), " ")
+
+  /** Shared probe tail of q146/q151: batch = doc_id % 17 = 3, Bloom hit
+    * flag plus the exact digest-keyed ground truth alongside (the join
+    * ships 32-char hashes, never the fingerprints).
+    */
+  private def bloomNoveltyProbe(
+      docs: DataFrame,
+      corpusFps: DataFrame,
+      words: DataFrame
+  ): DataFrame = {
+    val batch = docs.where(col("doc_id") % 17 === 3)
+      .select(col("doc_id"), headFingerprint.as("head_fp"))
+    val probed = graft.operators.Bloom
+      .bloomProbe(batch, "head_fp", words, mBits = 16384, salt = "blm")
+    val seen = corpusFps
+      .where(col("head_fp").isNotNull)
+      .select(md5(col("head_fp")).as("_th")).distinct()
+      .withColumn("_seen", lit(1L))
+    probed
+      .withColumn("_th", md5(col("head_fp")))
+      .join(seen, Seq("_th"), "left")
+      .select(
+        col("doc_id"), col("bloom_hit"),
+        coalesce(col("_seen"), lit(0L)).as("seen_exact"))
+      .orderBy("doc_id")
+  }
 
   // Tokenize exactly like Spark-side Text.tokens: trim, split on
   // whitespace RUNS, and drop empty tokens (split of an empty string
@@ -3246,32 +3280,7 @@ object PipelineQueries {
     // q146: the oracle rebuilds the identical Bloom filter (same md5
     // positions, same 32-bit word packing) and must reproduce every
     // probe answer INCLUDING the deterministic false positives
-    "q146_bloom_novelty" ->
-      s"""WITH fpd AS (SELECT doc_id,
-         |    array_to_string(($TokensSql)[1:8], ' ') AS fp FROM documents),
-         |corpus AS (SELECT fp FROM fpd WHERE doc_id % 17 <> 3),
-         |cd AS (SELECT DISTINCT fp FROM corpus WHERE fp IS NOT NULL),
-         |pos AS (SELECT CAST('0x' || substring(md5('blm1:' || fp), 1, 13) AS BIGINT) % 16384 AS p FROM corpus WHERE fp IS NOT NULL
-         |        UNION ALL
-         |        SELECT CAST('0x' || substring(md5('blm2:' || fp), 1, 13) AS BIGINT) % 16384 FROM corpus WHERE fp IS NOT NULL),
-         |w AS (SELECT p // 32 AS widx,
-         |        bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
-         |      FROM pos GROUP BY 1),
-         |batch AS (SELECT doc_id, fp,
-         |    CAST('0x' || substring(md5('blm1:' || fp), 1, 13) AS BIGINT) % 16384 AS p1,
-         |    CAST('0x' || substring(md5('blm2:' || fp), 1, 13) AS BIGINT) % 16384 AS p2
-         |  FROM fpd WHERE doc_id % 17 = 3)
-         |SELECT b.doc_id,
-         |  CASE WHEN w1.word IS NOT NULL AND w2.word IS NOT NULL
-         |        AND (w1.word & (CAST(1 AS BIGINT) << CAST(b.p1 % 32 AS INT))) <> 0
-         |        AND (w2.word & (CAST(1 AS BIGINT) << CAST(b.p2 % 32 AS INT))) <> 0
-         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bloom_hit,
-         |  CASE WHEN EXISTS (SELECT 1 FROM cd WHERE cd.fp = b.fp)
-         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS seen_exact
-         |FROM batch b
-         |LEFT JOIN w w1 ON w1.widx = b.p1 // 32
-         |LEFT JOIN w w2 ON w2.widx = b.p2 // 32
-         |ORDER BY doc_id""".stripMargin,
+    "q146_bloom_novelty" -> BloomNoveltyOracleSql,
     // q147: the oracle replays the identical positional-fingerprint
     // pipeline — same tokenization, same md5-of-8-gram windows, same
     // distinct-doc cut, same gap-1 island merge
@@ -3298,7 +3307,11 @@ object PipelineQueries {
     // q150: the full PQ pipeline replayed — same seeds, same tie-breaks,
     // same round-6 codebook state per round, same fixed-order ADC sum —
     // see PqAdcSql
-    "q150_pq_adc" -> PqAdcSql
+    "q150_pq_adc" -> PqAdcSql,
+    // q151: the incrementally-maintained filter must answer exactly like
+    // q146's from-scratch build (bit_or union is exact), so one oracle
+    // gates both — any divergence is the maintenance lifecycle's fault
+    "q151_stream_bloom" -> BloomNoveltyOracleSql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -3402,6 +3415,39 @@ object PipelineQueries {
        |  $sel
        |) ORDER BY p_partkey, step""".stripMargin
   }
+
+  /** Shared by q146 (from-scratch Bloom build) and q151 (the filter
+    * maintained incrementally from a stream): bit_or union is exact, so
+    * the maintained filter must answer identically to the direct build
+    * and ONE oracle gates both — same md5 positions, same 32-bit word
+    * packing, false positives included.
+    */
+  private lazy val BloomNoveltyOracleSql =
+    s"""WITH fpd AS (SELECT doc_id,
+       |    array_to_string(($TokensSql)[1:8], ' ') AS fp FROM documents),
+       |corpus AS (SELECT fp FROM fpd WHERE doc_id % 17 <> 3),
+       |cd AS (SELECT DISTINCT fp FROM corpus WHERE fp IS NOT NULL),
+       |pos AS (SELECT CAST('0x' || substring(md5('blm1:' || fp), 1, 13) AS BIGINT) % 16384 AS p FROM corpus WHERE fp IS NOT NULL
+       |        UNION ALL
+       |        SELECT CAST('0x' || substring(md5('blm2:' || fp), 1, 13) AS BIGINT) % 16384 FROM corpus WHERE fp IS NOT NULL),
+       |w AS (SELECT p // 32 AS widx,
+       |        bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+       |      FROM pos GROUP BY 1),
+       |batch AS (SELECT doc_id, fp,
+       |    CAST('0x' || substring(md5('blm1:' || fp), 1, 13) AS BIGINT) % 16384 AS p1,
+       |    CAST('0x' || substring(md5('blm2:' || fp), 1, 13) AS BIGINT) % 16384 AS p2
+       |  FROM fpd WHERE doc_id % 17 = 3)
+       |SELECT b.doc_id,
+       |  CASE WHEN w1.word IS NOT NULL AND w2.word IS NOT NULL
+       |        AND (w1.word & (CAST(1 AS BIGINT) << CAST(b.p1 % 32 AS INT))) <> 0
+       |        AND (w2.word & (CAST(1 AS BIGINT) << CAST(b.p2 % 32 AS INT))) <> 0
+       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bloom_hit,
+       |  CASE WHEN EXISTS (SELECT 1 FROM cd WHERE cd.fp = b.fp)
+       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS seen_exact
+       |FROM batch b
+       |LEFT JOIN w w1 ON w1.widx = b.p1 // 32
+       |LEFT JOIN w w2 ON w2.widx = b.p2 // 32
+       |ORDER BY doc_id""".stripMargin
 
   /** q150's oracle: the whole PQ pipeline — subspace decomposition,
     * id-seeded codebooks, two Lloyd rounds with round-6-quantized

@@ -1009,6 +1009,44 @@ object Streams {
       spark.read.parquet(sketchDir), groupCol, "kmv_sketch", k)
   }
 
+  /** INCREMENTAL Bloom-filter maintenance from a stream: each
+    * micro-batch's keys become a word-table shard
+    * ([[graft.operators.Bloom.bloomWords]]) appended to a persisted
+    * sketch table; the live filter is the [[graft.operators.Bloom
+    * .mergeWords]] rollup — exact by the bit_or union property, so the
+    * maintained filter is row-identical to a from-scratch build over
+    * everything streamed so far regardless of batching (the
+    * [[replayKmvMaintenance]] pattern; Bloom is the second mergeable
+    * sketch maintained this way). Per batch: one bounded aggregation +
+    * one ≤ mBits/32-row append — the corpus is never rescanned.
+    */
+  def replayBloomMaintenance(
+      rows: DataFrame,
+      keyCol: String,
+      mBits: Int,
+      salt: String
+  ): DataFrame = {
+    require(rows.isStreaming, "replayBloomMaintenance: rows must be a streaming DataFrame")
+    val spark = rows.sparkSession
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom_stream").toString
+    val shardDir = s"$base/shards"
+    val q = rows.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Bloom
+          .bloomWords(batch, keyCol, mBits, salt)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(shardDir): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    graft.operators.Bloom.mergeWords(spark.read.parquet(shardDir))
+  }
+
   /** Watermarked windowed aggregate over an event-time column — bounded
     * state, append-safe at scale.
     */

@@ -51,6 +51,18 @@ class BloomSpec extends AnyFunSuite with SparkSpec {
     assert(other.where($"bloom_hit" === 1L).count() < 10L)
   }
 
+  test("mergeWords: shard union equals the from-scratch build exactly") {
+    val (a, b) = members.splitAt(120)
+    val overlap = members.slice(100, 140) // shards may overlap
+    val shards = Bloom.bloomWords(a.toDF("k"), "k", mBits)
+      .unionByName(Bloom.bloomWords(b.toDF("k"), "k", mBits))
+      .unionByName(Bloom.bloomWords(overlap.toDF("k"), "k", mBits))
+    val merged = Bloom.mergeWords(shards).as[(Long, Long)].collect().toMap
+    val direct = Bloom.bloomWords(members.toDF("k"), "k", mBits)
+      .as[(Long, Long)].collect().toMap
+    assert(merged == direct)
+  }
+
   test("contract guards: word width, broadcast bound, reserved columns") {
     intercept[IllegalArgumentException](
       Bloom.bloomWords(members.toDF("k"), "k", mBits = 100))
