@@ -950,21 +950,9 @@ object Dedup {
     * Returns (node, label) with label = min node id of the component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-
-    // localCheckpoint persists its internal RDD OUTSIDE the CacheManager,
-    // so Dataset.unpersist() cannot free it — track the RDDs each
-    // checkpoint registers and unpersist those handles once the round is
-    // superseded (otherwise every round leaks one full (node,label) copy
-    // into executor storage for the life of the application).
-    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val ck = df.localCheckpoint()
-      val added = sc.getPersistentRDDs.collect { case (id, r) if !before(id) => r }.toSeq
-      (ck, added)
-    }
-    def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
-      rdds.foreach(_.unpersist(blocking = false))
+    // checkpoint lifecycle: see [[Checkpoints]] — every superseded
+    // round's persisted copy is released, the live round's stays
+    import Checkpoints.{tracked => checkpointTracked, release}
 
     val (sym, symRdds) = checkpointTracked(
       pairs

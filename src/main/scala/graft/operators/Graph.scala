@@ -309,19 +309,9 @@ object Graph {
   ): DataFrame = {
     require(maxIter >= 1,
       s"connectedComponentsStar: maxIter must be at least 1, got $maxIter")
-    val spark = edges.sparkSession
-    val sc = spark.sparkContext
-    // localCheckpoint persists outside the CacheManager, so
-    // Dataset.unpersist cannot free it — track the RDDs each checkpoint
-    // registers and release them when the round is superseded
-    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val ck = df.localCheckpoint()
-      val added = sc.getPersistentRDDs.collect { case (id, r) if !before(id) => r }.toSeq
-      (ck, added)
-    }
-    def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
-      rdds.foreach(_.unpersist(blocking = false))
+    // checkpoint lifecycle: see [[Checkpoints]] — superseded rounds are
+    // released, the live round's copy stays persisted
+    import Checkpoints.{tracked => checkpointTracked, release}
 
     // canonical form: distinct (hi, lo) pairs, self-loops dropped
     var (canon, prevRdds) = checkpointTracked(

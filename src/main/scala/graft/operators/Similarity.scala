@@ -1276,9 +1276,7 @@ object Similarity {
     require(k >= 2, s"pqBuild: k must be at least 2, got $k")
     require(iters >= 1, s"pqBuild: iters must be at least 1, got $iters")
     val spark = emb.sparkSession
-    val dim = emb
-      .where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).head().getInt(0)
+    val dim = pqDim(emb, idCol, vecCol, "pqBuild")
     require(dim % m == 0, s"pqBuild: dim $dim not divisible into $m subspaces")
     val d = dim / m
     val subs = subspaces(emb, idCol, vecCol, m, d).localCheckpoint()
@@ -1320,7 +1318,7 @@ object Similarity {
       codebook: DataFrame,
       m: Int
   ): DataFrame = {
-    val dim = emb.where(col(vecCol).isNotNull).select(size(col(vecCol))).head().getInt(0)
+    val dim = pqDim(emb, idCol, vecCol, "pqCodes")
     require(dim % m == 0, s"pqCodes: dim $dim not divisible into $m subspaces")
     pqAssign(subspaces(emb, idCol, vecCol, m, dim / m), codebook)
       .select(col("_vid").as(idCol), col("sub"), col("cid").as("code"))
@@ -1346,37 +1344,88 @@ object Similarity {
       topK: Int
   ): DataFrame = {
     require(topK >= 1, s"pqAdcTopK: topK must be at least 1, got $topK")
+    // enforce the ONE-row query contract (the indexedProbeCandidates
+    // move): a multi-row query would collapse under one _qid and the
+    // distance-table map would keep an arbitrary row's distances
+    val qRows = query.limit(2).collect()
+    require(qRows.length == 1,
+      s"pqAdcTopK: query must have exactly one row, got ${qRows.length}")
     val dim = query.select(size(col(queryVecCol))).head().getInt(0)
     require(dim % m == 0, s"pqAdcTopK: query dim $dim not divisible into $m subspaces")
+    val dt = adcDistanceTable(codebook, query, queryVecCol, m, dim / m)
+    // per-id code array ordered by sub, then a fixed-order row-local sum
+    codeArrays(codes, idCol, m)
+      .select(col(idCol), round(adcLookupSum(dt, m, col("_codes")), 6).as("adc"))
+      .where(col("adc").isNotNull)
+      .orderBy(col("adc"), col(idCol))
+      .limit(topK)
+  }
+
+  /** Bounded collect of the m·k ADC distance table (the probedIds move):
+    * squared L2 from each codebook centroid to the query's matching
+    * subvector, keyed by (sub, cid).
+    */
+  private def adcDistanceTable(
+      codebook: DataFrame,
+      query: DataFrame,
+      queryVecCol: String,
+      m: Int,
+      d: Int
+  ): Map[(Int, Long), Double] = {
     val qsubs = subspaces(query.select(lit(0L).as("_qid"), col(queryVecCol)),
-      "_qid", queryVecCol, m, dim / m)
-    // bounded collect: m·k distance-table entries (the probedIds move)
-    val dt: Map[(Int, Long), Double] = codebook
+      "_qid", queryVecCol, m, d)
+    codebook
       .join(broadcast(qsubs.select(col("sub"), col("subvec").as("_qv"))), "sub")
       .select(col("sub"), col("cid"), l2sq(col("cvec"), col("_qv")).as("_d"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2))
       .toMap
-    // per-id code array ordered by sub, then a fixed-order row-local sum
-    val codeArr = codes
+  }
+
+  /** Per-id code ARRAY ordered by sub, complete rows only: a row whose
+    * code count ≠ m (a codebook filtered to fewer subspaces, a vector
+    * missing a subspace row) would silently shift codes onto the WRONG
+    * subspace's distances under positional lookup — it is dropped
+    * instead.
+    */
+  private def codeArrays(codes: DataFrame, idCol: String, m: Int): DataFrame =
+    codes
       .groupBy(col(idCol))
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code")))),
         s => s.getField("code")).as("_codes"))
-    val adc = (0 until m).map { s =>
-      val c = col("_codes").getItem(s)
-      // right-associated otherwise chain: each `when` receives its
-      // single `otherwise` exactly once
-      dt.keys.filter(_._1 == s).map(_._2).toSeq.sorted
-        .map(cid => when(c === cid, lit(dt((s, cid)))))
-        .reduceRightOption((a, b) => a.otherwise(b))
-        .getOrElse(lit(null).cast("double"))
+      .where(size(col("_codes")) === m)
+
+  /** The row-local ADC sum: per subspace a MAP-literal lookup (code →
+    * distance; missing code → NULL, exactly the CASE-chain semantics it
+    * replaces but O(1) per lookup instead of O(k) comparisons), summed
+    * left-associated in fixed subspace order — engine-independent by
+    * construction.
+    */
+  private def adcLookupSum(
+      dt: Map[(Int, Long), Double], m: Int, codesCol: Column): Column =
+    (0 until m).map { s =>
+      val sub = dt.collect { case ((`s`, cid), dist) => cid -> dist }
+      if (sub.isEmpty) lit(null).cast("double")
+      else element_at(typedLit(sub), codesCol.getItem(s))
     }.reduce(_ + _)
-    codeArr
-      .select(col(idCol), round(adc, 6).as("adc"))
-      .where(col("adc").isNotNull)
-      .orderBy(col("adc"), col(idCol))
-      .limit(topK)
+
+  /** Deterministic dim inference for the PQ faces: the vector length of
+    * the MINIMUM-id non-null row (one partial-aggregable min over a
+    * (id, size) struct — no global sort). A bare `.head()` on an
+    * unordered frame would make both the inferred dim and which
+    * wrong-length rows [[subspaces]] silently drops nondeterministic
+    * across runs on a mixed-length corpus.
+    */
+  private def pqDim(
+      emb: DataFrame, idCol: String, vecCol: String, caller: String): Int = {
+    val r = emb
+      .where(col(vecCol).isNotNull)
+      .agg(min(struct(
+        col(idCol).cast("long").as("_id"), size(col(vecCol)).as("_d"))).as("_m"))
+      .head()
+    require(!r.isNullAt(0), s"$caller: no non-null vectors to infer dim from")
+    r.getStruct(0).getInt(1)
   }
 
   /** Shared subspace decomposition: `(_vid, sub, subvec ARRAY<DOUBLE>)`,
