@@ -63,6 +63,44 @@ class BloomSpec extends AnyFunSuite with SparkSpec {
     assert(merged == direct)
   }
 
+  test("bloomProbeSharded: equals the broadcast probe bit for bit at any shared mBits") {
+    val words = Bloom.bloomWords(members.toDF("k"), "k", mBits)
+    val mixed = (members.take(80) ++ (1 to 80).map(i => s"unseen text $i")).toDF("k")
+    val bc = Bloom.bloomProbe(mixed, "k", words, mBits)
+      .as[(String, Long)].collect().toMap
+    val sh = Bloom.bloomProbeSharded(mixed, "k", words, mBits.toLong)
+      .as[(String, Long)].collect().toMap
+    assert(sh == bc)
+  }
+
+  test("bloomProbeSharded: past the broadcast bound — no false negatives, null misses") {
+    val big = (1L << 31) // rejected by bloomProbe, accepted sharded
+    val words = Bloom.bloomWordsLarge(members.toDF("k"), "k", big)
+    intercept[IllegalArgumentException](
+      Bloom.bloomProbe(members.toDF("k"), "k", words, mBits = Int.MaxValue - 31))
+    val probed = Bloom.bloomProbeSharded(
+      (members.take(40).map(Option(_)) :+ Option.empty[String]).toDF("k"), "k", words, big)
+      .as[(Option[String], Long)].collect().toMap
+    assert(probed(None) == 0L)
+    assert(members.take(40).forall(k => probed(Some(k)) == 1L))
+    // a fresh key set against a 2^31-bit filter: collisions ~0
+    val fresh = Bloom.bloomProbeSharded(
+      (1 to 200).map(i => s"unseen text $i").toDF("k"), "k", words, big)
+    assert(fresh.where($"bloom_hit" === 1L).count() == 0L)
+  }
+
+  test("bloomWordsLarge: sharded builds merge to the flat build at large mBits") {
+    val big = (1L << 31)
+    val (a, b) = members.splitAt(150)
+    val merged = Bloom.mergeWords(
+      Bloom.bloomWordsLarge(a.toDF("k"), "k", big)
+        .unionByName(Bloom.bloomWordsLarge(b.toDF("k"), "k", big)))
+      .as[(Long, Long)].collect().toMap
+    val direct = Bloom.bloomWordsLarge(members.toDF("k"), "k", big)
+      .as[(Long, Long)].collect().toMap
+    assert(merged == direct)
+  }
+
   test("contract guards: word width, broadcast bound, reserved columns") {
     intercept[IllegalArgumentException](
       Bloom.bloomWords(members.toDF("k"), "k", mBits = 100))
