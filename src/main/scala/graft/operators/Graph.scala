@@ -233,40 +233,121 @@ object Graph {
       vertexCol: String,
       walkLen: Int,
       salt: String = "walk",
-      maxBroadcastVertices: Long = 2000000L
+      maxBroadcastVertices: Long = 2000000L,
+      hashFamily: String = "md5"
   ): DataFrame = {
     require(walkLen >= 1, s"randomWalks: walkLen must be at least 1, got $walkLen")
+    walkCore(
+      edges, walkVertices(vertices, vertexCol), Seq("_root"), walkLen,
+      t => stepHash(hashFamily,
+        concat_ws(":", lit(salt), col("_root").cast("string"),
+          lit(t.toString), col("_nxt").cast("string"))),
+      maxBroadcastVertices)
+      .select(col("_root").as(vertexCol), col("step"), col("node"))
+      .orderBy(vertexCol, "step")
+  }
+
+  /** Multi-walk ENSEMBLE — `numWalks` independent walks from every
+    * vertex, the corpus DeepWalk actually trains on (the paper's γ is
+    * 10–80 walks per root; one walk per root under-samples every
+    * neighborhood). The walk id joins the root and step INSIDE the
+    * hash, so walks are mutually independent draws of the same
+    * reproducible ensemble — exactly what re-salting [[randomWalks]]
+    * `numWalks` times would sample, but as ONE plan whose frontier
+    * carries a `(root, walk)` key: each step stays one edge-to-frontier
+    * equi-join + one partial-aggregable min per (root, walk), with the
+    * frontier `numWalks`× the vertex count (still vertex-scale — the
+    * broadcast bound is applied to the multiplied count).
+    *
+    * Returns `(vertexCol, walk, step, node)`, walk ∈ [0, numWalks).
+    */
+  def randomWalksEnsemble(
+      edges: DataFrame,
+      vertices: DataFrame,
+      vertexCol: String,
+      walkLen: Int,
+      numWalks: Int,
+      salt: String = "walk",
+      maxBroadcastVertices: Long = 2000000L,
+      hashFamily: String = "md5"
+  ): DataFrame = {
+    require(walkLen >= 1,
+      s"randomWalksEnsemble: walkLen must be at least 1, got $walkLen")
+    require(numWalks >= 1,
+      s"randomWalksEnsemble: numWalks must be at least 1, got $numWalks")
+    val frontier0 = walkVertices(vertices, vertexCol)
+      .select(col("_root"),
+        explode(sequence(lit(0L), lit(numWalks - 1L))).as("_wid"),
+        col("_cur"))
+    walkCore(
+      edges, frontier0, Seq("_root", "_wid"), walkLen,
+      t => stepHash(hashFamily,
+        concat_ws(":", lit(salt), col("_wid").cast("string"),
+          col("_root").cast("string"), lit(t.toString), col("_nxt").cast("string"))),
+      maxBroadcastVertices)
+      .select(col("_root").as(vertexCol), col("_wid").as("walk"), col("step"), col("node"))
+      .orderBy(vertexCol, "walk", "step")
+  }
+
+  /** The walk step's scoring hash. `md5` is the oracle-replayable
+    * family every query face uses; `xxhash64` is the production
+    * fast path (one 64-bit mix per candidate instead of a full MD5
+    * digest — the [[Dedup]] MinHash twin-pair discipline): identical
+    * walk STRUCTURE and uniformity, ~an order of magnitude less
+    * per-edge hash arithmetic, but no cross-engine replay.
+    */
+  private def stepHash(
+      family: String, s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    family match {
+      case "md5"      => graft.functions.Text.md5PrefixLong(s, 13)
+      case "xxhash64" => xxhash64(s)
+      case other => throw new IllegalArgumentException(
+        s"randomWalks: hashFamily must be 'md5' or 'xxhash64', got '$other'")
+    }
+
+  private def walkVertices(vertices: DataFrame, vertexCol: String): DataFrame =
+    vertices.select(col(vertexCol).as("_root"))
+      .where(col("_root").isNotNull).distinct()
+      .withColumn("_cur", col("_root"))
+
+  /** Shared walk loop of [[randomWalks]] / [[randomWalksEnsemble]]:
+    * each step joins the (pinned, deduped) edge list to the frontier —
+    * broadcast while the frontier stays under `maxBroadcastVertices`
+    * rows, the [[pageRankExact]] measured bound — scores each
+    * out-neighbor with `hashFor(step)` and keeps the per-key
+    * (hash, id)-min. `localCheckpoint` keeps the plan one step deep.
+    * Returns `(keyCols…, step, node)`; step 0 is the root itself.
+    */
+  private def walkCore(
+      edges: DataFrame,
+      frontier0: DataFrame,
+      keyCols: Seq[String],
+      walkLen: Int,
+      hashFor: Int => org.apache.spark.sql.Column,
+      maxBroadcastVertices: Long
+  ): DataFrame = {
     val e = edges.select(col("src").as("_cur"), col("dst").as("_nxt"))
       .where(col("_cur").isNotNull && col("_nxt").isNotNull)
       .distinct()
       .localCheckpoint()
-    val verts = vertices.select(col(vertexCol).as("_root"))
-      .where(col("_root").isNotNull).distinct()
-    val nVerts = verts.count()
+    var frontier = frontier0.localCheckpoint()
+    val nFrontier = frontier.count()
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (nVerts <= maxBroadcastVertices) broadcast(df) else df
-    var frontier = verts.withColumn("_cur", col("_root")).localCheckpoint()
+      if (nFrontier <= maxBroadcastVertices) broadcast(df) else df
+    val keys = keyCols.map(col)
     val steps = scala.collection.mutable.ArrayBuffer(
-      frontier.select(col("_root"), lit(0L).as("step"), col("_cur").as("node")))
+      frontier.select(keys :+ lit(0L).as("step") :+ col("_cur").as("node"): _*))
     for (t <- 1 to walkLen) {
       val scored = e.join(maybeBroadcast(frontier), Seq("_cur"))
-        .select(
-          col("_root"),
-          struct(
-            graft.functions.Text.md5PrefixLong(
-              concat_ws(":", lit(salt), col("_root").cast("string"),
-                lit(t.toString), col("_nxt").cast("string")), 13).as("h"),
-            col("_nxt").as("v")).as("_sc"))
+        .select(keys :+ struct(hashFor(t).as("h"), col("_nxt").as("v")).as("_sc"): _*)
       frontier = scored
-        .groupBy("_root")
+        .groupBy(keys: _*)
         .agg(min(col("_sc")).as("_m"))
-        .select(col("_root"), col("_m.v").as("_cur"))
+        .select(keys :+ col("_m.v").as("_cur"): _*)
         .localCheckpoint()
-      steps += frontier.select(col("_root"), lit(t.toLong).as("step"), col("_cur").as("node"))
+      steps += frontier.select(keys :+ lit(t.toLong).as("step") :+ col("_cur").as("node"): _*)
     }
     steps.reduce(_ unionByName _)
-      .select(col("_root").as(vertexCol), col("step"), col("node"))
-      .orderBy(vertexCol, "step")
   }
 
   /** Connected components by the ALTERNATING STAR algorithm (Kiveris et

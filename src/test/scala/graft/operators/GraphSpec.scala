@@ -230,6 +230,106 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       (3L, 0L, 3L)))
   }
 
+  test("randomWalksEnsemble: matches the sequential wid-salted replay") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val n = 3 + rnd.nextInt(15)
+      val verts = (1L to n.toLong) :+ 900L // isolated root: stops at step 0
+      val edges = Seq.fill(3 * n)((1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+        .filter(e => e._1 != e._2)
+      val got = Graph.randomWalksEnsemble(
+        edges.toDF("src", "dst"), verts.toDF("id"), "id", walkLen = 4, numWalks = 3)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // reference: the single-walk recurrence with the wid inside the hash
+      val adj = edges.distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+      val want = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+      for (r <- verts; w <- 0L to 2L) {
+        var cur = r
+        var alive = true
+        want += ((r, w, 0L, r))
+        for (t <- 1 to 4 if alive) {
+          adj.get(cur) match {
+            case Some(ns) if ns.nonEmpty =>
+              val nxt = ns.map(x => (md5Prefix52(s"walk:$w:$r:$t:$x"), x)).min._2
+              want += ((r, w, t.toLong, nxt))
+              cur = nxt
+            case _ => alive = false
+          }
+        }
+      }
+      assert(got == want.toSet, s"trial=$trial edges=$edges")
+    }
+  }
+
+  test("randomWalksEnsemble: walks are independent draws; guards") {
+    // a dense-enough graph that three draws cannot all coincide
+    val und = (1L to 40L).flatMap(i => (1L to 40L).collect {
+      case j if i != j && (i + j) % 3 != 0 => (i, j)
+    })
+    val verts = (1L to 40L).toDF("id")
+    val byWalk = Graph.randomWalksEnsemble(und.toDF("src", "dst"), verts, "id", 4, 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._2).map { case (w, rows) => w -> rows.map(r => (r._1, r._3, r._4)).toSet }
+    assert(byWalk.keySet == Set(0L, 1L, 2L))
+    assert(byWalk(0L) != byWalk(1L) || byWalk(1L) != byWalk(2L))
+    intercept[IllegalArgumentException](
+      Graph.randomWalksEnsemble(und.toDF("src", "dst"), verts, "id", 4, numWalks = 0))
+  }
+
+  test("hashFamily=xxhash64: identical walk STRUCTURE, cheaper hash; bad family rejected") {
+    val rnd = new scala.util.Random(7)
+    val n = 25
+    val verts = (1L to n.toLong) :+ 700L
+    val edges = Seq.fill(4 * n)((1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+      .filter(e => e._1 != e._2)
+    val md = Graph.randomWalks(
+      edges.toDF("src", "dst"), verts.toDF("id"), "id", walkLen = 5)
+      .as[(Long, Long, Long)].collect()
+    val xx = Graph.randomWalks(
+      edges.toDF("src", "dst"), verts.toDF("id"), "id", walkLen = 5,
+      hashFamily = "xxhash64")
+      .as[(Long, Long, Long)].collect()
+    // STRUCTURE pinned for BOTH families: a walk is a contiguous path
+    // of real edges from its root, ending early ONLY at a true dead
+    // end. (Which neighbor is taken — and hence where a directed walk
+    // lands and how long it runs — is legitimately family-specific.)
+    val adj = edges.toSet
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    for ((fam, rows) <- Seq(("md5", md), ("xx", xx))) {
+      val byRoot = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+      assert(byRoot.keySet == verts.toSet, s"$fam: missing roots")
+      byRoot.foreach { case (root, path) =>
+        assert(path.head == root, s"$fam: walk must start at its root")
+        assert(path.map(_ => 1).sum == path.length) // contiguous steps by sortBy
+        path.toSeq.sliding(2).foreach {
+          case Seq(a, b) => assert(adj.contains((a, b)), s"$fam: phantom edge $a->$b")
+          case _ => ()
+        }
+        if (path.length < 6)
+          assert(outDeg.getOrElse(path.last, 0) == 0,
+            s"$fam: walk from $root stopped at ${path.last}, which has out-neighbors")
+      }
+    }
+    // on a dead-end-free graph both families run every walk full length
+    val mirrored = (edges ++ edges.map(_.swap)).distinct
+    for (fam <- Seq("md5", "xxhash64")) {
+      val full = Graph.randomWalks(
+        mirrored.toDF("src", "dst"), (1L to n.toLong).toDF("id"), "id",
+        walkLen = 5, hashFamily = fam)
+        .as[(Long, Long, Long)].collect()
+      assert(full.length == n * 6, s"$fam: expected every walk at full length")
+    }
+    // partition-order independence holds for the xx family too
+    val xx2 = Graph.randomWalks(
+      edges.toDF("src", "dst").repartition(9), verts.toDF("id").repartition(3),
+      "id", walkLen = 5, hashFamily = "xxhash64")
+      .as[(Long, Long, Long)].collect()
+    assert(xx.toSet == xx2.toSet)
+    intercept[IllegalArgumentException](
+      Graph.randomWalks(edges.toDF("src", "dst"), verts.toDF("id"), "id", 2,
+        hashFamily = "sha1"))
+  }
+
   test("randomWalks: salt redraws; partition-order independent; guards") {
     val und = (1L to 30L).flatMap(i => Seq((i, i % 30 + 1), (i % 30 + 1, i)))
     val verts = (1L to 30L).toDF("id")
