@@ -1410,6 +1410,173 @@ object Similarity {
       else element_at(typedLit(sub), codesCol.getItem(s))
     }.reduce(_ + _)
 
+  // ---------------------------------------------------------------------
+  // IVF × PQ — the reference architecture at 10⁹ vectors (FAISS's
+  // IVFADC; Jégou et al. TPAMI 2011 §V): IVF prunes WHAT to scan (only
+  // the probed buckets' postings files are read — the q76 footer
+  // discipline), PQ compresses what each scanned candidate COSTS (m
+  // small codes instead of dim floats — the postings table shrinks from
+  // TBs to GBs, which is what keeps the candidate scan in memory on a
+  // 1000-executor cluster). The probe is three stages, each bounded:
+  // bucket ranking (centroid-table-scale), ADC over the probed buckets'
+  // CODES (m map lookups per candidate, no vectors read), and an exact
+  // cosine re-rank of only the ADC shortlist against the source-of-truth
+  // vector table (shortlist-scale, the only stage that touches floats).
+  // ---------------------------------------------------------------------
+
+  private def codebookPath(indexPath: String): String = s"$indexPath/codebook"
+
+  /** Build the persisted IVF-PQ index at `indexPath`:
+    *
+    *   postings/  (centroid_id, <id>, codes ARRAY<BIGINT>)  — coarse
+    *              bucket + PQ codes per vector, range-clustered on
+    *              centroid_id ([[ivfBuild]]'s footer-pruning layout);
+    *   centroids/ the coarse quantizer ([[ivfBuild]]'s table);
+    *   codebook/  the PQ codebook ([[pqBuild]] output, m·k rows).
+    *
+    * All three land under ONE staging directory and swap in with a
+    * single [[Incremental.swapInStaging]] — codes are only meaningful
+    * against the codebook that trained them, so a torn state where new
+    * codes pair with an old codebook must be unrepresentable (the
+    * [[ivfBuild]] whole-index argument, now with three tables).
+    */
+  def ivfPqBuild(
+      spark: SparkSession,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centIdCol: String,
+      centVecCol: String,
+      m: Int,
+      k: Int,
+      indexPath: String,
+      iters: Int = 2,
+      files: Int = 0
+  ): Unit = {
+    val nFiles =
+      if (files > 0) files else math.max(1, spark.sparkContext.defaultParallelism)
+    val cb = pqBuild(emb, idCol, vecCol, m, k, iters)
+    val codeArr = codeArrays(pqCodes(emb, idCol, vecCol, cb, m), idCol, m)
+      .withColumnRenamed("_codes", "codes")
+    val postings = ivfAssign(emb, idCol, vecCol, centroids, centIdCol, centVecCol)
+      .join(codeArr, idCol)
+      .select(col("centroid_id").cast("long").as("centroid_id"), col(idCol), col("codes"))
+    Incremental.recoverAll(spark, indexPath)
+    val staging = indexPath + "_staging"
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(staging)) &&
+      !fs.delete(new org.apache.hadoop.fs.Path(staging), true))
+      throw new java.io.IOException(s"ivfPqBuild: could not clear stale staging $staging")
+    Scale.writeRangeClustered(postings, postingsPath(staging), "centroid_id", nFiles)
+    centroids
+      .select(col(centIdCol).cast("long").as("centroid_id"), col(centVecCol).as("centroid"))
+      .write.mode("overwrite").parquet(centroidsPath(staging))
+    cb.write.mode("overwrite").parquet(codebookPath(staging))
+    Incremental.swapInStaging(spark, indexPath, staging)
+  }
+
+  /** ANN against the persisted IVF-PQ index: rank the stored coarse
+    * centroids against the query, footer-select only the `nprobe`
+    * probed buckets' postings files ([[ivfTopKIndexed]]'s IO bound),
+    * ADC-score every candidate's CODE ARRAY (m map-literal lookups, no
+    * vector reads), keep the `shortlist` best by (adc, id), and
+    * exact-cosine re-rank ONLY the shortlist against `rerank` — the
+    * source-of-truth `(idCol, rerankVecCol)` table (the lake, not the
+    * index: full vectors stay out of the postings entirely). Returns
+    * `topK` rows `(idCol, adc, cos_sim)` by (cos_sim desc, id).
+    *
+    * Recall is bounded twice, both knobs explicit: by `nprobe` (a true
+    * neighbour in an unprobed bucket is never seen — the IVF contract)
+    * and by `shortlist` (a true neighbour ADC-ranked past the shortlist
+    * is never re-ranked — the PQ contract; grow it until ADC's
+    * quantization error stops mattering, typically a few × topK).
+    */
+  def ivfPqTopK(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      query: DataFrame,
+      m: Int,
+      topK: Int,
+      nprobe: Int,
+      shortlist: Int,
+      rerank: DataFrame,
+      rerankVecCol: String,
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    require(topK >= 1, s"ivfPqTopK: topK must be at least 1, got $topK")
+    require(shortlist >= topK,
+      s"ivfPqTopK: shortlist ($shortlist) must be at least topK ($topK)")
+    require(nprobe >= 1, s"ivfPqTopK: nprobe must be at least 1, got $nprobe")
+    require(query.columns.length == 1,
+      "ivfPqTopK: query must be a one-row, one-column DataFrame")
+    query.schema.fields(0).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"ivfPqTopK: query column must be ARRAY<FLOAT>, got ${other.simpleString}")
+    }
+    Incremental.recoverAll(spark, indexPath)
+    val post = postingsPath(indexPath)
+    Incremental.recoverAll(spark, post)
+    Incremental.recoverAll(spark, centroidsPath(indexPath))
+    Incremental.recoverAll(spark, codebookPath(indexPath))
+    val qRows = query.limit(2).collect()
+    require(qRows.length == 1,
+      s"ivfPqTopK: query must have exactly one row, got ${qRows.length}")
+    if (qRows.head.isNullAt(0))
+      return spark.read.parquet(post)
+        .where(lit(false))
+        .select(col(idCol),
+          lit(null).cast("double").as("adc"), lit(null).cast("double").as("cos_sim"))
+    val qVec = typedLit(qRows.head.getSeq[Float](0).toArray)
+    val dim = qRows.head.getSeq[Float](0).length
+    require(dim % m == 0, s"ivfPqTopK: query dim $dim not divisible into $m subspaces")
+    // 1. bucket ranking against the stored coarse quantizer
+    val probed = spark.read
+      .parquet(centroidsPath(indexPath))
+      .select(col("centroid_id"), cosine(col("centroid"), qVec).as("_cs"))
+      .where(col("_cs").isNotNull)
+      .orderBy(col("_cs").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    // 2. footer-stats file selection: only the probed buckets' files
+    val selected = FileMerge
+      .fileRanges(spark, post, "centroid_id")
+      .filter(r => !r.known || probed.exists(c => c >= r.lo && c <= r.hi))
+      .map(r => s"$post/${r.file}")
+    val cand =
+      if (selected.isEmpty) spark.read.parquet(post).where(lit(false))
+      else spark.read.parquet(selected: _*)
+    val excluded = excludeId match {
+      case Some(id) => cand.where(col(idCol) =!= id)
+      case None     => cand
+    }
+    // 3. ADC over codes (bounded m·k table collected once), shortlist cut
+    val dt = adcDistanceTable(
+      spark.read.parquet(codebookPath(indexPath)),
+      query.select(col(query.columns.head).as("_qv")), "_qv", m, dim / m)
+    val short = excluded
+      .where(col("centroid_id").isin(probed.map(Long.box): _*))
+      .where(size(col("codes")) === m)
+      .select(col(idCol), round(adcLookupSum(dt, m, col("codes")), 6).as("adc"))
+      .where(col("adc").isNotNull)
+      .orderBy(col("adc"), col(idCol))
+      .limit(shortlist)
+    // 4. exact re-rank of the shortlist only: broadcast the (tiny)
+    // shortlist into the source-of-truth vector table
+    broadcast(short)
+      .join(rerank.select(col(idCol), col(rerankVecCol).as("_rv")), idCol)
+      .select(col(idCol), col("adc"), round(cosine(col("_rv"), qVec), 6).as("cos_sim"))
+      .where(col("cos_sim").isNotNull)
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Deterministic dim inference for the PQ faces: the vector length of
     * the MINIMUM-id non-null row (one partial-aggregable min over a
     * (id, size) struct — no global sort). A bare `.head()` on an

@@ -517,4 +517,101 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(got(0L) == ((2L, Seq(2.0, 0.0))))
     assert(got(1L) == ((2L, Seq(0.0, 3.0))))
   }
+
+  // ----------------------------------------------------------------- IVF×PQ
+
+  private def buildIvfPq(tag: String, files: Int): String = {
+    val idx = scratch(tag)
+    Similarity.ivfPqBuild(
+      spark, emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 16), "vec_id", "embedding",
+      m = 4, k = 8, indexPath = idx, files = files)
+    idx
+  }
+
+  test("ivfPq: exhaustive probe + full shortlist recovers the exact top-k") {
+    // with every bucket probed and a shortlist wider than the corpus,
+    // the ADC stage cannot drop a true neighbour — the exact re-rank
+    // must return brute force's answer exactly
+    val idx = buildIvfPq("pqexact", files = 4)
+    val n = emb.count().toInt
+    val got = Similarity.ivfPqTopK(
+      spark, idx, "vec_id", queryVec,
+      m = 4, topK = 10, nprobe = 16, shortlist = n,
+      rerank = emb, rerankVecCol = "embedding", excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == brute)
+  }
+
+  test("ivfPq probe scans only the probed buckets' postings files; no vectors read") {
+    val idx = buildIvfPq("pqprune", files = 8)
+    val result = Similarity.ivfPqTopK(
+      spark, idx, "vec_id", queryVec,
+      m = 4, topK = 10, nprobe = 2, shortlist = 40,
+      rerank = emb, rerankVecCol = "embedding", excludeId = Some(0L))
+    val probed = spark.read.parquet(s"$idx/centroids")
+      .select(col("centroid_id"),
+        graft.functions.VectorFunctions.vec_cosine(
+          col("centroid"),
+          typedLit(queryVec.head().getSeq[Float](0).toArray)).as("cs"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+      .limit(2).select("centroid_id").as[Long].collect().toSeq
+    val scanned = result.inputFiles.filter(_.contains("/postings/")).map(_.split('/').last)
+    assert(scanned.nonEmpty)
+    val ranges = FileMerge.fileRanges(spark, s"$idx/postings", "centroid_id")
+      .map(r => r.file -> r).toMap
+    scanned.foreach { f =>
+      val r = ranges(f)
+      assert(!r.known || probed.exists(c => c >= r.lo && c <= r.hi),
+        s"file $f (range ${r.lo}..${r.hi}) scanned but no probed bucket intersects")
+    }
+    // the postings carry codes ONLY — the index never stores a vector
+    val postCols = spark.read.parquet(s"$idx/postings").columns.toSet
+    assert(postCols == Set("centroid_id", "vec_id", "codes"))
+  }
+
+  test("ivfPq: a build that crashed mid-swap of the whole index heals before the probe") {
+    val idx = buildIvfPq("pqtorn", files = 4)
+    def probe() = Similarity.ivfPqTopK(
+      spark, idx, "vec_id", queryVec,
+      m = 4, topK = 5, nprobe = 4, shortlist = 40,
+      rerank = emb, rerankVecCol = "embedding", excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val before = probe()
+    val p = new Path(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new Path(idx + "_old")))
+    assert(probe() == before)
+  }
+
+  test("ivfPq: contract guards and the NULL query") {
+    val idx = buildIvfPq("pqguards", files = 2)
+    intercept[IllegalArgumentException] { // multi-row query
+      Similarity.ivfPqTopK(
+        spark, idx, "vec_id", emb.where(col("vec_id") < 2).select("embedding"),
+        m = 4, topK = 5, nprobe = 4, shortlist = 40,
+        rerank = emb, rerankVecCol = "embedding")
+    }
+    intercept[IllegalArgumentException] { // shortlist below topK
+      Similarity.ivfPqTopK(
+        spark, idx, "vec_id", queryVec,
+        m = 4, topK = 10, nprobe = 4, shortlist = 5,
+        rerank = emb, rerankVecCol = "embedding")
+    }
+    intercept[IllegalArgumentException] { // wrong query column type
+      Similarity.ivfPqTopK(
+        spark, idx, "vec_id", Seq(1L).toDF("embedding"),
+        m = 4, topK = 5, nprobe = 4, shortlist = 40,
+        rerank = emb, rerankVecCol = "embedding")
+    }
+    val empty = Similarity.ivfPqTopK(
+      spark, idx, "vec_id",
+      Seq(Option.empty[Array[Float]]).toDF("embedding"),
+      m = 4, topK = 5, nprobe = 4, shortlist = 40,
+      rerank = emb, rerankVecCol = "embedding")
+    assert(empty.columns.toSeq == Seq("vec_id", "adc", "cos_sim"))
+    assert(empty.count() == 0L)
+  }
 }
