@@ -1586,8 +1586,69 @@ object PipelineQueries {
       val words = graft.streaming.Streams
         .replayBloomMaintenance(stream, "head_fp", mBits = 16384, salt = "blm")
       bloomNoveltyProbe(docs, s.read.parquet(in), words)
+    },
+    // q152: IVF × PQ — the reference ANN architecture at 10⁹ vectors
+    // (FAISS IVFADC): the coarse quantizer prunes WHAT to scan (only
+    // probed buckets' postings files are read, q76's footer contract),
+    // PQ codes compress what each candidate COSTS (m lookups, no
+    // vector reads), and only the 40-deep ADC shortlist pays an exact
+    // cosine against the source-of-truth table. Index rebuilt per run
+    // (scratch dir); oracle = q150's training replay composed with
+    // q75's coarse CTEs verbatim.
+    "q152_ann_ivfpq" -> { (s, dir) =>
+      val tmp = freshScratch(s, dir, "q152", Seq("_staging"))
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqBuild(
+        s, emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 16), "vec_id", "embedding",
+        m = 4, k = 8, indexPath = tmp, files = 8)
+      Similarity.ivfPqTopK(
+        s, tmp, "vec_id",
+        emb.where(col("vec_id") === 0L).select("embedding"),
+        m = 4, topK = 10, nprobe = 4, shortlist = 40,
+        rerank = emb, rerankVecCol = "embedding", excludeId = Some(0L))
+    },
+    // q153: the multi-walk ENSEMBLE — DeepWalk trains on γ walks per
+    // root (10–80 in the paper), not one; the walk id joins the hash
+    // input so the ensemble is numWalks independent draws in ONE plan
+    // whose frontier key is (root, walk). Same per-step shape as q149
+    // (one edge-to-frontier join + one partial-aggregable min), and
+    // the oracle unrolls the identical wid-salted recurrence.
+    "q153_walk_ensemble" -> { (s, dir) =>
+      val edges = graft.operators.Graph
+        .cooccurrenceEdges(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      graft.operators.Graph
+        .randomWalksEnsemble(edges, t(s, dir, "part"), "p_partkey",
+          walkLen = 4, numWalks = 2, salt = "wk")
+    },
+    // q154: the Bloom gate PAST the broadcast regime — mBits = 2³¹
+    // exceeds bloomProbe's hard broadcast bound, so the word table is
+    // probed with a co-partitioned shuffle join on word_idx instead
+    // (2 shuffled rows per distinct key, filter size irrelevant). The
+    // filter is the same pure function of the key set at any mBits, so
+    // correctness is scale-free: a small corpus against a 2³¹-bit
+    // filter exercises the identical join shape a 10⁹-key filter needs,
+    // and the q146 oracle re-parameterized to the same mBits replays
+    // it bit for bit (false positives included — far rarer here, the
+    // filter being 2¹⁷× larger than q146's).
+    "q154_bloom_sharded" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 17 =!= 3)
+        .select(headFingerprint.as("head_fp"))
+      val words = graft.operators.Bloom
+        .bloomWordsLarge(corpus, "head_fp", mBits = BloomShardedMBits, salt = "blm")
+      bloomNoveltyProbe(docs, corpus, words,
+        probe = graft.operators.Bloom
+          .bloomProbeSharded(_, _, _, mBits = BloomShardedMBits, salt = "blm"))
     }
   )
+
+  /** q154's filter size: deliberately past [[graft.operators.Bloom.bloomProbe]]'s
+    * 2³⁰ broadcast bound so the query can only run through the sharded
+    * probe path. Shared with the oracle generator so the two cannot
+    * drift.
+    */
+  private val BloomShardedMBits: Long = 1L << 31
 
   /** Head fingerprint (first 8 tokens) — the cheap prefix key the Bloom
     * novelty faces (q146/q151) share.
@@ -1595,19 +1656,24 @@ object PipelineQueries {
   private def headFingerprint: org.apache.spark.sql.Column =
     array_join(slice(Text.tokens(col("text")), 1, 8), " ")
 
-  /** Shared probe tail of q146/q151: batch = doc_id % 17 = 3, Bloom hit
-    * flag plus the exact digest-keyed ground truth alongside (the join
-    * ships 32-char hashes, never the fingerprints).
+  /** Shared probe tail of q146/q151/q154: batch = doc_id % 17 = 3,
+    * Bloom hit flag plus the exact digest-keyed ground truth alongside
+    * (the join ships 32-char hashes, never the fingerprints). `probe`
+    * abstracts the join strategy: q146/q151 broadcast the bounded word
+    * table ([[graft.operators.Bloom.bloomProbe]]), q154 co-partitions
+    * against a filter past the broadcast regime
+    * ([[graft.operators.Bloom.bloomProbeSharded]]).
     */
   private def bloomNoveltyProbe(
       docs: DataFrame,
       corpusFps: DataFrame,
-      words: DataFrame
+      words: DataFrame,
+      probe: (DataFrame, String, DataFrame) => DataFrame =
+        graft.operators.Bloom.bloomProbe(_, _, _, mBits = 16384, salt = "blm")
   ): DataFrame = {
     val batch = docs.where(col("doc_id") % 17 === 3)
       .select(col("doc_id"), headFingerprint.as("head_fp"))
-    val probed = graft.operators.Bloom
-      .bloomProbe(batch, "head_fp", words, mBits = 16384, salt = "blm")
+    val probed = probe(batch, "head_fp", words)
     val seen = corpusFps
       .where(col("head_fp").isNotNull)
       .select(md5(col("head_fp")).as("_th")).distinct()
@@ -3304,14 +3370,23 @@ object PipelineQueries {
     // q149: the identical hash-argmin recurrence, unrolled — see
     // RandomWalkSql
     "q149_random_walks" -> RandomWalkSql,
+    // q153: the wid-keyed ensemble recurrence — see RandomWalkEnsembleSql
+    "q153_walk_ensemble" -> RandomWalkEnsembleSql,
     // q150: the full PQ pipeline replayed — same seeds, same tie-breaks,
     // same round-6 codebook state per round, same fixed-order ADC sum —
     // see PqAdcSql
     "q150_pq_adc" -> PqAdcSql,
+    // q152: the q150 training replay composed with q75's coarse CTEs —
+    // see IvfPqOracleSql
+    "q152_ann_ivfpq" -> IvfPqOracleSql,
     // q151: the incrementally-maintained filter must answer exactly like
     // q146's from-scratch build (bit_or union is exact), so one oracle
     // gates both — any divergence is the maintenance lifecycle's fault
-    "q151_stream_bloom" -> BloomNoveltyOracleSql
+    "q151_stream_bloom" -> BloomNoveltyOracleSql,
+    // q154: the identical generator at the sharded-probe mBits — the
+    // filter is a pure function of (key set, mBits), so the broadcast
+    // and co-partitioned probes must agree with the same replay
+    "q154_bloom_sharded" -> bloomNoveltySql(BloomShardedMBits)
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -3416,26 +3491,56 @@ object PipelineQueries {
        |) ORDER BY p_partkey, step""".stripMargin
   }
 
-  /** Shared by q146 (from-scratch Bloom build) and q151 (the filter
-    * maintained incrementally from a stream): bit_or union is exact, so
-    * the maintained filter must answer identically to the direct build
-    * and ONE oracle gates both — same md5 positions, same 32-bit word
-    * packing, false positives included.
+  /** The q153 ensemble recurrence unrolled: [[RandomWalkSql]]'s loop
+    * with the walk id as an extra frontier key and an extra `:`-joined
+    * hash component — generated by the same loop shape the Spark side
+    * runs, sharing [[CoPurchaseGraphCte]] so the edge definition
+    * cannot drift from q142/q149.
     */
-  private lazy val BloomNoveltyOracleSql =
+  private lazy val RandomWalkEnsembleSql = {
+    val (walks, len) = (2, 4)
+    val steps = (1 to len).map { t =>
+      s"""s$t AS (SELECT w${t - 1}.wid, w${t - 1}.root, e.dst,
+         |  CAST('0x' || substring(md5('wk:' || CAST(w${t - 1}.wid AS VARCHAR) || ':' || CAST(w${t - 1}.root AS VARCHAR) || ':$t:' || CAST(e.dst AS VARCHAR)), 1, 13) AS BIGINT) AS h
+         |  FROM w${t - 1} JOIN e ON e.src = w${t - 1}.cur),
+         |m$t AS (SELECT wid, root, min(h) AS mh FROM s$t GROUP BY wid, root),
+         |w$t AS (SELECT s$t.wid, s$t.root, min(s$t.dst) AS cur FROM s$t
+         |        JOIN m$t ON m$t.wid = s$t.wid AND m$t.root = s$t.root AND s$t.h = m$t.mh
+         |        GROUP BY s$t.wid, s$t.root)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to len)
+      .map(t => s"SELECT wid, root, CAST($t AS BIGINT) AS step, cur AS node FROM w$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $CoPurchaseGraphCte,
+       |wd AS (SELECT CAST(u.w AS BIGINT) AS wid FROM UNNEST(range(0, $walks)) AS u(w)),
+       |w0 AS (SELECT wd.wid, vx AS root, vx AS cur FROM v, wd),
+       |$steps
+       |SELECT root AS p_partkey, wid AS walk, step, node FROM (
+       |  $sel
+       |) ORDER BY p_partkey, walk, step""".stripMargin
+  }
+
+  /** Shared by q146 (from-scratch Bloom build), q151 (the filter
+    * maintained incrementally from a stream) and q154 (the sharded
+    * probe at an mBits past the broadcast regime): bit_or union is
+    * exact and the filter is a pure function of (key set, mBits), so
+    * ONE generator parameterized by mBits gates all three — same md5
+    * positions, same 32-bit word packing, false positives included.
+    */
+  private def bloomNoveltySql(mBits: Long): String =
     s"""WITH fpd AS (SELECT doc_id,
        |    array_to_string(($TokensSql)[1:8], ' ') AS fp FROM documents),
        |corpus AS (SELECT fp FROM fpd WHERE doc_id % 17 <> 3),
        |cd AS (SELECT DISTINCT fp FROM corpus WHERE fp IS NOT NULL),
-       |pos AS (SELECT CAST('0x' || substring(md5('blm1:' || fp), 1, 13) AS BIGINT) % 16384 AS p FROM corpus WHERE fp IS NOT NULL
+       |pos AS (SELECT CAST('0x' || substring(md5('blm1:' || fp), 1, 13) AS BIGINT) % $mBits AS p FROM corpus WHERE fp IS NOT NULL
        |        UNION ALL
-       |        SELECT CAST('0x' || substring(md5('blm2:' || fp), 1, 13) AS BIGINT) % 16384 FROM corpus WHERE fp IS NOT NULL),
+       |        SELECT CAST('0x' || substring(md5('blm2:' || fp), 1, 13) AS BIGINT) % $mBits FROM corpus WHERE fp IS NOT NULL),
        |w AS (SELECT p // 32 AS widx,
        |        bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
        |      FROM pos GROUP BY 1),
        |batch AS (SELECT doc_id, fp,
-       |    CAST('0x' || substring(md5('blm1:' || fp), 1, 13) AS BIGINT) % 16384 AS p1,
-       |    CAST('0x' || substring(md5('blm2:' || fp), 1, 13) AS BIGINT) % 16384 AS p2
+       |    CAST('0x' || substring(md5('blm1:' || fp), 1, 13) AS BIGINT) % $mBits AS p1,
+       |    CAST('0x' || substring(md5('blm2:' || fp), 1, 13) AS BIGINT) % $mBits AS p2
        |  FROM fpd WHERE doc_id % 17 = 3)
        |SELECT b.doc_id,
        |  CASE WHEN w1.word IS NOT NULL AND w2.word IS NOT NULL
@@ -3449,6 +3554,8 @@ object PipelineQueries {
        |LEFT JOIN w w2 ON w2.widx = b.p2 // 32
        |ORDER BY doc_id""".stripMargin
 
+  private lazy val BloomNoveltyOracleSql = bloomNoveltySql(16384)
+
   /** q150's oracle: the whole PQ pipeline — subspace decomposition,
     * id-seeded codebooks, two Lloyd rounds with round-6-quantized
     * state, final assignment, distance table, fixed-order ADC sum —
@@ -3456,8 +3563,14 @@ object PipelineQueries {
     * q142/q149 discipline). m = 4 subspaces of 16 dims, k = 8, query
     * vec_id = 0, top 20 by (adc, vec_id).
     */
-  private lazy val PqAdcSql = {
-    val (m, k, d) = (4, 8, 16)
+  /** The PQ pipeline CTE chain shared by q150 and q152 — subspace
+    * decomposition through codes (`cd`) and the query distance table
+    * (`dt`) — plus the per-subspace dt joins and the left-associated
+    * ADC sum, returned separately so each query composes its own tail.
+    * ONE generator, so the training/coding replay cannot drift between
+    * the standalone-PQ and IVF-PQ oracles.
+    */
+  private def pqChainParts(m: Int, k: Int, d: Int): (String, String, String) = {
     def l2(a: String, b: String) =
       s"(SELECT sum((z.a - z.b) * (z.a - z.b)) FROM (SELECT unnest($a) AS a, unnest($b) AS b) z)"
     def assignStage(r: Int, cPrev: String) =
@@ -3482,24 +3595,72 @@ object PipelineQueries {
     val dtJoins = (0 until m)
       .map(s => s"JOIN dt t$s ON t$s.sub = $s AND t$s.cid = cd.k$s").mkString("\n")
     val adcSum = (0 until m).map(s => s"t$s.d").reduce((a, b) => s"($a + $b)")
-    s"""WITH sub AS (SELECT vec_id, CAST(s.s AS INT) AS sub,
-       |    list_transform(embedding[CAST(s.s * $d + 1 AS INT):CAST(s.s * $d + $d AS INT)],
-       |                   x -> CAST(x AS DOUBLE)) AS sv
-       |  FROM embeddings, UNNEST(range(0, $m)) AS s(s)
-       |  WHERE embedding IS NOT NULL AND len(embedding) = ${m * d}),
-       |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
-       |          FROM (SELECT DISTINCT vec_id FROM sub ORDER BY vec_id LIMIT $k)),
-       |c0 AS (SELECT sub.sub, seeds.cid, sub.sv AS cv FROM seeds JOIN sub USING (vec_id)),
-       |$rounds,
-       |${assignStage(3, "c2")},
-       |q AS (SELECT sub, sv FROM sub WHERE vec_id = 0),
-       |dt AS (SELECT c2.sub, c2.cid, ${l2("q.sv", "c2.cv")} AS d
-       |       FROM c2 JOIN q ON q.sub = c2.sub),
-       |cd AS (SELECT vec_id, $codeCols FROM a3 GROUP BY vec_id)
+    val chain =
+      s"""sub AS (SELECT vec_id, CAST(s.s AS INT) AS sub,
+         |    list_transform(embedding[CAST(s.s * $d + 1 AS INT):CAST(s.s * $d + $d AS INT)],
+         |                   x -> CAST(x AS DOUBLE)) AS sv
+         |  FROM embeddings, UNNEST(range(0, $m)) AS s(s)
+         |  WHERE embedding IS NOT NULL AND len(embedding) = ${m * d}),
+         |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+         |          FROM (SELECT DISTINCT vec_id FROM sub ORDER BY vec_id LIMIT $k)),
+         |c0 AS (SELECT sub.sub, seeds.cid, sub.sv AS cv FROM seeds JOIN sub USING (vec_id)),
+         |$rounds,
+         |${assignStage(3, "c2")},
+         |q AS (SELECT sub, sv FROM sub WHERE vec_id = 0),
+         |dt AS (SELECT c2.sub, c2.cid, ${l2("q.sv", "c2.cv")} AS d
+         |       FROM c2 JOIN q ON q.sub = c2.sub),
+         |cd AS (SELECT vec_id, $codeCols FROM a3 GROUP BY vec_id)""".stripMargin
+    (chain, dtJoins, adcSum)
+  }
+
+  private lazy val PqAdcSql = {
+    val (chain, dtJoins, adcSum) = pqChainParts(4, 8, 16)
+    s"""WITH $chain
        |SELECT cd.vec_id, round($adcSum, 6) AS adc
        |FROM cd
        |$dtJoins
        |ORDER BY adc, vec_id LIMIT 20""".stripMargin
+  }
+
+  /** q152's oracle — IVF × PQ composed from the two proven replays:
+    * [[pqChainParts]] trains/codes exactly as q150's oracle does, and
+    * the coarse assignment + probe CTEs are spliced from
+    * [[IvfAnnOracleSql]] VERBATIM (the q116/q83 anchor discipline), so
+    * neither leg can drift from its standalone twin. The composed tail
+    * is the probe contract itself: candidates = probed buckets minus
+    * the query, ADC over candidate codes, shortlist 40 by (adc, id),
+    * exact cosine re-rank of the shortlist only, top 10.
+    */
+  private lazy val IvfPqOracleSql: String = {
+    val (chain, dtJoins, adcSum) = pqChainParts(4, 8, 16)
+    val marker = "probe AS (SELECT cid FROM cs WHERE vec_id = 0 ORDER BY cs DESC, cid LIMIT 4),"
+    require(IvfAnnOracleSql.contains(marker),
+      "IvfAnnOracleSql probe anchor changed; update q152's derivation")
+    val coarse = IvfAnnOracleSql
+      .stripPrefix("WITH ")
+      .split(java.util.regex.Pattern.quote(marker))(0) + marker
+    s"""WITH $chain,
+       |$coarse
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT a.vec_id FROM asg a JOIN probe p ON p.cid = a.cid
+       |         WHERE a.vec_id <> 0),
+       |adcs AS (SELECT cd.vec_id, round($adcSum, 6) AS adc
+       |         FROM cd JOIN cand ON cand.vec_id = cd.vec_id
+       |         $dtJoins),
+       |short AS (SELECT vec_id, adc FROM adcs ORDER BY adc, vec_id LIMIT 40),
+       |sc AS (SELECT e.vec_id,
+       |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |   FROM (SELECT unnest(e.embedding) AS x, unnest(qv.qe) AS y) z) AS dot,
+       |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+       |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
+       |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+       |   FROM (SELECT unnest(qv.qe) AS y) z) AS n2b
+       | FROM embeddings e, qv
+       | WHERE e.vec_id IN (SELECT vec_id FROM short))
+       |SELECT sc.vec_id, short.adc, round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim
+       |FROM sc JOIN short ON short.vec_id = sc.vec_id
+       |WHERE n2a > 0 AND n2b > 0
+       |ORDER BY cos_sim DESC, sc.vec_id LIMIT 10""".stripMargin
   }
 
   // Shared by q107 (in-memory index) and q118 (persisted lifecycle):
