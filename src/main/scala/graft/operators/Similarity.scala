@@ -1439,6 +1439,15 @@ object Similarity {
     * against the codebook that trained them, so a torn state where new
     * codes pair with an old codebook must be unrepresentable (the
     * [[ivfBuild]] whole-index argument, now with three tables).
+    *
+    * `trainOn` decouples the codebook's TRAINING SAMPLE from the coded
+    * corpus (default: the corpus itself). At 10⁹ vectors nobody runs
+    * Lloyd rounds over everything — the codebook trains on a designated
+    * sample and the corpus is merely CODED under it, which is also what
+    * makes an incremental index well-defined: [[ivfPqAppend]] codes
+    * later batches under this stored codebook, so the training set must
+    * be a deliberate choice, not an accident of which half arrived
+    * first.
     */
   def ivfPqBuild(
       spark: SparkSession,
@@ -1452,11 +1461,12 @@ object Similarity {
       k: Int,
       indexPath: String,
       iters: Int = 2,
-      files: Int = 0
+      files: Int = 0,
+      trainOn: Option[DataFrame] = None
   ): Unit = {
     val nFiles =
       if (files > 0) files else math.max(1, spark.sparkContext.defaultParallelism)
-    val cb = pqBuild(emb, idCol, vecCol, m, k, iters)
+    val cb = pqBuild(trainOn.getOrElse(emb), idCol, vecCol, m, k, iters)
     val codeArr = codeArrays(pqCodes(emb, idCol, vecCol, cb, m), idCol, m)
       .withColumnRenamed("_codes", "codes")
     val postings = ivfAssign(emb, idCol, vecCol, centroids, centIdCol, centVecCol)
@@ -1475,6 +1485,53 @@ object Similarity {
       .write.mode("overwrite").parquet(centroidsPath(staging))
     cb.write.mode("overwrite").parquet(codebookPath(staging))
     Incremental.swapInStaging(spark, indexPath, staging)
+  }
+
+  /** Incrementally extend the persisted IVF-PQ index with a batch of
+    * NEW vectors — [[ivfAppend]]'s maintenance contract for the
+    * composed index: the batch is coarse-assigned under the STORED
+    * centroids and coded under the STORED codebook (codes are only
+    * meaningful against the codebook that trained them, so an append
+    * NEVER retrains — rebuild via [[ivfPqBuild]] when drift
+    * accumulates), then appended crash-safely via
+    * [[FileMerge.appendStaged]] (range-clustered on centroid_id within
+    * the batch; run [[ivfCompact]] between probe epochs to restore
+    * disjoint per-file ranges). Caller contract: the batch's ids are
+    * new to the index. Pass `commitId` for exactly-once retries — a
+    * replayed id hits its marker and writes nothing.
+    *
+    * @return true if the batch was appended, false if `commitId` was
+    *         already committed
+    */
+  def ivfPqAppend(
+      spark: SparkSession,
+      newEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      files: Int = 0,
+      commitId: Option[String] = None
+  ): Boolean = {
+    Incremental.recoverAll(spark, indexPath)
+    Incremental.recoverAll(spark, centroidsPath(indexPath))
+    Incremental.recoverAll(spark, codebookPath(indexPath))
+    val cents = spark.read.parquet(centroidsPath(indexPath))
+    val cb = spark.read.parquet(codebookPath(indexPath)).localCheckpoint()
+    val m = cb.agg(max(col("sub"))).head().getInt(0) + 1
+    // pin the batch: it feeds the coding AND assignment joins and the
+    // clustered write's range sampling (the ivfAppend argument)
+    val batch = newEmb
+      .select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val codeArr = codeArrays(pqCodes(batch, idCol, vecCol, cb, m), idCol, m)
+        .withColumnRenamed("_codes", "codes")
+      val postings = ivfAssign(batch, idCol, vecCol, cents, "centroid_id", "centroid")
+        .join(codeArr, idCol)
+        .select(col("centroid_id").cast("long").as("centroid_id"), col(idCol), col("codes"))
+      FileMerge.appendStaged(
+        spark, postings, postingsPath(indexPath), "centroid_id", files, commitId)
+    } finally batch.unpersist(blocking = false)
   }
 
   /** ANN against the persisted IVF-PQ index: rank the stored coarse

@@ -1608,6 +1608,31 @@ object PipelineQueries {
         m = 4, topK = 10, nprobe = 4, shortlist = 40,
         rerank = emb, rerankVecCol = "embedding", excludeId = Some(0L))
     },
+    // q155: the IVF-PQ index MAINTENANCE lifecycle end to end (q78's
+    // contract on the composed index): build on the even half with the
+    // codebook trained on the DESIGNATED full sample (trainOn — the
+    // training set is a deliberate choice, not whichever half arrived
+    // first), append the odd half — coarse-assigned under the STORED
+    // centroids and coded under the STORED codebook, staged-append
+    // manifest protocol — compact, probe. Growing the index
+    // incrementally may not change a single neighbor vs a full
+    // rebuild, so q152's oracle gates it verbatim.
+    "q155_ann_ivfpq_append" -> { (s, dir) =>
+      val tmp = freshScratch(s, dir, "q155", Seq("_staging"))
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqBuild(
+        s, emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        emb.where(col("vec_id") < 16), "vec_id", "embedding",
+        m = 4, k = 8, indexPath = tmp, files = 8, trainOn = Some(emb))
+      Similarity.ivfPqAppend(
+        s, emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", tmp, files = 4)
+      Similarity.ivfCompact(s, tmp, targetFileBytes = 4L * 1024 * 1024)
+      Similarity.ivfPqTopK(
+        s, tmp, "vec_id",
+        emb.where(col("vec_id") === 0L).select("embedding"),
+        m = 4, topK = 10, nprobe = 4, shortlist = 40,
+        rerank = emb, rerankVecCol = "embedding", excludeId = Some(0L))
+    },
     // q153: the multi-walk ENSEMBLE — DeepWalk trains on γ walks per
     // root (10–80 in the paper), not one; the walk id joins the hash
     // input so the ensemble is numWalks independent draws in ONE plan
@@ -3379,6 +3404,9 @@ object PipelineQueries {
     // q152: the q150 training replay composed with q75's coarse CTEs —
     // see IvfPqOracleSql
     "q152_ann_ivfpq" -> IvfPqOracleSql,
+    // q155: incremental growth may not change a single neighbor vs the
+    // full rebuild — q152's oracle verbatim (the q78 discipline)
+    "q155_ann_ivfpq_append" -> IvfPqOracleSql,
     // q151: the incrementally-maintained filter must answer exactly like
     // q146's from-scratch build (bit_or union is exact), so one oracle
     // gates both — any divergence is the maintenance lifecycle's fault

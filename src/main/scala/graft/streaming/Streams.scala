@@ -137,6 +137,37 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of a persisted IVF-PQ index
+    * ([[graft.operators.Similarity.ivfPqBuild]] layout): each
+    * micro-batch of NEW vectors is coarse-assigned under the STORED
+    * centroids, coded under the STORED codebook, and appended
+    * exactly-once — the identical checkpoint-namespaced commitId
+    * protocol as [[appendStreamIvf]] (replayed batches, or a whole
+    * stream replayed after a LOST checkpoint, hit their markers and
+    * write nothing). Single writer per index; run
+    * [[graft.operators.Similarity.ivfCompact]] only between streams.
+    */
+  def appendStreamIvfPq(
+      spark: SparkSession,
+      source: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      checkpoint: String,
+      filesPerBatch: Int = 0
+  ): StreamingQuery = {
+    val prefix = s"s${java.lang.Integer.toUnsignedString(checkpoint.hashCode, 36)}"
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.ivfPqAppend(
+          spark, batch, idCol, vecCol, indexPath,
+          files = filesPerBatch, commitId = Some(s"${prefix}_b$batchId")): Unit
+      }
+      .start()
+  }
+
   /** Streaming maintenance of a persisted INVERTED INDEX
     * ([[graft.operators.Invert.writeIndex]] layout): each micro-batch of
     * newly ingested documents is tokenized into posting rows and

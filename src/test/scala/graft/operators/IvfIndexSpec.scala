@@ -586,6 +586,32 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(probe() == before)
   }
 
+  test("ivfPqAppend: appended vectors probe identically to a full build; exactly-once replay") {
+    val idx = scratch("pqappend")
+    Similarity.ivfPqBuild(
+      spark, emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      emb.where(col("vec_id") < 16), "vec_id", "embedding",
+      m = 4, k = 8, indexPath = idx, files = 4, trainOn = Some(emb))
+    assert(Similarity.ivfPqAppend(
+      spark, emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", idx,
+      files = 2, commitId = Some("b1")))
+    // replaying the committed id writes nothing — checked BEFORE the
+    // compaction, which is a whole-table rewrite and (documented)
+    // drops replay markers
+    assert(!Similarity.ivfPqAppend(
+      spark, emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", idx,
+      files = 2, commitId = Some("b1")))
+    Similarity.ivfCompact(spark, idx, targetFileBytes = 4L * 1024 * 1024)
+    def probe(path: String) = Similarity.ivfPqTopK(
+      spark, path, "vec_id", queryVec,
+      m = 4, topK = 10, nprobe = 4, shortlist = 40,
+      rerank = emb, rerankVecCol = "embedding", excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val grown = probe(idx)
+    val full = buildIvfPq("pqappendfull", files = 4)
+    assert(grown == probe(full), "incremental growth must not change a neighbor")
+  }
+
   test("ivfPq: contract guards and the NULL query") {
     val idx = buildIvfPq("pqguards", files = 2)
     intercept[IllegalArgumentException] { // multi-row query

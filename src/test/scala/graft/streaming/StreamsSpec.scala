@@ -437,6 +437,58 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(probe(idx) == streamed)
   }
 
+  test("streaming IVF-PQ append: probes like a full build; a LOST checkpoint replays to nothing") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory("streamivfpq").toString
+    val in = s"$base/in"
+    val idx = s"$base/ivfpq"
+    val ckpt = s"$base/ckpt"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+    // initial build on the even half (codebook trained on the full
+    // designated sample, so streamed batches code identically to a
+    // full rebuild); the odd half arrives as two micro-batch files
+    Similarity.ivfPqBuild(
+      spark, emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      emb.where(col("vec_id") < 16), "vec_id", "embedding",
+      m = 4, k = 8, indexPath = idx, files = 4, trainOn = Some(emb))
+    emb.where(col("vec_id") % 4 === 1).coalesce(1).write.mode("append").parquet(in)
+    emb.where(col("vec_id") % 4 === 3).coalesce(1).write.mode("append").parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    def runStream(): Unit =
+      Streams.appendStreamIvfPq(
+        spark, Streams.fileStream(spark, in, schema), "vec_id", "embedding",
+        idx, ckpt, filesPerBatch = 2)
+        .awaitTermination(120000): Unit
+    def probe(path: String) = Similarity
+      .ivfPqTopK(spark, path, "vec_id",
+        emb.where(col("vec_id") === 0L).select("embedding"),
+        m = 4, topK = 10, nprobe = 4, shortlist = 40,
+        rerank = emb, rerankVecCol = "embedding", excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+
+    runStream()
+    val streamed = probe(idx)
+    val full = s"$base/full"
+    Similarity.ivfPqBuild(spark, emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 16), "vec_id", "embedding",
+      m = 4, k = 8, indexPath = full, files = 4)
+    assert(streamed == probe(full), "streamed IVF-PQ index must probe like a full build")
+
+    // LOSE the checkpoint: every micro-batch replays, hits its marker,
+    // writes nothing
+    val post = new org.apache.hadoop.fs.Path(s"$idx/postings")
+    val fs = post.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    val filesBefore = fs.listStatus(post).map(_.getPath.getName).toSet
+    runStream()
+    assert(fs.listStatus(post).map(_.getPath.getName).toSet == filesBefore,
+      "a fully replayed stream must write no postings files")
+    assert(probe(idx) == streamed)
+  }
+
   test("streaming index append: seeks match a full build; a LOST checkpoint replays to nothing") {
     import graft.operators.Invert
     val base = Files.createTempDirectory("streamidx").toString
