@@ -292,4 +292,90 @@ object Invert {
       .orderBy(col("score_scaled").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Sparse TF-IDF cosine similarity self-join — EMBEDDING-FREE near-dup
+    * detection in the classic IR vector space (Salton & Buckley 1988):
+    * documents are sparse tf·idf vectors over the token vocabulary,
+    * pairs with cosine ≥ `minSim` are emitted. Complements the shingle
+    * family ([[Dedup]]): shingles see ORDER (boilerplate, passages),
+    * tf-idf cosine sees rare-TERM overlap regardless of order
+    * (paraphrase-ish topical duplication) — the two catch different
+    * duplicate classes.
+    *
+    * Determinism (the BM25/PMI discipline composed): idf is the
+    * DETERMINISTIC log — `idf_milli = floor((ln N − ln df) · 1000)`
+    * with both logs via [[Curation.lnOfCount]]'s exact-binary-exponent
+    * range reduction (bit-identical cross-engine, no libm), weights
+    * `w = tf · idf_milli` are exact BIGINTs, dot products and squared
+    * norms are exact integer sums (partition-order-free), and only the
+    * final `dot / (√n2_a · √n2_b)` is floating, rounded to 6.
+    *
+    * Scale shape: the pair space flows through a term equi-join of the
+    * weighted postings with themselves — per-term fan-out is df², so
+    * the df cap is the explicit 100 TB knob (same rationale as the
+    * shingle cap in [[Dedup.ngramJaccardPairsCapped]]): terms with
+    * df > `maxDf` are dropped from the VECTOR SPACE entirely (norms
+    * included, so cosine stays exact over the pruned vocabulary — the
+    * stopword semantic: near-N df means near-zero idf anyway). Zero
+    *-weight terms (df = N exactly) contribute nothing to dot or norm
+    * and are pruned early. Everything downstream of the join is one
+    * partial-aggregable sum per pair plus two doc-scale norm joins.
+    *
+    * Integer headroom: `w ≤ tf · 1000·ln N` — at N = 10⁹ and tf = 10⁵
+    * (a pathological single-token document) w² sums stay under 2⁶³ for
+    * docs up to ~10⁴ distinct terms; honest for any real corpus.
+    *
+    * Returns `(doc_a, doc_b, cos_sim)`, doc_a < doc_b, ordered.
+    */
+  def tfidfCosinePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSim: Double,
+      maxDf: Long
+  ): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0,
+      s"tfidfCosinePairs: minSim must be in (0, 1], got $minSim")
+    require(maxDf >= 2, s"tfidfCosinePairs: maxDf must be at least 2, got $maxDf")
+    val nDocs = docs.count() // metadata-scale scalar: one count, no data collect
+    val tf = docs
+      .select(col(idCol).as("_d"), explode(Text.tokens(col(textCol))).as("_t"))
+      .groupBy("_d", "_t")
+      .agg(count(lit(1)).as("_tf"))
+    // tf is distinct per (doc, term), so the doc frequency is a plain
+    // count — and the cap prunes the quadratic pair fan-out at its source
+    val dfT = tf
+      .groupBy("_t")
+      .agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf)
+    val idfMilli = floor(
+      (Curation.lnOfCount(lit(nDocs)) - Curation.lnOfCount(col("_df"))) * lit(1000.0))
+      .cast("long")
+    val postings = tf
+      .join(dfT, "_t")
+      .select(col("_d"), col("_t"), (col("_tf") * idfMilli).as("_w"))
+      .where(col("_w") > 0)
+    val norms = postings
+      .groupBy(col("_d"))
+      .agg(sum(col("_w") * col("_w")).as("_n2"))
+    val dots = postings
+      .select(col("_d").as("doc_a"), col("_t"), col("_w").as("_wa"))
+      .join(
+        postings.select(col("_d").as("doc_b"), col("_t"), col("_w").as("_wb")),
+        "_t")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("_wa") * col("_wb")).as("_dot"))
+    dots
+      .join(norms.select(col("_d").as("doc_a"), col("_n2").as("_na")), "doc_a")
+      .join(norms.select(col("_d").as("doc_b"), col("_n2").as("_nb")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(
+          col("_dot").cast("double") /
+            (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))),
+          6).as("cos_sim"))
+      .where(col("cos_sim") >= minSim)
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -54,6 +54,19 @@ object PipelineQueries {
     * `suffixes` covers sibling dirs the operator creates next to the
     * main path (e.g. FileMerge's `_fmerge` staging).
     */
+  /** q156's knobs, shared between the query closure and its oracle
+    * generator so they cannot drift. Declared BEFORE the query/oracle
+    * maps: the oracle generators are forced during object
+    * initialization, and a constant declared below them would still
+    * read as its zero default there (the classic val-order trap —
+    * which is also why every generator here is a lazy val). maxDf
+    * bounds the per-term pair fan-out (df² — the quadratic bomb the
+    * cap exists for); minSim applies to the ROUNDED cosine on both
+    * engines.
+    */
+  private val TfidfMaxDf: Long = 450L
+  private val TfidfMinSim: Double = 0.9
+
   private def freshScratch(
       s: SparkSession,
       dir: String,
@@ -1607,6 +1620,19 @@ object PipelineQueries {
         emb.where(col("vec_id") === 0L).select("embedding"),
         m = 4, topK = 10, nprobe = 4, shortlist = 40,
         rerank = emb, rerankVecCol = "embedding", excludeId = Some(0L))
+    },
+    // q156: sparse TF-IDF cosine similarity self-join — embedding-free
+    // near-dup in the classic IR vector space: rare-TERM overlap
+    // regardless of order, the duplicate class shingles (order) and
+    // embeddings (dense semantics) both miss. Exact-integer weights
+    // under the deterministic log (the PMI/BM25 discipline composed);
+    // the df cap is the explicit 100 TB knob bounding the per-term
+    // pair fan-out, applied to the vector SPACE so cosine stays exact
+    // over the pruned vocabulary.
+    "q156_tfidf_cosine" -> { (s, dir) =>
+      graft.operators.Invert.tfidfCosinePairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        minSim = TfidfMinSim, maxDf = TfidfMaxDf)
     },
     // q155: the IVF-PQ index MAINTENANCE lifecycle end to end (q78's
     // contract on the composed index): build on the even half with the
@@ -3407,6 +3433,8 @@ object PipelineQueries {
     // q155: incremental growth may not change a single neighbor vs the
     // full rebuild — q152's oracle verbatim (the q78 discipline)
     "q155_ann_ivfpq_append" -> IvfPqOracleSql,
+    // q156: the deterministic-log tf·idf replay — see TfidfCosineOracleSql
+    "q156_tfidf_cosine" -> TfidfCosineOracleSql,
     // q151: the incrementally-maintained filter must answer exactly like
     // q146's from-scratch build (bit_or union is exact), so one oracle
     // gates both — any divergence is the maintenance lifecycle's fault
@@ -3517,6 +3545,65 @@ object PipelineQueries {
        |SELECT root AS p_partkey, step, node FROM (
        |  $sel
        |) ORDER BY p_partkey, step""".stripMargin
+  }
+
+  /** q156's oracle: tf·idf cosine with the DETERMINISTIC log replayed
+    * textually — the same staged exact-binary-exponent range reduction
+    * + atanh series as [[PmiOracleSql]] (e from the binary-string
+    * length, mantissa poly in pure doubles, every literal CAST), for
+    * the two counts the idf needs (per-term df and the corpus N).
+    * Integer weights, integer dots and norms, one rounded float at the
+    * end — the Spark side's exact shape.
+    */
+  private lazy val TfidfCosineOracleSql: String = {
+    def d(s: String) = s"CAST($s AS DOUBLE)"
+    val xs = Seq("df" -> "df", "n" -> "nn")
+    val keep = "d, term, tf"
+    val mm = xs.map { case (x, t) =>
+      s"length(bin($x)) - 1 AS e_$t, " +
+        s"${d(x)} / ${d(s"(CAST(1 AS BIGINT) << (length(bin($x)) - 1))")} AS m_$t"
+    }.mkString(", ")
+    val es = xs.map { case (_, t) => s"e_$t" }.mkString(", ")
+    val zz = xs.map { case (_, t) =>
+      s"(m_$t - ${d("1.0")}) / (m_$t + ${d("1.0")}) AS z_$t"
+    }.mkString(", ")
+    val zs = xs.map { case (_, t) => s"z_$t" }.mkString(", ")
+    val qq = xs.map { case (_, t) => s"z_$t * z_$t AS q_$t" }.mkString(", ")
+    def poly(t: String) =
+      s"(${d("2.0")} * z_$t) * (${d("1.0")} + q_$t * ((${d("1.0")} / ${d("3.0")}) " +
+        s"+ q_$t * ((${d("1.0")} / ${d("5.0")}) + q_$t * ((${d("1.0")} / ${d("7.0")}) " +
+        s"+ q_$t * ((${d("1.0")} / ${d("9.0")}) + q_$t * ((${d("1.0")} / ${d("11.0")}) " +
+        s"+ q_$t * ((${d("1.0")} / ${d("13.0")}) + q_$t * (${d("1.0")} / ${d("15.0")}))))))))"
+    val ll = xs.map { case (_, t) =>
+      s"${d(s"e_$t")} * ${d("0.6931471805599453")} + ${poly(t)} AS l_$t"
+    }.mkString(", ")
+    s"""WITH t2 AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+       |tp AS (SELECT doc_id AS d, unnest(toks) AS term FROM t2),
+       |tf AS (SELECT d, term, CAST(count(*) AS BIGINT) AS tf FROM tp GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+       |        GROUP BY 1 HAVING count(*) <= $TfidfMaxDf),
+       |cn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |j AS (SELECT tf.d, tf.term, tf.tf, dfq.df, cn.n
+       |      FROM tf JOIN dfq USING (term), cn),
+       |mm AS (SELECT $keep, $mm FROM j),
+       |zz AS (SELECT $keep, $es, $zz FROM mm),
+       |qz AS (SELECT $keep, $es, $zs, $qq FROM zz),
+       |ll AS (SELECT $keep, $ll FROM qz),
+       |w AS (SELECT d, term,
+       |        tf * CAST(floor((l_nn - l_df) * ${d("1000.0")}) AS BIGINT) AS w
+       |      FROM ll),
+       |wp AS (SELECT d, term, w FROM w WHERE w > 0),
+       |nm AS (SELECT d, CAST(sum(w * w) AS BIGINT) AS n2 FROM wp GROUP BY d),
+       |dots AS (SELECT a.d AS doc_a, b.d AS doc_b,
+       |           CAST(sum(a.w * b.w) AS BIGINT) AS dot
+       |         FROM wp a JOIN wp b ON a.term = b.term AND a.d < b.d
+       |         GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT dots.doc_a, dots.doc_b,
+       |    round(${d("dot")} / (sqrt(${d("na.n2")}) * sqrt(${d("nb.n2")})), 6) AS cos_sim
+       |  FROM dots JOIN nm na ON na.d = dots.doc_a JOIN nm nb ON nb.d = dots.doc_b)
+       |WHERE cos_sim >= $TfidfMinSim
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** The q153 ensemble recurrence unrolled: [[RandomWalkSql]]'s loop

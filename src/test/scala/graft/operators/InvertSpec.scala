@@ -190,4 +190,62 @@ class InvertSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Window"), s"unexpected window in index build:\n$plan")
   }
+
+  test("tfidfCosinePairs: matches the sequential exact-integer replay") {
+    // reference replay of the deterministic-log tf-idf pipeline
+    def pseudoLn(x: Double): Double = {
+      val z = (x - 1.0) / (x + 1.0); val q = z * z
+      (2.0 * z) * (1.0 + q * ((1.0 / 3.0) + q * ((1.0 / 5.0) + q * ((1.0 / 7.0) +
+        q * ((1.0 / 9.0) + q * ((1.0 / 11.0) + q * ((1.0 / 13.0) + q * (1.0 / 15.0))))))))
+    }
+    def lnOfCount(c: Long): Double = {
+      val e = java.lang.Long.toBinaryString(c).length - 1
+      e * 0.6931471805599453 + pseudoLn(c.toDouble / (1L << e).toDouble)
+    }
+    val corpus = Seq(
+      (0L, "alpha beta gamma alpha"),
+      (1L, "alpha beta gamma"),
+      (2L, "alpha delta delta"),
+      (3L, "common common common"), // 'common' also in every other doc below
+      (4L, "common alpha beta gamma"),
+      (5L, "common epsilon zeta"),
+      (6L, "common epsilon zeta zeta"))
+    val maxDf = 3L
+    val n = corpus.length.toLong
+    val tf = corpus.flatMap { case (d, t) => t.split("\\s+").map(w => (d, w)) }
+      .groupBy(identity).map { case ((d, w), xs) => (d, w, xs.length.toLong) }.toSeq
+    val df = tf.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+    val w = tf.collect {
+      case (d, t, f) if df(t) <= maxDf =>
+        val idf = math.floor((lnOfCount(n) - lnOfCount(df(t))) * 1000.0).toLong
+        (d, t, f * idf)
+    }.filter(_._3 > 0L)
+    // 'common' and 'alpha' have df 4 > maxDf: absent from the space
+    assert(df("common") == 4L && df("alpha") == 4L)
+    assert(!w.exists(x => x._2 == "common" || x._2 == "alpha"))
+    val n2 = w.groupBy(_._1).map { case (d, xs) => d -> xs.map(x => x._3 * x._3).sum }
+    val want = (for {
+      (a, ta, wa) <- w; (b, tb, wb) <- w
+      if a < b && ta == tb
+    } yield ((a, b), wa * wb)).groupBy(_._1).toSeq.map { case ((a, b), xs) =>
+      val cos = xs.map(_._2).sum.toDouble / (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble))
+      (a, b, BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter(_._3 >= 0.3).sortBy(x => (x._1, x._2))
+    val got = Invert.tfidfCosinePairs(
+      corpus.toDF("doc_id", "text").repartition(3), "doc_id", "text",
+      minSim = 0.3, maxDf = maxDf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == want)
+    // identical docs are perfect matches; the pair space is strictly upper-triangular
+    assert(got.forall(p => p._1 < p._2))
+    val twin = Invert.tfidfCosinePairs(
+      Seq((7L, "x y z"), (8L, "x y z"), (9L, "q r s t")).toDF("doc_id", "text"),
+      "doc_id", "text", minSim = 0.5, maxDf = 10L)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(twin == Seq((7L, 8L, 1.0)))
+    intercept[IllegalArgumentException](
+      Invert.tfidfCosinePairs(docs, "doc_id", "text", minSim = 0.0, maxDf = 10L))
+    intercept[IllegalArgumentException](
+      Invert.tfidfCosinePairs(docs, "doc_id", "text", minSim = 0.5, maxDf = 1L))
+  }
 }
