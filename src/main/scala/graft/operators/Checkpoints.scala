@@ -18,8 +18,9 @@ import org.apache.spark.storage.StorageLevel
   * leaves identifies what this call registered without diffing the
   * global persistent-RDD registry — a diff could capture a CONCURRENT
   * query's checkpoint RDD and later unpersist it (a truncated-lineage
-  * RDD is unrecomputable once dropped). The registry diff survives only
-  * as a fallback for a plan shape with no visible `LogicalRDD` leaf.
+  * RDD is unrecomputable once dropped). A plan shape with no visible
+  * `LogicalRDD` leaf therefore FAILS CLOSED: no handles, a bounded
+  * one-round leak, never a foreign unpersist.
   */
 private[graft] object Checkpoints {
 
@@ -31,18 +32,21 @@ private[graft] object Checkpoints {
     * after unpersist.
     */
   def tracked(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val ck = df.localCheckpoint()
     val scoped = ck.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD
           if lr.rdd.getStorageLevel != StorageLevel.NONE =>
         lr.rdd
     }
-    val rdds =
-      if (scoped.nonEmpty) scoped
-      else sc.getPersistentRDDs.collect { case (id, r) if !before(id) => r }.toSeq
-    (ck, rdds)
+    // Fail closed when no LogicalRDD leaf is visible: a registry diff
+    // here could capture a CONCURRENT query's localCheckpoint RDD and
+    // later unpersist it — unrecoverable for that query. Accept a
+    // bounded one-round storage leak instead.
+    if (scoped.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "graft.Checkpoints: no LogicalRDD leaf on a localCheckpoint plan; " +
+          "returning no handles (one checkpoint round will stay persisted)")
+    (ck, scoped)
   }
 
   /** Unpersist handles returned by [[tracked]] once their round is

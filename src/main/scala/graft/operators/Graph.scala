@@ -317,6 +317,14 @@ object Graph {
     * out-neighbor with `hashFor(step)` and keeps the per-key
     * (hash, id)-min. `localCheckpoint` keeps the plan one step deep.
     * Returns `(keyCols…, step, node)`; step 0 is the root itself.
+    *
+    * Checkpoint lifecycle: every intermediate this call pins — the
+    * deduped EDGE LIST (data-scale!) and each step's frontier — is
+    * tracked via [[Checkpoints.tracked]] and released once the final
+    * union is materialized into its own checkpoint, so repeated
+    * invocations (an ensemble's γ walks, a hash-family twin run) retain
+    * exactly one result-scale RDD each instead of edges + walkLen
+    * frontiers for the life of the session.
     */
   private def walkCore(
       edges: DataFrame,
@@ -326,11 +334,16 @@ object Graph {
       hashFor: Int => org.apache.spark.sql.Column,
       maxBroadcastVertices: Long
   ): DataFrame = {
-    val e = edges.select(col("src").as("_cur"), col("dst").as("_nxt"))
-      .where(col("_cur").isNotNull && col("_nxt").isNotNull)
-      .distinct()
-      .localCheckpoint()
-    var frontier = frontier0.localCheckpoint()
+    import Checkpoints.{tracked => checkpointTracked, release}
+    val handles = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    val (e, eH) = checkpointTracked(
+      edges.select(col("src").as("_cur"), col("dst").as("_nxt"))
+        .where(col("_cur").isNotNull && col("_nxt").isNotNull)
+        .distinct())
+    handles ++= eH
+    val (frontierInit, fH) = checkpointTracked(frontier0)
+    handles ++= fH
+    var frontier = frontierInit
     val nFrontier = frontier.count()
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (nFrontier <= maxBroadcastVertices) broadcast(df) else df
@@ -340,14 +353,21 @@ object Graph {
     for (t <- 1 to walkLen) {
       val scored = e.join(maybeBroadcast(frontier), Seq("_cur"))
         .select(keys :+ struct(hashFor(t).as("h"), col("_nxt").as("v")).as("_sc"): _*)
-      frontier = scored
-        .groupBy(keys: _*)
-        .agg(min(col("_sc")).as("_m"))
-        .select(keys :+ col("_m.v").as("_cur"): _*)
-        .localCheckpoint()
+      val (next, nH) = checkpointTracked(
+        scored
+          .groupBy(keys: _*)
+          .agg(min(col("_sc")).as("_m"))
+          .select(keys :+ col("_m.v").as("_cur"): _*))
+      handles ++= nH
+      frontier = next
       steps += frontier.select(keys :+ lit(t.toLong).as("step") :+ col("_cur").as("node"): _*)
     }
-    steps.reduce(_ unionByName _)
+    // materialize the result (eager checkpoint), then drop everything
+    // else this call pinned — the frontiers' truncated-lineage RDDs are
+    // only safe to unpersist once nothing can re-read them
+    val (result, _) = checkpointTracked(steps.reduce(_ unionByName _))
+    release(handles.toSeq)
+    result
   }
 
   /** Connected components by the ALTERNATING STAR algorithm (Kiveris et
@@ -456,5 +476,135 @@ object Graph {
       .distinct()
       .join(labels, Seq("_v"), "left")
       .select(col("_v").as(vertexCol), coalesce(col("_c"), col("_v")).as("component"))
+  }
+
+  /** k-CORE membership by iterative peel — the standard spam/bot
+    * subgraph signal the graph family was missing (PageRank ranks
+    * authority, triangles measure local cohesion, CC gives membership;
+    * the k-core is the maximal subgraph where EVERY vertex keeps at
+    * least k neighbors — link farms and botnets live in
+    * anomalously-deep cores, organic long-tail pages in shallow ones;
+    * Seidman 1983, "Network structure and minimum degree").
+    *
+    * The peel is the textbook fixpoint: drop every vertex whose degree
+    * in the CURRENT subgraph is below k, remove its edges, repeat until
+    * stable. Each round is one degree aggregation (union of both
+    * endpoint columns, groupBy-count) plus two anti-joins of the edge
+    * list against the REMOVED set — the removed set is the small side
+    * (broadcast under `maxBroadcastVertices`), and in the common tail
+    * rounds it is tiny. The edge set only shrinks, so round-count
+    * equality alone proves the fixpoint (no except() needed — the
+    * monotone-set argument, one count per round). A non-converged exit
+    * after `maxIter` rounds fails loudly: the peel is inherently
+    * sequential on chain-cascade graphs (each round can remove one
+    * vertex of a path), so the budget is a real contract, not a
+    * formality.
+    *
+    * Checkpoint lifecycle: per-round tracked `localCheckpoint`,
+    * superseded rounds released ([[Checkpoints]] — the
+    * [[connectedComponentsStar]] discipline).
+    *
+    * Returns `(node, deg_in_core)` — the surviving vertices with their
+    * degree INSIDE the core (≥ k by construction; the per-vertex depth
+    * signal a curation mix thresholds on). Isolated vertices and
+    * vertices outside every k-dense region simply don't appear.
+    */
+  def kCoreMembers(
+      edges: DataFrame,
+      k: Int,
+      maxIter: Int = 50,
+      maxBroadcastVertices: Long = 2000000L
+  ): DataFrame = {
+    require(k >= 1, s"kCoreMembers: k must be at least 1, got $k")
+    require(maxIter >= 1, s"kCoreMembers: maxIter must be at least 1, got $maxIter")
+    import Checkpoints.{tracked => checkpointTracked, release}
+    var (canon, prevRdds) = checkpointTracked(
+      edges
+        .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+        .select(
+          least(col("src"), col("dst")).as("_a"),
+          greatest(col("src"), col("dst")).as("_b"))
+        .distinct())
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("_a").as("_v"))
+        .unionByName(e.select(col("_b").as("_v")))
+        .groupBy("_v").agg(count(lit(1)).as("_d"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val removed = degrees(canon).where(col("_d") < k).select("_v")
+      val nRemoved = removed.count()
+      if (nRemoved == 0L) converged = true
+      else {
+        val r =
+          if (nRemoved <= maxBroadcastVertices) broadcast(removed) else removed
+        val (next, nextRdds) = checkpointTracked(
+          canon
+            .join(r.select(col("_v").as("_a")), Seq("_a"), "left_anti")
+            .join(r.select(col("_v").as("_b")), Seq("_b"), "left_anti")
+            .select("_a", "_b"))
+        release(prevRdds)
+        prevRdds = nextRdds
+        canon = next
+        i += 1
+      }
+    }
+    require(converged,
+      s"kCoreMembers: peel NOT at fixpoint after $maxIter rounds — " +
+        "chain-cascade graph or budget too small; raise maxIter")
+    // at the fixpoint every remaining endpoint has degree ≥ k; the
+    // result is materialized (vertex-scale) so the final edge-set
+    // checkpoint (edge-scale) can be released immediately
+    val (result, _) = checkpointTracked(
+      degrees(canon).select(col("_v").as("node"), col("_d").as("deg_in_core")))
+    release(prevRdds)
+    result
+  }
+
+  /** Full k-core DECOMPOSITION, capped: the core number of every vertex
+    * that survives at least the 1-peel, computed by running
+    * [[kCoreMembers]]' peel at k = 1, 2, …, `kMax` over a
+    * monotonically shrinking edge set (the (k+1)-core is a subgraph of
+    * the k-core, so each phase peels the PREVIOUS phase's survivors,
+    * never the original graph). core(v) = the largest k whose peel v
+    * survived, capped at `kMax` (a corpus-curation mix thresholds at
+    * small k; the cap keeps the phase count — and the oracle's
+    * unrolled text — bounded). Returns `(node, core)`, core ∈
+    * [1, kMax]; vertices with no edges don't appear (core 0).
+    */
+  def coreNumbers(
+      edges: DataFrame,
+      kMax: Int,
+      maxIter: Int = 50,
+      maxBroadcastVertices: Long = 2000000L
+  ): DataFrame = {
+    require(kMax >= 1, s"coreNumbers: kMax must be at least 1, got $kMax")
+    import Checkpoints.{tracked => checkpointTracked, release}
+    val handles = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    var cur = edges
+    var out: Option[DataFrame] = None
+    for (k <- 1 to kMax) {
+      // phase result pinned: it feeds the label union AND the next
+      // phase's shrunken edge set (tracked — released once the final
+      // label table is materialized below)
+      val (members, mH) = checkpointTracked(
+        kCoreMembers(cur, k, maxIter, maxBroadcastVertices)
+          .select(col("node"), lit(k).as("core")))
+      handles ++= mH
+      out = Some(out match {
+        case None    => members
+        case Some(p) =>
+          // later phases overwrite: survivors of the k-peel get core ≥ k
+          p.join(members.select("node"), Seq("node"), "left_anti")
+            .unionByName(members)
+      })
+      cur = members.alias("m1")
+        .join(cur.alias("e"), col("e.src") === col("m1.node"))
+        .join(members.alias("m2"), col("e.dst") === col("m2.node"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    }
+    val (result, _) = checkpointTracked(out.get.select(col("node"), col("core")))
+    release(handles.toSeq)
+    result
   }
 }

@@ -314,12 +314,29 @@ object Invert {
     * weighted postings with themselves — per-term fan-out is df², so
     * the df cap is the explicit 100 TB knob (same rationale as the
     * shingle cap in [[Dedup.ngramJaccardPairsCapped]]): terms with
-    * df > `maxDf` are dropped from the VECTOR SPACE entirely (norms
-    * included, so cosine stays exact over the pruned vocabulary — the
-    * stopword semantic: near-N df means near-zero idf anyway). Zero
-    *-weight terms (df = N exactly) contribute nothing to dot or norm
-    * and are pruned early. Everything downstream of the join is one
+    * df above the EFFECTIVE cap are dropped from the VECTOR SPACE
+    * entirely (norms included, so cosine stays exact over the pruned
+    * vocabulary — the stopword semantic: near-N df means near-zero idf
+    * anyway). The effective cap is `maxDf` alone, or — when
+    * `maxDfFrac` is set — `max(maxDf, floor(maxDfFrac · N))`: the
+    * RELATIVE cap is the scale-following knob (a df threshold fixed in
+    * rows turns into an everything-is-a-stopword cut as N grows, which
+    * empties the vector space), and the absolute value demotes to a
+    * small-corpus floor against df sampling noise. Zero-weight terms
+    * (df = N exactly) contribute nothing to dot or norm and are pruned
+    * early. Everything downstream of the join is one
     * partial-aggregable sum per pair plus two doc-scale norm joins.
+    *
+    * Skew: the term join keys every pair of a term's df documents to
+    * ONE shuffle key — a single surviving hot term (df near the cap)
+    * puts its whole df² fan-out on one reducer. `blocks` = B > 1 grid
+    *-blocks the self-join: each document hashes to a block, the left
+    * side replicates each posting across the B right-block cells and
+    * vice versa, and the join key becomes (term, blockA, blockB) — the
+    * same exact pair set (each pair matches in exactly the one cell
+    * its two blocks name), B× posting replication, and a hot term's
+    * work spread over B² reducers. The 100 TB default is B ≈ √(target
+    * parallelism); B = 1 preserves the plain join.
     *
     * Integer headroom: `w ≤ tf · 1000·ln N` — at N = 10⁹ and tf = 10⁵
     * (a pathological single-token document) w² sums stay under 2⁶³ for
@@ -332,12 +349,21 @@ object Invert {
       idCol: String,
       textCol: String,
       minSim: Double,
-      maxDf: Long
+      maxDf: Long,
+      maxDfFrac: Option[Double] = None,
+      blocks: Int = 1
   ): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0,
       s"tfidfCosinePairs: minSim must be in (0, 1], got $minSim")
     require(maxDf >= 2, s"tfidfCosinePairs: maxDf must be at least 2, got $maxDf")
+    maxDfFrac.foreach(f => require(f > 0.0 && f <= 1.0,
+      s"tfidfCosinePairs: maxDfFrac must be in (0, 1], got $f"))
+    require(blocks >= 1, s"tfidfCosinePairs: blocks must be at least 1, got $blocks")
     val nDocs = docs.count() // metadata-scale scalar: one count, no data collect
+    val capDf = maxDfFrac match {
+      case Some(f) => math.max(maxDf, math.floor(f * nDocs).toLong)
+      case None    => maxDf
+    }
     val tf = docs
       .select(col(idCol).as("_d"), explode(Text.tokens(col(textCol))).as("_t"))
       .groupBy("_d", "_t")
@@ -347,7 +373,7 @@ object Invert {
     val dfT = tf
       .groupBy("_t")
       .agg(count(lit(1)).as("_df"))
-      .where(col("_df") <= maxDf)
+      .where(col("_df") <= capDf)
     val idfMilli = floor(
       (Curation.lnOfCount(lit(nDocs)) - Curation.lnOfCount(col("_df"))) * lit(1000.0))
       .cast("long")
@@ -358,11 +384,27 @@ object Invert {
     val norms = postings
       .groupBy(col("_d"))
       .agg(sum(col("_w") * col("_w")).as("_n2"))
-    val dots = postings
-      .select(col("_d").as("doc_a"), col("_t"), col("_w").as("_wa"))
-      .join(
-        postings.select(col("_d").as("doc_b"), col("_t"), col("_w").as("_wb")),
-        "_t")
+    val dots = (if (blocks <= 1) {
+      postings
+        .select(col("_d").as("doc_a"), col("_t"), col("_w").as("_wa"))
+        .join(
+          postings.select(col("_d").as("doc_b"), col("_t"), col("_w").as("_wb")),
+          "_t")
+    } else {
+      // grid-blocked self-join: pair (a, b) matches exactly in the one
+      // cell (block(a), block(b)); xxhash64 keeps the block assignment
+      // partition-order-free, so the pair set is identical to B = 1
+      val blk = postings.withColumn("_blk", pmod(xxhash64(col("_d")), lit(blocks.toLong)))
+      blk
+        .select(col("_d").as("doc_a"), col("_t"), col("_w").as("_wa"),
+          col("_blk").as("_bi"),
+          explode(sequence(lit(0L), lit(blocks - 1L))).as("_bj"))
+        .join(
+          blk.select(col("_d").as("doc_b"), col("_t"), col("_w").as("_wb"),
+            explode(sequence(lit(0L), lit(blocks - 1L))).as("_bi"),
+            col("_blk").as("_bj")),
+          Seq("_t", "_bi", "_bj"))
+    })
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(sum(col("_wa") * col("_wb")).as("_dot"))

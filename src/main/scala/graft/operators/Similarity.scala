@@ -1590,6 +1590,17 @@ object Similarity {
     val qVec = typedLit(qRows.head.getSeq[Float](0).toArray)
     val dim = qRows.head.getSeq[Float](0).length
     require(dim % m == 0, s"ivfPqTopK: query dim $dim not divisible into $m subspaces")
+    // Guard the caller's m against the STORED codebook (the advisor's
+    // silent-empty trap): a wrong m that still divides dim would fail
+    // every size(codes)===m filter and return an empty frame instead of
+    // erroring. The stored subspace count is max(sub)+1, exactly how
+    // ivfPqAppend infers it.
+    val storedCb = spark.read.parquet(codebookPath(indexPath))
+    val storedM = storedCb.agg(max(col("sub"))).head().getInt(0) + 1
+    require(m == storedM,
+      s"ivfPqTopK: caller m=$m does not match the stored codebook's " +
+        s"subspace count $storedM at $indexPath — a mismatched m would " +
+        "silently filter every candidate")
     // 1. bucket ranking against the stored coarse quantizer
     val probed = spark.read
       .parquet(centroidsPath(indexPath))
@@ -1615,7 +1626,7 @@ object Similarity {
     }
     // 3. ADC over codes (bounded m·k table collected once), shortlist cut
     val dt = adcDistanceTable(
-      spark.read.parquet(codebookPath(indexPath)),
+      storedCb,
       query.select(col(query.columns.head).as("_qv")), "_qv", m, dim / m)
     val short = excluded
       .where(col("centroid_id").isin(probed.map(Long.box): _*))

@@ -19,6 +19,20 @@ import graft.operators.Incremental
   */
 object Streams {
 
+  /** Collision-resistant commitId namespace for a checkpoint path: md5
+    * hex of the path (stable across JVMs, so a restarted stream
+    * regenerates the same prefix and replay detection holds). A 32-bit
+    * `String.hashCode` here could collide two DIFFERENT checkpoints
+    * maintaining the same index — their batch ids both restart at 0, so
+    * a collision makes one stream's batches silently skip as
+    * already-committed under the other's markers.
+    */
+  private def ckNamespace(checkpoint: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+    "s" + d.map("%02x".format(_)).mkString
+  }
+
   /** File-source replay of a parquet directory as a stream. */
   def fileStream(
       spark: SparkSession,
@@ -122,10 +136,7 @@ object Streams {
       checkpoint: String,
       filesPerBatch: Int = 0
   ): StreamingQuery = {
-    // String.hashCode is spec-pinned in Java: stable across JVMs, so a
-    // restarted stream regenerates the same prefix and replay detection
-    // holds; distinct checkpoints get distinct namespaces
-    val prefix = s"s${java.lang.Integer.toUnsignedString(checkpoint.hashCode, 36)}"
+    val prefix = ckNamespace(checkpoint)
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -156,7 +167,7 @@ object Streams {
       checkpoint: String,
       filesPerBatch: Int = 0
   ): StreamingQuery = {
-    val prefix = s"s${java.lang.Integer.toUnsignedString(checkpoint.hashCode, 36)}"
+    val prefix = ckNamespace(checkpoint)
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -200,7 +211,7 @@ object Streams {
       blockDocs: Long = 4096L,
       filesPerBatch: Int = 0
   ): StreamingQuery = {
-    val prefix = s"s${java.lang.Integer.toUnsignedString(checkpoint.hashCode, 36)}"
+    val prefix = ckNamespace(checkpoint)
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -296,11 +296,15 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val adj = edges.toSet
     val outDeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
     for ((fam, rows) <- Seq(("md5", md), ("xx", xx))) {
-      val byRoot = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+      val byRoot = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
       assert(byRoot.keySet == verts.toSet, s"$fam: missing roots")
-      byRoot.foreach { case (root, path) =>
+      byRoot.foreach { case (root, stepsRows) =>
+        val path = stepsRows.map(_._3)
         assert(path.head == root, s"$fam: walk must start at its root")
-        assert(path.map(_ => 1).sum == path.length) // contiguous steps by sortBy
+        // contiguous prefix: step values are exactly 0..len-1 — a walk
+        // missing an intermediate step must fail here
+        assert(stepsRows.map(_._2).toSeq == (0L until stepsRows.length.toLong),
+          s"$fam: walk from $root has non-contiguous steps ${stepsRows.map(_._2).mkString(",")}")
         path.toSeq.sliding(2).foreach {
           case Seq(a, b) => assert(adj.contains((a, b)), s"$fam: phantom edge $a->$b")
           case _ => ()
@@ -343,5 +347,76 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(a != c)
     intercept[IllegalArgumentException](
       Graph.randomWalks(und.toDF("src", "dst"), verts, "id", walkLen = 0))
+  }
+
+  /** Sequential reference peel: drop vertices with degree < k over the
+    * canonical undirected edge set until stable.
+    */
+  private def refPeel(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var es = edges
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
+    var stable = false
+    while (!stable) {
+      val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (v, xs) => v -> xs.size.toLong }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      stable = next.size == es.size
+      es = next
+    }
+    es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (v, xs) => v -> xs.size.toLong }
+  }
+
+  test("kCoreMembers: matches the sequential peel; cascades; form-insensitive") {
+    // K5 (core 4) — bridge — K3 (core 2) — pendant chain (core 1);
+    // plus self-loops, duplicate and mirrored edges to normalize away
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val k3 = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val chain = Seq((12L, 20L), (20L, 21L), (21L, 22L))
+    val bridge = Seq((5L, 10L))
+    val und = k5 ++ k3 ++ chain ++ bridge
+    val noisy = (und ++ und.map(_.swap) ++ Seq((7L, 7L), (1L, 2L))).toDF("src", "dst")
+    for (k <- 1 to 5) {
+      val got = Graph.kCoreMembers(noisy, k).as[(Long, Long)].collect().toMap
+      assert(got == refPeel(und, k), s"k=$k diverged from the sequential peel")
+    }
+    // the 3-core is exactly K5 (the K3 + bridge cascade away)
+    val core3 = Graph.kCoreMembers(noisy, 3).as[(Long, Long)].collect().toMap
+    assert(core3.keySet == (1L to 5L).toSet)
+    assert(core3.values.forall(_ == 4L))
+    // chain cascade: peeling at k=2 must strip the pendant chain one
+    // vertex at a time but keep both cliques
+    val core2 = Graph.kCoreMembers(noisy, 2).as[(Long, Long)].collect().toMap
+    assert(core2.keySet == ((1L to 5L) ++ Seq(10L, 11L, 12L)).toSet)
+    // empty core fails nothing: k above the max degree yields zero rows
+    assert(Graph.kCoreMembers(noisy, 40).count() == 0L)
+    // partition-order independence
+    val a = Graph.kCoreMembers(noisy.repartition(7), 2).as[(Long, Long)].collect().toSet
+    assert(a == core2.toSet)
+    intercept[IllegalArgumentException](Graph.kCoreMembers(noisy, 0))
+    // loud non-convergence: the k=2 peel of a long path removes one
+    // endpoint pair per round — a 1-round budget must fail, not return
+    val path = (1L to 12L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.kCoreMembers(path, 2, maxIter = 1).count())
+  }
+
+  test("coreNumbers: max k survived, capped; matches per-k peels") {
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val k3 = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val chain = Seq((12L, 20L), (20L, 21L), (21L, 22L))
+    val und = (k5 ++ k3 ++ chain ++ Seq((5L, 10L))).toDF("src", "dst")
+    val got = Graph.coreNumbers(und, kMax = 4).as[(Long, Long)].collect().toMap
+    // core(K5) = 4, core(K3) = 2, core(chain) = 1
+    assert((1L to 5L).forall(v => got(v) == 4L))
+    assert(Seq(10L, 11L, 12L).forall(v => got(v) == 2L))
+    assert(Seq(20L, 21L, 22L).forall(v => got(v) == 1L))
+    // the cap truncates: kMax = 3 reports the K5 at 3
+    val capped = Graph.coreNumbers(und, kMax = 3).as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(v => capped(v) == 3L))
+    assert(capped(10L) == 2L && capped(20L) == 1L)
+    intercept[IllegalArgumentException](Graph.coreNumbers(und, kMax = 0))
   }
 }

@@ -248,4 +248,44 @@ class InvertSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](
       Invert.tfidfCosinePairs(docs, "doc_id", "text", minSim = 0.5, maxDf = 1L))
   }
+
+  test("tfidfCosinePairs: grid-blocked join and relative cap are exact") {
+    val corpus = (0L until 40L).map { d =>
+      val rare = if (d % 8 == 0) " rare" else ""
+      (d, s"stop word every doc shares these tokens$rare extra${d % 5}")
+    }
+    val docsDf = corpus.toDF("doc_id", "text").repartition(5)
+    // blocked join (any B) must return EXACTLY the plain join's rows —
+    // each pair matches in the single grid cell its two blocks name
+    val plain = Invert.tfidfCosinePairs(
+      docsDf, "doc_id", "text", minSim = 0.1, maxDf = 12L)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(plain.nonEmpty)
+    for (b <- Seq(2, 3, 16)) {
+      val blocked = Invert.tfidfCosinePairs(
+        docsDf, "doc_id", "text", minSim = 0.1, maxDf = 12L, blocks = b)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(blocked == plain, s"blocks=$b diverged from the plain join")
+    }
+    // relative cap: effective = max(maxDf, floor(frac·N)); with N = 40
+    // and frac = 0.3 the effective cap is 12 — identical result to the
+    // absolute-12 run even though the absolute knob is only 2
+    val rel = Invert.tfidfCosinePairs(
+      docsDf, "doc_id", "text", minSim = 0.1, maxDf = 2L,
+      maxDfFrac = Some(0.3), blocks = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rel == plain)
+    // and the absolute floor side of the max: frac tiny, maxDf carries
+    val floorSide = Invert.tfidfCosinePairs(
+      docsDf, "doc_id", "text", minSim = 0.1, maxDf = 12L,
+      maxDfFrac = Some(0.001))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(floorSide == plain)
+    intercept[IllegalArgumentException](
+      Invert.tfidfCosinePairs(docsDf, "doc_id", "text",
+        minSim = 0.5, maxDf = 5L, maxDfFrac = Some(1.5)))
+    intercept[IllegalArgumentException](
+      Invert.tfidfCosinePairs(docsDf, "doc_id", "text",
+        minSim = 0.5, maxDf = 5L, blocks = 0))
+  }
 }
