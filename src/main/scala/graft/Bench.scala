@@ -16,6 +16,28 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
     catch { case _: Throwable => "unavailable" }
 
+  /** The 37 round-1 baseline queries (BENCH_r01.json's key set) — run
+    * once as an in-artifact HOST-SPEED PROBE before the timed passes.
+    * This workload is frozen: it never grows with the corpus, so the
+    * probe subtotal is a constant-work yardstick and cross-round
+    * comparison becomes a division inside each artifact
+    * (corpus_total / host_probe_sec) instead of a same-host A/B rerun
+    * of an old tree (the r12→r14 drift-control exercise).
+    */
+  private val HostProbeQueries: Seq[String] = Seq(
+    "q01_flagship", "q02_pricing_summary", "q03_global_agg",
+    "q04_watermark_filter", "q05_inlist_filter", "q06_outer_join_agg",
+    "q07_semi_join", "q08_anti_join", "q09_window_rank",
+    "q10_window_running", "q11_topk", "q12_setops", "q13_distinct",
+    "q14_string_funcs", "q15_date_funcs", "q16_math_funcs",
+    "q17_json_extract", "q18_rollup", "q19_cube", "q20_merge_upsert",
+    "q21_time_buckets", "q22_recon_counts", "q23_dedup_exact",
+    "q24_dedup_ngram_jaccard", "q25_dedup_minhash_lsh",
+    "q26_dedup_simhash", "q27_knn_cosine", "q28_ann_lsh",
+    "q29_text_stats", "q30_langid", "q31_quality_score",
+    "q32_fingerprint", "q33_embedding_neardup", "q34_asof_join",
+    "q35_sessionize", "q36_subword_count", "q37_percentiles")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,6 +92,26 @@ object Bench {
     val unknownOnly = only -- SparkEntry.queries.keySet
     require(unknownOnly.isEmpty,
       s"SPARK_GRAFT_ONLY names not in the corpus: ${unknownOnly.toSeq.sorted.mkString(",")}")
+    // host-speed probe: the frozen 37-query r1 workload, one timed
+    // pass, BEFORE the corpus passes (so it measures the host, not the
+    // page cache the corpus warms). Respects SKIP (q24 stays out of
+    // scale-up probes) but ignores ONLY — an isolation artifact needs
+    // the host yardstick most. SPARK_GRAFT_NO_PROBE=1 disables.
+    val probeNames = HostProbeQueries
+      .filter(SparkEntry.queries.contains).filterNot(skip.contains)
+    val runProbe = !sys.env.get("SPARK_GRAFT_NO_PROBE").exists(_ == "1")
+    var probeFailures = 0
+    val hostProbeSec =
+      if (!runProbe) -1.0
+      else {
+        val t0 = System.nanoTime()
+        probeNames.foreach { n =>
+          if (spark.sparkContext.isStopped) spark = newSession()
+          try { SparkEntry.queries(n)(spark, sfDir).count(); () }
+          catch { case _: Throwable => probeFailures += 1 }
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
     val failMsgs = scala.collection.mutable.LinkedHashMap[String, String]()
     def onePass(): Seq[(String, Double, Boolean)] = SparkEntry.queries.toSeq
       .filter(q => only.isEmpty || only.contains(q._1))
@@ -123,7 +165,7 @@ object Bench {
     // skip set so the artifact carries that evidence itself
     val skipJson = skip.toSeq.sorted.map(JsonUtil.quote).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"skipped":$skipJson,"pass1_total":${r3(t1)},"pass2_total":${r3(t2)},"loadavg_start":${JsonUtil.quote(loadStart)},"loadavg_end":${JsonUtil.quote(loadEnd)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"skipped":$skipJson,"pass1_total":${r3(t1)},"pass2_total":${r3(t2)},"host_probe_sec":${r3(hostProbeSec)},"host_probe_n":${probeNames.size},"host_probe_failures":$probeFailures,"loadavg_start":${JsonUtil.quote(loadStart)},"loadavg_end":${JsonUtil.quote(loadEnd)},"sf":"$sfDir"}"""
     println(line)
     // stdout tails get truncated by capture windows once the corpus is
     // large (r11's driver artifact kept only 69/117 per-query numbers):

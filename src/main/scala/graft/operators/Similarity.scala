@@ -1247,6 +1247,19 @@ object Similarity {
       lit(0.0),
       (acc, v) => acc + v)
 
+  /** Dot product / squared norm over ARRAY<DOUBLE> columns (codebook
+    * vectors). [[dot]]/[[norm2]] are float-typed codegen expressions
+    * (`getFloat` element reads — garbage on a double array), so the
+    * DOUBLE-array sites must use the HOF fold instead; they only ever
+    * run on codebook-scale data, where interpreted lambdas cost
+    * nothing.
+    */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def norm2D(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
   /** Per-subspace codebooks: split every vector into `m` contiguous
     * subvectors and run `iters` Lloyd rounds of k-means (squared-L2
     * assignment, mean update) in EACH subspace — all subspaces train in
@@ -1382,6 +1395,55 @@ object Similarity {
       .toMap
   }
 
+  /** One-pass codes + per-vector QUANTIZATION STATS for the IVF-PQ
+    * postings: the same per-subspace argmin [[pqCodes]] runs (identical
+    * `(distance, cid)` tie-break — the extra struct field is a function
+    * of cid and never consulted), but the pass also accumulates what
+    * the pairwise semantic-dedup bound needs per vector:
+    *
+    *   codes  the sub-ordered code array ([[codeArrays]] semantics,
+    *          complete rows only);
+    *   nrm    ‖v‖ — the EXACT vector norm (same expression as
+    *          [[blockedNearDupPairs]], so the indexed dedup's rescore
+    *          divides by bit-identical denominators);
+    *   qn     ‖q(v)‖ = √Σₛ‖c_s‖² — the reconstruction's norm
+    *          (subspaces are disjoint coordinate blocks, so the square
+    *          decomposes exactly);
+    *   r      ‖v − q(v)‖ = √Σₛ l2sq(v_s, c_s) — the quantization
+    *          residual, the per-vector error radius every
+    *          Cauchy–Schwarz bound in [[semDedupCandidates]] leans on.
+    *
+    * Three 8-byte scalars per row — the postings stay codes-sized; no
+    * vector is ever stored in the index.
+    */
+  private def codesWithStats(
+      emb: DataFrame, idCol: String, vecCol: String, cb: DataFrame, m: Int): DataFrame = {
+    val dim = pqDim(emb, idCol, vecCol, "codesWithStats")
+    require(dim % m == 0, s"codesWithStats: dim $dim not divisible into $m subspaces")
+    val cbn = cb.select(col("sub"), col("cid"), col("cvec"), norm2D(col("cvec")).as("_cn2"))
+    val best = subspaces(emb, idCol, vecCol, m, dim / m)
+      .join(broadcast(cbn), "sub")
+      .select(col("sub"), col("_vid"),
+        struct(l2sq(col("subvec"), col("cvec")).as("_d"), col("cid"),
+          col("_cn2")).as("_s"))
+      .where(col("_s._d").isNotNull)
+      .groupBy(col("sub"), col("_vid"))
+      .agg(min(col("_s")).as("_b"))
+      .groupBy(col("_vid"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("sub"), col("_b.cid").as("code")))),
+          s => s.getField("code")).as("codes"),
+        sum(col("_b._d")).as("_r2"),
+        sum(col("_b._cn2")).as("_qn2"))
+      .where(size(col("codes")) === m)
+    emb
+      .select(col(idCol).cast("long").as("_vid"), sqrt(norm2(col(vecCol))).as("nrm"))
+      .join(best, "_vid")
+      .select(col("_vid").as(idCol), col("codes"), col("nrm"),
+        sqrt(col("_qn2")).as("qn"), sqrt(col("_r2")).as("r"))
+  }
+
   /** Per-id code ARRAY ordered by sub, complete rows only: a row whose
     * code count ≠ m (a codebook filtered to fewer subspaces, a vector
     * missing a subspace row) would silently shift codes onto the WRONG
@@ -1428,9 +1490,14 @@ object Similarity {
 
   /** Build the persisted IVF-PQ index at `indexPath`:
     *
-    *   postings/  (centroid_id, <id>, codes ARRAY<BIGINT>)  — coarse
-    *              bucket + PQ codes per vector, range-clustered on
-    *              centroid_id ([[ivfBuild]]'s footer-pruning layout);
+    *   postings/  (centroid_id, <id>, codes ARRAY<BIGINT>,
+    *              nrm, qn, r)  — coarse bucket + PQ codes per vector,
+    *              range-clustered on centroid_id ([[ivfBuild]]'s
+    *              footer-pruning layout), plus the three
+    *              [[codesWithStats]] scalars (exact norm,
+    *              reconstruction norm, quantization residual) that let
+    *              [[semDedupCandidates]] run the pairwise scan without
+    *              touching the lake;
     *   centroids/ the coarse quantizer ([[ivfBuild]]'s table);
     *   codebook/  the PQ codebook ([[pqBuild]] output, m·k rows).
     *
@@ -1467,11 +1534,11 @@ object Similarity {
     val nFiles =
       if (files > 0) files else math.max(1, spark.sparkContext.defaultParallelism)
     val cb = pqBuild(trainOn.getOrElse(emb), idCol, vecCol, m, k, iters)
-    val codeArr = codeArrays(pqCodes(emb, idCol, vecCol, cb, m), idCol, m)
-      .withColumnRenamed("_codes", "codes")
+    val codeArr = codesWithStats(emb, idCol, vecCol, cb, m)
     val postings = ivfAssign(emb, idCol, vecCol, centroids, centIdCol, centVecCol)
       .join(codeArr, idCol)
-      .select(col("centroid_id").cast("long").as("centroid_id"), col(idCol), col("codes"))
+      .select(col("centroid_id").cast("long").as("centroid_id"), col(idCol),
+        col("codes"), col("nrm"), col("qn"), col("r"))
     Incremental.recoverAll(spark, indexPath)
     val staging = indexPath + "_staging"
     val fs = new org.apache.hadoop.fs.Path(staging)
@@ -1524,11 +1591,11 @@ object Similarity {
       .select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val codeArr = codeArrays(pqCodes(batch, idCol, vecCol, cb, m), idCol, m)
-        .withColumnRenamed("_codes", "codes")
+      val codeArr = codesWithStats(batch, idCol, vecCol, cb, m)
       val postings = ivfAssign(batch, idCol, vecCol, cents, "centroid_id", "centroid")
         .join(codeArr, idCol)
-        .select(col("centroid_id").cast("long").as("centroid_id"), col(idCol), col("codes"))
+        .select(col("centroid_id").cast("long").as("centroid_id"), col(idCol),
+          col("codes"), col("nrm"), col("qn"), col("r"))
       FileMerge.appendStaged(
         spark, postings, postingsPath(indexPath), "centroid_id", files, commitId)
     } finally batch.unpersist(blocking = false)
@@ -1643,6 +1710,200 @@ object Similarity {
       .where(col("cos_sim").isNotNull)
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(topK)
+  }
+
+  /** SemDeDup candidate pairs from the PERSISTED IVF-PQ index ALONE —
+    * the quadratic phase of [[semDedupIndexed]], reading postings +
+    * codebook and NOTHING else (assert it with `inputFiles`, the q76
+    * pattern): at 10⁹ vectors the within-cluster pair scan must ride
+    * codes, not floats — [[semDedup]]'s raw-vector self-join carries
+    * 2·dim floats per candidate where this carries m codes + three
+    * scalars.
+    *
+    * Soundness (why the exact keep set survives the approximation):
+    * with q(v) the PQ reconstruction, a = q(a) + e_a, ‖e_a‖ = r_a, and
+    * Cauchy–Schwarz on every cross term,
+    *
+    *   dot(a,b) ≤ dot(q(a),q(b)) + ‖q(a)‖·r_b + r_a·‖q(b)‖ + r_a·r_b
+    *
+    * so `ub = (qdot + qn_a·r_b + r_a·qn_b + r_a·r_b) / (nrm_a·nrm_b)`
+    * is a TRUE upper bound on cos(a,b): a pair whose ub falls below
+    * the threshold (minus `boundSlack`, which absorbs the ~1e-15
+    * floating noise of evaluating the bound itself) can be discarded
+    * without ever reading its vectors. qdot comes from the SDC table —
+    * per-subspace centroid-pair dot products, m·k² values computed
+    * once from the codebook and baked into map literals (the
+    * [[adcLookupSum]] move, symmetric variant), m O(1) lookups per
+    * candidate.
+    *
+    * The self-join reuses [[blockedNearDupPairs]]' sub-block grid so a
+    * hot cluster's pair work spreads across `subBlocks`² reducers.
+    * Returns `(id_a, id_b)` with id_a < id_b — the boundary pairs only
+    * an exact rescore can decide.
+    */
+  def semDedupCandidates(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      threshold: Double,
+      boundSlack: Double = 1e-9,
+      subBlocks: Int = 8
+  ): DataFrame = {
+    require(threshold > 0.0,
+      s"semDedupCandidates: threshold must be positive (the ub prune " +
+        s"keeps every pair otherwise), got $threshold")
+    require(subBlocks >= 1, "semDedupCandidates: subBlocks must be >= 1")
+    Incremental.recoverAll(spark, indexPath)
+    Incremental.recoverAll(spark, postingsPath(indexPath))
+    Incremental.recoverAll(spark, codebookPath(indexPath))
+    val cb = spark.read.parquet(codebookPath(indexPath)).localCheckpoint()
+    val m = cb.agg(max(col("sub"))).head().getInt(0) + 1
+    val kMax = cb.agg(max(col("cid"))).head().getLong(0) + 1
+    require(m.toLong * kMax * kMax <= 262144L,
+      s"semDedupCandidates: SDC table m*k^2 = ${m.toLong * kMax * kMax} exceeds the " +
+        "map-literal budget (262144) — this face covers the practical PQ regimes " +
+        "(k <= 256 with m <= 4, k <= 64 at any m); larger codebooks need a " +
+        "broadcast-join SDC variant")
+    // the symmetric distance table: dot(c_{s,x}, c_{s,y}) for every
+    // centroid pair per subspace — metadata-scale, collected once
+    val sdc = cb.select(col("sub"), col("cid").as("_ca"), col("cvec").as("_va"))
+      .join(cb.select(col("sub"), col("cid").as("_cb"), col("cvec").as("_vb")), "sub")
+      .select(col("sub"), col("_ca"), col("_cb"), dotD(col("_va"), col("_vb")).as("_d"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    def qdot(ca: Column, cbc: Column): Column =
+      (0 until m).map { s =>
+        val sub = sdc.collect { case ((`s`, x, y), d) => (x * kMax + y) -> d }
+        if (sub.isEmpty) lit(null).cast("double")
+        else element_at(typedLit(sub), ca.getItem(s) * kMax + cbc.getItem(s))
+      }.reduce(_ + _)
+    val post = spark.read.parquet(postingsPath(indexPath))
+      .where(size(col("codes")) === m && col("nrm") > 0)
+      .select(col(idCol).as("id"), col("centroid_id").as("blk"),
+        col("codes"), col("nrm"), col("qn"), col("r"),
+        pmod(xxhash64(col(idCol)), lit(subBlocks)).cast("int").as("_sb"))
+    val a = post.withColumn("_v", explode(sequence(col("_sb"), lit(subBlocks - 1)))).as("a")
+    val b = post.withColumn("_u", explode(sequence(lit(0), col("_sb")))).as("b")
+    a.join(b,
+        col("a.blk") === col("b.blk") &&
+          col("a._sb") === col("b._u") && col("a._v") === col("b._sb") &&
+          (col("a._sb") < col("b._sb") || col("a.id") < col("b.id")))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        ((qdot(col("a.codes"), col("b.codes")) +
+          col("a.qn") * col("b.r") + col("a.r") * col("b.qn") +
+          col("a.r") * col("b.r")) /
+          (col("a.nrm") * col("b.nrm"))).as("_ub"))
+      .where(col("_ub") + boundSlack >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** [[semDedup]] riding the persisted IVF-PQ index — the 10⁹-vector
+    * shape of semantic dedup: [[semDedupCandidates]] prunes the
+    * quadratic within-cluster pair space from codes alone, and ONLY
+    * the surviving boundary pairs pay an exact cosine against `emb`
+    * (the source-of-truth lake). The keep set is IDENTICAL to
+    * [[semDedup]] run with the index's centroids and this threshold:
+    * the candidate bound is sound (see [[semDedupCandidates]]), and
+    * the rescore reproduces [[blockedNearDupPairs]]' float arithmetic
+    * term for term (same dot fold, same √norm2 factors, same
+    * unrounded-threshold compare — and cos is orientation-independent
+    * because IEEE multiplication commutes exactly).
+    *
+    * Output: `(idCol, centroid_id, kept)` over the CODED corpus — the
+    * postings' row set, which is the lake minus rows that cannot be
+    * coded (null/wrong-length vectors; [[semDedup]] would carry those
+    * as trivially-kept rows).
+    */
+  def semDedupIndexed(
+      spark: SparkSession,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      threshold: Double,
+      boundSlack: Double = 1e-9,
+      subBlocks: Int = 8
+  ): DataFrame = {
+    val cand = semDedupCandidates(
+      spark, indexPath, idCol, threshold, boundSlack, subBlocks)
+    val vecs = emb.select(
+      col(idCol), col(vecCol).as("_v"), sqrt(norm2(col(vecCol))).as("_n"))
+    val dropped = cand
+      .join(vecs.select(col(idCol).as("id_a"), col("_v").as("_va"), col("_n").as("_na")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col("_v").as("_vb"), col("_n").as("_nb")), "id_b")
+      .select(col("id_b"),
+        when(col("_na") * col("_nb") === 0, lit(null).cast("double"))
+          .otherwise(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+          .as("_cs"))
+      .where(col("_cs") >= threshold)
+      .select(col("id_b").as("_dropId"))
+      .distinct()
+    spark.read.parquet(postingsPath(indexPath))
+      .select(col(idCol), col("centroid_id"))
+      .join(dropped, col(idCol) === col("_dropId"), "left")
+      .select(
+        col(idCol),
+        col("centroid_id").cast("long").as("centroid_id"),
+        col("_dropId").isNull.as("kept"))
+      .orderBy(idCol)
+  }
+
+  /** Measured REBUILD TRIGGER for the IVF-PQ maintenance lifecycle:
+    * "rebuild when drift accumulates" becomes one bounded aggregation.
+    * The batch is coded under the STORED codebook ([[codesWithStats]],
+    * exactly what [[ivfPqAppend]] would persist) and its quantization
+    * residuals are compared against the index's existing postings
+    * (where r and nrm are already stored): a batch drawn from the
+    * distribution the codebook trained on lands near drift_ratio 1.0;
+    * a drifted batch's residuals grow and the ratio crosses the
+    * caller's rebuild threshold.
+    *
+    * Two complementary statistics, because each has a blind spot:
+    * drift_ratio compares mean RAW residuals (‖v − q(v)‖ — catches
+    * scale drift and gross distribution shifts; a relative metric
+    * saturates near 1 for far-out vectors and would miss them), while
+    * frac_above counts batch vectors whose RELATIVE error r/‖v‖
+    * exceeds `relErrBound` (scale-free — catches directional drift on
+    * same-norm corpora that raw means understate).
+    *
+    * Returns ONE row:
+    *   (n_batch, batch_mean_err, index_mean_err,
+    *    drift_ratio = batch/index raw-residual means,
+    *    frac_above = fraction of batch vectors with r/‖v‖ > bound).
+    *
+    * Zero-norm vectors are excluded from both sides (no relative error
+    * exists). Everything is metadata-scale except the two linear
+    * aggregations — no pair work, no collect beyond the 1-row result.
+    */
+  def ivfPqDriftReport(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      relErrBound: Double = 0.5
+  ): DataFrame = {
+    Incremental.recoverAll(spark, indexPath)
+    Incremental.recoverAll(spark, postingsPath(indexPath))
+    Incremental.recoverAll(spark, codebookPath(indexPath))
+    val cb = spark.read.parquet(codebookPath(indexPath)).localCheckpoint()
+    val m = cb.agg(max(col("sub"))).head().getInt(0) + 1
+    val batchStats = codesWithStats(
+      batch.select(col(idCol), col(vecCol)), idCol, vecCol, cb, m)
+      .where(col("nrm") > 0)
+      .agg(count(lit(1)).as("n_batch"), avg(col("r")).as("batch_mean_err"),
+        avg(when(col("r") / col("nrm") > relErrBound, 1.0).otherwise(0.0))
+          .as("frac_above"))
+    val indexStats = spark.read.parquet(postingsPath(indexPath))
+      .where(col("nrm") > 0)
+      .agg(avg(col("r")).as("index_mean_err"))
+    batchStats.crossJoin(indexStats)
+      .select(col("n_batch"), col("batch_mean_err"), col("index_mean_err"),
+        (col("batch_mean_err") / col("index_mean_err")).as("drift_ratio"),
+        col("frac_above"))
   }
 
   /** Deterministic dim inference for the PQ faces: the vector length of

@@ -1735,6 +1735,24 @@ object PipelineQueries {
       graft.operators.Graph.kCoreMembers(clique.unionByName(chain), k = 3)
         .select(col("node").as("doc_id"), col("deg_in_core"))
         .orderBy("doc_id")
+    },
+    // q158: SemDeDup riding the persisted IVF-PQ index — the
+    // 10⁹-vector composition (q89 × q152): the quadratic within-cluster
+    // pair scan runs over CODES + three stored scalars (never the
+    // lake), a Cauchy–Schwarz upper bound decides non-dups outright,
+    // and only boundary pairs pay an exact cosine against the lake.
+    // The keep set is exactly q89's, so q89's oracle gates it verbatim
+    // — the index must be built with q89's centroids (vec_id < 16) for
+    // the within-cluster pair spaces to coincide.
+    "q158_semdedup_indexed" -> { (s, dir) =>
+      val tmp = freshScratch(s, dir, "q158", Seq("_staging"))
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqBuild(
+        s, emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 16), "vec_id", "embedding",
+        m = 4, k = 8, indexPath = tmp, files = 8)
+      Similarity.semDedupIndexed(
+        s, emb, "vec_id", "embedding", tmp, threshold = 0.45)
     }
   )
 
@@ -2566,35 +2584,7 @@ object PipelineQueries {
     // doubles, and the corpus's nearest pair is 1.6e-3 off 0.45); a
     // vector is kept iff it never appears as the HIGHER id of a
     // within-cluster pair at or above threshold.
-    "q89_semdedup" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
-        |sim AS (SELECT e.vec_id, c.cid,
-        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-        |   FROM (SELECT unnest(e.embedding) AS x, unnest(c.cvec) AS y) z) AS dot,
-        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-        |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
-        |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
-        |   FROM (SELECT unnest(c.cvec) AS y) z) AS n2b
-        | FROM embeddings e, c),
-        |cs AS (SELECT vec_id, cid, dot / (sqrt(n2a) * sqrt(n2b)) AS cs
-        |       FROM sim WHERE n2a > 0 AND n2b > 0),
-        |asg AS (SELECT vec_id, cid FROM (
-        |         SELECT vec_id, cid,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-        |         FROM cs) WHERE rn = 1),
-        |v AS (SELECT e.vec_id, a.cid, e.embedding,
-        |        sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-        |              FROM (SELECT unnest(e.embedding) AS x) z)) AS nrm
-        |      FROM embeddings e JOIN asg a USING (vec_id)),
-        |p AS (SELECT b.vec_id AS id_b
-        |      FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id
-        |      WHERE a.nrm * b.nrm > 0
-        |        AND (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-        |             FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z)
-        |            / (a.nrm * b.nrm) >= 0.45)
-        |SELECT v.vec_id, CAST(v.cid AS BIGINT) AS centroid_id,
-        |       (v.vec_id NOT IN (SELECT id_b FROM p)) AS kept
-        |FROM v ORDER BY v.vec_id""".stripMargin,
+    "q89_semdedup" -> SemDedupOracleSql,
     // q90: the same md5(seed|id) key order, ranked by a plain window —
     // the oracle NEEDS no distributed-rank decomposition, only the order.
     "q90_training_shuffle" ->
@@ -3490,7 +3480,10 @@ object PipelineQueries {
     // q157: the peel unrolled 8 rounds over the identical clique-chain
     // CTEs — rounds past the fixpoint are no-ops, so the bounded
     // unroll equals the fixpoint the Spark loop converges to
-    "q157_kcore" -> KCoreSql
+    "q157_kcore" -> KCoreSql,
+    // q158: the indexed semantic dedup must return q89's exact keep
+    // set — one oracle gates both (the q152/q155 discipline)
+    "q158_semdedup_indexed" -> SemDedupOracleSql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -3684,6 +3677,41 @@ object PipelineQueries {
        |  $sel
        |) ORDER BY p_partkey, walk, step""".stripMargin
   }
+
+  /** q89's oracle — ALSO gates q158 (the IVF-PQ-indexed semantic
+    * dedup): the indexed path must produce the IDENTICAL keep set, so
+    * one SQL text gates both and any divergence is the index
+    * composition's fault by construction (the q152/q155 discipline).
+    */
+  private lazy val SemDedupOracleSql: String =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |sim AS (SELECT e.vec_id, c.cid,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x, unnest(c.cvec) AS y) z) AS dot,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
+        |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(c.cvec) AS y) z) AS n2b
+        | FROM embeddings e, c),
+        |cs AS (SELECT vec_id, cid, dot / (sqrt(n2a) * sqrt(n2b)) AS cs
+        |       FROM sim WHERE n2a > 0 AND n2b > 0),
+        |asg AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |         FROM cs) WHERE rn = 1),
+        |v AS (SELECT e.vec_id, a.cid, e.embedding,
+        |        sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |              FROM (SELECT unnest(e.embedding) AS x) z)) AS nrm
+        |      FROM embeddings e JOIN asg a USING (vec_id)),
+        |p AS (SELECT b.vec_id AS id_b
+        |      FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |      WHERE a.nrm * b.nrm > 0
+        |        AND (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |             FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z)
+        |            / (a.nrm * b.nrm) >= 0.45)
+        |SELECT v.vec_id, CAST(v.cid AS BIGINT) AS centroid_id,
+        |       (v.vec_id NOT IN (SELECT id_b FROM p)) AS kept
+        |FROM v ORDER BY v.vec_id""".stripMargin
 
   /** The q157 peel unrolled: the clique-chain graph rebuilt from the
     * identical md5 clique-size draw, then 8 rounds of "drop endpoints

@@ -567,9 +567,12 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       assert(!r.known || probed.exists(c => c >= r.lo && c <= r.hi),
         s"file $f (range ${r.lo}..${r.hi}) scanned but no probed bucket intersects")
     }
-    // the postings carry codes ONLY — the index never stores a vector
+    // the postings carry codes plus three per-vector SCALARS (exact
+    // norm, reconstruction norm, quantization residual — what the
+    // indexed semantic dedup's pairwise bound needs) — the index never
+    // stores a vector
     val postCols = spark.read.parquet(s"$idx/postings").columns.toSet
-    assert(postCols == Set("centroid_id", "vec_id", "codes"))
+    assert(postCols == Set("centroid_id", "vec_id", "codes", "nrm", "qn", "r"))
   }
 
   test("ivfPq: a build that crashed mid-swap of the whole index heals before the probe") {
@@ -639,5 +642,119 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       rerank = emb, rerankVecCol = "embedding")
     assert(empty.columns.toSeq == Seq("vec_id", "adc", "cos_sim"))
     assert(empty.count() == 0L)
+  }
+
+  test("semDedupIndexed: identical keep set to semDedup at several thresholds") {
+    val idx = buildIvfPq("semidx", files = 4)
+    for (th <- Seq(0.3, 0.45, 0.7)) {
+      val direct = Similarity.semDedup(
+        emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 16), "vec_id", "embedding", threshold = th)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      val indexed = Similarity.semDedupIndexed(
+        spark, emb, "vec_id", "embedding", idx, threshold = th)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      assert(indexed == direct, s"threshold $th: indexed dedup diverged")
+      // non-degenerate at the q89 threshold: both kept and dropped exist
+      if (th == 0.45) {
+        assert(direct.exists(_._3) && direct.exists(!_._3))
+      }
+    }
+  }
+
+  test("semDedupIndexed: candidate scan reads ONLY index files (no lake)") {
+    val idx = buildIvfPq("semfiles", files = 4)
+    val cand = Similarity.semDedupCandidates(
+      spark, idx, "vec_id", threshold = 0.45)
+    val files = cand.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("/postings/") || f.contains("/codebook/")),
+      s"candidate scan read outside the index: ${files.filterNot(f =>
+        f.contains("/postings/") || f.contains("/codebook/")).mkString(", ")}")
+    // on THIS fixture (random unit-ish vectors, k = 8 on 16-dim
+    // subspaces) the quantization residuals dominate the bound
+    // (r ≈ 0.93), so ub > 1 for every pair and nothing prunes —
+    // honest PQ behavior, and exactly why the keep set stays exact:
+    // everything gets rescored. The pruning power is asserted below on
+    // an exactly-quantizable corpus.
+    assert(cand.count() ==
+      spark.read.parquet(s"$idx/postings")
+        .groupBy("centroid_id").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
+        .head().getLong(0))
+  }
+
+  test("semDedupCandidates: tight codebook prunes the pair space to the true dups") {
+    // four orthogonal one-hot patterns per 16-dim subspace, rotated by
+    // id: vectors with id ≡ id' (mod 4) agree on EVERY subspace
+    // (cos = 1), all others on NONE (cos = 0). k = 8 Lloyd recovers the
+    // four patterns exactly (means of identical subvectors), so r = 0
+    // and the Cauchy–Schwarz bound collapses to the true cosine — the
+    // candidate set must be exactly the cos-1 pairs, a massive prune.
+    val dim = 64
+    val synth = (0L until 64L).map { id =>
+      val v = Array.fill(dim)(0f)
+      (0 until 4).foreach(s => v(s * 16 + ((id + s) % 4).toInt) = 1f)
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    val idx = scratch("semtight")
+    // only TWO coarse centroids: classes 0 and 1 get their own cluster,
+    // classes 2 and 3 are equidistant (cos 0) from both and tie-break
+    // into cluster 0 — so cluster 0 holds three classes and its pair
+    // space is mostly cos-0 pairs the bound must prune
+    Similarity.ivfPqBuild(
+      spark, synth, "vec_id", "embedding",
+      synth.where(col("vec_id") < 2), "vec_id", "embedding",
+      m = 4, k = 8, indexPath = idx, files = 2, iters = 4)
+    // residuals must be zero: the codebook represents the corpus exactly
+    val maxR = spark.read.parquet(s"$idx/postings").agg(max(col("r"))).head().getDouble(0)
+    assert(maxR < 1e-6, s"expected exact quantization, max residual $maxR")
+    val cand = Similarity.semDedupCandidates(spark, idx, "vec_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val within = spark.read.parquet(s"$idx/postings")
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (a, ca) <- within; (b, cb) <- within
+      if a < b && ca == cb && (a % 4) == (b % 4) // same cluster AND cos = 1
+    } yield (a, b)).toSet
+    val allWithin = (for {
+      (a, ca) <- within; (b, cb) <- within if a < b && ca == cb
+    } yield (a, b)).toSet
+    assert(cand == expected, "tight-codebook candidates must be exactly the cos-1 pairs")
+    assert(cand.size < allWithin.size,
+      s"the prune removed nothing (${cand.size} of ${allWithin.size})")
+    // and the end-to-end keep set still matches the raw-vector dedup
+    val direct = Similarity.semDedup(
+      synth, "vec_id", "embedding",
+      synth.where(col("vec_id") < 2), "vec_id", "embedding", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val indexed = Similarity.semDedupIndexed(
+      spark, synth, "vec_id", "embedding", idx, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(indexed == direct)
+  }
+
+  test("ivfPqDriftReport: in-distribution batch ~1.0, drifted batch crosses") {
+    val idx = buildIvfPq("drift", files = 4)
+    // in-distribution: a slice of the corpus the codebook trained on
+    val same = Similarity.ivfPqDriftReport(
+      spark, emb.where(col("vec_id") % 7 === 0), "vec_id", "embedding", idx)
+      .head()
+    val sameRatio = same.getDouble(3)
+    assert(sameRatio > 0.5 && sameRatio < 1.5,
+      s"in-distribution drift ratio should sit near 1.0, got $sameRatio")
+    // drifted: vectors far outside the trained distribution (the corpus
+    // is unit-ish floats; scale and shift break every subspace centroid)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val drifted = spark.range(100000, 100040)
+      .select(col("id").as("vec_id"),
+        expr(s"transform(sequence(1, $dim), i -> CAST(10.0 + pmod(id * i, 17) AS FLOAT))")
+          .as("embedding"))
+    val far = Similarity.ivfPqDriftReport(
+      spark, drifted, "vec_id", "embedding", idx).head()
+    assert(far.getLong(0) == 40L)
+    assert(far.getDouble(3) > sameRatio * 2,
+      s"drifted batch ratio ${far.getDouble(3)} did not cross (baseline $sameRatio)")
   }
 }
