@@ -116,6 +116,37 @@ object PipelineQueries {
       })
   }
 
+  /** The q157/q159 graph fixture: groups of 6 consecutive doc_ids host
+    * an md5-sized clique (3–6 members), chained tail-to-head — the
+    * deterministic construction whose peel rounds stay O(1) at any
+    * corpus size and whose cores span the full 1–5 spectrum (the
+    * co-purchase graph is quasi-random with a sharp all-or-nothing
+    * core threshold, measured in r15 — peeling it at any interesting k
+    * empties or keeps everything). ONE builder shared by both query
+    * faces so the edge definition cannot drift between them; the
+    * oracles share [[KCoreGraphCte]], the same text in SQL.
+    */
+  private def kcoreFixtureEdges(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .where(col("doc_id").isNotNull).distinct()
+    val mem = ids
+      .select(col("doc_id"), expr("doc_id div 6").as("_g"),
+        (col("doc_id") % 6).as("_j"))
+      .withColumn("_s",
+        lit(3L) + Text.md5PrefixLong(
+          concat(lit("kc:"), col("_g").cast("string")), 13) % 4)
+      .where(col("_j") < col("_s"))
+    val clique = mem.select(col("_g"), col("doc_id").as("src"))
+      .join(mem.select(col("_g"), col("doc_id").as("dst")), "_g")
+      .where(col("src") < col("dst"))
+      .select("src", "dst")
+    val chain = mem.where(col("_j") === col("_s") - 1)
+      .select(col("doc_id").as("src"), ((col("_g") + 1) * 6).as("dst"))
+      .join(ids.select(col("doc_id").as("dst")), "dst")
+      .select("src", "dst")
+    clique.unionByName(chain)
+  }
+
   private def nearDupLabels(s: SparkSession, dir: String): DataFrame = {
     // evict entries of stopped sessions: their checkpoint blocks are gone
     // and the dead SparkSession reference would otherwise pin them (and
@@ -1715,25 +1746,21 @@ object PipelineQueries {
     // the fixpoint are no-ops (the peel is idempotent there), so the
     // bounded unroll IS the fixpoint the Spark side converges to.
     "q157_kcore" -> { (s, dir) =>
-      val ids = t(s, dir, "documents").select(col("doc_id"))
-        .where(col("doc_id").isNotNull).distinct()
-      val mem = ids
-        .select(col("doc_id"), expr("doc_id div 6").as("_g"),
-          (col("doc_id") % 6).as("_j"))
-        .withColumn("_s",
-          lit(3L) + Text.md5PrefixLong(
-            concat(lit("kc:"), col("_g").cast("string")), 13) % 4)
-        .where(col("_j") < col("_s"))
-      val clique = mem.select(col("_g"), col("doc_id").as("src"))
-        .join(mem.select(col("_g"), col("doc_id").as("dst")), "_g")
-        .where(col("src") < col("dst"))
-        .select("src", "dst")
-      val chain = mem.where(col("_j") === col("_s") - 1)
-        .select(col("doc_id").as("src"), ((col("_g") + 1) * 6).as("dst"))
-        .join(ids.select(col("doc_id").as("dst")), "dst")
-        .select("src", "dst")
-      graft.operators.Graph.kCoreMembers(clique.unionByName(chain), k = 3)
+      graft.operators.Graph.kCoreMembers(kcoreFixtureEdges(s, dir), k = 3)
         .select(col("node").as("doc_id"), col("deg_in_core"))
+        .orderBy("doc_id")
+    },
+    // q159: the full (capped) k-core DECOMPOSITION on the same
+    // clique-chain graph — core(v) = the largest k whose peel v
+    // survives, computed over a monotonically shrinking edge set (the
+    // (k+1)-core ⊆ the k-core, so each phase peels the previous
+    // phase's survivors). The oracle chains kMax=5 unrolled peel
+    // phases (6 rounds each, fixpoint measured at ≤ 4) and takes each
+    // vertex's max surviving k; the fixture's md5-sized cliques give
+    // the full 1–5 core spectrum at every sf.
+    "q159_core_numbers" -> { (s, dir) =>
+      graft.operators.Graph.coreNumbers(kcoreFixtureEdges(s, dir), kMax = 5)
+        .select(col("node").as("doc_id"), col("core"))
         .orderBy("doc_id")
     },
     // q158: SemDeDup riding the persisted IVF-PQ index — the
@@ -3483,7 +3510,10 @@ object PipelineQueries {
     "q157_kcore" -> KCoreSql,
     // q158: the indexed semantic dedup must return q89's exact keep
     // set — one oracle gates both (the q152/q155 discipline)
-    "q158_semdedup_indexed" -> SemDedupOracleSql
+    "q158_semdedup_indexed" -> SemDedupOracleSql,
+    // q159: kMax chained peel phases, each vertex's max surviving k —
+    // see CoreNumbersSql
+    "q159_core_numbers" -> CoreNumbersSql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -3713,47 +3743,85 @@ object PipelineQueries {
         |       (v.vec_id NOT IN (SELECT id_b FROM p)) AS kept
         |FROM v ORDER BY v.vec_id""".stripMargin
 
-  /** The q157 peel unrolled: the clique-chain graph rebuilt from the
-    * identical md5 clique-size draw, then 8 rounds of "drop endpoints
-    * with degree < k, keep edges between survivors" — generated by the
-    * same loop shape the Spark side runs. The peel is idempotent at
-    * its fixpoint, so rounds 5–8 are no-ops on this bounded-cascade
-    * construction (fixpoint measured at round ≤ 4 on every sf) and the
-    * unrolled text equals the converged answer. The round CTEs are
-    * `AS MATERIALIZED`: each round references its predecessor three
-    * times (twice in the degree union, once in the filter), so
-    * DuckDB's default CTE inlining would copy the base self-join 3⁸
+  /** The q157/q159 clique-chain graph as SQL — ONE text shared by both
+    * oracles (the CoPurchaseGraphCte discipline), ending in the
+    * canonical edge CTE `e0`.
+    */
+  private lazy val KCoreGraphCte =
+    """ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL),
+      |ms AS (SELECT doc_id, doc_id // 6 AS g, doc_id % 6 AS j FROM ids),
+      |mm AS (SELECT doc_id, g, j,
+      |         3 + (CAST('0x' || substring(md5('kc:' || CAST(g AS VARCHAR)), 1, 13) AS BIGINT) % 4) AS s
+      |       FROM ms),
+      |m AS (SELECT doc_id, g, j, s FROM mm WHERE j < s),
+      |ce AS (SELECT x.doc_id AS a, y.doc_id AS b
+      |       FROM m x JOIN m y ON x.g = y.g AND x.doc_id < y.doc_id),
+      |ch AS (SELECT m.doc_id AS a, (m.g + 1) * 6 AS b
+      |       FROM m JOIN ids i ON i.doc_id = (m.g + 1) * 6
+      |       WHERE m.j = m.s - 1),
+      |e0 AS MATERIALIZED (SELECT DISTINCT a, b
+      |       FROM (SELECT a, b FROM ce UNION ALL SELECT a, b FROM ch))""".stripMargin
+
+  /** One unrolled peel phase at degree `k`: `rounds` rounds of "drop
+    * endpoints with degree < k, keep edges between survivors" from
+    * input CTE `$p e0` to output `$p e$rounds` (all names prefixed by
+    * `p`, so phases compose for the decomposition oracle). The round
+    * CTEs are `AS MATERIALIZED`: each round references its predecessor
+    * three times (twice in the degree union, once in the filter), so
+    * DuckDB's default CTE inlining would copy the base self-join 3^r
     * times — materialization makes the unroll linear (measured 0.05 s
     * vs not terminating in minutes).
     */
+  private def kcorePeelCtes(p: String, k: Int, rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""${p}d$r AS MATERIALIZED (SELECT x AS v, CAST(count(*) AS BIGINT) AS d FROM
+         |  (SELECT a AS x FROM ${p}e${r - 1} UNION ALL SELECT b AS x FROM ${p}e${r - 1})
+         |  GROUP BY 1),
+         |${p}e$r AS MATERIALIZED (SELECT a, b FROM ${p}e${r - 1}
+         |        WHERE a IN (SELECT v FROM ${p}d$r WHERE d >= $k)
+         |          AND b IN (SELECT v FROM ${p}d$r WHERE d >= $k))""".stripMargin
+    }.mkString(",\n")
+
+  /** The q157 peel unrolled: the clique-chain graph rebuilt from the
+    * identical md5 clique-size draw, then 8 rounds of the k = 3 peel —
+    * generated by the same loop shape the Spark side runs. The peel is
+    * idempotent at its fixpoint, so rounds 5–8 are no-ops on this
+    * bounded-cascade construction (fixpoint measured at round ≤ 4 on
+    * every sf) and the unrolled text equals the converged answer.
+    */
   private lazy val KCoreSql = {
     val (k, rounds) = (3, 8)
-    val peels = (1 to rounds).map { r =>
-      s"""d$r AS MATERIALIZED (SELECT x AS v, CAST(count(*) AS BIGINT) AS d FROM
-         |  (SELECT a AS x FROM e${r - 1} UNION ALL SELECT b AS x FROM e${r - 1})
-         |  GROUP BY 1),
-         |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
-         |        WHERE a IN (SELECT v FROM d$r WHERE d >= $k)
-         |          AND b IN (SELECT v FROM d$r WHERE d >= $k))""".stripMargin
-    }.mkString(",\n")
-    s"""WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL),
-       |ms AS (SELECT doc_id, doc_id // 6 AS g, doc_id % 6 AS j FROM ids),
-       |mm AS (SELECT doc_id, g, j,
-       |         3 + (CAST('0x' || substring(md5('kc:' || CAST(g AS VARCHAR)), 1, 13) AS BIGINT) % 4) AS s
-       |       FROM ms),
-       |m AS (SELECT doc_id, g, j, s FROM mm WHERE j < s),
-       |ce AS (SELECT x.doc_id AS a, y.doc_id AS b
-       |       FROM m x JOIN m y ON x.g = y.g AND x.doc_id < y.doc_id),
-       |ch AS (SELECT m.doc_id AS a, (m.g + 1) * 6 AS b
-       |       FROM m JOIN ids i ON i.doc_id = (m.g + 1) * 6
-       |       WHERE m.j = m.s - 1),
-       |e0 AS MATERIALIZED (SELECT DISTINCT a, b
-       |       FROM (SELECT a, b FROM ce UNION ALL SELECT a, b FROM ch)),
-       |$peels,
+    s"""WITH $KCoreGraphCte,
+       |${kcorePeelCtes("", k, rounds)},
        |fd AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS d FROM
        |  (SELECT a AS x FROM e$rounds UNION ALL SELECT b AS x FROM e$rounds)
        |  GROUP BY 1)
        |SELECT v AS doc_id, d AS deg_in_core FROM fd ORDER BY doc_id""".stripMargin
+  }
+
+  /** The q159 decomposition unrolled: kMax = 5 peel phases chained
+    * over a monotonically shrinking edge set (phase k starts from
+    * phase k−1's fixpoint — the (k+1)-core is a subgraph of the
+    * k-core, exactly the Spark loop's shape), 6 rounds each (fixpoint
+    * measured at ≤ 4), then each vertex's core = the max k whose
+    * phase it survived.
+    */
+  private lazy val CoreNumbersSql = {
+    val (kMax, rounds) = (5, 6)
+    val phases = (1 to kMax).map { k =>
+      val prev = if (k == 1) "e0" else s"p${k - 1}e$rounds"
+      s"""p${k}e0 AS MATERIALIZED (SELECT a, b FROM $prev),
+         |${kcorePeelCtes(s"p$k", k, rounds)}""".stripMargin
+    }.mkString(",\n")
+    val surv = (1 to kMax).map { k =>
+      s"""SELECT x AS v, $k AS k FROM
+         |  (SELECT a AS x FROM p${k}e$rounds UNION ALL SELECT b AS x FROM p${k}e$rounds)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $KCoreGraphCte,
+       |$phases
+       |SELECT v AS doc_id, CAST(max(k) AS BIGINT) AS core FROM (
+       |  $surv
+       |) GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
   /** Shared by q146 (from-scratch Bloom build), q151 (the filter
