@@ -607,4 +607,85 @@ object Graph {
     release(handles.toSeq)
     result
   }
+
+  /** SYNCHRONOUS label propagation (Raghavan et al. 2007's LPA,
+    * re-derived deterministic): every vertex starts labeled with its
+    * own id; each round, every vertex simultaneously adopts the most
+    * frequent label among its neighbors, ties broken by the SMALLEST
+    * label — the async/random-order update of the original paper is
+    * replaced by the synchronous minimum-tie rule so the result is a
+    * pure function of (edge set, rounds), replayable by an unrolled
+    * SQL oracle (the [[pageRankExact]] discipline). Communities =
+    * label-sharing vertex sets after `rounds` rounds; on
+    * boilerplate/spam co-occurrence graphs this is the cheap
+    * modularity-ish signal a curation mix buckets by, without
+    * PageRank's per-vertex float mass or CC's everything-connected
+    * blindness (LPA respects DENSITY, not mere reachability: a clique
+    * keeps its label against a weak chain edge that would CC-merge it).
+    *
+    * Determinism: the whole recurrence is exact-integer — neighbor
+    * label counts are BIGINTs, the argmax is the lexicographic
+    * (count DESC, label ASC) minimum, no floats anywhere, so any
+    * engine replaying the same rounds gets bit-identical labels
+    * (synchronous LPA can 2-cycle on bipartite-ish structure, which is
+    * why `rounds` is a FIXED count rather than a convergence test —
+    * the oracle's unroll and the Spark loop agree at every t by
+    * construction).
+    *
+    * Scale shape: edges are symmetrized + canonicalized ONCE and
+    * pinned ([[Checkpoints]]); each round is one equi-join of the edge
+    * list against the |V|-row label table (broadcast under
+    * `maxBroadcastVertices`, the measured [[pageRankExact]] bound —
+    * checkpointed frames lose size stats, so AQE would sort-merge
+    * otherwise) followed by two partial-aggregable groupBys — per
+    * round cost is one edge-scale shuffle at worst, vertex-scale when
+    * the label side broadcasts. Superseded label rounds are released;
+    * live storage is one |V| table + the pinned edge list.
+    *
+    * Returns `(node, label)` over the edge-incident vertex universe
+    * (an isolated vertex has no neighbors to vote, hence no row —
+    * callers wanting them keep-own can left-join the universe).
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      rounds: Int,
+      maxBroadcastVertices: Long = 2000000L
+  ): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds must be at least 1, got $rounds")
+    import Checkpoints.{tracked => checkpointTracked, release}
+    // undirected voting view: both directions of every edge, self-loops
+    // and nulls dropped, deduped — loop-invariant, pinned once
+    val canon = edges
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .select(col("src").as("_a"), col("dst").as("_b"))
+    val (und, edgeRdds) = checkpointTracked(
+      canon.unionByName(canon.select(col("_b").as("_a"), col("_a").as("_b")))
+        .distinct())
+    val nVerts = und.select(col("_a").as("_v")).distinct().count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nVerts <= maxBroadcastVertices) broadcast(df) else df
+    var (labels, prevRdds) = checkpointTracked(
+      und.select(col("_a").as("_v")).distinct().withColumn("_lab", col("_v")))
+    for (_ <- 1 to rounds) {
+      val votes = und
+        .join(maybeBroadcast(labels), und("_a") === labels("_v"))
+        .groupBy(col("_b").as("_v2"), col("_lab"))
+        .agg(count(lit(1)).as("_c"))
+      // argmax by (count DESC, label ASC) as ONE exact-integer struct
+      // minimum — no window, partial-aggregable on both sides
+      val (next, nextRdds) = checkpointTracked(
+        votes
+          .groupBy(col("_v2").as("_v"))
+          .agg(min(struct((-col("_c")).as("nc"), col("_lab").as("lab"))).as("_m"))
+          .select(col("_v"), col("_m.lab").as("_lab")))
+      release(prevRdds)
+      prevRdds = nextRdds
+      labels = next
+    }
+    val out = labels.select(col("_v").as("node"), col("_lab").as("label"))
+    val (result, _) = checkpointTracked(out)
+    release(prevRdds)
+    release(edgeRdds)
+    result
+  }
 }

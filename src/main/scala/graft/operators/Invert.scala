@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -419,5 +419,127 @@ object Invert {
           6).as("cos_sim"))
       .where(col("cos_sim") >= minSim)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** RECIPROCAL RANK FUSION (Cormack, Clarke & Büttcher 2009) of ranked
+    * retrieval lists — the standard hybrid-search combiner: a
+    * document's fused score is `Σ_lists 1/(rrfK + rank)` over the
+    * lists it appears in, rank 1-based within each list. RRF is
+    * score-scale-free (only RANKS cross the fusion boundary), which is
+    * exactly why it is the production default for fusing BM25's
+    * unbounded term scores with cosine's [-1, 1] — no per-leg
+    * normalization to tune or drift.
+    *
+    * Determinism (the BM25 discipline applied to the fusion): the
+    * per-rank contribution is `floor(10¹² / (rrfK + rank))` as a
+    * BIGINT, so the cross-list reduction is an exact integer sum,
+    * order-free under any shuffle — a double Σ of 1/(k+r) terms would
+    * depend on addition order. The floor of the correctly-rounded
+    * double quotient equals the exact mathematical floor: the
+    * quotient's fractional part is a multiple of 1/(rrfK+rank) ≥
+    * 1/2²⁰ (bounded by the require below), while a double error at
+    * magnitude ≤ 10¹² is < 2⁻⁴² relative — the true value is never
+    * within half an ulp of an integer unless it IS one.
+    *
+    * Input: `ranked` with columns `(leg STRING, doc_id, rank BIGINT)`
+    * — each leg's rows must be its top list with ranks 1..n (build
+    * them with [[rankedLeg]]). Returns `(doc_id, n_legs, rrf_scaled)`,
+    * fused top-k by (rrf_scaled DESC, doc_id).
+    *
+    * Scale shape: each leg is already a top-k list (TakeOrdered on its
+    * own retrieval path — index seek for BM25, IVF probe for ANN), so
+    * the fusion input is legs·k rows — metadata-scale. One
+    * partial-aggregable groupBy + a TakeOrdered; never a global sort.
+    */
+  def rrfFuse(ranked: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
+    require(k > 0, s"rrfFuse: k must be positive, got $k")
+    require(rrfK >= 0, s"rrfFuse: rrfK must be non-negative, got $rrfK")
+    rrfContributions(ranked, rrfK)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_legs"),
+        sum(col("_contrib")).as("rrf_scaled"))
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  private def rrfContributions(ranked: DataFrame, rrfK: Int): DataFrame = {
+    // fractional-part gap ≥ 1/(rrfK+rank); bound both so the floor-of-
+    // double argument in the scaladoc holds with 2^22 headroom
+    val checked = ranked.withColumn(
+      "_rk",
+      when(col("rank") >= 1L && (col("rank") + rrfK) <= (1L << 20), col("rank"))
+        .otherwise(raise_error(concat(
+          lit(s"rrfFuse: rank out of [1, ${(1L << 20)} - rrfK]: "), col("rank").cast("string")))))
+    checked.withColumn(
+      "_contrib",
+      floor(lit(1.0e12) / (lit(rrfK.toDouble) + col("_rk").cast("double"))).cast("long"))
+  }
+
+  /** Tag-and-rank one retrieval leg for [[rrfFuse]]: `topList` must
+    * already be the leg's FINAL top list (ordered-and-limited), and
+    * `orderCols` must restate that total order — the rank is
+    * recomputed here as a row_number over it rather than trusted from
+    * the frame's physical order (a DataFrame does not carry order
+    * through a join). The global window is safe by construction: it
+    * runs over an already-LIMITed k-row list, never the corpus.
+    */
+  def rankedLeg(topList: DataFrame, leg: String, idCol: String, orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "rankedLeg: need at least one order column")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*)
+    topList.select(
+      lit(leg).as("leg"),
+      col(idCol).as("doc_id"),
+      row_number().over(w).cast("long").as("rank"))
+  }
+
+  /** HYBRID RETRIEVAL: BM25 over the inverted index fused with
+    * embedding-cosine retrieval by [[rrfFuse]] — the sparse leg sees
+    * exact lexical matches (rare terms, names, code), the dense leg
+    * sees semantics (paraphrase); RRF unions their evidence without
+    * comparing their incomparable scores. `kPerLeg` bounds each leg's
+    * candidate list, `k` the fused answer.
+    *
+    * Returns `(doc_id, in_sparse, in_dense, rrf_scaled)` — the flags
+    * say WHICH leg(s) proposed each survivor (the debuggability face a
+    * retrieval mix wants), fused order by (rrf_scaled DESC, doc_id).
+    *
+    * Scale shape: the BM25 leg is an index seek (term IN-list pushed
+    * down) + TakeOrdered; the dense leg here is brute-force
+    * [[Similarity.cosineTopK]] for the oracle-exact baseline — at 10⁹
+    * vectors swap in [[Similarity.ivfTopKIndexed]] for the same
+    * (doc_id, rank) contract; the fusion never sees more than
+    * 2·kPerLeg rows either way.
+    */
+  def hybridRrfTopK(
+      index: DataFrame,
+      docLens: DataFrame,
+      textQuery: Seq[String],
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      kPerLeg: Int,
+      rrfK: Int = 60
+  ): DataFrame = {
+    require(k > 0, s"hybridRrfTopK: k must be positive, got $k")
+    require(kPerLeg > 0, s"hybridRrfTopK: kPerLeg must be positive, got $kPerLeg")
+    val sparse = rankedLeg(
+      bm25TopK(index, docLens, textQuery, kPerLeg),
+      "sparse", "doc_id",
+      Seq(col("score_scaled").desc, col("doc_id")))
+    val dense = rankedLeg(
+      Similarity.cosineTopK(emb, idCol, vecCol, queryId, kPerLeg),
+      "dense", idCol,
+      Seq(col("cos_sim").desc, col(idCol)))
+    rrfContributions(sparse.unionByName(dense), rrfK)
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("leg") === "sparse", 1L).otherwise(0L)).as("in_sparse"),
+        max(when(col("leg") === "dense", 1L).otherwise(0L)).as("in_dense"),
+        sum(col("_contrib")).as("rrf_scaled"))
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+      .limit(k)
   }
 }

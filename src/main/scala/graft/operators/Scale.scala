@@ -1047,4 +1047,102 @@ object Scale {
         col("col.cnt").as("cnt"),
         col("col.err").as("err"))
   }
+
+  /** COUNT-MIN SKETCH build (Cormode & Muthukrishnan 2005, re-derived
+    * with the repo's oracle-replicable md5 hash rows): `depth`
+    * independent hash rows of `width` buckets each; every occurrence
+    * of a key increments one cell per row. Stored SPARSE as
+    * `(row_idx, bucket, cnt)` — absent cells are zero, so the sketch
+    * table is at most `depth · width` rows no matter how many
+    * occurrences it summarizes (the fixed-size-summary property that
+    * lets a 100 TB token-frequency profile live in a broadcastable
+    * table). Point estimates ([[countMinEstimate]]) carry the classic
+    * one-sided guarantee: `true ≤ est ≤ true + ε·N` with
+    * ε = e/width at failure probability e^-depth — estimates NEVER
+    * undercount, so a "frequency ≥ τ" curation filter built on the
+    * sketch has no false negatives.
+    *
+    * Determinism: row `i`'s hash is the 52-bit md5 prefix of
+    * `"<salt><i>:<key>"` mod `width` ([[graft.functions.Text.md5PrefixLong]],
+    * the KMV/Bloom idiom) — exact integers end to end, every engine
+    * replays the identical cells. Width is bounded by the same 2⁴²
+    * uniformity argument as [[graft.operators.Bloom]]: past that the
+    * mod eats too much of the 52-bit range.
+    *
+    * Scale shape: one partial-aggregable groupBy over (row, bucket) —
+    * map-side combine collapses each partition to ≤ depth·width cells
+    * before the shuffle, so the reduce stage is sketch-sized, not
+    * data-sized. Sketches over shards/days SUM cell-wise
+    * ([[countMinMerge]]): the merged sketch equals the sketch of the
+    * concatenated data exactly, the property that makes the daily
+    * rollup a metadata-scale job.
+    */
+  def countMinBuild(
+      df: DataFrame,
+      keyCol: Column,
+      depth: Int,
+      width: Long,
+      salt: String = "cm"
+  ): DataFrame = {
+    require(depth >= 1 && depth <= 16,
+      s"countMinBuild: depth must be in [1, 16], got $depth")
+    require(width >= 2 && width <= (1L << 42),
+      s"countMinBuild: width must be in [2, 2^42] (52-bit-hash uniformity bound), got $width")
+    val keyed = df.select(keyCol.cast("string").as("_k")).where(col("_k").isNotNull)
+    val cells = (0 until depth).map { i =>
+      struct(
+        lit(i).as("row_idx"),
+        (graft.functions.Text
+          .md5PrefixLong(concat(lit(s"$salt$i:"), col("_k")), 13) % width).as("bucket"))
+    }
+    keyed
+      .select(explode(array(cells: _*)).as("_c"))
+      .groupBy(col("_c.row_idx").as("row_idx"), col("_c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise SUM of two count-min sketches built with the same
+    * (depth, width, salt) — exactly the sketch of the concatenated
+    * inputs (each cell is a plain counter). Metadata-scale: the join
+    * space is ≤ depth·width cells regardless of summarized volume.
+    */
+  def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("row_idx"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates from a [[countMinBuild]] sketch: for
+    * each distinct probe key, `est = min over rows of cell(row,
+    * h_row(key))`, absent cells read as 0 (the sparse encoding). The
+    * probe keys' cells are computed with the identical salted md5
+    * rows, the sketch side is sketch-sized (broadcast-friendly), and
+    * the min is one partial-aggregable groupBy per key. Returns
+    * `(key, cm_est)`.
+    */
+  def countMinEstimate(
+      probes: DataFrame,
+      keyCol: Column,
+      sketch: DataFrame,
+      depth: Int,
+      width: Long,
+      salt: String = "cm"
+  ): DataFrame = {
+    require(depth >= 1 && depth <= 16,
+      s"countMinEstimate: depth must be in [1, 16], got $depth")
+    require(width >= 2 && width <= (1L << 42),
+      s"countMinEstimate: width must be in [2, 2^42], got $width")
+    val keyed = probes.select(keyCol.cast("string").as("key")).where(col("key").isNotNull).distinct()
+    val cells = (0 until depth).map { i =>
+      struct(
+        lit(i).as("row_idx"),
+        (graft.functions.Text
+          .md5PrefixLong(concat(lit(s"$salt$i:"), col("key")), 13) % width).as("bucket"))
+    }
+    keyed
+      .select(col("key"), explode(array(cells: _*)).as("_c"))
+      .select(col("key"), col("_c.row_idx").as("row_idx"), col("_c.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row_idx", "bucket"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
 }

@@ -1780,8 +1780,77 @@ object PipelineQueries {
         m = 4, k = 8, indexPath = tmp, files = 8)
       Similarity.semDedupIndexed(
         s, emb, "vec_id", "embedding", tmp, threshold = 0.45)
+    },
+    // q160: HYBRID RETRIEVAL — BM25 (q107's index seek, same terms)
+    // fused with brute-force cosine (q27's leg, vec_id 0 as the query
+    // embedding) by reciprocal rank fusion. Both legs and the fused
+    // floor-of-double contribution are replayed verbatim by the
+    // oracle, which COMPOSES the q107 and q27 oracle texts as CTEs —
+    // one generator each, so a leg cannot drift from its standalone
+    // query.
+    "q160_hybrid_rrf" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Invert.hybridRrfTopK(
+        graft.operators.Invert.postingLists(docs, "doc_id", "text", blockDocs = 100L),
+        graft.operators.Invert.docLengths(docs, "doc_id", "text"),
+        Seq("customer", "vector", "stream"),
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L,
+        k = RrfTopK, kPerLeg = RrfKPerLeg, rrfK = RrfK)
+    },
+    // q161: COUNT-MIN token-frequency sketch — built as the cell-wise
+    // MERGE of two half-corpus sketches (the daily-rollup shape), so
+    // the merge-equals-concat property is itself under the oracle
+    // (which builds ONE sketch over the whole corpus). Probing every
+    // vocabulary term against the exact counts puts the one-sided
+    // guarantee in the output: overcount ≥ 0 on every row, and the
+    // deliberately narrow width (31 terms into 32 buckets × 4 rows)
+    // forces real collisions so the estimate is not trivially exact.
+    "q161_count_min" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(
+        col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      val half = (r: org.apache.spark.sql.Column) =>
+        Scale.countMinBuild(toks.where(r), col("term"), CmDepth, CmWidth)
+      val sketch = Scale.countMinMerge(
+        half(col("doc_id") % 2 === 0), half(col("doc_id") % 2 =!= 0))
+      val est = Scale.countMinEstimate(toks, col("term"), sketch, CmDepth, CmWidth)
+      val tru = toks.groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+      est.join(tru, est("key") === tru("term"))
+        .select(
+          col("term"), col("true_cnt"), col("cm_est"),
+          (col("cm_est") - col("true_cnt")).as("overcount"))
+        .orderBy("term")
+    },
+    // q162: synchronous min-tie LABEL PROPAGATION on the clique-chain
+    // graph (q157's fixture — cliques are the planted communities, the
+    // chain edges the weak links LPA must NOT merge across, unlike CC).
+    // 3 fixed rounds, unrolled verbatim by the oracle.
+    "q162_label_prop" -> { (s, dir) =>
+      graft.operators.Graph.labelPropagation(kcoreFixtureEdges(s, dir), rounds = LpaRounds)
+        .select(col("node").as("doc_id"), col("label"))
+        .orderBy("doc_id")
     }
   )
+
+  /** q160's fusion knobs, shared between the query closure and the
+    * oracle generator (the TfidfMaxDf discipline — declared with the
+    * other pre-map constants so generator forcing order cannot zero
+    * them). 10¹²-scaled floor contributions: see
+    * [[graft.operators.Invert.rrfFuse]].
+    */
+  private val RrfTopK: Int = 15
+  private val RrfKPerLeg: Int = 20
+  private val RrfK: Int = 60
+
+  /** q161's sketch knobs (shared with the oracle generator). Width 32
+    * on a 31-term vocabulary is DELIBERATELY colliding — see the q161
+    * comment.
+    */
+  private val CmDepth: Int = 4
+  private val CmWidth: Long = 32L
+
+  /** q162's fixed round count (shared with the oracle's unroll). */
+  private val LpaRounds: Int = 3
 
   /** q154's filter size: deliberately past [[graft.operators.Bloom.bloomProbe]]'s
     * 2³⁰ broadcast bound so the query can only run through the sharded
@@ -1986,19 +2055,7 @@ object PipelineQueries {
     // gates it verbatim — any candidate miss is a hash mismatch by
     // construction (the q130/q108 shared-oracle pattern)
     "q148_simjoin_prefix" -> NgramJaccardGroundTruthSql,
-    "q27_knn_cosine" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |sc AS (SELECT e.vec_id,
-        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-        |   FROM (SELECT unnest(e.embedding) AS x, unnest(q.qe) AS y) z) AS dot,
-        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-        |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
-        |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
-        |   FROM (SELECT unnest(q.qe) AS y) z) AS n2b
-        | FROM embeddings e, q WHERE e.vec_id <> 0)
-        |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim
-        |FROM sc WHERE n2a > 0 AND n2b > 0
-        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q27_knn_cosine" -> knnCosineSql(20),
     // Full ANN pipeline replicated: the LCG plane coefficients are pure
     // integer arithmetic, bucket = sign bits of zip-unnest dot products
     // (the q27-proven bit-identical summation form), candidates share any
@@ -3513,7 +3570,10 @@ object PipelineQueries {
     "q158_semdedup_indexed" -> SemDedupOracleSql,
     // q159: kMax chained peel phases, each vertex's max surviving k —
     // see CoreNumbersSql
-    "q159_core_numbers" -> CoreNumbersSql
+    "q159_core_numbers" -> CoreNumbersSql,
+    "q160_hybrid_rrf" -> HybridRrfSql,
+    "q161_count_min" -> CountMinSql,
+    "q162_label_prop" -> LabelPropSql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -3824,6 +3884,95 @@ object PipelineQueries {
        |) GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** q27's oracle, parameterized so q160 can embed the identical dense
+    * leg at its own k (the bm25TopSql discipline).
+    */
+  private def knnCosineSql(k: Int): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |sc AS (SELECT e.vec_id,
+       |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |   FROM (SELECT unnest(e.embedding) AS x, unnest(q.qe) AS y) z) AS dot,
+       |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+       |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
+       |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+       |   FROM (SELECT unnest(q.qe) AS y) z) AS n2b
+       | FROM embeddings e, q WHERE e.vec_id <> 0)
+       |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim
+       |FROM sc WHERE n2a > 0 AND n2b > 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
+
+  /** q160's oracle: the q107 and q27 oracle TEXTS embedded as the two
+    * leg CTEs (one generator each — a leg cannot drift from its
+    * standalone query), ranked by row_number over each leg's total
+    * order, fused by the identical floor-of-double 10¹²-scaled
+    * contribution, summed as exact BIGINTs.
+    */
+  private lazy val HybridRrfSql = {
+    def contrib(rankCol: String) =
+      s"CAST(floor(1000000000000.0 / ($RrfK.0 + CAST($rankCol AS DOUBLE))) AS BIGINT)"
+    s"""WITH bm AS (${bm25TopSql(RrfKPerLeg)}),
+       |bmr AS (SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
+       |  FROM bm),
+       |dn AS (${knnCosineSql(RrfKPerLeg)}),
+       |dnr AS (SELECT vec_id AS doc_id,
+       |  CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM dn),
+       |u AS (SELECT doc_id, 1 AS sp, 0 AS de, ${contrib("rank")} AS c FROM bmr
+       |      UNION ALL
+       |      SELECT doc_id, 0 AS sp, 1 AS de, ${contrib("rank")} AS c FROM dnr)
+       |SELECT doc_id,
+       |  CAST(max(sp) AS BIGINT) AS in_sparse,
+       |  CAST(max(de) AS BIGINT) AS in_dense,
+       |  CAST(sum(c) AS BIGINT) AS rrf_scaled
+       |FROM u GROUP BY doc_id
+       |ORDER BY rrf_scaled DESC, doc_id LIMIT $RrfTopK""".stripMargin
+  }
+
+  /** q161's oracle: ONE count-min sketch over the whole token stream
+    * (the Spark side builds it as a two-half MERGE — cell-wise BIGINT
+    * sums are associative, so equality here proves merge = concat),
+    * the identical salted-md5 rows, probes = the vocabulary, exact
+    * counts alongside.
+    */
+  private lazy val CountMinSql = {
+    def cell(i: String, term: String) =
+      s"CAST('0x' || substring(md5('cm' || $i || ':' || $term), 1, 13) AS BIGINT) % $CmWidth"
+    s"""WITH t2 AS (SELECT $TokensSql AS toks FROM documents),
+       |tp AS (SELECT unnest(toks) AS term FROM t2),
+       |cells AS (SELECT r.i AS row_idx, ${cell("CAST(r.i AS VARCHAR)", "term")} AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tp, UNNEST(range(0, $CmDepth)) AS r(i) GROUP BY 1, 2),
+       |tru AS (SELECT term, CAST(count(*) AS BIGINT) AS true_cnt FROM tp GROUP BY 1),
+       |pc AS (SELECT term, r.i AS row_idx, ${cell("CAST(r.i AS VARCHAR)", "term")} AS bucket
+       |  FROM (SELECT DISTINCT term FROM tp), UNNEST(range(0, $CmDepth)) AS r(i)),
+       |est AS (SELECT pc.term, min(COALESCE(c.cnt, 0)) AS cm_est
+       |  FROM pc LEFT JOIN cells c USING (row_idx, bucket) GROUP BY 1)
+       |SELECT e.term, t.true_cnt, e.cm_est, e.cm_est - t.true_cnt AS overcount
+       |FROM est e JOIN tru t USING (term) ORDER BY term""".stripMargin
+  }
+
+  /** q162's recurrence unrolled (the q142/q157 discipline): the
+    * clique-chain graph rebuilt from [[KCoreGraphCte]], symmetrized,
+    * then [[LpaRounds]] rounds of "adopt the neighbor-majority label,
+    * ties to the smallest" — each round MATERIALIZED (referenced twice
+    * downstream; see the kcorePeelCtes note on DuckDB CTE inlining).
+    */
+  private lazy val LabelPropSql = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT u.b AS v, l.lab, CAST(count(*) AS BIGINT) AS c
+         |  FROM und u JOIN lab${r - 1} l ON l.v = u.a GROUP BY 1, 2),
+         |lab$r AS MATERIALIZED (SELECT v, lab FROM (
+         |  SELECT v, lab, row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+         |  FROM c$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $KCoreGraphCte,
+       |und AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+       |lab0 AS (SELECT DISTINCT a AS v, a AS lab FROM und),
+       |$rounds
+       |SELECT v AS doc_id, lab AS label FROM lab$LpaRounds ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared by q146 (from-scratch Bloom build), q151 (the filter
     * maintained incrementally from a stream) and q154 (the sharded
     * probe at an mBits past the broadcast regime): bit_or union is
@@ -3970,7 +4119,13 @@ object PipelineQueries {
   // Shared by q107 (in-memory index) and q118 (persisted lifecycle):
   // the BM25 ranked-retrieval ground truth with per-term idf
   // quantization (mirrors Invert.bm25TopK's determinism recipe).
-  private lazy val Bm25OracleSql =
+  private lazy val Bm25OracleSql = bm25TopSql(20)
+
+  /** Parameterized so q160 can embed the identical leg at its own k —
+    * ONE generator, the q107/q118 text and the RRF sparse leg cannot
+    * drift.
+    */
+  private def bm25TopSql(k: Int): String =
       s"""WITH t2 AS (SELECT doc_id, $TokensSql AS toks FROM documents),
          |tp AS (SELECT doc_id, toks[CAST(u.i AS INT)] AS term
          |       FROM t2, UNNEST(range(1, len(toks) + 1)) AS u(i)),
@@ -3996,7 +4151,7 @@ object PipelineQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
          |  CAST(sum(s) AS BIGINT) AS score_scaled
          |FROM sc GROUP BY doc_id
-         |ORDER BY score_scaled DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY score_scaled DESC, doc_id LIMIT $k""".stripMargin
 
   /** q119's oracle: generated rather than handwritten because the
     * range-reduced log replay repeats the same five-stage shape for

@@ -419,4 +419,46 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(capped(10L) == 2L && capped(20L) == 1L)
     intercept[IllegalArgumentException](Graph.coreNumbers(und, kMax = 0))
   }
+
+  /** Reference implementation of synchronous min-tie LPA, run
+    * sequentially on the driver over the symmetrized edge set.
+    */
+  private def refLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+    val nbrs = und.groupBy(_._2).map { case (v, es) => v -> es.map(_._1) }
+    var lab = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lab = nbrs.map { case (v, ns) =>
+        val cnt = ns.map(lab).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        // (count DESC, label ASC) argmax
+        v -> cnt.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation: cliques keep labels against a bridge; matches sequential replay") {
+    // two triangles joined by one bridge edge — CC would merge them,
+    // LPA must not (density beats reachability)
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.labelPropagation(e, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refLpa(Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L)), 3))
+    // traced by hand: triangle A converges to 0, triangle B to 2 —
+    // exactly two communities, split at the bridge
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("labelPropagation: direction/duplicate-insensitive; self-loops dropped; guards") {
+    val base = Seq((10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L))
+    val a = base.toDF("src", "dst")
+    // reversed directions, duplicates, a self-loop: same voting graph
+    val b = (base.map(_.swap) ++ base ++ Seq((11L, 11L))).toDF("src", "dst")
+    val la = Graph.labelPropagation(a, rounds = 4).as[(Long, Long)].collect().toMap
+    val lb = Graph.labelPropagation(b, rounds = 4).as[(Long, Long)].collect().toMap
+    assert(la == lb)
+    assert(la == refLpa(base, 4))
+    intercept[IllegalArgumentException](Graph.labelPropagation(a, rounds = 0))
+  }
 }

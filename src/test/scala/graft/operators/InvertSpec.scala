@@ -288,4 +288,70 @@ class InvertSpec extends AnyFunSuite with SparkSpec {
       Invert.tfidfCosinePairs(docsDf, "doc_id", "text",
         minSim = 0.5, maxDf = 5L, blocks = 0))
   }
+
+  test("rrfFuse: exact integer fusion, overlap outranks single-leg, guards") {
+    // legs: sparse [10, 11], dense [11, 12] — 11 appears in both
+    val ranked = Seq(
+      ("sparse", 10L, 1L), ("sparse", 11L, 2L),
+      ("dense", 11L, 1L), ("dense", 12L, 2L)
+    ).toDF("leg", "doc_id", "rank")
+    val got = Invert.rrfFuse(ranked, k = 3, rrfK = 60)
+      .as[(Long, Long, Long)].collect().toSeq
+    val c1 = 1000000000000L / 61 // floor(1e12/61) — exact by the gap argument
+    val c2 = 1000000000000L / 62
+    assert(got == Seq(
+      (11L, 2L, c1 + c2), // both legs — overlap outranks either single leg
+      (10L, 1L, c1), // sparse rank 1
+      (12L, 1L, c2))) // dense rank 2
+    intercept[IllegalArgumentException](Invert.rrfFuse(ranked, k = 0))
+    // out-of-contract rank fails loudly, not silently mis-floors
+    val bad = Seq(("sparse", 1L, 0L)).toDF("leg", "doc_id", "rank")
+    val e = intercept[Exception](Invert.rrfFuse(bad, k = 1).collect())
+    assert(e.getMessage.contains("rrfFuse: rank out of"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("hybridRrfTopK: fuses exactly the standalone legs; flags name the proposers") {
+    val docsDf = Seq(
+      (0L, "anchor text"),
+      (1L, "red fox customer stream"),
+      (2L, "customer customer vector"),
+      (3L, "vector stream stream"),
+      (4L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    // embeddings: vec 0 is the query; 3 is nearly parallel to it,
+    // 4 is orthogonal, 1/2 in between
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.6f, 0.8f)),
+      (2L, Seq(0.8f, 0.6f)),
+      (3L, Seq(0.99f, 0.1f)),
+      (4L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val idx = Invert.postingLists(docsDf, "doc_id", "text", blockDocs = 100L)
+    val lens = Invert.docLengths(docsDf, "doc_id", "text")
+    val q = Seq("customer", "vector", "stream")
+    val fused = Invert.hybridRrfTopK(
+      idx, lens, q, emb, "vec_id", "embedding", queryId = 0L,
+      k = 5, kPerLeg = 3, rrfK = 60)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // replay: manual leg ranks → expected fusion
+    val sparseRank = Invert.bm25TopK(idx, lens, q, 3)
+      .as[(Long, Long, Long)].collect().toSeq.map(_._1).zipWithIndex
+      .map { case (d, i) => d -> (i + 1L) }.toMap
+    val denseRank = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 3)
+      .as[(Long, Double)].collect().toSeq.map(_._1).zipWithIndex
+      .map { case (d, i) => d -> (i + 1L) }.toMap
+    def c(r: Long) = 1000000000000L / (60L + r)
+    val expect = (sparseRank.keySet ++ denseRank.keySet).toSeq.map { d =>
+      (d,
+        if (sparseRank.contains(d)) 1L else 0L,
+        if (denseRank.contains(d)) 1L else 0L,
+        sparseRank.get(d).map(c).getOrElse(0L) + denseRank.get(d).map(c).getOrElse(0L))
+    }.sortBy(t => (-t._4, t._1)).take(5)
+    assert(fused == expect)
+    // at least one doc must carry both flags on this fixture (2 or 3
+    // score on both legs), proving the fusion actually overlapped
+    assert(fused.exists(t => t._2 == 1L && t._3 == 1L))
+  }
 }

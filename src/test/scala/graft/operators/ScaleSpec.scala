@@ -639,4 +639,53 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       Scale.freqItemsPerGroup(rows, "g", col("item_s"), k = 10, capacity = 4)
     }.getMessage.contains("k <= capacity"))
   }
+
+  test("countMin: exact at generous width, one-sided overestimate at narrow width") {
+    val freq = Map("a" -> 7L, "b" -> 3L, "c" -> 1L, "dd" -> 5L, "ee" -> 2L)
+    val items = freq.toSeq.flatMap { case (k, n) => Seq.fill(n.toInt)(k) }
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("i", "k")
+    val probes = freq.keys.toSeq.toDF("k")
+    // generous width: 5 keys into 2^20 buckets x 4 rows — collisions
+    // are (md5-uniformly) absent, estimates are exact
+    val wide = Scale.countMinBuild(items, col("k"), depth = 4, width = 1L << 20)
+    val wideEst = Scale.countMinEstimate(probes, col("k"), wide, 4, 1L << 20)
+      .as[(String, Long)].collect().toMap
+    assert(wideEst == freq)
+    // deliberately colliding width: never undercounts (the CM guarantee)
+    val narrow = Scale.countMinBuild(items, col("k"), depth = 2, width = 3L)
+    val narrowEst = Scale.countMinEstimate(probes, col("k"), narrow, 2, 3L)
+      .as[(String, Long)].collect().toMap
+    assert(freq.forall { case (k, n) => narrowEst(k) >= n },
+      s"undercount: $narrowEst vs $freq")
+    // total mass conservation per row: each row's cells sum to N
+    val rowSums = narrow.groupBy("row_idx").agg(sum("cnt").as("s"))
+      .select("s").as[Long].collect().toSeq
+    assert(rowSums == Seq(18L, 18L))
+  }
+
+  test("countMin: merge of shard sketches equals the sketch of the concatenation") {
+    val xs = (0 until 200).map(i => (i.toLong, s"k${i % 13}")).toDF("i", "k")
+    val full = Scale.countMinBuild(xs, col("k"), depth = 3, width = 8L)
+    val merged = Scale.countMinMerge(
+      Scale.countMinBuild(xs.where(col("i") % 2 === 0), col("k"), 3, 8L),
+      Scale.countMinBuild(xs.where(col("i") % 2 =!= 0), col("k"), 3, 8L))
+    val f = full.as[(Int, Long, Long)].collect().toSet
+    val m = merged.as[(Int, Long, Long)].collect().toSet
+    assert(f == m)
+    // a second merge keeps summing (associativity in use)
+    val twice = Scale.countMinMerge(full, merged).as[(Int, Long, Long)].collect().toSet
+    assert(twice == f.map { case (r, b, c) => (r, b, 2 * c) })
+  }
+
+  test("countMin: sketch build is map-side partial-aggregated; guards") {
+    val xs = (0 until 50).map(i => (i.toLong, s"k${i % 5}")).toDF("i", "k")
+    val plan = Scale.countMinBuild(xs, col("k"), 4, 64L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"expected a partial aggregate before the shuffle:\n${plan.take(600)}")
+    intercept[IllegalArgumentException](Scale.countMinBuild(xs, col("k"), 0, 64L))
+    intercept[IllegalArgumentException](Scale.countMinBuild(xs, col("k"), 4, 1L))
+    intercept[IllegalArgumentException](Scale.countMinBuild(xs, col("k"), 4, 1L << 43))
+    intercept[IllegalArgumentException](Scale.countMinEstimate(xs, col("k"), xs, 17, 64L))
+  }
 }
