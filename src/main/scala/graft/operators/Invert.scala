@@ -523,16 +523,35 @@ object Invert {
       kPerLeg: Int,
       rrfK: Int = 60
   ): DataFrame = {
-    require(k > 0, s"hybridRrfTopK: k must be positive, got $k")
     require(kPerLeg > 0, s"hybridRrfTopK: kPerLeg must be positive, got $kPerLeg")
-    val sparse = rankedLeg(
+    hybridRrfFuseLegs(
       bm25TopK(index, docLens, textQuery, kPerLeg),
-      "sparse", "doc_id",
+      Similarity.cosineTopK(emb, idCol, vecCol, queryId, kPerLeg),
+      idCol, k, rrfK)
+  }
+
+  /** The fusion tail of [[hybridRrfTopK]] with the legs supplied —
+    * `sparseTop` must be a [[bm25TopK]] result and `denseTop` any
+    * `(denseIdCol, cos_sim)` top list, which is exactly the contract
+    * [[graft.operators.Similarity.cosineTopK]] and the PERSISTED-index
+    * probe [[graft.operators.Similarity.ivfTopKIndexed]] share — so the
+    * production composition (index seek ⊕ index probe ⊕ fusion) is the
+    * same code path as the oracle-exact brute baseline.
+    */
+  def hybridRrfFuseLegs(
+      sparseTop: DataFrame,
+      denseTop: DataFrame,
+      denseIdCol: String,
+      k: Int,
+      rrfK: Int = 60
+  ): DataFrame = {
+    require(k > 0, s"hybridRrfFuseLegs: k must be positive, got $k")
+    val sparse = rankedLeg(
+      sparseTop, "sparse", "doc_id",
       Seq(col("score_scaled").desc, col("doc_id")))
     val dense = rankedLeg(
-      Similarity.cosineTopK(emb, idCol, vecCol, queryId, kPerLeg),
-      "dense", idCol,
-      Seq(col("cos_sim").desc, col(idCol)))
+      denseTop, "dense", denseIdCol,
+      Seq(col("cos_sim").desc, col(denseIdCol)))
     rrfContributions(sparse.unionByName(dense), rrfK)
       .groupBy(col("doc_id"))
       .agg(

@@ -1107,7 +1107,15 @@ object Scale {
     * space is ≤ depth·width cells regardless of summarized volume.
     */
   def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b)
+    countMinRollup(a.unionByName(b))
+
+  /** N-ary [[countMinMerge]]: roll any number of stacked sketch shards
+    * (e.g. the per-batch rows a streamed maintenance appends) up to one
+    * sketch — the same cell-wise sum, one partial-aggregable groupBy
+    * over ≤ shards·depth·width rows.
+    */
+  def countMinRollup(shards: DataFrame): DataFrame =
+    shards
       .groupBy(col("row_idx"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 

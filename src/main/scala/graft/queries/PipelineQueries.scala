@@ -1813,13 +1813,53 @@ object PipelineQueries {
         Scale.countMinBuild(toks.where(r), col("term"), CmDepth, CmWidth)
       val sketch = Scale.countMinMerge(
         half(col("doc_id") % 2 === 0), half(col("doc_id") % 2 =!= 0))
-      val est = Scale.countMinEstimate(toks, col("term"), sketch, CmDepth, CmWidth)
-      val tru = toks.groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
-      est.join(tru, est("key") === tru("term"))
-        .select(
-          col("term"), col("true_cnt"), col("cm_est"),
-          (col("cm_est") - col("true_cnt")).as("overcount"))
-        .orderBy("term")
+      countMinReport(toks, sketch)
+    },
+    // q163: the SAME count-min report with the sketch maintained
+    // INCREMENTALLY from a micro-batched file stream (per-batch shards
+    // rolled up cell-wise — the q140/q151 mergeable-sketch lifecycle).
+    // Counters sum exactly, so the streamed sketch is identical to
+    // q161's batch build no matter how the stream was batched — ONE
+    // oracle gates both faces.
+    "q163_stream_countmin" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_cm_docs").toString
+      val in = s"$base/in"
+      t(s, dir, "documents").select("doc_id", "text")
+        .repartition(4).write.parquet(in)
+      val stream = graft.streaming.Streams
+        .fileStream(s, in, s.read.parquet(in).schema, maxFilesPerTrigger = 1)
+        .select(explode(Text.tokens(col("text"))).as("term"))
+      val sketch = graft.streaming.Streams
+        .replayCountMinMaintenance(stream, "term", CmDepth, CmWidth)
+      val toks = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("term"))
+      countMinReport(toks, sketch)
+    },
+    // q164: q160's fusion with the dense leg riding the PERSISTED IVF
+    // index (the production composition — index seek for BM25, index
+    // probe for ANN, rank fusion) at the exhaustive nprobe where the
+    // probe provably equals brute force (IvfIndexSpec "full probe
+    // equals brute force"), so q160's oracle gates the whole physical
+    // path verbatim — the q76/q108 persisted-lifecycle discipline
+    // applied to retrieval fusion.
+    "q164_hybrid_rrf_indexed" -> { (s, dir) =>
+      val tmp = freshScratch(s, dir, "q164", Seq("_staging"))
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfBuild(
+        s, emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 16), "vec_id", "embedding",
+        tmp, files = 8)
+      graft.operators.Invert.hybridRrfFuseLegs(
+        graft.operators.Invert.bm25TopK(
+          graft.operators.Invert.postingLists(docs, "doc_id", "text", blockDocs = 100L),
+          graft.operators.Invert.docLengths(docs, "doc_id", "text"),
+          Seq("customer", "vector", "stream"), RrfKPerLeg),
+        Similarity.ivfTopKIndexed(
+          s, tmp, "vec_id", "embedding",
+          emb.where(col("vec_id") === 0L).select("embedding"),
+          k = RrfKPerLeg, nprobe = 16, excludeId = Some(0L)),
+        "vec_id", k = RrfTopK, rrfK = RrfK)
     },
     // q162: synchronous min-tie LABEL PROPAGATION on the clique-chain
     // graph (q157's fixture — cliques are the planted communities, the
@@ -1842,12 +1882,26 @@ object PipelineQueries {
   private val RrfKPerLeg: Int = 20
   private val RrfK: Int = 60
 
-  /** q161's sketch knobs (shared with the oracle generator). Width 32
-    * on a 31-term vocabulary is DELIBERATELY colliding — see the q161
-    * comment.
+  /** q161/q163's sketch knobs (shared with the oracle generator).
+    * Width 32 on a 31-term vocabulary is DELIBERATELY colliding — see
+    * the q161 comment.
     */
   private val CmDepth: Int = 4
   private val CmWidth: Long = 32L
+
+  /** q161/q163's shared report tail: probe every vocabulary term
+    * against the sketch, exact counts alongside — `overcount ≥ 0` (the
+    * one-sided CM guarantee) lands in the output.
+    */
+  private def countMinReport(toks: DataFrame, sketch: DataFrame): DataFrame = {
+    val est = Scale.countMinEstimate(toks, col("term"), sketch, CmDepth, CmWidth)
+    val tru = toks.groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+    est.join(tru, est("key") === tru("term"))
+      .select(
+        col("term"), col("true_cnt"), col("cm_est"),
+        (col("cm_est") - col("true_cnt")).as("overcount"))
+      .orderBy("term")
+  }
 
   /** q162's fixed round count (shared with the oracle's unroll). */
   private val LpaRounds: Int = 3
@@ -3573,7 +3627,13 @@ object PipelineQueries {
     "q159_core_numbers" -> CoreNumbersSql,
     "q160_hybrid_rrf" -> HybridRrfSql,
     "q161_count_min" -> CountMinSql,
-    "q162_label_prop" -> LabelPropSql
+    "q162_label_prop" -> LabelPropSql,
+    // q163/q164 are physical-path variants of q161/q160: the streamed
+    // sketch is cell-wise identical to the batch build, and the
+    // exhaustive-nprobe index probe equals the brute dense leg — one
+    // oracle text each, the q108/q118 persisted-lifecycle discipline
+    "q163_stream_countmin" -> CountMinSql,
+    "q164_hybrid_rrf_indexed" -> HybridRrfSql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard

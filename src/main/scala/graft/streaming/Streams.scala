@@ -1089,6 +1089,48 @@ object Streams {
     graft.operators.Bloom.mergeWords(spark.read.parquet(shardDir))
   }
 
+  /** INCREMENTAL count-min maintenance from a stream — the third
+    * mergeable sketch under the [[replayKmvMaintenance]] /
+    * [[replayBloomMaintenance]] lifecycle: each micro-batch is reduced
+    * to a ≤ depth·width-row sketch shard
+    * ([[graft.operators.Scale.countMinBuild]]) and appended; the live
+    * sketch is the cell-wise-sum rollup
+    * ([[graft.operators.Scale.countMinRollup]]), which equals the
+    * sketch of everything streamed so far EXACTLY (counters are plain
+    * sums), so point-frequency estimates are batching-independent and
+    * the batch SQL oracle gates the streamed face verbatim. Per batch:
+    * one partial-aggregable groupBy + one sketch-sized append — the
+    * token stream is never rescanned.
+    */
+  def replayCountMinMaintenance(
+      rows: DataFrame,
+      keyCol: String,
+      depth: Int,
+      width: Long,
+      salt: String = "cm"
+  ): DataFrame = {
+    require(rows.isStreaming, "replayCountMinMaintenance: rows must be a streaming DataFrame")
+    val spark = rows.sparkSession
+    val base = java.nio.file.Files.createTempDirectory("graft_cm_stream").toString
+    val shardDir = s"$base/shards"
+    val q = rows.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Scale
+          .countMinBuild(batch, col(keyCol), depth, width, salt)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(shardDir): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    graft.operators.Scale.countMinRollup(
+      spark.read.parquet(shardDir).select("row_idx", "bucket", "cnt"))
+  }
+
   /** Watermarked windowed aggregate over an event-time column — bounded
     * state, append-safe at scale.
     */

@@ -353,5 +353,14 @@ class InvertSpec extends AnyFunSuite with SparkSpec {
     // at least one doc must carry both flags on this fixture (2 or 3
     // score on both legs), proving the fusion actually overlapped
     assert(fused.exists(t => t._2 == 1L && t._3 == 1L))
+    // the legs-supplied face is the same fusion: feeding it the two
+    // standalone top lists reproduces hybridRrfTopK exactly (the slot
+    // q164 puts the persisted-index probe into)
+    val viaLegs = Invert.hybridRrfFuseLegs(
+      Invert.bm25TopK(idx, lens, q, 3),
+      Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 3),
+      "vec_id", k = 5, rrfK = 60)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaLegs == fused)
   }
 }

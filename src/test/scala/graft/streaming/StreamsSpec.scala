@@ -298,6 +298,27 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("streaming"), e.getMessage)
   }
 
+  test("replayCountMinMaintenance: streamed shard rollup equals the batch sketch") {
+    val base = Files.createTempDirectory("streamcm").toString
+    val in = s"$base/in"
+    // three files → three micro-batches, keys interleaved so per-batch
+    // cell tables genuinely differ from the global one
+    (0 until 300).map(i => s"k${i % 7}").toDF("term")
+      .repartition(3).write.parquet(in)
+    val got = Streams.replayCountMinMaintenance(
+      Streams.fileStream(spark, in, spark.read.parquet(in).schema,
+        maxFilesPerTrigger = 1),
+      "term", depth = 3, width = 16L)
+    val direct = graft.operators.Scale.countMinBuild(
+      spark.read.parquet(in), $"term", depth = 3, width = 16L)
+    assert(got.as[(Int, Long, Long)].collect().toSet ==
+      direct.as[(Int, Long, Long)].collect().toSet)
+    val e = intercept[IllegalArgumentException] {
+      Streams.replayCountMinMaintenance(spark.read.parquet(in), "term", 3, 16L)
+    }
+    assert(e.getMessage.contains("streaming"), e.getMessage)
+  }
+
   test("replayDedupKeys admits each key once and returns only key columns") {
     val base = Files.createTempDirectory("streamdd").toString
     val in = s"$base/in"
