@@ -1119,6 +1119,131 @@ object Scale {
       .groupBy(col("row_idx"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** HYPERLOGLOG register sketch (Flajolet et al. 2007, re-derived
+    * oracle-replicable): the 52-bit md5 value hash splits into a
+    * bucket (`h mod m`) and a 52−log₂m-bit suffix `w`; the register is
+    * the max over the bucket's values of `rank = (leading zeros of w)
+    * + 1`, computed EXACTLY as `zeroRank − length(bin(w))` (`bin` —
+    * binary-without-leading-zeros — is the one bit-length primitive
+    * Spark and DuckDB share, so the oracle replays registers
+    * bit-for-bit; `w = 0` ⇒ the all-zeros suffix ⇒ rank = zeroRank).
+    * Stored SPARSE as `(group…, bucket, register)` — absent buckets
+    * are register 0 — so a group's summary is ≤ m rows no matter the
+    * data, and shards MERGE by register-wise max ([[hllRollup]]),
+    * which equals sketching the union exactly (max is idempotent,
+    * commutative, associative): the fourth mergeable sketch after
+    * KMV/Bloom/count-min, with the classic trade: KMV pays k longs for
+    * ±1/√k relative error, HLL pays m REGISTERS (bytes, not longs)
+    * for ±1.04/√m — the memory-optimal choice when millions of groups
+    * each carry a sketch.
+    *
+    * Complements [[kmvDistinct]] rather than replacing it: KMV also
+    * supports set-OVERLAP estimates ([[kmvOverlap]]) which registers
+    * cannot, HLL wins on summary bytes per group.
+    */
+  def hllSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      m: Int = 64,
+      salt: String = "hll"
+  ): DataFrame = {
+    val logM = hllCheckM("hllSketch", m)
+    require(groupCols.nonEmpty, "hllSketch: need at least one group column")
+    val reserved = Seq("_h", "_w", "bucket", "register")
+    require(reserved.forall(c => !df.columns.contains(c) && !groupCols.contains(c)),
+      s"hllSketch: reserved working column already exists (${reserved.mkString(", ")})")
+    val zeroRank = 53 - logM // suffix bits (52 - logM) + 1
+    df.select(groupCols.map(col) :+
+        graft.functions.Text
+          .md5PrefixLong(concat(lit(s"$salt:"), valueCol.cast("string")), 13).as("_h"): _*)
+      .where(col("_h").isNotNull)
+      .select(groupCols.map(col) :+
+        (col("_h") % m).as("bucket") :+ expr(s"_h DIV $m").as("_w"): _*)
+      .select(groupCols.map(col) :+ col("bucket") :+
+        when(col("_w") === 0L, lit(zeroRank.toLong))
+          .otherwise(lit(zeroRank.toLong) - length(bin(col("_w"))))
+          .as("register"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("register")).as("register"))
+  }
+
+  /** Register-wise MAX of stacked HLL shards — exactly the sketch of
+    * the union (the n-ary merge; metadata-scale like [[countMinRollup]]).
+    */
+  def hllRollup(shards: DataFrame, groupCols: Seq[String]): DataFrame =
+    shards
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("register")).as("register"))
+
+  /** Distinct-count estimates from [[hllSketch]] rows — EXACT-INTEGER
+    * in-engine (the KMV `DIV` discipline, no float reduction anywhere):
+    * the harmonic-mean denominator is computed in units of
+    * 2^−zeroRank, so each register contributes the BIGINT
+    * `2^(zeroRank − M)` and absent buckets contribute `2^zeroRank`
+    * (register 0) — a sum of exact powers of two, order-free — and the
+    * raw estimate is `round(α_m·m²)·2^zeroRank DIV S` (one integer
+    * division; rounding α into the scaled constant costs ≪ the
+    * sketch's own 1.04/√m error). The small-range branch (raw ≤ 5m/2
+    * with empty buckets) is Flajolet's linear counting `m·ln(m/V)` —
+    * and since V ∈ [1, m−1] with m a KNOB, the whole branch is a
+    * DRIVER-COMPUTED literal table `V → round(m·ln(m/V))` looked up by
+    * `element_at` (the ADC map-literal idiom): no engine evaluates a
+    * transcendental, so any engine replaying the recipe agrees
+    * bit-for-bit. The 2^32 large-range correction of the paper is
+    * moot: 52-bit hashes collide at ~2^26 DISTINCT per bucket, far
+    * past any per-group cardinality this sketch is sized for.
+    *
+    * Returns `(group…, v_zero, s_scaled, est_distinct)` — the two
+    * intermediates are kept in the output so a stored estimate is
+    * auditable against its own registers.
+    */
+  def hllEstimate(sketch: DataFrame, groupCols: Seq[String], m: Int): DataFrame = {
+    val logM = hllCheckM("hllEstimate", m)
+    require(groupCols.nonEmpty, "hllEstimate: need at least one group column")
+    val zeroRank = 53 - logM
+    val numer = hllAlphaM2(m) * (1L << zeroRank) // ≤ 2^62.6 at m = 1024
+    val linear: Column = {
+      val entries = (1 until m).flatMap { v =>
+        Seq(lit(v), lit(math.round(m.toDouble * math.log(m.toDouble / v))))
+      }
+      element_at(map(entries: _*), col("v_zero").cast("int"))
+    }
+    sketch
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($zeroRank - register AS INT))")).as("_sp"))
+      .select(groupCols.map(col) :+
+        (lit(m.toLong) - col("_present")).as("v_zero") :+
+        (col("_sp") + (lit(m.toLong) - col("_present")) * lit(1L << zeroRank)).as("s_scaled"): _*)
+      .withColumn("_raw", expr(s"${numer}L DIV s_scaled"))
+      .withColumn(
+        "est_distinct",
+        when(col("_raw") <= lit(5L * m / 2) && col("v_zero") > 0L, linear)
+          .otherwise(col("_raw")))
+      .drop("_raw")
+  }
+
+  /** α_m·m² rounded to a BIGINT (Flajolet's bias constants). */
+  private[graft] def hllAlphaM2(m: Int): Long = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    math.round(alpha * m.toDouble * m.toDouble)
+  }
+
+  private def hllCheckM(caller: String, m: Int): Int = {
+    require(m >= 16 && m <= 1024 && Integer.bitCount(m) == 1,
+      s"$caller: m must be a power of two in [16, 1024], got $m " +
+        "(16 keeps the bias constants valid; 1024 keeps the scaled " +
+        "numerator under 2^63)")
+    Integer.numberOfTrailingZeros(m)
+  }
+
   /** Point-frequency estimates from a [[countMinBuild]] sketch: for
     * each distinct probe key, `est = min over rows of cell(row,
     * h_row(key))`, absent cells read as 0 (the sparse encoding). The

@@ -1861,6 +1861,39 @@ object PipelineQueries {
           k = RrfKPerLeg, nprobe = 16, excludeId = Some(0L)),
         "vec_id", k = RrfTopK, rrfK = RrfK)
     },
+    // q165: HYPERLOGLOG distinct-text-per-source — the register twin of
+    // q121's KMV face, built as a register-wise-max ROLLUP of two
+    // half-corpus shards (merge ≡ union under the oracle, the q161
+    // shape), exact distinct alongside. TWO legs so BOTH estimator
+    // branches execute under the sf0.01 oracle, not just in specs:
+    // per-source at m = 64 (≈25 distinct per source ≤ 5m/2 with empty
+    // buckets → the LINEAR-COUNTING branch, a driver-literal ln table)
+    // and one whole-corpus row at m = 16 (≈500 distinct ≫ 40 → the raw
+    // harmonic-mean integer division).
+    "q165_hll_distinct" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val half = (r: org.apache.spark.sql.Column) =>
+        Scale.hllSketch(docs.where(r), Seq("source"), col("text"), HllM)
+      val sketch = Scale.hllRollup(
+        half(col("doc_id") % 2 === 0).unionByName(half(col("doc_id") % 2 =!= 0)),
+        Seq("source"))
+      val exact = docs.groupBy("source")
+        .agg(countDistinct(col("text")).as("exact_distinct"))
+      val perSource = Scale.hllEstimate(sketch, Seq("source"), HllM)
+        .join(exact, "source")
+        .select(
+          col("source"), col("v_zero"), col("s_scaled"),
+          col("est_distinct"), col("exact_distinct"))
+      val tagged = docs.withColumn("_g", lit("_ALL_m16"))
+      val globalRow = Scale
+        .hllEstimate(Scale.hllSketch(tagged, Seq("_g"), col("text"), HllMGlobal),
+          Seq("_g"), HllMGlobal)
+        .crossJoin(docs.agg(countDistinct(col("text")).as("exact_distinct")))
+        .select(
+          col("_g").as("source"), col("v_zero"), col("s_scaled"),
+          col("est_distinct"), col("exact_distinct"))
+      perSource.unionByName(globalRow).orderBy("source")
+    },
     // q162: synchronous min-tie LABEL PROPAGATION on the clique-chain
     // graph (q157's fixture — cliques are the planted communities, the
     // chain edges the weak links LPA must NOT merge across, unlike CC).
@@ -1905,6 +1938,13 @@ object PipelineQueries {
 
   /** q162's fixed round count (shared with the oracle's unroll). */
   private val LpaRounds: Int = 3
+
+  /** q165's register counts (shared with the oracle generator): m = 64
+    * for the per-source leg, m = 16 for the whole-corpus leg whose
+    * cardinality forces the raw harmonic branch at every sf.
+    */
+  private val HllM: Int = 64
+  private val HllMGlobal: Int = 16
 
   /** q154's filter size: deliberately past [[graft.operators.Bloom.bloomProbe]]'s
     * 2³⁰ broadcast bound so the query can only run through the sharded
@@ -3633,7 +3673,8 @@ object PipelineQueries {
     // exhaustive-nprobe index probe equals the brute dense leg — one
     // oracle text each, the q108/q118 persisted-lifecycle discipline
     "q163_stream_countmin" -> CountMinSql,
-    "q164_hybrid_rrf_indexed" -> HybridRrfSql
+    "q164_hybrid_rrf_indexed" -> HybridRrfSql,
+    "q165_hll_distinct" -> HllSql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -4011,6 +4052,51 @@ object PipelineQueries {
        |SELECT e.term, t.true_cnt, e.cm_est, e.cm_est - t.true_cnt AS overcount
        |FROM est e JOIN tru t USING (term) ORDER BY term""".stripMargin
   }
+
+  /** q165's oracle: registers from the identical md5 split
+    * (bucket = h mod m, rank = zeroRank − length(bin(suffix)) — `bin`
+    * is the shared bit-length primitive), the exact-integer harmonic
+    * denominator in 2^−zeroRank units, the scaled-α integer division,
+    * and the linear-counting branch as a CASE table generated by the
+    * SAME driver loop that builds the Spark map literal — no engine
+    * evaluates a transcendental.
+    */
+  /** One HLL leg's CTE chain, prefixed so the two legs (different m,
+    * different grouping) compose in one WITH — generated by the same
+    * loop that builds the Spark map literal.
+    */
+  private def hllLegCtes(p: String, m: Int, grpExpr: String): String = {
+    val zeroRank = 53 - Integer.numberOfTrailingZeros(m)
+    val numer = Scale.hllAlphaM2(m) * (1L << zeroRank)
+    val caseTable = (1 until m).map { v =>
+      s"WHEN $v THEN CAST(${math.round(m.toDouble * math.log(m.toDouble / v))} AS BIGINT)"
+    }.mkString(" ")
+    s"""${p}vals AS (SELECT $grpExpr AS g, text FROM documents WHERE text IS NOT NULL),
+       |${p}hh AS (SELECT g, CAST('0x' || substring(md5('hll:' || text), 1, 13) AS BIGINT) AS h FROM ${p}vals),
+       |${p}rb AS (SELECT g, h % $m AS bucket, h // $m AS w FROM ${p}hh),
+       |${p}rk AS (SELECT g, bucket,
+       |         CASE WHEN w = 0 THEN $zeroRank ELSE $zeroRank - length(bin(w)) END AS rank FROM ${p}rb),
+       |${p}reg AS (SELECT g, bucket, max(rank) AS register FROM ${p}rk GROUP BY 1, 2),
+       |${p}ag AS (SELECT g, CAST(count(*) AS BIGINT) AS present,
+       |         CAST(sum(CAST(1 AS BIGINT) << CAST($zeroRank - register AS INT)) AS BIGINT) AS sp
+       |       FROM ${p}reg GROUP BY 1),
+       |${p}st AS (SELECT g, $m - present AS v_zero,
+       |         sp + ($m - present) * (CAST(1 AS BIGINT) << $zeroRank) AS s_scaled FROM ${p}ag),
+       |${p}es AS (SELECT g, v_zero, s_scaled,
+       |         CASE WHEN ($numer // s_scaled) <= ${5L * m / 2} AND v_zero > 0
+       |              THEN (CASE v_zero $caseTable ELSE NULL END)
+       |              ELSE $numer // s_scaled END AS est_distinct
+       |       FROM ${p}st),
+       |${p}ex AS (SELECT g, CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct FROM ${p}vals GROUP BY 1),
+       |${p}out AS (SELECT ${p}es.g AS source, v_zero, s_scaled, est_distinct, exact_distinct
+       |       FROM ${p}es JOIN ${p}ex USING (g))""".stripMargin
+  }
+
+  private lazy val HllSql =
+    s"""WITH ${hllLegCtes("a", HllM, "source")},
+       |${hllLegCtes("b", HllMGlobal, "'_ALL_m16'")}
+       |SELECT * FROM (SELECT * FROM aout UNION ALL SELECT * FROM bout)
+       |ORDER BY source""".stripMargin
 
   /** q162's recurrence unrolled (the q142/q157 discipline): the
     * clique-chain graph rebuilt from [[KCoreGraphCte]], symmetrized,

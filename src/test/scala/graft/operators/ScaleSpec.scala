@@ -677,6 +677,67 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(twice == f.map { case (r, b, c) => (r, b, 2 * c) })
   }
 
+  /** Sequential replay of the HLL recipe: same md5 split, same
+    * bit-length rank, same scaled-integer estimator — the
+    * [[GraphSpec]] reference-implementation discipline.
+    */
+  private def refHll(values: Seq[String], m: Int): (Long, Long, Long) = {
+    val logM = Integer.numberOfTrailingZeros(m)
+    val zeroRank = 53 - logM
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val regs = scala.collection.mutable.Map.empty[Long, Int]
+    values.foreach { s =>
+      md.reset()
+      val hex = md.digest(s"hll:$s".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(13)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val (bucket, w) = (h % m, h / m)
+      val rank = if (w == 0L) zeroRank else zeroRank - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      regs(bucket) = math.max(regs.getOrElse(bucket, 0), rank)
+    }
+    val vZero = m - regs.size
+    val sScaled = regs.values.map(r => 1L << (zeroRank - r)).sum + vZero.toLong * (1L << zeroRank)
+    val raw = Scale.hllAlphaM2(m) * (1L << zeroRank) / sScaled
+    val est =
+      if (raw <= 5L * m / 2 && vZero > 0) math.round(m.toDouble * math.log(m.toDouble / vZero))
+      else raw
+    (vZero.toLong, sScaled, est)
+  }
+
+  test("hll: matches the sequential replay on both estimator branches; within error") {
+    // small set → linear-counting branch; large set → raw harmonic branch
+    for ((n, m) <- Seq((30, 64), (5000, 64), (700, 16))) {
+      val vals = (0 until n).map(i => s"item$i")
+      val df = vals.toDF("v")
+      val got = Scale.hllEstimate(
+        Scale.hllSketch(df.withColumn("g", lit("x")), Seq("g"), col("v"), m), Seq("g"), m)
+        .select("v_zero", "s_scaled", "est_distinct")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == Seq(refHll(vals, m)), s"n=$n m=$m")
+      // the estimate is an estimate of n — sanity-bound it at 4 standard
+      // errors (1.04/sqrt(m)); md5 is fixed so this never flakes
+      val est = got.head._3.toDouble
+      assert(math.abs(est - n) <= 4 * 1.04 / math.sqrt(m.toDouble) * n + 3,
+        s"n=$n m=$m est=$est")
+    }
+  }
+
+  test("hll: shard rollup equals the direct sketch; duplicate shards are no-ops; guards") {
+    val xs = (0 until 400).map(i => ("g" + (i % 3), s"v${i % 97}")).toDF("g", "v")
+    val full = Scale.hllSketch(xs, Seq("g"), col("v"), 64)
+    val halves = Scale.hllSketch(xs.where($"v" < "v5"), Seq("g"), col("v"), 64)
+      .unionByName(Scale.hllSketch(xs.where($"v" >= "v5"), Seq("g"), col("v"), 64))
+    val rolled = Scale.hllRollup(halves, Seq("g"))
+    val f = full.as[(String, Long, Long)].collect().toSet
+    assert(rolled.as[(String, Long, Long)].collect().toSet == f)
+    // max is idempotent: stacking a shard twice changes nothing
+    assert(Scale.hllRollup(halves.unionByName(full), Seq("g"))
+      .as[(String, Long, Long)].collect().toSet == f)
+    intercept[IllegalArgumentException](Scale.hllSketch(xs, Seq("g"), col("v"), 63))
+    intercept[IllegalArgumentException](Scale.hllSketch(xs, Seq("g"), col("v"), 8))
+    intercept[IllegalArgumentException](Scale.hllEstimate(full, Seq("g"), 2048))
+  }
+
   test("countMin: sketch build is map-side partial-aggregated; guards") {
     val xs = (0 until 50).map(i => (i.toLong, s"k${i % 5}")).toDF("i", "k")
     val plan = Scale.countMinBuild(xs, col("k"), 4, 64L)
