@@ -688,4 +688,91 @@ object Graph {
     release(edgeRdds)
     result
   }
+
+  /** NEWMAN MODULARITY of a community assignment, EXACT-INTEGER
+    * (Newman & Girvan 2004): for communities c over an undirected
+    * graph with m edges, `Q = Σ_c [e_c/m − (d_c/2m)²]` where e_c is
+    * the count of edges internal to c and d_c the sum of member
+    * degrees — the standard "are these communities denser than
+    * chance" score a curation mix uses to decide whether
+    * [[labelPropagation]]'s labels carry signal before thresholding
+    * on them. Reported per community as the exact BIGINT NUMERATOR
+    * contribution `q_num = 4·m·e_c − d_c²` over the common
+    * denominator 4m² (global Q = Σ q_num / 4m²) — no float division
+    * in-engine, so the oracle replays it exactly and cross-community
+    * aggregation is an order-free integer sum. Overflow honest-bound:
+    * `4·m·e_c < 2⁶³` needs m·e_c < 2⁶¹ — safe through ~2³⁰ edges even
+    * if ONE community holds every edge; require'd.
+    *
+    * Edges are canonicalized (undirected distinct, self-loops
+    * dropped) the same way [[labelPropagation]] votes, so the two
+    * compose without re-reading the raw graph differently. A vertex
+    * missing from `labels` fails loudly (an inner join would silently
+    * deflate e_c/d_c and misreport Q as low).
+    *
+    * Scale shape: m and the degree table are one pass over the edge
+    * list; e_c is one edges-to-labels equi-join (labels broadcast
+    * under `maxBroadcastVertices`) + a partial-aggregable count; d_c
+    * one vertex-scale groupBy. Returns
+    * `(label, n_members, e_internal, d_total, q_num)` ordered by label.
+    */
+  def modularityByCommunity(
+      edges: DataFrame,
+      labels: DataFrame,
+      maxBroadcastVertices: Long = 2000000L
+  ): DataFrame = {
+    require(labels.columns.toSeq.contains("node") && labels.columns.toSeq.contains("label"),
+      "modularityByCommunity: labels must have (node, label) columns")
+    import Checkpoints.{tracked => checkpointTracked, release}
+    val (canon, canonRdds) = checkpointTracked(
+      edges
+        .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+        .select(
+          least(col("src"), col("dst")).as("_a"),
+          greatest(col("src"), col("dst")).as("_b"))
+        .distinct())
+    val m = canon.count()
+    require(m > 0, "modularityByCommunity: empty graph")
+    // 4·m·e_c ≤ 4·m·m must stay under 2^63 even if one community owns
+    // every edge — honest for any graph this engine peels or labels
+    require(m < (1L << 30),
+      s"modularityByCommunity: m = $m edges overflows the exact 4·m·e_c numerator bound (2^30)")
+    val nLabeled = labels.count()
+    val lab = if (nLabeled <= maxBroadcastVertices) broadcast(labels) else labels
+    // fail loudly on unlabeled endpoints: count rows the label join drops
+    val withA = canon
+      .join(lab.select(col("node").as("_a"), col("label").as("_la")), Seq("_a"), "left")
+    val withBoth = withA
+      .join(lab.select(col("node").as("_b"), col("label").as("_lb")), Seq("_b"), "left")
+    val nUnlabeled = withBoth.where(col("_la").isNull || col("_lb").isNull).count()
+    require(nUnlabeled == 0L,
+      s"modularityByCommunity: $nUnlabeled edge endpoint(s) missing from labels — " +
+        "an inner join would silently deflate e_c/d_c and misreport Q")
+    val eInternal = withBoth
+      .where(col("_la") === col("_lb"))
+      .groupBy(col("_la").as("label"))
+      .agg(count(lit(1)).as("e_internal"))
+    val degrees = canon.select(col("_a").as("_v"))
+      .unionByName(canon.select(col("_b").as("_v")))
+      .groupBy("_v").agg(count(lit(1)).as("_d"))
+    val perCommunity = lab
+      .join(degrees, lab("node") === degrees("_v"), "left")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(coalesce(col("_d"), lit(0L))).as("d_total"))
+    val (result, _) = checkpointTracked(
+      perCommunity
+        .join(eInternal, Seq("label"), "left")
+        .select(
+          col("label"),
+          col("n_members"),
+          coalesce(col("e_internal"), lit(0L)).as("e_internal"),
+          col("d_total"),
+          (lit(4L * m) * coalesce(col("e_internal"), lit(0L)) -
+            col("d_total") * col("d_total")).as("q_num"))
+        .orderBy("label"))
+    release(canonRdds)
+    result
+  }
 }

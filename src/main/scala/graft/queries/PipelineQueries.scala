@@ -1877,22 +1877,35 @@ object PipelineQueries {
       val sketch = Scale.hllRollup(
         half(col("doc_id") % 2 === 0).unionByName(half(col("doc_id") % 2 =!= 0)),
         Seq("source"))
-      val exact = docs.groupBy("source")
-        .agg(countDistinct(col("text")).as("exact_distinct"))
-      val perSource = Scale.hllEstimate(sketch, Seq("source"), HllM)
-        .join(exact, "source")
-        .select(
-          col("source"), col("v_zero"), col("s_scaled"),
-          col("est_distinct"), col("exact_distinct"))
-      val tagged = docs.withColumn("_g", lit("_ALL_m16"))
-      val globalRow = Scale
-        .hllEstimate(Scale.hllSketch(tagged, Seq("_g"), col("text"), HllMGlobal),
-          Seq("_g"), HllMGlobal)
-        .crossJoin(docs.agg(countDistinct(col("text")).as("exact_distinct")))
-        .select(
-          col("_g").as("source"), col("v_zero"), col("s_scaled"),
-          col("est_distinct"), col("exact_distinct"))
-      perSource.unionByName(globalRow).orderBy("source")
+      hllReport(docs, sketch)
+    },
+    // q166: the SAME HLL report with the per-source m = 64 sketch
+    // maintained INCREMENTALLY from a micro-batched file stream
+    // (register-max per-batch shards — the q163 lifecycle applied to
+    // the fourth mergeable sketch). Max is idempotent, so the streamed
+    // registers are identical to the batch build no matter the
+    // batching — q165's oracle gates the streamed face verbatim.
+    "q166_stream_hll" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_hll_docs").toString
+      val in = s"$base/in"
+      t(s, dir, "documents").select("source", "text")
+        .repartition(4).write.parquet(in)
+      val stream = graft.streaming.Streams
+        .fileStream(s, in, s.read.parquet(in).schema, maxFilesPerTrigger = 1)
+      val sketch = graft.streaming.Streams
+        .replayHllMaintenance(stream, "source", "text", HllM)
+      hllReport(t(s, dir, "documents").where(col("text").isNotNull), sketch)
+    },
+    // q167: Newman MODULARITY of q162's LPA communities on the same
+    // clique-chain graph — exact-integer per-community numerators
+    // q_num = 4·m·e_c − d_c² over the common 4m² denominator, so "are
+    // these communities denser than chance" is itself under the oracle
+    // (which composes q162's unrolled LPA CTEs with the edge/degree
+    // counting — one label text, the labels cannot drift).
+    "q167_modularity" -> { (s, dir) =>
+      val edges = kcoreFixtureEdges(s, dir)
+      val labels = graft.operators.Graph.labelPropagation(edges, rounds = LpaRounds)
+      graft.operators.Graph.modularityByCommunity(edges, labels)
     },
     // q162: synchronous min-tie LABEL PROPAGATION on the clique-chain
     // graph (q157's fixture — cliques are the planted communities, the
@@ -1945,6 +1958,30 @@ object PipelineQueries {
     */
   private val HllM: Int = 64
   private val HllMGlobal: Int = 16
+
+  /** q165/q166's shared report tail: per-source estimates from the
+    * supplied m = 64 sketch (batch-rollup-built or stream-maintained)
+    * + the whole-corpus m = 16 row whose cardinality forces the raw
+    * harmonic branch; exact distincts alongside.
+    */
+  private def hllReport(docs: DataFrame, sketch: DataFrame): DataFrame = {
+    val exact = docs.groupBy("source")
+      .agg(countDistinct(col("text")).as("exact_distinct"))
+    val perSource = Scale.hllEstimate(sketch, Seq("source"), HllM)
+      .join(exact, "source")
+      .select(
+        col("source"), col("v_zero"), col("s_scaled"),
+        col("est_distinct"), col("exact_distinct"))
+    val tagged = docs.withColumn("_g", lit("_ALL_m16"))
+    val globalRow = Scale
+      .hllEstimate(Scale.hllSketch(tagged, Seq("_g"), col("text"), HllMGlobal),
+        Seq("_g"), HllMGlobal)
+      .crossJoin(docs.agg(countDistinct(col("text")).as("exact_distinct")))
+      .select(
+        col("_g").as("source"), col("v_zero"), col("s_scaled"),
+        col("est_distinct"), col("exact_distinct"))
+    perSource.unionByName(globalRow).orderBy("source")
+  }
 
   /** q154's filter size: deliberately past [[graft.operators.Bloom.bloomProbe]]'s
     * 2³⁰ broadcast bound so the query can only run through the sharded
@@ -3674,7 +3711,11 @@ object PipelineQueries {
     // oracle text each, the q108/q118 persisted-lifecycle discipline
     "q163_stream_countmin" -> CountMinSql,
     "q164_hybrid_rrf_indexed" -> HybridRrfSql,
-    "q165_hll_distinct" -> HllSql
+    "q165_hll_distinct" -> HllSql,
+    // q166 is q165's physical-path variant (register-max streamed
+    // maintenance ≡ the batch sketch), the q163 treatment
+    "q166_stream_hll" -> HllSql,
+    "q167_modularity" -> ModularitySql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -4104,7 +4145,7 @@ object PipelineQueries {
     * ties to the smallest" — each round MATERIALIZED (referenced twice
     * downstream; see the kcorePeelCtes note on DuckDB CTE inlining).
     */
-  private lazy val LabelPropSql = {
+  private lazy val LpaCtesText = {
     val rounds = (1 to LpaRounds).map { r =>
       s"""c$r AS MATERIALIZED (SELECT u.b AS v, l.lab, CAST(count(*) AS BIGINT) AS c
          |  FROM und u JOIN lab${r - 1} l ON l.v = u.a GROUP BY 1, 2),
@@ -4112,12 +4153,39 @@ object PipelineQueries {
          |  SELECT v, lab, row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
          |  FROM c$r) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $KCoreGraphCte,
+    s"""$KCoreGraphCte,
        |und AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
        |lab0 AS (SELECT DISTINCT a AS v, a AS lab FROM und),
-       |$rounds
-       |SELECT v AS doc_id, lab AS label FROM lab$LpaRounds ORDER BY doc_id""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private lazy val LabelPropSql =
+    s"""WITH $LpaCtesText
+       |SELECT v AS doc_id, lab AS label FROM lab$LpaRounds ORDER BY doc_id""".stripMargin
+
+  /** q167's oracle: q162's unrolled LPA CTEs (one label text — the
+    * labels cannot drift between the two queries) composed with
+    * exact-integer edge/degree counting over the same canonical e0:
+    * per community `q_num = 4·m·e_c − d_c²` over the common 4m²
+    * denominator.
+    */
+  private lazy val ModularitySql =
+    s"""WITH $LpaCtesText,
+       |mm2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+       |deg AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS d FROM
+       |  (SELECT a AS x FROM e0 UNION ALL SELECT b AS x FROM e0) GROUP BY 1),
+       |ei AS (SELECT la.lab AS label, CAST(count(*) AS BIGINT) AS e_internal
+       |  FROM e0
+       |  JOIN lab$LpaRounds la ON la.v = e0.a
+       |  JOIN lab$LpaRounds lb ON lb.v = e0.b
+       |  WHERE la.lab = lb.lab GROUP BY 1),
+       |pc AS (SELECT l.lab AS label, CAST(count(*) AS BIGINT) AS n_members,
+       |         CAST(sum(COALESCE(deg.d, 0)) AS BIGINT) AS d_total
+       |       FROM lab$LpaRounds l LEFT JOIN deg ON deg.v = l.v GROUP BY 1)
+       |SELECT pc.label, pc.n_members,
+       |  CAST(COALESCE(ei.e_internal, 0) AS BIGINT) AS e_internal, pc.d_total,
+       |  CAST(4 * mm2.m * COALESCE(ei.e_internal, 0) - pc.d_total * pc.d_total AS BIGINT) AS q_num
+       |FROM pc LEFT JOIN ei USING (label), mm2 ORDER BY label""".stripMargin
 
   /** Shared by q146 (from-scratch Bloom build), q151 (the filter
     * maintained incrementally from a stream) and q154 (the sharded

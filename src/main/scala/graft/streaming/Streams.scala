@@ -1131,6 +1131,46 @@ object Streams {
       spark.read.parquet(shardDir).select("row_idx", "bucket", "cnt"))
   }
 
+  /** INCREMENTAL HyperLogLog maintenance from a stream — the fourth
+    * mergeable sketch under this lifecycle (KMV, Bloom, count-min,
+    * now HLL): each micro-batch reduces to a ≤ groups·m-row register
+    * shard ([[graft.operators.Scale.hllSketch]]) and appends; the live
+    * sketch is the register-wise MAX rollup
+    * ([[graft.operators.Scale.hllRollup]]), which equals sketching
+    * everything streamed so far EXACTLY (max is idempotent/
+    * commutative/associative), so estimates are batching-independent
+    * and the batch oracle gates the streamed face verbatim.
+    */
+  def replayHllMaintenance(
+      rows: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      m: Int,
+      salt: String = "hll"
+  ): DataFrame = {
+    require(rows.isStreaming, "replayHllMaintenance: rows must be a streaming DataFrame")
+    val spark = rows.sparkSession
+    val base = java.nio.file.Files.createTempDirectory("graft_hll_stream").toString
+    val shardDir = s"$base/shards"
+    val q = rows.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Scale
+          .hllSketch(batch, Seq(groupCol), col(valueCol), m, salt)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(shardDir): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    graft.operators.Scale.hllRollup(
+      spark.read.parquet(shardDir).select(groupCol, "bucket", "register"),
+      Seq(groupCol))
+  }
+
   /** Watermarked windowed aggregate over an event-time column — bounded
     * state, append-safe at scale.
     */

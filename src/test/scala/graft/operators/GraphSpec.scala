@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -460,5 +461,33 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(la == lb)
     assert(la == refLpa(base, 4))
     intercept[IllegalArgumentException](Graph.labelPropagation(a, rounds = 0))
+  }
+
+  test("modularityByCommunity: hand-computed two-triangle split; one community scores 0") {
+    // two triangles + bridge (m = 7), LPA's own split {0,1,2}|{3,4,5}
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+      .toDF("src", "dst")
+    val labels = Graph.labelPropagation(e, rounds = 3)
+    val got = Graph.modularityByCommunity(e, labels)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // per community: 3 members, 3 internal edges, degree sum 7
+    // (bridge endpoint has degree 3) → q_num = 4·7·3 − 7² = 35
+    assert(got == Seq((0L, 3L, 3L, 7L, 35L), (2L, 3L, 3L, 7L, 35L)))
+    // global Q = Σ q_num / 4m² = 70/196 ≈ 0.357 — positive, as a real
+    // community split must be
+    assert(got.map(_._5).sum == 70L)
+    // the everything-in-one-community assignment scores EXACTLY zero
+    // (e_c = m and d_c = 2m ⇒ 4m·m − 4m² = 0), the known Q invariant
+    val one = labels.select($"node", lit(9L).as("label"))
+    val q0 = Graph.modularityByCommunity(e, one)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(q0 == Seq((9L, 6L, 7L, 14L, 0L)))
+    // unlabeled endpoints fail loudly, never silently deflate Q
+    val missing = labels.where($"node" =!= 5L)
+    val err = intercept[IllegalArgumentException](
+      Graph.modularityByCommunity(e, missing).collect())
+    assert(err.getMessage.contains("missing from labels"), err.getMessage)
+    intercept[IllegalArgumentException](
+      Graph.modularityByCommunity(e.where(lit(false)), labels))
   }
 }

@@ -319,6 +319,25 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("streaming"), e.getMessage)
   }
 
+  test("replayHllMaintenance: streamed register rollup equals the batch sketch") {
+    val base = Files.createTempDirectory("streamhll").toString
+    val in = s"$base/in"
+    (0 until 300).map(i => ("g" + (i % 2), s"v${i % 83}")).toDF("g", "v")
+      .repartition(3).write.parquet(in)
+    val got = Streams.replayHllMaintenance(
+      Streams.fileStream(spark, in, spark.read.parquet(in).schema,
+        maxFilesPerTrigger = 1),
+      "g", "v", m = 64)
+    val direct = graft.operators.Scale.hllSketch(
+      spark.read.parquet(in), Seq("g"), $"v", m = 64)
+    assert(got.as[(String, Long, Long)].collect().toSet ==
+      direct.as[(String, Long, Long)].collect().toSet)
+    val e = intercept[IllegalArgumentException] {
+      Streams.replayHllMaintenance(spark.read.parquet(in), "g", "v", 64)
+    }
+    assert(e.getMessage.contains("streaming"), e.getMessage)
+  }
+
   test("replayDedupKeys admits each key once and returns only key columns") {
     val base = Files.createTempDirectory("streamdd").toString
     val in = s"$base/in"
