@@ -135,6 +135,85 @@ object Graph {
     pr.select(col("_v").as(vertexCol), col("_pr").as("rank_micro"))
   }
 
+  /** PERSONALIZED PageRank (Haveliwala 2002's topic-sensitive variant,
+    * exact-integer): [[pageRankExact]]'s damped recurrence with the
+    * teleport mass restricted to a SEED set — rank flows outward from
+    * trusted anchors through the link structure, so the score ranks
+    * every vertex by proximity-weighted reachability FROM the seeds.
+    * This is the seed-expansion signal a curation pipeline uses to
+    * grow a small trusted corpus (seed domains/documents) into a
+    * larger one: global PageRank answers "authoritative overall",
+    * PPR answers "authoritative RELATIVE TO what we already trust".
+    *
+    * Recurrence, micro-units, same integer discipline as
+    * [[pageRankExact]] (`DIV` both engines, order-free sums):
+    * `pr₀(v) = 1 000 000·[v ∈ S]`;
+    * `pr_{t+1}(v) = 150 000·[v ∈ S] + (85·Σ_{u→v} pr_t(u) DIV deg(u))
+    * DIV 100`. Per-seed units (NOT normalized by |S| — the ranking is
+    * scale-invariant and integer exactness beats a 1/|S| float).
+    * Unreachable non-seed vertices report EXACTLY 0 — the property
+    * that makes PPR a membership gate, where global PR gives
+    * everything ≥ 150 000.
+    *
+    * Scale shape identical to [[pageRankExact]] (one edge-scale join +
+    * one partial-aggregable sum per iteration, vertex tables broadcast
+    * under the measured bound); per-iteration checkpoints are tracked
+    * and released (the [[Checkpoints]] discipline).
+    */
+  def personalizedPageRankExact(
+      edges: DataFrame,
+      vertices: DataFrame,
+      vertexCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int = 5,
+      maxBroadcastVertices: Long = 2000000L
+  ): DataFrame = {
+    require(iterations >= 1,
+      s"personalizedPageRankExact: iterations must be at least 1, got $iterations")
+    import Checkpoints.{tracked => checkpointTracked, release}
+    val (verts, vertRdds) = checkpointTracked(
+      vertices.select(col(vertexCol).as("_v")).where(col("_v").isNotNull).distinct())
+    val seedSet = seeds.select(col(seedCol).as("_v")).where(col("_v").isNotNull).distinct()
+    // seed flag folded into the vertex table once — loop-invariant
+    val (flagged, flagRdds) = checkpointTracked(
+      verts.join(seedSet.withColumn("_s", lit(1L)), Seq("_v"), "left")
+        .select(col("_v"), coalesce(col("_s"), lit(0L)).as("_seed")))
+    val nSeeds = flagged.where(col("_seed") === 1L).count()
+    require(nSeeds > 0, "personalizedPageRankExact: no seed vertex is in the vertex universe")
+    val (e, eRdds) = checkpointTracked(
+      edges.select(col("src").as("_src"), col("dst").as("_dst")))
+    val (deg, degRdds) = checkpointTracked(
+      e.groupBy(col("_src").as("_v")).agg(count(lit(1)).as("_deg")))
+    val nVerts = flagged.count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nVerts <= maxBroadcastVertices) broadcast(df) else df
+    var (pr, prevRdds) = checkpointTracked(
+      flagged.select(col("_v"), (col("_seed") * 1000000L).as("_pr")))
+    for (_ <- 1 to iterations) {
+      val contrib = pr
+        .join(deg, Seq("_v"))
+        .select(col("_v").as("_src"), expr("_pr div _deg").as("_c"))
+      val msgs = e
+        .join(maybeBroadcast(contrib), Seq("_src"))
+        .groupBy(col("_dst").as("_v"))
+        .agg(sum(col("_c")).as("_msg"))
+      val (next, nextRdds) = checkpointTracked(
+        flagged
+          .join(msgs, Seq("_v"), "left")
+          .select(col("_v"), col("_seed"),
+            (col("_seed") * 150000L + expr("85 * coalesce(_msg, 0L) div 100")).as("_pr"))
+          .select(col("_v"), col("_pr")))
+      release(prevRdds)
+      prevRdds = nextRdds
+      pr = next
+    }
+    val (result, _) = checkpointTracked(
+      pr.select(col("_v").as(vertexCol), col("_pr").as("rank_micro")))
+    release(prevRdds); release(eRdds); release(degRdds); release(flagRdds); release(vertRdds)
+    result
+  }
+
   /** Per-vertex TRIANGLE counts — the local clustering signal (how
     * clique-like a node's neighborhood is; spam and boilerplate rings
     * are dense, organic co-occurrence is sparse).

@@ -1896,6 +1896,23 @@ object PipelineQueries {
         .replayHllMaintenance(stream, "source", "text", HllM)
       hllReport(t(s, dir, "documents").where(col("text").isNotNull), sketch)
     },
+    // q168: PERSONALIZED PageRank on q142's co-purchase graph — rank
+    // flows from a deterministic seed sliver (p_partkey % 37 = 0)
+    // through the link structure: the seed-expansion signal ("trusted
+    // relative to what we already have", vs q142's global authority).
+    // Unreachable non-seeds report exactly 0. Oracle: the q142
+    // recurrence unrolled with the seed-gated teleport term, same
+    // CoPurchaseGraphCte text.
+    "q168_ppr" -> { (s, dir) =>
+      val parts = t(s, dir, "part")
+      graft.operators.Graph.personalizedPageRankExact(
+        graft.operators.Graph
+          .cooccurrenceEdges(t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+        parts, "p_partkey",
+        parts.where(col("p_partkey") % 37 === 0), "p_partkey",
+        iterations = 5)
+        .orderBy("p_partkey")
+    },
     // q167: Newman MODULARITY of q162's LPA communities on the same
     // clique-chain graph — exact-integer per-community numerators
     // q_num = 4·m·e_c − d_c² over the common 4m² denominator, so "are
@@ -3715,7 +3732,8 @@ object PipelineQueries {
     // q166 is q165's physical-path variant (register-max streamed
     // maintenance ≡ the batch sketch), the q163 treatment
     "q166_stream_hll" -> HllSql,
-    "q167_modularity" -> ModularitySql
+    "q167_modularity" -> ModularitySql,
+    "q168_ppr" -> PersonalizedPageRankSql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -4162,6 +4180,30 @@ object PipelineQueries {
   private lazy val LabelPropSql =
     s"""WITH $LpaCtesText
        |SELECT v AS doc_id, lab AS label FROM lab$LpaRounds ORDER BY doc_id""".stripMargin
+
+  /** q168's oracle: the q142 recurrence unrolled with the teleport
+    * term gated to the seed set (`vx % 37 = 0`) — base 150 000 and
+    * start mass 1 000 000 multiply the seed flag, everything else is
+    * the identical integer-DIV text over [[CoPurchaseGraphCte]].
+    */
+  private lazy val PersonalizedPageRankSql = {
+    val iters = (1 to 5).map { k =>
+      s"""p$k AS (SELECT v.vx,
+         |  CAST(150000 * (CASE WHEN v.vx % 37 = 0 THEN 1 ELSE 0 END)
+         |    + (85 * COALESCE(m.msg, 0)) // 100 AS BIGINT) AS pr
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS vx, SUM(p${k - 1}.pr // d.deg) AS msg
+         |    FROM e JOIN p${k - 1} ON e.src = p${k - 1}.vx
+         |           JOIN d ON d.src = e.src
+         |    GROUP BY e.dst) m ON m.vx = v.vx)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $CoPurchaseGraphCte,
+       |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |p0 AS (SELECT vx, CAST(1000000 * (CASE WHEN vx % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pr FROM v),
+       |$iters
+       |SELECT vx AS p_partkey, pr AS rank_micro
+       |FROM p5 ORDER BY p_partkey""".stripMargin
+  }
 
   /** q167's oracle: q162's unrolled LPA CTEs (one label text — the
     * labels cannot drift between the two queries) composed with

@@ -463,6 +463,47 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](Graph.labelPropagation(a, rounds = 0))
   }
 
+  /** Sequential replay of the seed-gated recurrence. */
+  private def refPpr(
+      verts: Seq[Long], seeds: Set[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    var pr = verts.map(v => v -> (if (seeds(v)) 1000000L else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val msg = edges
+        .groupBy(_._2)
+        .map { case (dst, es) => dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum }
+      pr = verts.map(v =>
+        v -> ((if (seeds(v)) 150000L else 0L) + 85L * msg.getOrElse(v, 0L) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("personalizedPageRank: seed-gated teleport, unreachable non-seeds exactly 0") {
+    // mirrored triangle 1-2-3 + pendant 4 off 3 + isolated non-seed 5 +
+    // isolated seed 6; seeds {1, 6}
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val mirrored = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("vx")
+    val seeds = Seq(1L, 6L).toDF("vx")
+    val got = Graph.personalizedPageRankExact(
+      mirrored, verts, "vx", seeds, "vx", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refPpr(Seq(1L, 2L, 3L, 4L, 5L, 6L), Set(1L, 6L), und ++ und.map(_.swap), 5))
+    // unreachable non-seed: EXACTLY zero (the membership-gate property
+    // global PageRank lacks); isolated seed keeps only its base
+    assert(got(5L) == 0L)
+    assert(got(6L) == 150000L)
+    // rank flows outward: the seed outranks its triangle, which
+    // outranks the pendant two hops out
+    assert(got(1L) > got(2L) && got(2L) > got(4L) && got(4L) > 0L)
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRankExact(mirrored, verts, "vx", seeds, "vx", iterations = 0))
+    // seeds disjoint from the vertex universe fail loudly
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRankExact(
+        mirrored, verts, "vx", Seq(99L).toDF("vx"), "vx"))
+  }
+
   test("modularityByCommunity: hand-computed two-triangle split; one community scores 0") {
     // two triangles + bridge (m = 7), LPA's own split {0,1,2}|{3,4,5}
     val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
