@@ -38,6 +38,31 @@ object Bench {
     "q32_fingerprint", "q33_embedding_neardup", "q34_asof_join",
     "q35_sessionize", "q36_subword_count", "q37_percentiles")
 
+  /** Probe self-protection at scale-up SFs (the r15 isolation-run
+    * footgun): the probe deliberately ignores SPARK_GRAFT_ONLY — an
+    * isolation artifact needs the host yardstick most — but an
+    * isolation run that omitted the documented SKIP set then ran the
+    * deliberately-quadratic q24/q25 INSIDE the probe at 100×, burning
+    * 740–840 s and recording a probe failure. The recorded sf ≥ 1 skip
+    * set's probe members are baked in here and applied to the probe
+    * whenever the SF dir's scale factor is ≥ 1, independent of
+    * SKIP/ONLY — so every sf10 artifact (full-corpus or isolation)
+    * probes the same 35 queries and their probe subtotals compare
+    * directly. An unparsable dir name is treated as small-SF (probe
+    * everything), matching the sf0.1 default.
+    */
+  private val ScaleUpProbeSkips: Set[String] =
+    Set("q24_dedup_ngram_jaccard", "q25_dedup_minhash_lsh")
+
+  private[graft] def probeSkipsFor(sfDir: String): Set[String] = {
+    val base = sfDir.stripSuffix("/").split('/').last
+    val sf = "^sf([0-9]+(?:\\.[0-9]+)?)$".r
+    base match {
+      case sf(v) if v.toDouble >= 1.0 => ScaleUpProbeSkips
+      case _                          => Set.empty
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -94,11 +119,14 @@ object Bench {
       s"SPARK_GRAFT_ONLY names not in the corpus: ${unknownOnly.toSeq.sorted.mkString(",")}")
     // host-speed probe: the frozen 37-query r1 workload, one timed
     // pass, BEFORE the corpus passes (so it measures the host, not the
-    // page cache the corpus warms). Respects SKIP (q24 stays out of
-    // scale-up probes) but ignores ONLY — an isolation artifact needs
-    // the host yardstick most. SPARK_GRAFT_NO_PROBE=1 disables.
+    // page cache the corpus warms). Respects SKIP, auto-applies the
+    // recorded scale-up probe skips (see ScaleUpProbeSkips — q24/q25
+    // stay out of sf ≥ 1 probes even when the caller forgot SKIP), but
+    // ignores ONLY — an isolation artifact needs the host yardstick
+    // most. SPARK_GRAFT_NO_PROBE=1 disables.
     val probeNames = HostProbeQueries
-      .filter(SparkEntry.queries.contains).filterNot(skip.contains)
+      .filter(SparkEntry.queries.contains)
+      .filterNot((skip ++ probeSkipsFor(sfDir)).contains)
     val runProbe = !sys.env.get("SPARK_GRAFT_NO_PROBE").exists(_ == "1")
     var probeFailures = 0
     val hostProbeSec =

@@ -1030,4 +1030,100 @@ object Curation {
       .globalRunningSum(docs, order, costCol, outCol)
       .where(col(outCol) <= budget)
   }
+
+  /** End-to-end corpus-curation MIX — the reference's lifecycle shape
+    * (`driver_ingestions.py:31-64` composing readers → filtration →
+    * sinks, `table_jobs/nis_policies.py:21-38`'s join-then-filter
+    * template) applied to curation: every per-document signal this
+    * engine computes is joined into ONE keep/drop decision, the query
+    * a production training-data pipeline actually ships. The signals
+    * arrive as DataFrames (each produced by its own oracled operator),
+    * so the mix is pure interop — no signal is recomputed here and
+    * none can drift from its standalone face.
+    *
+    * Policy — fixed precedence, the FIRST failing gate names the
+    * reason (so a document dropped for several causes reports the
+    * cheapest-to-compute one, the order a production pipeline
+    * short-circuits in):
+    *
+    *   1. `duplicate`       not in `survivorIds` (dedup lost the
+    *                        election)
+    *   2. `low_quality`     quality < minQuality (rounded to 6dp
+    *                        BEFORE the compare — both engines replay
+    *                        the rounded value bit-for-bit, so the
+    *                        threshold compare is engine-independent)
+    *   3. `shallow_core`    k-core number < minCore (a document
+    *                        outside every core reads 0 — boilerplate
+    *                        islands and orphans)
+    *   4. `weak_community`  its community's exact-integer modularity
+    *                        numerator q_num ≤ 0 (no denser than
+    *                        chance) or the document is unlabeled
+    *   5. `untrusted`       personalized-PageRank mass from the
+    *                        trusted seed set < minRankMicro (absent ⇒
+    *                        0 — unreachable from every seed)
+    *   6. `kept`            all gates passed
+    *
+    * Missing-signal semantics are DROP-biased by design (absent
+    * survivor row ⇒ duplicate, absent core ⇒ 0, absent label ⇒ weak,
+    * absent rank ⇒ 0): a curation mix must fail closed — a document
+    * no signal vouches for does not enter a training corpus.
+    *
+    * Scale shape: five left equi-joins on the document key (at 100 TB
+    * they co-shuffle on one key; every signal table is document-scale
+    * or smaller), plus one community-scale join for q_num, broadcast
+    * while the community table is provably small (one bounded count —
+    * the countMinEstimate gate discipline). No window, no collect, no
+    * cartesian anywhere.
+    *
+    * Inputs: `survivorIds` (a column named `idCol` — the kept set),
+    * `quality` (idCol, quality DOUBLE), `cores` (idCol, core BIGINT),
+    * `labels` (idCol, label), `modularity` (label, …, q_num),
+    * `ppr` (idCol, rank_micro). Returns (idCol, kept BOOLEAN,
+    * reason STRING), one row per `docs` row.
+    */
+  def curationMix(
+      docs: DataFrame,
+      idCol: String,
+      survivorIds: DataFrame,
+      quality: DataFrame,
+      cores: DataFrame,
+      labels: DataFrame,
+      modularity: DataFrame,
+      ppr: DataFrame,
+      minQuality: Double,
+      minCore: Long,
+      minRankMicro: Long,
+      maxBroadcastCommunities: Long = 1000000L
+  ): DataFrame = {
+    Seq(
+      ("survivorIds", survivorIds, idCol), ("quality", quality, idCol),
+      ("cores", cores, idCol), ("labels", labels, idCol),
+      ("modularity", modularity, "label"), ("ppr", ppr, idCol)
+    ).foreach { case (name, df, key) =>
+      require(df.columns.contains(key),
+        s"curationMix: $name must carry a '$key' column, has ${df.columns.mkString(", ")}")
+    }
+    val surv = survivorIds.select(col(idCol)).distinct().withColumn("_surv", lit(true))
+    val qual = quality.select(col(idCol), round(col("quality"), 6).as("_q"))
+    val core = cores.select(col(idCol), col("core").cast("long").as("_core"))
+    val lab = labels.select(col(idCol), col("label").as("_lab"))
+    val mq = modularity.select(col("label").as("_lab"), col("q_num").as("_qnum"))
+    val mqSide = if (mq.count() <= maxBroadcastCommunities) broadcast(mq) else mq
+    val rank = ppr.select(col(idCol), col("rank_micro").cast("long").as("_rank"))
+    val reason = when(coalesce(col("_surv"), lit(false)) === false, lit("duplicate"))
+      .when(coalesce(col("_q"), lit(0.0)) < minQuality, lit("low_quality"))
+      .when(coalesce(col("_core"), lit(0L)) < minCore, lit("shallow_core"))
+      .when(coalesce(col("_qnum"), lit(0L)) <= 0L, lit("weak_community"))
+      .when(coalesce(col("_rank"), lit(0L)) < minRankMicro, lit("untrusted"))
+      .otherwise(lit("kept"))
+    docs.select(col(idCol))
+      .join(surv, Seq(idCol), "left")
+      .join(qual, Seq(idCol), "left")
+      .join(core, Seq(idCol), "left")
+      .join(lab, Seq(idCol), "left")
+      .join(mqSide, Seq("_lab"), "left")
+      .join(rank, Seq(idCol), "left")
+      .select(col(idCol), reason.as("reason"))
+      .select(col(idCol), (col("reason") === "kept").as("kept"), col("reason"))
+  }
 }

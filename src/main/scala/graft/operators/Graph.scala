@@ -817,6 +817,15 @@ object Graph {
     require(m < (1L << 30),
       s"modularityByCommunity: m = $m edges overflows the exact 4·m·e_c numerator bound (2^30)")
     val nLabeled = labels.count()
+    // fail loudly on a non-function assignment: a node with two label
+    // rows would fan out BOTH equi-joins below, silently inflating
+    // n_members/d_total and multiplying e_internal — the duplicate twin
+    // of the unlabeled-endpoint check (one vertex-scale distinct count)
+    val nDistinctNodes = labels.select(col("node")).distinct().count()
+    require(nDistinctNodes == nLabeled,
+      s"modularityByCommunity: labels has $nLabeled rows over $nDistinctNodes " +
+        "distinct nodes — a node with multiple labels would fan out the " +
+        "joins and misreport q_num")
     val lab = if (nLabeled <= maxBroadcastVertices) broadcast(labels) else labels
     // fail loudly on unlabeled endpoints: count rows the label join drops
     val withA = canon
@@ -853,5 +862,71 @@ object Graph {
         .orderBy("label"))
     release(canonRdds)
     result
+  }
+
+  /** STALENESS report for a stored iterative-graph result — the
+    * [[graft.operators.Similarity.ivfPqDriftReport]] idea applied to
+    * PageRank/PPR/core-number/LPA outputs: those are full recomputes
+    * per run, and at 100 TB the operative question is whether an
+    * edge-append batch invalidates the CACHED result or can wait for
+    * the next scheduled rebuild. The report measures the AFFECTED
+    * fraction without recomputing anything: a vertex is affected if it
+    * is an endpoint of a new edge or a 1-hop neighbour of one in the
+    * grown graph (the first ring any of the iterative updates would
+    * touch — degrees, votes, teleport mass all change there first;
+    * farther rings change only through damped propagation).
+    *
+    * One bounded join: new-edge endpoints (batch-scale, broadcast
+    * under `maxBroadcastVertices`) probe the grown edge set once.
+    * Exact integers end to end — the fraction is reported in
+    * micro-units (`affected_micro = 10⁶·n_affected DIV n_universe`,
+    * the PageRank integer discipline), `rebuild` compares it to
+    * `thresholdMicro`. Universe = stored result's vertices ∪ new
+    * endpoints (a brand-new vertex is affected by definition).
+    * Returns ONE row `(n_universe, n_affected, affected_micro,
+    * rebuild)`.
+    */
+  def graphDriftReport(
+      storedVertices: DataFrame,
+      vertexCol: String,
+      edges: DataFrame,
+      newEdges: DataFrame,
+      thresholdMicro: Long,
+      maxBroadcastVertices: Long = 2000000L
+  ): DataFrame = {
+    require(thresholdMicro >= 0 && thresholdMicro <= 1000000L,
+      s"graphDriftReport: thresholdMicro must be in [0, 1000000], got $thresholdMicro")
+    def ends(e: DataFrame): DataFrame =
+      e.select(col("src").as("_v"))
+        .unionByName(e.select(col("dst").as("_v")))
+        .where(col("_v").isNotNull)
+        .distinct()
+    val touched = ends(newEdges)
+    val nTouched = touched.count()
+    val touchedSide =
+      if (nTouched <= maxBroadcastVertices) broadcast(touched) else touched
+    val grown = edges.select(col("src"), col("dst"))
+      .unionByName(newEdges.select(col("src"), col("dst")))
+    // 1-hop ring: either endpoint of any grown edge whose OTHER
+    // endpoint is touched — two semi-join probes, batch-bounded
+    val ring = grown
+      .join(touchedSide.withColumnRenamed("_v", "src"), Seq("src"), "left_semi")
+      .select(col("dst").as("_v"))
+      .unionByName(grown
+        .join(touchedSide.withColumnRenamed("_v", "dst"), Seq("dst"), "left_semi")
+        .select(col("src").as("_v")))
+      .where(col("_v").isNotNull)
+    val affected = touched.unionByName(ring).distinct()
+    val universe = storedVertices
+      .select(col(vertexCol).as("_v")).where(col("_v").isNotNull).distinct()
+      .unionByName(touched).distinct()
+    val nUniverse = universe.count()
+    require(nUniverse > 0, "graphDriftReport: empty vertex universe")
+    val nAffected = affected.join(universe, Seq("_v"), "left_semi").count()
+    val spark = storedVertices.sparkSession
+    import spark.implicits._
+    Seq((nUniverse, nAffected, 1000000L * nAffected / nUniverse))
+      .toDF("n_universe", "n_affected", "affected_micro")
+      .withColumn("rebuild", col("affected_micro") >= thresholdMicro)
   }
 }

@@ -1119,6 +1119,69 @@ object Scale {
       .groupBy(col("row_idx"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** [[countMinRollup]] that PRESERVES shard key columns (e.g. the day
+    * column of [[countMinSharded]]): cell-wise sums within each shard
+    * group, so per-(batch, day) stream appends collapse to one sketch
+    * row set per day. Same partial-aggregable shape, ≤ groups·depth·
+    * width rows out.
+    */
+  def countMinRollupBy(shards: DataFrame, groupCols: Seq[String]): DataFrame =
+    shards
+      .groupBy((groupCols :+ "row_idx" :+ "bucket").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** TIME-SHARDED count-min build — the all-time sketch answers
+    * "frequency ever", a training-data freshness gate needs "frequency
+    * in the last N days": one [[countMinBuild]]-identical sketch per
+    * value of `shardCol` (a day string, an hour bucket, an ingest
+    * batch), returned stacked as `(shardName, row_idx, bucket, cnt)`.
+    * Because cells are plain counters, the rollup of any shard SUBSET
+    * ([[countMinWindow]]) equals the sketch built over exactly those
+    * shards' rows — the [[countMinMerge]] concat property applied to a
+    * time filter — so a sliding window is a metadata-scale rollup over
+    * ≤ days·depth·width rows, never a re-scan of the corpus, and a new
+    * day appends one shard while old days age out by predicate.
+    *
+    * Scale shape: identical to [[countMinBuild]] with the shard key in
+    * the groupBy — one partial-aggregable pass, map-side combine
+    * collapses each partition to ≤ shards·depth·width cells.
+    */
+  def countMinSharded(
+      df: DataFrame,
+      shardCol: Column,
+      shardName: String,
+      keyCol: Column,
+      depth: Int,
+      width: Long,
+      salt: String = "cm"
+  ): DataFrame = {
+    require(depth >= 1 && depth <= 16,
+      s"countMinSharded: depth must be in [1, 16], got $depth")
+    require(width >= 2 && width <= (1L << 42),
+      s"countMinSharded: width must be in [2, 2^42], got $width")
+    val keyed = df
+      .select(shardCol.as(shardName), keyCol.cast("string").as("_k"))
+      .where(col("_k").isNotNull && col(shardName).isNotNull)
+    val cells = (0 until depth).map { i =>
+      struct(
+        lit(i).as("row_idx"),
+        (graft.functions.Text
+          .md5PrefixLong(concat(lit(s"$salt$i:"), col("_k")), 13) % width).as("bucket"))
+    }
+    keyed
+      .select(col(shardName), explode(array(cells: _*)).as("_c"))
+      .groupBy(col(shardName), col("_c.row_idx").as("row_idx"), col("_c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Window face over [[countMinSharded]] shards: the rolled-up sketch
+    * of every shard matching `shardPred` — exactly the sketch of the
+    * window's rows (cell sums are associative/commutative), probe-able
+    * by [[countMinEstimate]] with the build's (depth, width, salt).
+    */
+  def countMinWindow(shards: DataFrame, shardPred: Column): DataFrame =
+    countMinRollup(shards.where(shardPred).select("row_idx", "bucket", "cnt"))
+
   /** HYPERLOGLOG register sketch (Flajolet et al. 2007, re-derived
     * oracle-replicable): the 52-bit md5 value hash splits into a
     * bucket (`h mod m`) and a 52−log₂m-bit suffix `w`; the register is
@@ -1202,6 +1265,24 @@ object Scale {
     val logM = hllCheckM("hllEstimate", m)
     require(groupCols.nonEmpty, "hllEstimate: need at least one group column")
     val zeroRank = 53 - logM
+    // Guard the caller's m against the SKETCH (the ivfPqTopK stored-m
+    // discipline): estimates are only meaningful under the m the
+    // registers were built with, and a mismatch returns silently-wrong
+    // numbers, not an error. The check is one sketch-sized agg and
+    // one-sided (a sketch built at a SMALLER m than claimed can pass —
+    // its buckets and registers fit the larger bounds — but every
+    // larger-m build is caught: its buckets exceed m or its registers
+    // exceed the claimed suffix length).
+    val hdr = sketch.agg(
+      max(col("bucket")), min(col("bucket")), max(col("register"))).head()
+    if (!hdr.isNullAt(0)) {
+      require(hdr.getLong(0) < m && hdr.getLong(1) >= 0L,
+        s"hllEstimate: sketch bucket range [${hdr.getLong(1)}, ${hdr.getLong(0)}] " +
+          s"is outside [0, ${m - 1}] — the sketch was built with a different m")
+      require(hdr.getLong(2) <= zeroRank,
+        s"hllEstimate: sketch register max ${hdr.getLong(2)} exceeds the " +
+          s"m=$m suffix rank bound $zeroRank — the sketch was built with a smaller m")
+    }
     val numer = hllAlphaM2(m) * (1L << zeroRank) // ≤ 2^62.6 at m = 1024
     val linear: Column = {
       val entries = (1 until m).flatMap { v =>
@@ -1248,9 +1329,21 @@ object Scale {
     * each distinct probe key, `est = min over rows of cell(row,
     * h_row(key))`, absent cells read as 0 (the sparse encoding). The
     * probe keys' cells are computed with the identical salted md5
-    * rows, the sketch side is sketch-sized (broadcast-friendly), and
-    * the min is one partial-aggregable groupBy per key. Returns
-    * `(key, cm_est)`.
+    * rows, the sketch side joins broadcast while its populated cell
+    * count stays under `maxBroadcastCells` (a high-depth, high-width
+    * sketch can exceed the broadcast/driver budget — [[countMinBuild]]
+    * permits width up to 2⁴²) and falls back to a plain shuffle join
+    * past it, and the min is one partial-aggregable groupBy per key.
+    * Returns `(key, cm_est)`.
+    *
+    * The (depth, width, salt) triple must be the BUILD's — a mismatch
+    * probes the wrong cells. The depth side is checked against the
+    * sketch (one sketch-sized agg; one-sided — a sketch built at a
+    * smaller depth than claimed reads absent rows as 0 and still
+    * honors the one-sided `est ≥ 0` floor, but a larger-depth build
+    * is caught); width/salt have no in-sketch witness (every bucket
+    * of a narrow build is also a legal bucket of a wide one), which
+    * is why the knobs should be persisted alongside the sketch.
     */
   def countMinEstimate(
       probes: DataFrame,
@@ -1258,12 +1351,22 @@ object Scale {
       sketch: DataFrame,
       depth: Int,
       width: Long,
-      salt: String = "cm"
+      salt: String = "cm",
+      maxBroadcastCells: Long = 1L << 22
   ): DataFrame = {
     require(depth >= 1 && depth <= 16,
       s"countMinEstimate: depth must be in [1, 16], got $depth")
     require(width >= 2 && width <= (1L << 42),
       s"countMinEstimate: width must be in [2, 2^42], got $width")
+    val hdr = sketch.agg(max(col("row_idx")), max(col("bucket")), count(lit(1))).head()
+    if (!hdr.isNullAt(0)) {
+      require(hdr.getInt(0) < depth,
+        s"countMinEstimate: sketch row_idx max ${hdr.getInt(0)} exceeds the " +
+          s"claimed depth $depth — the sketch was built with different knobs")
+      require(hdr.getLong(1) < width,
+        s"countMinEstimate: sketch bucket max ${hdr.getLong(1)} exceeds the " +
+          s"claimed width $width — the sketch was built with different knobs")
+    }
     val keyed = probes.select(keyCol.cast("string").as("key")).where(col("key").isNotNull).distinct()
     val cells = (0 until depth).map { i =>
       struct(
@@ -1271,10 +1374,12 @@ object Scale {
         (graft.functions.Text
           .md5PrefixLong(concat(lit(s"$salt$i:"), col("key")), 13) % width).as("bucket"))
     }
+    val sketchSide =
+      if (hdr.getLong(2) <= maxBroadcastCells) broadcast(sketch) else sketch
     keyed
       .select(col("key"), explode(array(cells: _*)).as("_c"))
       .select(col("key"), col("_c.row_idx").as("row_idx"), col("_c.bucket").as("bucket"))
-      .join(broadcast(sketch), Seq("row_idx", "bucket"), "left")
+      .join(sketchSide, Seq("row_idx", "bucket"), "left")
       .groupBy(col("key"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }

@@ -1616,6 +1616,26 @@ object Similarity {
     * and by `shortlist` (a true neighbour ADC-ranked past the shortlist
     * is never re-ranked — the PQ contract; grow it until ADC's
     * quantization error stops mattering, typically a few × topK).
+    *
+    * The shortlist cut is TIE-INCLUSIVE (RANK-style top-N): the cut
+    * value is the `shortlist`-th smallest adc and EVERY candidate at
+    * or below it survives to the exact re-rank. PQ maps each vector
+    * to one of k^m cells, so a tight natural cluster collapses to ONE
+    * adc value shared by the whole cell — a row-count cut by (adc, id)
+    * there keeps the `shortlist` smallest IDS of the cell, an
+    * arbitrary subset, and recall@10 measured on a clustered 500k
+    * corpus was 0.13 even at shortlist 200 (RECALL_r15.json). Under
+    * the rank cut, `shortlist` bounds CODE-RESOLUTION positions —
+    * candidates the codes genuinely distinguish — and the re-ranker
+    * always sees whole code-equivalence classes (recall@10 = 1.0 on
+    * the same corpus at the q152 defaults, RECALL_r16.json). Cost is
+    * still bounded: the re-rank set is `shortlist` plus the boundary
+    * class, worst case one whole probed bucket (≈ nprobe·n/nlist rows
+    * of exact cosine — the IVF-without-PQ probe cost, the correct
+    * degenerate fallback when quantization distinguishes nothing);
+    * the re-rank join broadcasts the shortlist only while it is
+    * provably small and shuffle-joins past that, so correctness never
+    * depends on a tie class fitting in the driver.
     */
   def ivfPqTopK(
       spark: SparkSession,
@@ -1691,26 +1711,52 @@ object Similarity {
       case Some(id) => cand.where(col(idCol) =!= id)
       case None     => cand
     }
-    // 3. ADC over codes (bounded m·k table collected once), shortlist cut
+    // 3. ADC over codes (bounded m·k table collected once), then the
+    // tie-inclusive shortlist cut: one distributed TakeOrdered finds
+    // the shortlist-th smallest adc (a single scalar collected — the
+    // probed-centroids discipline), and the filter keeps every
+    // candidate at or below it. adc is rounded to 6dp BEFORE the cut,
+    // so equivalence classes are robust to engine-order float noise.
     val dt = adcDistanceTable(
       storedCb,
       query.select(col(query.columns.head).as("_qv")), "_qv", m, dim / m)
-    val short = excluded
+    val scored = excluded
       .where(col("centroid_id").isin(probed.map(Long.box): _*))
       .where(size(col("codes")) === m)
       .select(col(idCol), round(adcLookupSum(dt, m, col("codes")), 6).as("adc"))
       .where(col("adc").isNotNull)
-      .orderBy(col("adc"), col(idCol))
-      .limit(shortlist)
-    // 4. exact re-rank of the shortlist only: broadcast the (tiny)
-    // shortlist into the source-of-truth vector table
-    broadcast(short)
-      .join(rerank.select(col(idCol), col(rerankVecCol).as("_rv")), idCol)
+    val cutRow = scored.orderBy(col("adc"), col(idCol)).limit(shortlist)
+      .agg(max(col("adc"))).head()
+    if (cutRow.isNullAt(0))
+      return spark.read.parquet(post)
+        .where(lit(false))
+        .select(col(idCol),
+          lit(null).cast("double").as("adc"), lit(null).cast("double").as("cos_sim"))
+    val short = scored.where(col("adc") <= cutRow.getDouble(0))
+    // 4. exact re-rank of the tie-inclusive shortlist against the
+    // source-of-truth vector table: broadcast while the set is
+    // provably small (one bounded count — the re-scan is a footer-
+    // pruned codes read), shuffle-join past it (a maximal tie class is
+    // a whole probed bucket; correctness must not depend on it
+    // fitting in the driver)
+    val shortCount = short.count()
+    val rerankVecs = rerank.select(col(idCol), col(rerankVecCol).as("_rv"))
+    val joined =
+      if (shortCount <= MaxBroadcastShortlist) broadcast(short).join(rerankVecs, idCol)
+      else short.join(rerankVecs, idCol)
+    joined
       .select(col(idCol), col("adc"), round(cosine(col("_rv"), qVec), 6).as("cos_sim"))
       .where(col("cos_sim").isNotNull)
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Row bound under which [[ivfPqTopK]]'s re-rank join broadcasts the
+    * tie-inclusive shortlist (two 8-byte scalars per row ⇒ ≈ 16 MB at
+    * the bound); past it the join shuffles — the countMinEstimate
+    * broadcast-gate discipline.
+    */
+  private val MaxBroadcastShortlist = 1000000L
 
   /** SemDeDup candidate pairs from the PERSISTED IVF-PQ index ALONE —
     * the quadratic phase of [[semDedupIndexed]], reading postings +

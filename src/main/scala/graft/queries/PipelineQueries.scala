@@ -1932,6 +1932,73 @@ object PipelineQueries {
       graft.operators.Graph.labelPropagation(kcoreFixtureEdges(s, dir), rounds = LpaRounds)
         .select(col("node").as("doc_id"), col("label"))
         .orderBy("doc_id")
+    },
+    // q169: the CURATION MIX — every per-document signal the engine
+    // computes, joined into ONE keep/drop decision with a first-match
+    // reason (the reference's driver lifecycle shape applied to
+    // curation; see Curation.curationMix for the policy). Pure
+    // interop: each signal frame is produced by its own already-oracled
+    // operator (q63 survivors, q31 quality, q159 core numbers, q162
+    // labels, q167 modularity, q168's PPR recurrence on the doc graph),
+    // and the oracle composes those queries' CTE texts — one generator
+    // per signal, so no signal can drift from its standalone face.
+    "q169_curation_mix" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val ids = docs.select(col("doc_id")).where(col("doc_id").isNotNull).distinct()
+      val edges = kcoreFixtureEdges(s, dir)
+      val und = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val survivors = docs.join(
+        nearDupLabels(s, dir).where(col("node") =!= col("label"))
+          .select(col("node").as("doc_id")),
+        Seq("doc_id"), "left_anti").select("doc_id")
+      val quality = docs.select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+      val cores = graft.operators.Graph.coreNumbers(edges, kMax = 5)
+        .select(col("node").as("doc_id"), col("core"))
+      val labels = graft.operators.Graph.labelPropagation(edges, rounds = LpaRounds)
+      val mod = graft.operators.Graph.modularityByCommunity(edges, labels)
+      val ppr = graft.operators.Graph.personalizedPageRankExact(
+        und, ids, "doc_id",
+        docs.where(col("doc_id") % 37 === 0), "doc_id", iterations = 5)
+      graft.operators.Curation.curationMix(
+        docs, "doc_id", survivors, quality,
+        cores, labels.select(col("node").as("doc_id"), col("label")), mod, ppr,
+        minQuality = MixMinQuality, minCore = MixMinCore,
+        minRankMicro = MixMinRankMicro)
+        .orderBy("doc_id")
+    },
+    // q170: WINDOWED count-min — "frequency in the last 7 days", the
+    // freshness gate an all-time sketch cannot answer: one sketch shard
+    // per DAY (cells are plain counters, so the rollup of the window's
+    // shards equals the sketch built over exactly the window's rows —
+    // the q161 merge property applied to a time filter), probed with
+    // every user active in the window, exact window counts alongside so
+    // the one-sided guarantee lands in the output. The oracle builds
+    // ONE sketch over the window directly — window ≡ concat-of-days is
+    // the property under the hash gate.
+    "q170_countmin_window" -> { (s, dir) =>
+      val ev = RelationalQueries.events(s, dir)
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val shards = Scale.countMinSharded(
+        ev, col("day"), "day", col("user_id"), CmDepth, CmWindowWidth)
+      val sketch = Scale.countMinWindow(shards, col("day") >= CmWindowFrom)
+      countMinWindowReport(ev.where(col("day") >= CmWindowFrom), sketch)
+    },
+    // q171: the SAME windowed report with the day shards maintained
+    // INCREMENTALLY from a micro-batched stream of the events table
+    // (per-(batch, day) shards rolled up by day — the q163 lifecycle
+    // with the shard key preserved). Cell sums are associative, so the
+    // streamed day shards are identical to q170's batch build no matter
+    // the batching — ONE oracle gates both faces.
+    "q171_stream_countmin_window" -> { (s, dir) =>
+      val ev = RelationalQueries.eventsStream(s, dir)
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val shards = graft.streaming.Streams.replayCountMinSharded(
+        ev, "day", "user_id", CmDepth, CmWindowWidth)
+      val sketch = Scale.countMinWindow(shards, col("day") >= CmWindowFrom)
+      val evB = RelationalQueries.events(s, dir)
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      countMinWindowReport(evB.where(col("day") >= CmWindowFrom), sketch)
     }
   )
 
@@ -1951,6 +2018,38 @@ object PipelineQueries {
     */
   private val CmDepth: Int = 4
   private val CmWidth: Long = 32L
+
+  /** q170/q171's window knobs (shared with the oracle generator): the
+    * events fixture spans 2024-01-01..01-30 at every sf, so the last-7-
+    * days window is a fixed literal; width 64 keeps real collisions at
+    * the fixture's user cardinality (the q161 discipline).
+    */
+  private val CmWindowWidth: Long = 64L
+  private val CmWindowFrom: String = "2024-01-24"
+
+  /** q169's policy knobs (shared with the oracle generator — the
+    * TfidfMaxDf discipline). See Curation.curationMix for the gate
+    * semantics and precedence.
+    */
+  private val MixMinQuality: Double = 0.37 // corpus median ≈ 0.378 — the gate splits, not rubber-stamps
+  private val MixMinCore: Long = 3L
+  private val MixMinRankMicro: Long = 1000L
+
+  /** q170/q171's shared report tail: probe every user active in the
+    * window against the windowed sketch, exact window counts alongside
+    * (the countMinReport shape keyed by user).
+    */
+  private def countMinWindowReport(winEv: DataFrame, sketch: DataFrame): DataFrame = {
+    val est = Scale.countMinEstimate(
+      winEv, col("user_id"), sketch, CmDepth, CmWindowWidth)
+    val tru = winEv.groupBy(col("user_id").cast("string").as("user_key"))
+      .agg(count(lit(1)).as("true_cnt"))
+    est.join(tru, est("key") === tru("user_key"))
+      .select(
+        col("user_key"), col("true_cnt"), col("cm_est"),
+        (col("cm_est") - col("true_cnt")).as("overcount"))
+      .orderBy("user_key")
+  }
 
   /** q161/q163's shared report tail: probe every vocabulary term
     * against the sketch, exact counts alongside — `overcount ≥ 0` (the
@@ -2139,6 +2238,24 @@ object PipelineQueries {
       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst
       |)""".stripMargin
 
+  /** q63's loser set as a composable CTE chain (shingles → capped
+    * closure → losers) — the caller prepends WITH RECURSIVE. ONE text
+    * shared by q63 and q169's `duplicate` gate, so the survivor
+    * definition cannot drift between the standalone and composed faces.
+    */
+  private lazy val SurvivorCtes =
+    s"""$ShinglesCte,
+       |$CappedClosureCte,
+       |losers AS (SELECT node FROM reach GROUP BY node HAVING node <> min(r))""".stripMargin
+
+  /** q31's quality expression — ONE text shared by q31 and q169's
+    * `low_quality` gate.
+    */
+  private lazy val QualityExprSql =
+    s"""round(0.5 * least(1.0, len($TokensSql) / 200.0)
+       |      + 0.5 * (CAST(len(list_distinct($TokensSql)) AS DOUBLE) / len($TokensSql)),
+       |    6)""".stripMargin
+
   // Exact-Jaccard rescore tail over a `cand(doc_a, doc_b)` CTE.
   private val RescoreSql =
     """common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
@@ -2255,10 +2372,7 @@ object PipelineQueries {
          |  count(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY lang_pred""".stripMargin,
     "q31_quality_score" ->
-      s"""SELECT doc_id,
-         |  round(0.5 * least(1.0, len($TokensSql) / 200.0)
-         |      + 0.5 * (CAST(len(list_distinct($TokensSql)) AS DOUBLE) / len($TokensSql)),
-         |    6) AS quality
+      s"""SELECT doc_id, $QualityExprSql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q32_fingerprint" ->
       s"""SELECT md5(array_to_string(list_sort($TokensSql), ' ')) AS fp,
@@ -2322,9 +2436,7 @@ object PipelineQueries {
         |  list_sort(w)[1] AS min_tok
         |FROM tok ORDER BY doc_id""".stripMargin,
     "q63_dedup_survivors" ->
-      s"""WITH RECURSIVE $ShinglesCte,
-         |$CappedClosureCte,
-         |losers AS (SELECT node FROM reach GROUP BY node HAVING node <> min(r))
+      s"""WITH RECURSIVE $SurvivorCtes
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM losers)
          |ORDER BY doc_id""".stripMargin,
@@ -3733,7 +3845,12 @@ object PipelineQueries {
     // maintenance ≡ the batch sketch), the q163 treatment
     "q166_stream_hll" -> HllSql,
     "q167_modularity" -> ModularitySql,
-    "q168_ppr" -> PersonalizedPageRankSql
+    "q168_ppr" -> PersonalizedPageRankSql,
+    "q169_curation_mix" -> CurationMixSql,
+    "q170_countmin_window" -> CountMinWindowSql,
+    // q171 is q170's physical-path variant (day shards maintained from
+    // a stream; cell sums are associative) — one oracle gates both.
+    "q171_stream_countmin_window" -> CountMinWindowSql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -4026,7 +4143,11 @@ object PipelineQueries {
     * measured at ≤ 4), then each vertex's core = the max k whose
     * phase it survived.
     */
-  private lazy val CoreNumbersSql = {
+  /** The core-number phases over `e0`, ending in the per-vertex CTE
+    * `coren` — split out so q169 composes the decomposition with the
+    * other doc-graph signals (the [[LpaRoundCtes]] discipline).
+    */
+  private lazy val CoreNumberPhaseCtes = {
     val (kMax, rounds) = (5, 6)
     val phases = (1 to kMax).map { k =>
       val prev = if (k == 1) "e0" else s"p${k - 1}e$rounds"
@@ -4037,12 +4158,16 @@ object PipelineQueries {
       s"""SELECT x AS v, $k AS k FROM
          |  (SELECT a AS x FROM p${k}e$rounds UNION ALL SELECT b AS x FROM p${k}e$rounds)""".stripMargin
     }.mkString("\n  UNION ALL ")
-    s"""WITH $KCoreGraphCte,
-       |$phases
-       |SELECT v AS doc_id, CAST(max(k) AS BIGINT) AS core FROM (
+    s"""$phases,
+       |coren AS (SELECT v AS doc_id, CAST(max(k) AS BIGINT) AS core FROM (
        |  $surv
-       |) GROUP BY 1 ORDER BY doc_id""".stripMargin
+       |) GROUP BY 1)""".stripMargin
   }
+
+  private lazy val CoreNumbersSql =
+    s"""WITH $KCoreGraphCte,
+       |$CoreNumberPhaseCtes
+       |SELECT doc_id, core FROM coren ORDER BY doc_id""".stripMargin
 
   /** q27's oracle, parameterized so q160 can embed the identical dense
     * leg at its own k (the bm25TopSql discipline).
@@ -4163,7 +4288,11 @@ object PipelineQueries {
     * ties to the smallest" — each round MATERIALIZED (referenced twice
     * downstream; see the kcorePeelCtes note on DuckDB CTE inlining).
     */
-  private lazy val LpaCtesText = {
+  /** The LPA rounds WITHOUT the graph prefix (und over a caller-supplied
+    * `e0`) — split out so q169 can compose LPA with the other doc-graph
+    * signal chains over ONE copy of [[KCoreGraphCte]].
+    */
+  private lazy val LpaRoundCtes = {
     val rounds = (1 to LpaRounds).map { r =>
       s"""c$r AS MATERIALIZED (SELECT u.b AS v, l.lab, CAST(count(*) AS BIGINT) AS c
          |  FROM und u JOIN lab${r - 1} l ON l.v = u.a GROUP BY 1, 2),
@@ -4171,11 +4300,14 @@ object PipelineQueries {
          |  SELECT v, lab, row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
          |  FROM c$r) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""$KCoreGraphCte,
-       |und AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+    s"""und AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
        |lab0 AS (SELECT DISTINCT a AS v, a AS lab FROM und),
        |$rounds""".stripMargin
   }
+
+  private lazy val LpaCtesText =
+    s"""$KCoreGraphCte,
+       |$LpaRoundCtes""".stripMargin
 
   private lazy val LabelPropSql =
     s"""WITH $LpaCtesText
@@ -4211,9 +4343,12 @@ object PipelineQueries {
     * per community `q_num = 4·m·e_c − d_c²` over the common 4m²
     * denominator.
     */
-  private lazy val ModularitySql =
-    s"""WITH $LpaCtesText,
-       |mm2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+  /** The modularity tail over `e0` + `lab$LpaRounds`, ending in the
+    * per-community CTE `modq` — split out so q169 composes it (the
+    * [[LpaRoundCtes]] discipline).
+    */
+  private lazy val ModularityTailCtes =
+    s"""mm2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
        |deg AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS d FROM
        |  (SELECT a AS x FROM e0 UNION ALL SELECT b AS x FROM e0) GROUP BY 1),
        |ei AS (SELECT la.lab AS label, CAST(count(*) AS BIGINT) AS e_internal
@@ -4223,11 +4358,100 @@ object PipelineQueries {
        |  WHERE la.lab = lb.lab GROUP BY 1),
        |pc AS (SELECT l.lab AS label, CAST(count(*) AS BIGINT) AS n_members,
        |         CAST(sum(COALESCE(deg.d, 0)) AS BIGINT) AS d_total
-       |       FROM lab$LpaRounds l LEFT JOIN deg ON deg.v = l.v GROUP BY 1)
-       |SELECT pc.label, pc.n_members,
+       |       FROM lab$LpaRounds l LEFT JOIN deg ON deg.v = l.v GROUP BY 1),
+       |modq AS (SELECT pc.label, pc.n_members,
        |  CAST(COALESCE(ei.e_internal, 0) AS BIGINT) AS e_internal, pc.d_total,
        |  CAST(4 * mm2.m * COALESCE(ei.e_internal, 0) - pc.d_total * pc.d_total AS BIGINT) AS q_num
-       |FROM pc LEFT JOIN ei USING (label), mm2 ORDER BY label""".stripMargin
+       |FROM pc LEFT JOIN ei USING (label), mm2)""".stripMargin
+
+  private lazy val ModularitySql =
+    s"""WITH $LpaCtesText,
+       |$ModularityTailCtes
+       |SELECT label, n_members, e_internal, d_total, q_num FROM modq ORDER BY label""".stripMargin
+
+  /** q169's PPR leg: the q168 teleport recurrence replayed over the
+    * symmetrized doc graph (`und` — the SAME CTE the LPA rounds vote
+    * over) with vertex universe `ids` and seed set `doc_id % 37 = 0`,
+    * names prefixed `pr` so the fragment composes with the peel/LPA
+    * chains. Ends at `prp5`.
+    */
+  private lazy val DocPprCtes = {
+    val iters = (1 to 5).map { k =>
+      s"""prp$k AS MATERIALIZED (SELECT i.doc_id AS vx,
+         |  CAST(150000 * (CASE WHEN i.doc_id % 37 = 0 THEN 1 ELSE 0 END)
+         |    + (85 * COALESCE(m2.msg, 0)) // 100 AS BIGINT) AS pr
+         |  FROM ids i LEFT JOIN (
+         |    SELECT u.b AS vx, SUM(prp${k - 1}.pr // prd.deg) AS msg
+         |    FROM und u JOIN prp${k - 1} ON u.a = prp${k - 1}.vx
+         |           JOIN prd ON prd.vx = u.a
+         |    GROUP BY u.b) m2 ON m2.vx = i.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""prd AS (SELECT a AS vx, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+       |prp0 AS (SELECT doc_id AS vx,
+       |  CAST(1000000 * (CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pr FROM ids),
+       |$iters""".stripMargin
+  }
+
+  /** q169's oracle: every signal's EXISTING oracle text composed as CTE
+    * chains over ONE copy of the shared graph ([[SurvivorCtes]] for the
+    * duplicate gate, [[QualityExprSql]], [[CoreNumberPhaseCtes]],
+    * [[LpaRoundCtes]] + [[ModularityTailCtes]], [[DocPprCtes]]), then
+    * the verbatim gate CASE of `Curation.curationMix` — first failing
+    * gate names the reason, missing signals read as failing.
+    */
+  private lazy val CurationMixSql =
+    s"""WITH RECURSIVE $SurvivorCtes,
+       |$KCoreGraphCte,
+       |$CoreNumberPhaseCtes,
+       |$LpaRoundCtes,
+       |$ModularityTailCtes,
+       |$DocPprCtes,
+       |qual AS (SELECT doc_id, $QualityExprSql AS q FROM documents),
+       |sig AS (SELECT i.doc_id,
+       |    (i.doc_id NOT IN (SELECT node FROM losers)) AS surv,
+       |    COALESCE(qu.q, 0.0) AS q,
+       |    COALESCE(cn.core, 0) AS core,
+       |    COALESCE(mo.q_num, 0) AS qnum,
+       |    COALESCE(pp.pr, 0) AS rnk
+       |  FROM ids i
+       |  LEFT JOIN qual qu ON qu.doc_id = i.doc_id
+       |  LEFT JOIN coren cn ON cn.doc_id = i.doc_id
+       |  LEFT JOIN lab$LpaRounds lb ON lb.v = i.doc_id
+       |  LEFT JOIN modq mo ON mo.label = lb.lab
+       |  LEFT JOIN prp5 pp ON pp.vx = i.doc_id),
+       |dec AS (SELECT doc_id,
+       |  CASE WHEN NOT surv THEN 'duplicate'
+       |       WHEN q < $MixMinQuality THEN 'low_quality'
+       |       WHEN core < $MixMinCore THEN 'shallow_core'
+       |       WHEN qnum <= 0 THEN 'weak_community'
+       |       WHEN rnk < $MixMinRankMicro THEN 'untrusted'
+       |       ELSE 'kept' END AS reason
+       |  FROM sig)
+       |SELECT doc_id, (reason = 'kept') AS kept, reason FROM dec ORDER BY doc_id""".stripMargin
+
+  /** q170/q171's oracle: ONE count-min sketch built over exactly the
+    * window's event rows (the Spark side builds per-DAY shards and
+    * rolls up the window — cell sums are associative, so equality here
+    * proves window ≡ concat-of-days), identical salted-md5 cells,
+    * probes = every user active in the window, exact counts alongside.
+    */
+  private lazy val CountMinWindowSql = {
+    def cell(i: String, term: String) =
+      s"CAST('0x' || substring(md5('cm' || $i || ':' || $term), 1, 13) AS BIGINT) % $CmWindowWidth"
+    s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS term,
+       |    strftime(ts, '%Y-%m-%d') AS day FROM events),
+       |win AS (SELECT term FROM ev WHERE day >= '$CmWindowFrom'),
+       |cells AS (SELECT r.i AS row_idx, ${cell("CAST(r.i AS VARCHAR)", "term")} AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM win, UNNEST(range(0, $CmDepth)) AS r(i) GROUP BY 1, 2),
+       |tru AS (SELECT term, CAST(count(*) AS BIGINT) AS true_cnt FROM win GROUP BY 1),
+       |pc AS (SELECT term, r.i AS row_idx, ${cell("CAST(r.i AS VARCHAR)", "term")} AS bucket
+       |  FROM (SELECT DISTINCT term FROM win), UNNEST(range(0, $CmDepth)) AS r(i)),
+       |est AS (SELECT pc.term, min(COALESCE(c.cnt, 0)) AS cm_est
+       |  FROM pc LEFT JOIN cells c USING (row_idx, bucket) GROUP BY 1)
+       |SELECT e.term AS user_key, t.true_cnt, e.cm_est, e.cm_est - t.true_cnt AS overcount
+       |FROM est e JOIN tru t USING (term) ORDER BY user_key""".stripMargin
+  }
 
   /** Shared by q146 (from-scratch Bloom build), q151 (the filter
     * maintained incrementally from a stream) and q154 (the sharded
@@ -4337,8 +4561,12 @@ object PipelineQueries {
     * [[IvfAnnOracleSql]] VERBATIM (the q116/q83 anchor discipline), so
     * neither leg can drift from its standalone twin. The composed tail
     * is the probe contract itself: candidates = probed buckets minus
-    * the query, ADC over candidate codes, shortlist 40 by (adc, id),
-    * exact cosine re-rank of the shortlist only, top 10.
+    * the query, ADC over candidate codes, TIE-INCLUSIVE shortlist cut
+    * at the 40th smallest adc (every candidate at or below the cut
+    * survives — RANK-style top-N, `Similarity.ivfPqTopK`'s recall
+    * semantics since RECALL_r15 measured the row-count cut collapsing
+    * on clustered corpora), exact cosine re-rank of the shortlist
+    * only, top 10.
     */
   private lazy val IvfPqOracleSql: String = {
     val (chain, dtJoins, adcSum) = pqChainParts(4, 8, 16)
@@ -4356,7 +4584,9 @@ object PipelineQueries {
        |adcs AS (SELECT cd.vec_id, round($adcSum, 6) AS adc
        |         FROM cd JOIN cand ON cand.vec_id = cd.vec_id
        |         $dtJoins),
-       |short AS (SELECT vec_id, adc FROM adcs ORDER BY adc, vec_id LIMIT 40),
+       |cut AS (SELECT max(adc) AS cut
+       |        FROM (SELECT adc FROM adcs ORDER BY adc, vec_id LIMIT 40)),
+       |short AS (SELECT vec_id, adc FROM adcs, cut WHERE adcs.adc <= cut.cut),
        |sc AS (SELECT e.vec_id,
        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
        |   FROM (SELECT unnest(e.embedding) AS x, unnest(qv.qe) AS y) z) AS dot,

@@ -1030,16 +1030,42 @@ object Streams {
       k: Int
   ): DataFrame = {
     require(rows.isStreaming, "replayKmvMaintenance: rows must be a streaming DataFrame")
+    drainAndRollup(rows, "graft_kmv_stream",
+      batch => graft.operators.Scale.kmvSketch(batch, Seq(groupCol), col(valueCol), k),
+      shards => graft.operators.Scale.kmvMerge(shards, groupCol, "kmv_sketch", k))
+  }
+
+  /** Drain-then-rollup epilogue shared by the four mergeable-sketch
+    * maintenance replays (KMV/Bloom/count-min/HLL): run the finite
+    * stream to completion with each micro-batch reduced by
+    * `buildShard` and appended as a parquet shard, then hand the
+    * stacked shards to `rollup`. Two failure modes of the naive tail
+    * are closed here once:
+    *
+    *   - an EMPTY stream never fires foreachBatch, so the shard dir is
+    *     never created and a blind `read.parquet` throws path-not-
+    *     found — instead the rollup runs over `buildShard` applied to
+    *     an empty STATIC frame of the stream's schema, producing the
+    *     empty sketch with the exact shard schema;
+    *   - the temp base (shards + stream checkpoint) leaked one dir per
+    *     replay — the rollup is MATERIALIZED (eager localCheckpoint,
+    *     so the returned frame no longer references the files) and the
+    *     base deleted before returning.
+    */
+  private def drainAndRollup(
+      rows: DataFrame,
+      tmpPrefix: String,
+      buildShard: DataFrame => DataFrame,
+      rollup: DataFrame => DataFrame): DataFrame = {
     val spark = rows.sparkSession
-    val base = java.nio.file.Files.createTempDirectory("graft_kmv_stream").toString
-    val sketchDir = s"$base/sketches"
+    val base = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+    val shardDir = s"$base/shards"
     val q = rows.writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Scale
-          .kmvSketch(batch, Seq(groupCol), col(valueCol), k)
+        buildShard(batch)
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(sketchDir): Unit
+          .write.mode("append").parquet(shardDir): Unit
       }
       .start()
     try {
@@ -1047,8 +1073,19 @@ object Streams {
     } finally {
       q.stop()
     }
-    graft.operators.Scale.kmvMerge(
-      spark.read.parquet(sketchDir), groupCol, "kmv_sketch", k)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards =
+      if (fs.exists(new org.apache.hadoop.fs.Path(shardDir)))
+        spark.read.parquet(shardDir)
+      else
+        buildShard(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rows.schema))
+          .withColumn("batch_id", lit(0L))
+    val out = rollup(shards).localCheckpoint()
+    if (!fs.delete(basePath, true))
+      System.err.println(s"[streams] could not clean replay scratch $base")
+    out
   }
 
   /** INCREMENTAL Bloom-filter maintenance from a stream: each
@@ -1069,24 +1106,9 @@ object Streams {
       salt: String
   ): DataFrame = {
     require(rows.isStreaming, "replayBloomMaintenance: rows must be a streaming DataFrame")
-    val spark = rows.sparkSession
-    val base = java.nio.file.Files.createTempDirectory("graft_bloom_stream").toString
-    val shardDir = s"$base/shards"
-    val q = rows.writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Bloom
-          .bloomWords(batch, keyCol, mBits, salt)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(shardDir): Unit
-      }
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-    }
-    graft.operators.Bloom.mergeWords(spark.read.parquet(shardDir))
+    drainAndRollup(rows, "graft_bloom_stream",
+      batch => graft.operators.Bloom.bloomWords(batch, keyCol, mBits, salt),
+      shards => graft.operators.Bloom.mergeWords(shards))
   }
 
   /** INCREMENTAL count-min maintenance from a stream — the third
@@ -1110,25 +1132,39 @@ object Streams {
       salt: String = "cm"
   ): DataFrame = {
     require(rows.isStreaming, "replayCountMinMaintenance: rows must be a streaming DataFrame")
-    val spark = rows.sparkSession
-    val base = java.nio.file.Files.createTempDirectory("graft_cm_stream").toString
-    val shardDir = s"$base/shards"
-    val q = rows.writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Scale
-          .countMinBuild(batch, col(keyCol), depth, width, salt)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(shardDir): Unit
-      }
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-    }
-    graft.operators.Scale.countMinRollup(
-      spark.read.parquet(shardDir).select("row_idx", "bucket", "cnt"))
+    drainAndRollup(rows, "graft_cm_stream",
+      batch => graft.operators.Scale.countMinBuild(batch, col(keyCol), depth, width, salt),
+      shards => graft.operators.Scale.countMinRollup(
+        shards.select("row_idx", "bucket", "cnt")))
+  }
+
+  /** TIME-SHARDED count-min maintenance from a stream — the
+    * [[replayCountMinMaintenance]] lifecycle with the shard key (a day
+    * string, an ingest batch id) preserved: each micro-batch reduces
+    * to per-(shard, cell) counter rows
+    * ([[graft.operators.Scale.countMinSharded]]) and appends; the live
+    * table is the per-shard rollup
+    * ([[graft.operators.Scale.countMinRollupBy]]), identical to
+    * sharding the batch corpus directly no matter the batching (cell
+    * sums are associative), so a sliding window
+    * ([[graft.operators.Scale.countMinWindow]]) over the streamed
+    * shards equals the window over a from-scratch build and ONE batch
+    * oracle gates the whole windowed-freshness lifecycle.
+    */
+  def replayCountMinSharded(
+      rows: DataFrame,
+      shardCol: String,
+      keyCol: String,
+      depth: Int,
+      width: Long,
+      salt: String = "cm"
+  ): DataFrame = {
+    require(rows.isStreaming, "replayCountMinSharded: rows must be a streaming DataFrame")
+    drainAndRollup(rows, "graft_cmshard_stream",
+      batch => graft.operators.Scale
+        .countMinSharded(batch, col(shardCol), shardCol, col(keyCol), depth, width, salt),
+      shards => graft.operators.Scale.countMinRollupBy(
+        shards.select(shardCol, "row_idx", "bucket", "cnt"), Seq(shardCol)))
   }
 
   /** INCREMENTAL HyperLogLog maintenance from a stream — the fourth
@@ -1149,26 +1185,10 @@ object Streams {
       salt: String = "hll"
   ): DataFrame = {
     require(rows.isStreaming, "replayHllMaintenance: rows must be a streaming DataFrame")
-    val spark = rows.sparkSession
-    val base = java.nio.file.Files.createTempDirectory("graft_hll_stream").toString
-    val shardDir = s"$base/shards"
-    val q = rows.writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Scale
-          .hllSketch(batch, Seq(groupCol), col(valueCol), m, salt)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(shardDir): Unit
-      }
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-    }
-    graft.operators.Scale.hllRollup(
-      spark.read.parquet(shardDir).select(groupCol, "bucket", "register"),
-      Seq(groupCol))
+    drainAndRollup(rows, "graft_hll_stream",
+      batch => graft.operators.Scale.hllSketch(batch, Seq(groupCol), col(valueCol), m, salt),
+      shards => graft.operators.Scale.hllRollup(
+        shards.select(groupCol, "bucket", "register"), Seq(groupCol)))
   }
 
   /** Watermarked windowed aggregate over an event-time column — bounded

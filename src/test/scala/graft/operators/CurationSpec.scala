@@ -452,4 +452,48 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       "global top-k should be a TakeOrdered, not a full sort")
   }
+
+  test("curationMix: gate precedence, fail-closed missing signals, shuffle fallback") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // 1 passes everything; 2 fails survivor AND quality (precedence →
+    // duplicate); 3 low quality; 4 shallow core; 5 weak community;
+    // 6 untrusted; 7 absent from EVERY signal table (fail-closed →
+    // the first gate, duplicate)
+    val surv = Seq(1L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val qual = Seq((1L, 0.9), (2L, 0.1), (3L, 0.2), (4L, 0.9), (5L, 0.9), (6L, 0.9))
+      .toDF("doc_id", "quality")
+    val cores = Seq((1L, 3L), (2L, 5L), (3L, 5L), (4L, 2L), (5L, 4L), (6L, 3L))
+      .toDF("doc_id", "core")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 20L), (6L, 10L))
+      .toDF("doc_id", "label")
+    val mod = Seq((10L, 50L), (20L, -3L)).toDF("label", "q_num")
+    val ppr = Seq((1L, 5000L), (2L, 5000L), (3L, 5000L), (4L, 5000L), (5L, 5000L), (6L, 10L))
+      .toDF("doc_id", "rank_micro")
+    def run(maxBc: Long) = Curation.curationMix(
+      docs, "doc_id", surv, qual, cores, labels, mod, ppr,
+      minQuality = 0.5, minCore = 3L, minRankMicro = 1000L,
+      maxBroadcastCommunities = maxBc)
+      .as[(Long, Boolean, String)].collect().sortBy(_._1).toSeq
+    val expected = Seq(
+      (1L, true, "kept"), (2L, false, "duplicate"), (3L, false, "low_quality"),
+      (4L, false, "shallow_core"), (5L, false, "weak_community"),
+      (6L, false, "untrusted"), (7L, false, "duplicate"))
+    assert(run(1000000L) == expected)
+    // community join forced onto the shuffle path is value-identical
+    assert(run(0L) == expected)
+    // a surviving doc whose QUALITY row is missing fails closed at that gate
+    val got2 = Curation.curationMix(
+      docs.where(col("doc_id") === 1L), "doc_id", surv,
+      qual.where(col("doc_id") =!= 1L), cores, labels, mod, ppr,
+      minQuality = 0.5, minCore = 3L, minRankMicro = 1000L)
+      .as[(Long, Boolean, String)].collect().toSeq
+    assert(got2 == Seq((1L, false, "low_quality")))
+    // a mis-shaped signal frame fails loudly, not silently empty
+    val err = intercept[IllegalArgumentException](Curation.curationMix(
+      docs, "doc_id", surv, qual, cores, labels,
+      Seq((1L, 1L)).toDF("labelx", "q_num"), ppr,
+      minQuality = 0.5, minCore = 3L, minRankMicro = 1000L))
+    assert(err.getMessage.contains("modularity"), err.getMessage)
+  }
 }

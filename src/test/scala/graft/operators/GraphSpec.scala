@@ -530,5 +530,40 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("missing from labels"), err.getMessage)
     intercept[IllegalArgumentException](
       Graph.modularityByCommunity(e.where(lit(false)), labels))
+    // a node with TWO label rows (non-function assignment) fails loudly
+    // instead of fanning out the joins and inflating q_num (ADVICE r15)
+    val dup = labels.unionByName(Seq((2L, 7L)).toDF("node", "label"))
+    val dupErr = intercept[IllegalArgumentException](
+      Graph.modularityByCommunity(e, dup))
+    assert(dupErr.getMessage.contains("distinct nodes"), dupErr.getMessage)
+  }
+
+  test("graphDriftReport: tail append stays below the threshold, hub append crosses it") {
+    // chain 0–1–…–11: appending (11, 12) touches {11, 12}, 1-hop ring
+    // adds 10 → 3 affected of a 13-vertex universe (12 stored + the new
+    // vertex) = 230769 micro — a cached PageRank can wait
+    val chain = (0 until 11).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val stored = (0 to 11).map(_.toLong).toDF("node")
+    val small = Graph.graphDriftReport(
+      stored, "node", chain, Seq((11L, 12L)).toDF("src", "dst"),
+      thresholdMicro = 500000L)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(small == Seq((13L, 3L, 230769L, false)))
+    // star around 0: appending (12, 0) touches the hub, whose 1-hop
+    // ring is EVERY vertex → 13/13 affected, rebuild
+    val star = (1 to 11).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val hub = Graph.graphDriftReport(
+      stored, "node", star, Seq((12L, 0L)).toDF("src", "dst"),
+      thresholdMicro = 500000L)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(hub == Seq((13L, 13L, 1000000L, true)))
+    // the forced shuffle path (broadcast gate off) is value-identical
+    val hubShuffle = Graph.graphDriftReport(
+      stored, "node", star, Seq((12L, 0L)).toDF("src", "dst"),
+      thresholdMicro = 500000L, maxBroadcastVertices = 0L)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(hubShuffle == hub)
+    intercept[IllegalArgumentException](Graph.graphDriftReport(
+      stored, "node", chain, chain, thresholdMicro = 2000000L))
   }
 }

@@ -615,6 +615,48 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(grown == probe(full), "incremental growth must not change a neighbor")
   }
 
+  test("ivfPq: tie-inclusive shortlist hands whole code-equivalence classes to the re-rank") {
+    // the RECALL_r15 regression shape, miniaturized: two tight clusters
+    // whose members all CODE identically (codebook trained on the two
+    // exact base vectors, noise far smaller than the inter-base
+    // distance), so ADC — a function of codes alone — is ONE value
+    // across the query's entire cluster. A row-count shortlist cut of 5
+    // would keep the 5 smallest IDS of that ~99-member class; the
+    // tie-inclusive cut must surface the class whole, so the exact
+    // re-rank returns brute force's answer — which is, by construction
+    // (noise amplitude shrinking with id), the LARGEST even ids.
+    val dim = 8
+    def vec(id: Int): Array[Float] = {
+      val base = Array.tabulate(dim)(i =>
+        if ((id % 2 == 0) == (i < 4)) 1f else 0f)
+      if (id >= 2) base(0) = base(0) + 1e-3f * (300 - id)
+      base
+    }
+    val tiny = (0 until 200).map(id => (id.toLong, vec(id))).toDF("vec_id", "embedding")
+    val idx = scratch("pqties")
+    Similarity.ivfPqBuild(
+      spark, tiny, "vec_id", "embedding",
+      tiny.where(col("vec_id") < 2), "vec_id", "embedding",
+      m = 4, k = 2, indexPath = idx, files = 2,
+      trainOn = Some(tiny.where(col("vec_id") < 2)))
+    // the fixture really is one tie class bigger than the shortlist:
+    // every cluster-0 candidate shares one code array
+    val post = spark.read.parquet(s"$idx/postings")
+    val clusterCodes = post.where(col("vec_id") % 2 === 0 && col("vec_id") =!= 0L)
+      .select(col("codes").cast("string")).distinct().count()
+    assert(clusterCodes == 1L, "fixture drifted: cluster-0 codes no longer tie")
+    val got = Similarity.ivfPqTopK(
+      spark, idx, "vec_id", tiny.where(col("vec_id") === 0L).select("embedding"),
+      m = 4, topK = 5, nprobe = 1, shortlist = 5,
+      rerank = tiny, rerankVecCol = "embedding", excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.cosineTopK(tiny, "vec_id", "embedding", queryId = 0L, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == brute, "tie-inclusive shortlist must recover brute force here")
+    assert(got == Seq(198L, 196L, 194L, 192L, 190L),
+      "expected the smallest-noise (largest even) ids — a row-count cut would return 2,4,6,8,10")
+  }
+
   test("ivfPq: contract guards and the NULL query") {
     val idx = buildIvfPq("pqguards", files = 2)
     intercept[IllegalArgumentException] { // multi-row query

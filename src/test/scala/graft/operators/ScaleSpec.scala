@@ -738,6 +738,59 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](Scale.hllEstimate(full, Seq("g"), 2048))
   }
 
+  test("countMin: window rollup over day shards equals the sketch of exactly the window's rows") {
+    val xs = (0 until 300).map(i => (s"d${i % 5}", s"k${i % 11}")).toDF("day", "k")
+    val shards = Scale.countMinSharded(xs, col("day"), "day", col("k"), depth = 3, width = 16L)
+    // shards carry the day key; each day's rows equal that day's direct build
+    val d2 = shards.where(col("day") === "d2").select("row_idx", "bucket", "cnt")
+    val d2direct = Scale.countMinBuild(xs.where(col("day") === "d2"), col("k"), 3, 16L)
+    assert(d2.as[(Int, Long, Long)].collect().toSet ==
+      d2direct.as[(Int, Long, Long)].collect().toSet)
+    // the window rollup equals the sketch built over the window directly
+    val win = Scale.countMinWindow(shards, col("day") >= "d3")
+    val direct = Scale.countMinBuild(xs.where(col("day") >= "d3"), col("k"), 3, 16L)
+    assert(win.as[(Int, Long, Long)].collect().toSet ==
+      direct.as[(Int, Long, Long)].collect().toSet)
+    // the all-days window equals the unsharded build (concat property)
+    val all = Scale.countMinWindow(shards, lit(true))
+    val full = Scale.countMinBuild(xs, col("k"), 3, 16L)
+    assert(all.as[(Int, Long, Long)].collect().toSet ==
+      full.as[(Int, Long, Long)].collect().toSet)
+    // window estimates never undercount window counts (one-sided CM)
+    val probes = (0 until 11).map(i => s"k$i").toDF("k")
+    val est = Scale.countMinEstimate(probes, col("k"), win, 3, 16L)
+      .as[(String, Long)].collect().toMap
+    val tru = xs.where(col("day") >= "d3").groupBy("k").count()
+      .as[(String, Long)].collect().toMap
+    assert(tru.forall { case (k, n) => est(k) >= n }, s"undercount: $est vs $tru")
+  }
+
+  test("countMin/hll: estimate catches build-knob drift; shuffle fallback matches broadcast") {
+    val xs = (0 until 120).map(i => (i.toLong, s"k${i % 7}")).toDF("i", "k")
+    val probes = (0 until 7).map(i => s"k$i").toDF("k")
+    val sk = Scale.countMinBuild(xs, col("k"), depth = 4, width = 64L)
+    val bc = Scale.countMinEstimate(probes, col("k"), sk, 4, 64L)
+      .as[(String, Long)].collect().toMap
+    // claiming a smaller depth/width than the build is caught (one
+    // sketch-sized agg; the one-sided direction the cells can witness)
+    assert(intercept[IllegalArgumentException](
+      Scale.countMinEstimate(probes, col("k"), sk, 2, 64L))
+      .getMessage.contains("row_idx"))
+    assert(intercept[IllegalArgumentException](
+      Scale.countMinEstimate(probes, col("k"), sk, 4, 8L))
+      .getMessage.contains("bucket"))
+    // a sketch past the broadcast gate estimates identically through
+    // the shuffle-join fallback
+    val sh = Scale.countMinEstimate(probes, col("k"), sk, 4, 64L, maxBroadcastCells = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(sh == bc)
+    // hll: estimating under a smaller m than the build is caught by the
+    // bucket range; register bound catches the larger-m builds
+    val hsk = Scale.hllSketch(xs.withColumn("g", lit("x")), Seq("g"), col("k"), 64)
+    assert(intercept[IllegalArgumentException](
+      Scale.hllEstimate(hsk, Seq("g"), 16)).getMessage.contains("bucket"))
+  }
+
   test("countMin: sketch build is map-side partial-aggregated; guards") {
     val xs = (0 until 50).map(i => (i.toLong, s"k${i % 5}")).toDF("i", "k")
     val plan = Scale.countMinBuild(xs, col("k"), 4, 64L)

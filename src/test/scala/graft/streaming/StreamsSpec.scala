@@ -319,6 +319,33 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("streaming"), e.getMessage)
   }
 
+  test("replayCountMinSharded: streamed day shards equal the batch sharded build; windows agree") {
+    val base = Files.createTempDirectory("streamcmshard").toString
+    val in = s"$base/in"
+    // three files → three micro-batches, each batch spanning SEVERAL
+    // days, so per-(batch, day) shard rows genuinely need the by-day
+    // rollup to reconstitute the per-day sketches
+    (0 until 300).map(i => (s"d${i % 5}", s"k${i % 11}")).toDF("day", "k")
+      .repartition(3).write.parquet(in)
+    val got = Streams.replayCountMinSharded(
+      Streams.fileStream(spark, in, spark.read.parquet(in).schema,
+        maxFilesPerTrigger = 1),
+      "day", "k", depth = 3, width = 16L)
+    val direct = graft.operators.Scale.countMinSharded(
+      spark.read.parquet(in), $"day", "day", $"k", depth = 3, width = 16L)
+    assert(got.as[(String, Int, Long, Long)].collect().toSet ==
+      direct.as[(String, Int, Long, Long)].collect().toSet)
+    // the window face over the streamed shards equals the batch window
+    val winGot = graft.operators.Scale.countMinWindow(got, $"day" >= "d3")
+    val winDirect = graft.operators.Scale.countMinWindow(direct, $"day" >= "d3")
+    assert(winGot.as[(Int, Long, Long)].collect().toSet ==
+      winDirect.as[(Int, Long, Long)].collect().toSet)
+    val e = intercept[IllegalArgumentException] {
+      Streams.replayCountMinSharded(spark.read.parquet(in), "day", "k", 3, 16L)
+    }
+    assert(e.getMessage.contains("streaming"), e.getMessage)
+  }
+
   test("replayHllMaintenance: streamed register rollup equals the batch sketch") {
     val base = Files.createTempDirectory("streamhll").toString
     val in = s"$base/in"
@@ -336,6 +363,43 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       Streams.replayHllMaintenance(spark.read.parquet(in), "g", "v", 64)
     }
     assert(e.getMessage.contains("streaming"), e.getMessage)
+  }
+
+  test("replay maintenance on an EMPTY stream returns the empty sketch; scratch dirs are cleaned") {
+    // an empty stream never fires foreachBatch, so the shard dir is
+    // never created — the old tail's blind read.parquet threw
+    // path-not-found (ADVICE r15); and every replay used to leak its
+    // temp base. Count the scratch dirs before/after to pin both.
+    val base = Files.createTempDirectory("streamempty").toString
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    def scratches(prefix: String): Int =
+      Option(new java.io.File(System.getProperty("java.io.tmpdir")).listFiles())
+        .map(_.count(_.getName.startsWith(prefix))).getOrElse(0)
+    val beforeCm = scratches("graft_cm_stream")
+    val cm = Streams.replayCountMinMaintenance(
+      Streams.fileStream(spark, in, schema), "v", depth = 3, width = 16L)
+    assert(cm.columns.toSeq == Seq("row_idx", "bucket", "cnt"))
+    assert(cm.count() == 0L)
+    assert(scratches("graft_cm_stream") == beforeCm, "count-min replay leaked its scratch dir")
+    val beforeHll = scratches("graft_hll_stream")
+    val hll = Streams.replayHllMaintenance(
+      Streams.fileStream(spark, in, schema), "g", "v", m = 64)
+    assert(hll.columns.toSeq == Seq("g", "bucket", "register"))
+    assert(hll.count() == 0L)
+    assert(scratches("graft_hll_stream") == beforeHll, "hll replay leaked its scratch dir")
+    // the non-empty path cleans up too (and the materialized rollup
+    // survives its scratch's deletion)
+    (0 until 40).map(i => ("g" + (i % 2), s"v$i")).toDF("g", "v").write.parquet(s"$base/in2")
+    val beforeKmv = scratches("graft_kmv_stream")
+    val kmv = Streams.replayKmvMaintenance(
+      Streams.fileStream(spark, s"$base/in2", spark.read.parquet(s"$base/in2").schema),
+      "g", "v", k = 16)
+    assert(kmv.count() > 0L)
+    assert(scratches("graft_kmv_stream") == beforeKmv, "kmv replay leaked its scratch dir")
   }
 
   test("replayDedupKeys admits each key once and returns only key columns") {
