@@ -1344,6 +1344,12 @@ object Scale {
     * is caught); width/salt have no in-sketch witness (every bucket
     * of a narrow build is also a legal bucket of a wide one), which
     * is why the knobs should be persisted alongside the sketch.
+    *
+    * The validation agg (and the broadcast-gate count) is ONE extra
+    * pass over the sketch's LINEAGE — cells after aggregation, but an
+    * unmaterialized sketch recomputes its build to serve it. Persist
+    * the sketch (or read it from its stored shards, the streamed
+    * faces' shape) before estimating at scale.
     */
   def countMinEstimate(
       probes: DataFrame,

@@ -200,6 +200,18 @@ object Similarity {
     * any of `tables` independent hashings; exact cosine re-rank on the
     * candidate set. Returns (id, cos_sim); approximate — may miss
     * neighbors whose buckets never collide.
+    *
+    * Knob sizing, measured (`RECALL_r15.json`, ProfileRecall, dim 64):
+    * each plane halves a bucket's angular width, each table is an
+    * independent recall union — so on CLUSTERED (real-embedding)
+    * corpora the q28 defaults (planes 8, tables 4) read 0.97–0.99
+    * recall@10 at 50k–500k, while on UNIFORM-ish corpora (no cluster
+    * structure — near-neighbours are barely nearer than everyone else)
+    * they read ~0.20: there, LOWER planes and MORE tables is the
+    * productive direction (planes 6 / tables 8 doubled uniform recall
+    * to 0.42–0.50 at ~the same probe cost; planes 12 HALVED it), and
+    * past that the honest answer is brute force ([[cosineTopK]]) or
+    * IVF at high nprobe — see [[ivfTopKIndexed]]'s note.
     */
   def annTopK(
       emb: DataFrame,
@@ -506,6 +518,17 @@ object Similarity {
     *      included);
     *   3. inside the selected files, `centroid_id IN (probed)` prunes
     *      remaining row groups, then exact cosine re-ranks candidates.
+    *
+    * nprobe sizing, measured (`RECALL_r15.json`): on CLUSTERED corpora
+    * recall@10 is 1.0 at nprobe 1 (50k and 500k — the coarse quantizer
+    * aligns with the true clusters, the regime IVF is built for); on
+    * UNIFORM-ish corpora recall tracks the nprobe/nlist theory line
+    * (0.26–0.33 at nprobe 4/nlist 64, 0.9 at 32, 1.0 at 64) because
+    * with no cluster structure a true neighbour's bucket is nearly
+    * uniform over all buckets. If a corpus profile shows weak
+    * clustering, budget nprobe ≈ recall·nlist — at which point the
+    * probe reads most of the corpus and brute force ([[cosineTopK]])
+    * is the honest plan.
     */
   def ivfTopKIndexed(
       spark: SparkSession,
@@ -1627,15 +1650,25 @@ object Similarity {
     * corpus was 0.13 even at shortlist 200 (RECALL_r15.json). Under
     * the rank cut, `shortlist` bounds CODE-RESOLUTION positions —
     * candidates the codes genuinely distinguish — and the re-ranker
-    * always sees whole code-equivalence classes (recall@10 = 1.0 on
-    * the same corpus at the q152 defaults, RECALL_r16.json). Cost is
-    * still bounded: the re-rank set is `shortlist` plus the boundary
-    * class, worst case one whole probed bucket (≈ nprobe·n/nlist rows
-    * of exact cosine — the IVF-without-PQ probe cost, the correct
-    * degenerate fallback when quantization distinguishes nothing);
-    * the re-rank join broadcasts the shortlist only while it is
-    * provably small and shuffle-joins past that, so correctness never
-    * depends on a tie class fitting in the driver.
+    * always sees whole code-equivalence classes (same corpus and
+    * knobs: 0.13 → 0.52, RECALL_r16.json). Cost is still bounded: the
+    * re-rank set is `shortlist` plus the boundary class, worst case
+    * one whole probed bucket (≈ nprobe·n/nlist rows of exact cosine —
+    * the IVF-without-PQ probe cost, the correct degenerate fallback
+    * when quantization distinguishes nothing); the re-rank join
+    * broadcasts the shortlist only while it is provably small and
+    * shuffle-joins past that, so correctness never depends on a tie
+    * class fitting in the driver.
+    *
+    * Size the shortlist with [[ivfPqShortlistFor]], not a constant:
+    * ADC is an L2-quantized score re-ranked by cosine, so it cannot
+    * order the INSIDE of a dense bucket — a fixed cut caps recall as
+    * the corpus grows (0.52 at shortlist 200 on clustered 500k),
+    * while the population-scaled cut restores IVF-level recall
+    * (0.92 at 0.25× bucket population, 1.00 at 1×, measured at
+    * unchanged ~1.7 s/query — RECALL_r16.json). On uniform-ish
+    * corpora recall is nprobe-bound exactly as IVF's is; see
+    * [[ivfTopKIndexed]]'s sizing note.
     */
   def ivfPqTopK(
       spark: SparkSession,
@@ -1757,6 +1790,45 @@ object Similarity {
     * broadcast-gate discipline.
     */
   private val MaxBroadcastShortlist = 1000000L
+
+  /** The measured SHORTLIST SIZING RULE as an executable helper
+    * (RECALL_r16.json): a fixed shortlist does not survive corpus
+    * growth — at n = 500k/nlist 64 the 200-row cut capped clustered
+    * recall@10 at 0.52–0.76 because ADC (an L2-quantized score
+    * re-ranked by cosine) cannot order the inside of a dense bucket,
+    * while a shortlist scaled to the probed population restores
+    * IVF-level recall (1.0 at 1× bucket population, where the probe
+    * exact-re-ranks every probed candidate and PQ's remaining job is
+    * slashing candidate BYTES, the FAISS IVFADC deployment shape).
+    *
+    *   shortlist = max(minFactor·topK,
+    *                   ceil(frac · nprobe · nPostings / nCentroids))
+    *
+    * `frac` 0.25 is the measured knee on clustered corpora; pass 1.0
+    * to buy the exhaustive-probe guarantee. Two metadata-scale counts
+    * against the persisted index — call once per (index, nprobe), not
+    * per query.
+    */
+  def ivfPqShortlistFor(
+      spark: SparkSession,
+      indexPath: String,
+      topK: Int,
+      nprobe: Int,
+      frac: Double = 0.25,
+      minFactor: Int = 4
+  ): Int = {
+    require(topK >= 1 && nprobe >= 1 && minFactor >= 1 && frac > 0.0,
+      s"ivfPqShortlistFor: need topK/nprobe/minFactor >= 1 and frac > 0, " +
+        s"got topK=$topK nprobe=$nprobe minFactor=$minFactor frac=$frac")
+    Incremental.recoverAll(spark, indexPath)
+    val nPost = spark.read.parquet(postingsPath(indexPath)).count()
+    val nCent = spark.read.parquet(centroidsPath(indexPath)).count()
+    require(nCent > 0, s"ivfPqShortlistFor: empty centroid table at $indexPath")
+    val perBucket = math.ceil(nPost.toDouble / nCent)
+    math.min(
+      Int.MaxValue.toLong,
+      math.max(minFactor.toLong * topK, math.ceil(frac * nprobe * perBucket).toLong)).toInt
+  }
 
   /** SemDeDup candidate pairs from the PERSISTED IVF-PQ index ALONE —
     * the quadratic phase of [[semDedupIndexed]], reading postings +

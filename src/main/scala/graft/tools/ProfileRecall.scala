@@ -110,20 +110,42 @@ object ProfileRecall {
       }
 
       // ---- IVF-PQ ----
-      val pqIdx = s"${scratchRoot}_ivfpq_$corpusName"
-      val (m, kCodes) = (8, 16)
-      Similarity.ivfPqBuild(spark, emb, "vec_id", "embedding",
-        cents, "centroid_id", "centroid", m = m, k = kCodes,
-        indexPath = pqIdx, files = 16, trainOn = Some(train))
-      for (nprobe <- Seq(4, 16); shortlist <- Seq(10, 50, 200)) {
-        val t0 = System.nanoTime()
-        val r = recallOf(q =>
-          Similarity.ivfPqTopK(spark, pqIdx, "vec_id", queryVec(q),
-            m = m, topK = topK, nprobe = nprobe, shortlist = shortlist,
-            rerank = emb, rerankVecCol = "embedding", excludeId = Some(q))
-            .collect().map(_.getLong(0)).toSet)
-        val sec = (System.nanoTime() - t0) / 1e9 / nQueries
-        emit(f"""{"corpus":"$corpusName","n":$n,"family":"ivfpq","nlist":$nlist,"m":$m,"k":$kCodes,"nprobe":$nprobe,"shortlist":$shortlist,"recall_at_10":$r%.4f,"sec_per_query":$sec%.3f}""")
+      // (m 8, k 16) is the r15 baseline config; (m 8, k 64) and
+      // (m 16, k 64) measure the codebook-sizing lever the r15 verdict
+      // demanded — finer per-subspace resolution attacks the ADC
+      // mis-ranking that caps clustered recall once the tie-inclusive
+      // cut removes the id-race failure. Both stay inside the SDC
+      // map-literal budget (m·k² ≤ 65536 ≤ 262144). The baseline keeps
+      // the full (nprobe × shortlist) grid for r15 comparability; the
+      // sizing configs probe at nprobe 4 only (nprobe was measured
+      // recall-neutral on both corpora at 500k).
+      for ((m, kCodes) <- Seq((8, 16), (8, 64), (16, 64))) {
+        val pqIdx = s"${scratchRoot}_ivfpq_${m}_${kCodes}_$corpusName"
+        Similarity.ivfPqBuild(spark, emb, "vec_id", "embedding",
+          cents, "centroid_id", "centroid", m = m, k = kCodes,
+          indexPath = pqIdx, files = 16, trainOn = Some(train))
+        val nprobes = if ((m, kCodes) == ((8, 16))) Seq(4, 16) else Seq(4)
+        // fixed shortlists for r15 comparability, plus the POPULATION-
+        // SCALED rows (≈ 0.25× and 1× the expected bucket population
+        // n/nlist) — the sizing rule the r15 verdict asked to measure:
+        // at 1× the probe re-ranks every probed candidate exactly, so
+        // clustered recall must reach IVF's own 1.0 and the row prices
+        // that guarantee
+        val popShort = Seq(
+          math.max(250L, n / nlist / 4).toInt, math.max(1000L, n / nlist).toInt)
+        val shortlists =
+          if (m == 16) Seq(10, 50, 200)
+          else Seq(10, 50, 200) ++ popShort
+        for (nprobe <- nprobes; shortlist <- shortlists) {
+          val t0 = System.nanoTime()
+          val r = recallOf(q =>
+            Similarity.ivfPqTopK(spark, pqIdx, "vec_id", queryVec(q),
+              m = m, topK = topK, nprobe = nprobe, shortlist = shortlist,
+              rerank = emb, rerankVecCol = "embedding", excludeId = Some(q))
+              .collect().map(_.getLong(0)).toSet)
+          val sec = (System.nanoTime() - t0) / 1e9 / nQueries
+          emit(f"""{"corpus":"$corpusName","n":$n,"family":"ivfpq","nlist":$nlist,"m":$m,"k":$kCodes,"nprobe":$nprobe,"shortlist":$shortlist,"recall_at_10":$r%.4f,"sec_per_query":$sec%.3f}""")
+        }
       }
 
       // ---- LSH (q28 face; (numPlanes=8, tables=4) are the defaults) ----

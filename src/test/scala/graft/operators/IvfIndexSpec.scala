@@ -657,6 +657,32 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       "expected the smallest-noise (largest even) ids — a row-count cut would return 2,4,6,8,10")
   }
 
+  test("ivfPqShortlistFor: population-scaled sizing; 1x-population probe equals brute force") {
+    val idx = buildIvfPq("pqsize", files = 4)
+    val n = emb.count()
+    val nCent = spark.read.parquet(s"$idx/centroids").count()
+    val perBucket = math.ceil(n.toDouble / nCent)
+    // the arithmetic: max(minFactor·topK, ceil(frac·nprobe·perBucket))
+    assert(Similarity.ivfPqShortlistFor(spark, idx, topK = 10, nprobe = 4) ==
+      math.max(40L, math.ceil(0.25 * 4 * perBucket).toLong).toInt)
+    // frac = 1.0 at full nprobe re-ranks every probed candidate exactly:
+    // the probe must return brute force's answer (the guarantee the
+    // sizing rule's 1x row prices)
+    val full = Similarity.ivfPqShortlistFor(
+      spark, idx, topK = 10, nprobe = nCent.toInt, frac = 1.0)
+    assert(full >= n.toInt - 1)
+    val got = Similarity.ivfPqTopK(
+      spark, idx, "vec_id", queryVec,
+      m = 4, topK = 10, nprobe = nCent.toInt, shortlist = full,
+      rerank = emb, rerankVecCol = "embedding", excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == brute)
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqShortlistFor(spark, idx, topK = 0, nprobe = 4))
+  }
+
   test("ivfPq: contract guards and the NULL query") {
     val idx = buildIvfPq("pqguards", files = 2)
     intercept[IllegalArgumentException] { // multi-row query
