@@ -1273,7 +1273,12 @@ object Scale {
     // its buckets and registers fit the larger bounds — but every
     // larger-m build is caught: its buckets exceed m or its registers
     // exceed the claimed suffix length).
-    val hdr = sketch.agg(
+    // Materialize the (sketch-sized) rows ONCE: the validation agg and
+    // the estimate both consume them, and an unmaterialized sketch
+    // would otherwise re-run its whole build lineage per consumer
+    // (q165's two-shard rollup paid double token scans before this).
+    val sketchM = sketch.localCheckpoint()
+    val hdr = sketchM.agg(
       max(col("bucket")), min(col("bucket")), max(col("register"))).head()
     if (!hdr.isNullAt(0)) {
       require(hdr.getLong(0) < m && hdr.getLong(1) >= 0L,
@@ -1290,7 +1295,7 @@ object Scale {
       }
       element_at(map(entries: _*), col("v_zero").cast("int"))
     }
-    sketch
+    sketchM
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("_present"),
@@ -1345,11 +1350,10 @@ object Scale {
     * of a narrow build is also a legal bucket of a wide one), which
     * is why the knobs should be persisted alongside the sketch.
     *
-    * The validation agg (and the broadcast-gate count) is ONE extra
-    * pass over the sketch's LINEAGE — cells after aggregation, but an
-    * unmaterialized sketch recomputes its build to serve it. Persist
-    * the sketch (or read it from its stored shards, the streamed
-    * faces' shape) before estimating at scale.
+    * The sketch is localCheckpoint'ed once on entry (sketch-sized
+    * rows), so the validation agg, the broadcast-gate count and the
+    * probe join all read ONE materialization instead of re-running an
+    * unmaterialized sketch's build lineage per consumer.
     */
   def countMinEstimate(
       probes: DataFrame,
@@ -1364,7 +1368,11 @@ object Scale {
       s"countMinEstimate: depth must be in [1, 16], got $depth")
     require(width >= 2 && width <= (1L << 42),
       s"countMinEstimate: width must be in [2, 2^42], got $width")
-    val hdr = sketch.agg(max(col("row_idx")), max(col("bucket")), count(lit(1))).head()
+    // one materialization serves the validation agg, the broadcast-gate
+    // count AND the probe join (q161's two-half merged sketch re-ran
+    // four full token scans per estimate before this)
+    val sketchM = sketch.localCheckpoint()
+    val hdr = sketchM.agg(max(col("row_idx")), max(col("bucket")), count(lit(1))).head()
     if (!hdr.isNullAt(0)) {
       require(hdr.getInt(0) < depth,
         s"countMinEstimate: sketch row_idx max ${hdr.getInt(0)} exceeds the " +
@@ -1381,7 +1389,7 @@ object Scale {
           .md5PrefixLong(concat(lit(s"$salt$i:"), col("key")), 13) % width).as("bucket"))
     }
     val sketchSide =
-      if (hdr.getLong(2) <= maxBroadcastCells) broadcast(sketch) else sketch
+      if (hdr.getLong(2) <= maxBroadcastCells) broadcast(sketchM) else sketchM
     keyed
       .select(col("key"), explode(array(cells: _*)).as("_c"))
       .select(col("key"), col("_c.row_idx").as("row_idx"), col("_c.bucket").as("bucket"))
