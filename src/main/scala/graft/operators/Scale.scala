@@ -1159,6 +1159,13 @@ object Scale {
       s"countMinSharded: depth must be in [1, 16], got $depth")
     require(width >= 2 && width <= (1L << 42),
       s"countMinSharded: width must be in [2, 2^42], got $width")
+    val reserved = Seq("_k", "row_idx", "bucket", "cnt")
+    require(!reserved.contains(shardName),
+      s"countMinSharded: shardName '$shardName' collides with a reserved " +
+        s"working column (${reserved.mkString(", ")})")
+    require(reserved.forall(c => !df.columns.contains(c)),
+      s"countMinSharded: input already has a reserved working column " +
+        s"(${reserved.mkString(", ")})")
     val keyed = df
       .select(shardCol.as(shardName), keyCol.cast("string").as("_k"))
       .where(col("_k").isNotNull && col(shardName).isNotNull)
@@ -1268,26 +1275,26 @@ object Scale {
     // Guard the caller's m against the SKETCH (the ivfPqTopK stored-m
     // discipline): estimates are only meaningful under the m the
     // registers were built with, and a mismatch returns silently-wrong
-    // numbers, not an error. The check is one sketch-sized agg and
-    // one-sided (a sketch built at a SMALLER m than claimed can pass —
-    // its buckets and registers fit the larger bounds — but every
-    // larger-m build is caught: its buckets exceed m or its registers
-    // exceed the claimed suffix length).
-    // Materialize the (sketch-sized) rows ONCE: the validation agg and
-    // the estimate both consume them, and an unmaterialized sketch
-    // would otherwise re-run its whole build lineage per consumer
-    // (q165's two-shard rollup paid double token scans before this).
-    val sketchM = sketch.localCheckpoint()
-    val hdr = sketchM.agg(
-      max(col("bucket")), min(col("bucket")), max(col("register"))).head()
-    if (!hdr.isNullAt(0)) {
-      require(hdr.getLong(0) < m && hdr.getLong(1) >= 0L,
-        s"hllEstimate: sketch bucket range [${hdr.getLong(1)}, ${hdr.getLong(0)}] " +
-          s"is outside [0, ${m - 1}] — the sketch was built with a different m")
-      require(hdr.getLong(2) <= zeroRank,
-        s"hllEstimate: sketch register max ${hdr.getLong(2)} exceeds the " +
-          s"m=$m suffix rank bound $zeroRank — the sketch was built with a smaller m")
-    }
+    // numbers, not an error. The guard is LAZY — a per-row raise_error
+    // fused into the estimate's own aggregation pass, so the sketch
+    // lineage is evaluated exactly once (the eager-agg variant was a
+    // second full evaluation of an unmaterialized build — a measured
+    // ~3× on q165 at 100× scale). Coverage is unchanged and one-sided:
+    // every LARGER-m build is caught (its buckets exceed the claimed m,
+    // or its registers exceed the claimed suffix rank), while a
+    // smaller-m build fits the larger bounds and passes — which is why
+    // m must be persisted alongside any stored sketch (the
+    // countMinEstimate knob discipline).
+    val guarded = sketch.select(groupCols.map(col) :+
+      when(
+        col("bucket") >= m || col("bucket") < 0 ||
+          col("register") > zeroRank || col("register") < 1,
+        raise_error(format_string(
+          s"hllEstimate: sketch cell (bucket=%s, register=%s) is outside the " +
+            s"m=$m bounds (bucket in [0, ${m - 1}], register in [1, $zeroRank]) " +
+            "— the sketch was built with a different m",
+          col("bucket"), col("register"))))
+        .otherwise(col("register")).as("register"): _*)
     val numer = hllAlphaM2(m) * (1L << zeroRank) // ≤ 2^62.6 at m = 1024
     val linear: Column = {
       val entries = (1 until m).flatMap { v =>
@@ -1295,7 +1302,7 @@ object Scale {
       }
       element_at(map(entries: _*), col("v_zero").cast("int"))
     }
-    sketchM
+    guarded
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("_present"),
@@ -1342,18 +1349,32 @@ object Scale {
     * Returns `(key, cm_est)`.
     *
     * The (depth, width, salt) triple must be the BUILD's — a mismatch
-    * probes the wrong cells. The depth side is checked against the
-    * sketch (one sketch-sized agg; one-sided — a sketch built at a
-    * smaller depth than claimed reads absent rows as 0 and still
-    * honors the one-sided `est ≥ 0` floor, but a larger-depth build
-    * is caught); width/salt have no in-sketch witness (every bucket
-    * of a narrow build is also a legal bucket of a wide one), which
-    * is why the knobs should be persisted alongside the sketch.
+    * probes the wrong cells. Knob drift is caught by a LAZY per-row
+    * guard fused into the sketch side of the probe join: any cell
+    * whose `row_idx` or `bucket` falls outside the claimed bounds
+    * raises at execution, in the SAME single evaluation of the sketch
+    * lineage that feeds the join — no separate validation agg, no
+    * second pass (the eager-agg variant re-evaluated q161's two-half
+    * merged build and cost a measured 4× at 100× scale). The check
+    * stays one-sided, and the asymmetry matters: a sketch built at a
+    * SMALLER depth than claimed passes the guard (its cells all fit
+    * the larger bounds) and the absent rows read as 0, so the min
+    * UNDERCOUNTS — claiming depth 8 over a depth-4 build returns 0
+    * for every key, silently voiding the `est ≥ true` guarantee, not
+    * just weakening it. Larger-than-claimed builds are caught (their
+    * `row_idx` ≥ claimed depth trips the guard); width/salt drift has
+    * no in-sketch witness at all (every bucket of a narrow build is a
+    * legal bucket of a wide one, and salts leave no residue). This is
+    * exactly why the knobs MUST be persisted alongside any stored
+    * sketch — the guard is a tripwire for one drift direction, not a
+    * substitute for carrying (depth, width, salt) with the data.
     *
-    * The sketch is localCheckpoint'ed once on entry (sketch-sized
-    * rows), so the validation agg, the broadcast-gate count and the
-    * probe join all read ONE materialization instead of re-running an
-    * unmaterialized sketch's build lineage per consumer.
+    * The broadcast gate is static: populated cells ≤ depth·width by
+    * construction, so `depth·width ≤ maxBroadcastCells` decides the
+    * join strategy with NO extra action on the sketch. Conservative
+    * for a sparsely-populated ultra-wide sketch (it takes the shuffle
+    * path even if few cells are live), but free — and the sketch
+    * lineage is evaluated exactly once either way.
     */
   def countMinEstimate(
       probes: DataFrame,
@@ -1368,19 +1389,19 @@ object Scale {
       s"countMinEstimate: depth must be in [1, 16], got $depth")
     require(width >= 2 && width <= (1L << 42),
       s"countMinEstimate: width must be in [2, 2^42], got $width")
-    // one materialization serves the validation agg, the broadcast-gate
-    // count AND the probe join (q161's two-half merged sketch re-ran
-    // four full token scans per estimate before this)
-    val sketchM = sketch.localCheckpoint()
-    val hdr = sketchM.agg(max(col("row_idx")), max(col("bucket")), count(lit(1))).head()
-    if (!hdr.isNullAt(0)) {
-      require(hdr.getInt(0) < depth,
-        s"countMinEstimate: sketch row_idx max ${hdr.getInt(0)} exceeds the " +
-          s"claimed depth $depth — the sketch was built with different knobs")
-      require(hdr.getLong(1) < width,
-        s"countMinEstimate: sketch bucket max ${hdr.getLong(1)} exceeds the " +
-          s"claimed width $width — the sketch was built with different knobs")
-    }
+    // Lazy knob guard: evaluated per sketch row inside the join's own
+    // pass — the sketch lineage runs exactly once (see scaladoc).
+    val guarded = sketch.select(
+      col("row_idx"), col("bucket"),
+      when(
+        col("row_idx") >= depth || col("row_idx") < 0 ||
+          col("bucket") >= width || col("bucket") < 0,
+        raise_error(format_string(
+          s"countMinEstimate: sketch cell (row_idx=%s, bucket=%s) is outside " +
+            s"the claimed depth=$depth, width=$width — the sketch was built " +
+            "with different knobs",
+          col("row_idx"), col("bucket"))))
+        .otherwise(col("cnt")).as("cnt"))
     val keyed = probes.select(keyCol.cast("string").as("key")).where(col("key").isNotNull).distinct()
     val cells = (0 until depth).map { i =>
       struct(
@@ -1389,7 +1410,7 @@ object Scale {
           .md5PrefixLong(concat(lit(s"$salt$i:"), col("key")), 13) % width).as("bucket"))
     }
     val sketchSide =
-      if (hdr.getLong(2) <= maxBroadcastCells) broadcast(sketchM) else sketchM
+      if (depth.toLong * width <= maxBroadcastCells) broadcast(guarded) else guarded
     keyed
       .select(col("key"), explode(array(cells: _*)).as("_c"))
       .select(col("key"), col("_c.row_idx").as("row_idx"), col("_c.bucket").as("bucket"))

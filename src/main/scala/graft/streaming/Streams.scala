@@ -1051,6 +1051,18 @@ object Streams {
     *     replay — the rollup is MATERIALIZED (eager localCheckpoint,
     *     so the returned frame no longer references the files) and the
     *     base deleted before returning.
+    *
+    * SINGLE-HOST assumption, stated explicitly: localCheckpoint stores
+    * UNREPLICATED executor blocks with truncated lineage, and the
+    * source parquet is deleted right after — on a multi-executor
+    * cluster, losing an executor after this returns makes the frame
+    * unrecoverable. That trade is deliberate here: the materialized
+    * rows are SKETCH-sized (≤ shards·cells, metadata scale), this
+    * replay harness exists for the oracle/bench lifecycle on one JVM,
+    * and a production deployment would keep the shard table as the
+    * durable artifact (persist `shardDir` somewhere real and skip the
+    * delete) rather than relying on the returned frame's blocks — the
+    * rollup is a cheap re-read away by the merge property.
     */
   private def drainAndRollup(
       rows: DataFrame,

@@ -771,24 +771,31 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     val sk = Scale.countMinBuild(xs, col("k"), depth = 4, width = 64L)
     val bc = Scale.countMinEstimate(probes, col("k"), sk, 4, 64L)
       .as[(String, Long)].collect().toMap
-    // claiming a smaller depth/width than the build is caught (one
-    // sketch-sized agg; the one-sided direction the cells can witness)
-    assert(intercept[IllegalArgumentException](
-      Scale.countMinEstimate(probes, col("k"), sk, 2, 64L))
-      .getMessage.contains("row_idx"))
-    assert(intercept[IllegalArgumentException](
-      Scale.countMinEstimate(probes, col("k"), sk, 4, 8L))
-      .getMessage.contains("bucket"))
+    // claiming a smaller depth/width than the build is caught by the
+    // LAZY per-row guard at execution (fused into the probe join's own
+    // pass — the one-sided direction the cells can witness); walk the
+    // cause chain because the raise_error surfaces wrapped in the
+    // job/broadcast failure
+    def causeMsgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString("\n")
+    assert(causeMsgs(intercept[Exception](
+      Scale.countMinEstimate(probes, col("k"), sk, 2, 64L).collect()))
+      .contains("row_idx"))
+    assert(causeMsgs(intercept[Exception](
+      Scale.countMinEstimate(probes, col("k"), sk, 4, 8L).collect()))
+      .contains("bucket"))
     // a sketch past the broadcast gate estimates identically through
     // the shuffle-join fallback
     val sh = Scale.countMinEstimate(probes, col("k"), sk, 4, 64L, maxBroadcastCells = 0L)
       .as[(String, Long)].collect().toMap
     assert(sh == bc)
     // hll: estimating under a smaller m than the build is caught by the
-    // bucket range; register bound catches the larger-m builds
+    // bucket range (same lazy guard); register bound catches larger-m
+    // builds
     val hsk = Scale.hllSketch(xs.withColumn("g", lit("x")), Seq("g"), col("k"), 64)
-    assert(intercept[IllegalArgumentException](
-      Scale.hllEstimate(hsk, Seq("g"), 16)).getMessage.contains("bucket"))
+    assert(causeMsgs(intercept[Exception](
+      Scale.hllEstimate(hsk, Seq("g"), 16).collect())).contains("bucket"))
   }
 
   test("countMin: sketch build is map-side partial-aggregated; guards") {
@@ -798,6 +805,12 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       s"expected a partial aggregate before the shuffle:\n${plan.take(600)}")
     intercept[IllegalArgumentException](Scale.countMinBuild(xs, col("k"), 0, 64L))
+    // sharded build: reserved working-column collisions are loud
+    intercept[IllegalArgumentException](
+      Scale.countMinSharded(xs, col("k"), "bucket", col("k"), 3, 16L))
+    intercept[IllegalArgumentException](
+      Scale.countMinSharded(xs.withColumnRenamed("i", "cnt"),
+        col("k"), "day", col("k"), 3, 16L))
     intercept[IllegalArgumentException](Scale.countMinBuild(xs, col("k"), 4, 1L))
     intercept[IllegalArgumentException](Scale.countMinBuild(xs, col("k"), 4, 1L << 43))
     intercept[IllegalArgumentException](Scale.countMinEstimate(xs, col("k"), xs, 17, 64L))
