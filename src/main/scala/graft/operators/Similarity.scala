@@ -1397,6 +1397,31 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Bounded collect of the m·k ADC DOT table (the [[adcDistanceTable]]
+    * move with the inner product): `dot(q_s, c_s)` from each codebook
+    * centroid to the query's matching subvector, keyed by (sub, cid).
+    * Because PQ subspaces are disjoint coordinate blocks,
+    * `Σ_s dot(q_s, c_s) = dot(q, reconstruction)` EXACTLY — the
+    * asymmetric inner-product score of the FAISS IVFADC inner-product
+    * variant.
+    */
+  private def adcDotTable(
+      codebook: DataFrame,
+      query: DataFrame,
+      queryVecCol: String,
+      m: Int,
+      d: Int
+  ): Map[(Int, Long), Double] = {
+    val qsubs = subspaces(query.select(lit(0L).as("_qid"), col(queryVecCol)),
+      "_qid", queryVecCol, m, d)
+    codebook
+      .join(broadcast(qsubs.select(col("sub"), col("subvec").as("_qv"))), "sub")
+      .select(col("sub"), col("cid"), dotD(col("cvec"), col("_qv")).as("_d"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+  }
+
   /** Bounded collect of the m·k ADC distance table (the probedIds move):
     * squared L2 from each codebook centroid to the query's matching
     * subvector, keyed by (sub, cid).
@@ -1628,11 +1653,31 @@ object Similarity {
     * centroids against the query, footer-select only the `nprobe`
     * probed buckets' postings files ([[ivfTopKIndexed]]'s IO bound),
     * ADC-score every candidate's CODE ARRAY (m map-literal lookups, no
-    * vector reads), keep the `shortlist` best by (adc, id), and
-    * exact-cosine re-rank ONLY the shortlist against `rerank` — the
-    * source-of-truth `(idCol, rerankVecCol)` table (the lake, not the
-    * index: full vectors stay out of the postings entirely). Returns
-    * `topK` rows `(idCol, adc, cos_sim)` by (cos_sim desc, id).
+    * vector reads), keep the `shortlist` best, and exact-cosine
+    * re-rank ONLY the shortlist against `rerank` — the source-of-truth
+    * `(idCol, rerankVecCol)` table (the lake, not the index: full
+    * vectors stay out of the postings entirely). Returns `topK` rows
+    * `(idCol, adc, cos_sim)` by (cos_sim desc, id).
+    *
+    * TWO ADC rankings, chosen by `metric` (default `"dot"`):
+    *
+    *   - `"dot"` — QUANTIZED COSINE, the answer's own metric: the
+    *     candidate score is `dot(q, q(v)) / (‖q‖ · nrm)` where
+    *     `dot(q, q(v)) = Σ_s dot(q_s, c_s)` is exact over the
+    *     reconstruction (subspaces are disjoint coordinate blocks) and
+    *     `nrm = ‖v‖` is the EXACT per-vector norm the postings already
+    *     carry ([[codesWithStats]]) — the only approximation left is
+    *     the reconstruction itself. This closes the measured L2↔cosine
+    *     mismatch: ranking quantized L2 while the answer is cosine
+    *     over unnormalized vectors mis-orders candidates whose norms
+    *     differ, measured to CAP clustered recall (0.52 at shortlist
+    *     200) and to get WORSE as codes get near-exact (m16 k64
+    *     recall 0.12–0.20, RECALL_r16.json) because exact L2 order is
+    *     still not cosine order. Shortlist keeps the LARGEST scores.
+    *   - `"l2"` — quantized squared L2 (`Σ_s l2sq(q_s, c_s)`), the
+    *     classic FAISS IVFADC ranking; kept as the face for callers
+    *     whose downstream metric IS L2 and as the measured-regression
+    *     pin. Shortlist keeps the smallest.
     *
     * Recall is bounded twice, both knobs explicit: by `nprobe` (a true
     * neighbour in an unprobed bucket is never seen — the IVF contract)
@@ -1641,34 +1686,36 @@ object Similarity {
     * quantization error stops mattering, typically a few × topK).
     *
     * The shortlist cut is TIE-INCLUSIVE (RANK-style top-N): the cut
-    * value is the `shortlist`-th smallest adc and EVERY candidate at
-    * or below it survives to the exact re-rank. PQ maps each vector
-    * to one of k^m cells, so a tight natural cluster collapses to ONE
-    * adc value shared by the whole cell — a row-count cut by (adc, id)
-    * there keeps the `shortlist` smallest IDS of the cell, an
-    * arbitrary subset, and recall@10 measured on a clustered 500k
+    * value is the `shortlist`-th best adc and EVERY candidate at or
+    * past it survives to the exact re-rank. PQ maps each vector to one
+    * of k^m cells, so under `"l2"` a tight natural cluster collapses
+    * to ONE adc value shared by the whole cell — a row-count cut by
+    * (adc, id) there keeps the `shortlist` smallest IDS of the cell,
+    * an arbitrary subset, and recall@10 measured on a clustered 500k
     * corpus was 0.13 even at shortlist 200 (RECALL_r15.json). Under
     * the rank cut, `shortlist` bounds CODE-RESOLUTION positions —
     * candidates the codes genuinely distinguish — and the re-ranker
     * always sees whole code-equivalence classes (same corpus and
-    * knobs: 0.13 → 0.52, RECALL_r16.json). Cost is still bounded: the
-    * re-rank set is `shortlist` plus the boundary class, worst case
-    * one whole probed bucket (≈ nprobe·n/nlist rows of exact cosine —
-    * the IVF-without-PQ probe cost, the correct degenerate fallback
-    * when quantization distinguishes nothing); the re-rank join
-    * broadcasts the shortlist only while it is provably small and
-    * shuffle-joins past that, so correctness never depends on a tie
-    * class fitting in the driver.
+    * knobs: 0.13 → 0.52, RECALL_r16.json). The `"dot"` face divides by
+    * the exact per-vector norm, so code-tied candidates usually
+    * UNTIE — the rank cut still guards the residual ties (identical
+    * codes AND norms). Cost is still bounded: the re-rank set is
+    * `shortlist` plus the boundary class, worst case one whole probed
+    * bucket (≈ nprobe·n/nlist rows of exact cosine — the
+    * IVF-without-PQ probe cost, the correct degenerate fallback when
+    * quantization distinguishes nothing); the re-rank join broadcasts
+    * the shortlist only while it is provably small and shuffle-joins
+    * past that, so correctness never depends on a tie class fitting
+    * in the driver.
     *
     * Size the shortlist with [[ivfPqShortlistFor]], not a constant:
-    * ADC is an L2-quantized score re-ranked by cosine, so it cannot
-    * order the INSIDE of a dense bucket — a fixed cut caps recall as
-    * the corpus grows (0.52 at shortlist 200 on clustered 500k),
-    * while the population-scaled cut restores IVF-level recall
-    * (0.92 at 0.25× bucket population, 1.00 at 1×, measured at
-    * unchanged ~1.7 s/query — RECALL_r16.json). On uniform-ish
-    * corpora recall is nprobe-bound exactly as IVF's is; see
-    * [[ivfTopKIndexed]]'s sizing note.
+    * any quantized score loses resolution inside a dense bucket, so a
+    * fixed cut caps recall as the corpus grows, while the
+    * population-scaled cut restores IVF-level recall (RECALL_r16:
+    * 0.92 at 0.25× bucket population under "l2"; the "dot" face
+    * reaches the same recall at far smaller shortlists — RECALL_r17).
+    * On uniform-ish corpora recall is nprobe-bound exactly as IVF's
+    * is; see [[ivfTopKIndexed]]'s sizing note.
     */
   def ivfPqTopK(
       spark: SparkSession,
@@ -1681,12 +1728,15 @@ object Similarity {
       shortlist: Int,
       rerank: DataFrame,
       rerankVecCol: String,
-      excludeId: Option[Long] = None
+      excludeId: Option[Long] = None,
+      metric: String = "dot"
   ): DataFrame = {
     require(topK >= 1, s"ivfPqTopK: topK must be at least 1, got $topK")
     require(shortlist >= topK,
       s"ivfPqTopK: shortlist ($shortlist) must be at least topK ($topK)")
     require(nprobe >= 1, s"ivfPqTopK: nprobe must be at least 1, got $nprobe")
+    require(metric == "dot" || metric == "l2",
+      s"ivfPqTopK: metric must be 'dot' or 'l2', got '$metric'")
     require(query.columns.length == 1,
       "ivfPqTopK: query must be a one-row, one-column DataFrame")
     query.schema.fields(0).dataType match {
@@ -1746,26 +1796,51 @@ object Similarity {
     }
     // 3. ADC over codes (bounded m·k table collected once), then the
     // tie-inclusive shortlist cut: one distributed TakeOrdered finds
-    // the shortlist-th smallest adc (a single scalar collected — the
+    // the shortlist-th best adc (a single scalar collected — the
     // probed-centroids discipline), and the filter keeps every
-    // candidate at or below it. adc is rounded to 6dp BEFORE the cut,
+    // candidate at or past it. adc is rounded to 6dp BEFORE the cut,
     // so equivalence classes are robust to engine-order float noise.
-    val dt = adcDistanceTable(
-      storedCb,
-      query.select(col(query.columns.head).as("_qv")), "_qv", m, dim / m)
-    val scored = excluded
+    val inProbed = excluded
       .where(col("centroid_id").isin(probed.map(Long.box): _*))
       .where(size(col("codes")) === m)
-      .select(col(idCol), round(adcLookupSum(dt, m, col("codes")), 6).as("adc"))
-      .where(col("adc").isNotNull)
-    val cutRow = scored.orderBy(col("adc"), col(idCol)).limit(shortlist)
-      .agg(max(col("adc"))).head()
+    val qv = query.select(col(query.columns.head).as("_qv"))
+    val (scored, cutOf, keepPastCut) = metric match {
+      case "dot" =>
+        // quantized cosine: dot(q, reconstruction) / (|q| · exact nrm);
+        // |q| is driver-computed from the collected query row with the
+        // same left-to-right fold as norm2 (and the oracle's sum), and
+        // zero-norm candidates are excluded — cosine is undefined there,
+        // matching the re-rank's cos_sim IS NOT NULL contract
+        val dt = adcDotTable(storedCb, qv, "_qv", m, dim / m)
+        val qNorm = math.sqrt(
+          qRows.head.getSeq[Float](0).foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        require(qNorm > 0.0, "ivfPqTopK: metric 'dot' needs a non-zero query vector")
+        val s = inProbed
+          .where(col("nrm") > 0.0)
+          .select(col(idCol),
+            round(adcLookupSum(dt, m, col("codes")) / (lit(qNorm) * col("nrm")), 6).as("adc"))
+          .where(col("adc").isNotNull)
+        (s,
+          (sc: DataFrame) => sc.orderBy(col("adc").desc, col(idCol)).limit(shortlist)
+            .agg(min(col("adc"))).head(),
+          (cut: Double) => col("adc") >= cut)
+      case _ =>
+        val dt = adcDistanceTable(storedCb, qv, "_qv", m, dim / m)
+        val s = inProbed
+          .select(col(idCol), round(adcLookupSum(dt, m, col("codes")), 6).as("adc"))
+          .where(col("adc").isNotNull)
+        (s,
+          (sc: DataFrame) => sc.orderBy(col("adc"), col(idCol)).limit(shortlist)
+            .agg(max(col("adc"))).head(),
+          (cut: Double) => col("adc") <= cut)
+    }
+    val cutRow = cutOf(scored)
     if (cutRow.isNullAt(0))
       return spark.read.parquet(post)
         .where(lit(false))
         .select(col(idCol),
           lit(null).cast("double").as("adc"), lit(null).cast("double").as("cos_sim"))
-    val short = scored.where(col("adc") <= cutRow.getDouble(0))
+    val short = scored.where(keepPastCut(cutRow.getDouble(0)))
     // 4. exact re-rank of the tie-inclusive shortlist against the
     // source-of-truth vector table: broadcast while the set is
     // provably small (one bounded count — the re-scan is a footer-

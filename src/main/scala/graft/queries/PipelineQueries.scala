@@ -1643,9 +1643,11 @@ object PipelineQueries {
     // probed buckets' postings files are read, q76's footer contract),
     // PQ codes compress what each candidate COSTS (m lookups, no
     // vector reads), and only the 40-deep ADC shortlist pays an exact
-    // cosine against the source-of-truth table. Index rebuilt per run
-    // (scratch dir); oracle = q150's training replay composed with
-    // q75's coarse CTEs verbatim.
+    // cosine against the source-of-truth table. The ADC ranking is the
+    // DOT face (quantized cosine over exact stored norms — the default
+    // metric, closing the measured L2↔cosine mis-ranking). Index
+    // rebuilt per run (scratch dir); oracle = q150's training replay
+    // composed with q75's coarse CTEs verbatim.
     "q152_ann_ivfpq" -> { (s, dir) =>
       val tmp = freshScratch(s, dir, "q152", Seq("_staging"))
       val emb = t(s, dir, "embeddings")
@@ -1999,8 +2001,50 @@ object PipelineQueries {
       val evB = RelationalQueries.events(s, dir)
         .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
       countMinWindowReport(evB.where(col("day") >= CmWindowFrom), sketch)
+    },
+    // q172: the iterative-graph REBUILD lifecycle end to end — the
+    // ivfPqDriftReport idea applied to a cached PageRank (GraphSpec
+    // pins the report's mechanics; this pins the LIFECYCLE under the
+    // oracle): ranks exist for the base co-purchase graph (orders with
+    // l_orderkey % 7 ≠ 0), an edge batch lands (the % 7 = 0 orders),
+    // graphDriftReport measures the touched-plus-1-hop fraction
+    // WITHOUT recomputing anything, and the threshold decides — rebuild
+    // ⇒ recompute on the grown (set-union) graph, else serve the cached
+    // ranks. Exactly ONE PageRank runs either way (the cached result's
+    // vertex universe is the part table by pageRankExact's contract, so
+    // the drift probe needs no rank evaluation). Every output row
+    // carries the drift row, so the DECISION is under the hash gate:
+    // the fixture's batch touches far more than the 2% threshold at
+    // every sf, the oracle ranks the grown graph — and if the fixture
+    // ever drifted below threshold, the Spark side would serve base
+    // ranks and the gate would catch it loudly.
+    "q172_graph_drift" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val parts = t(s, dir, "part")
+      val base = graft.operators.Graph.cooccurrenceEdges(
+        li.where(col("l_orderkey") % 7 =!= 0), "l_orderkey", "l_partkey")
+      val batch = graft.operators.Graph.cooccurrenceEdges(
+        li.where(col("l_orderkey") % 7 === 0), "l_orderkey", "l_partkey")
+      val d = graft.operators.Graph.graphDriftReport(
+        parts.select("p_partkey"), "p_partkey", base, batch, DriftThresholdMicro)
+        .head()
+      val ranks =
+        if (d.getBoolean(3))
+          graft.operators.Graph.pageRankExact(
+            base.unionByName(batch).distinct(), parts, "p_partkey", iterations = 5)
+        else
+          graft.operators.Graph.pageRankExact(base, parts, "p_partkey", iterations = 5)
+      ranks.select(col("p_partkey"), col("rank_micro"),
+        lit(d.getLong(0)).as("n_universe"), lit(d.getLong(1)).as("n_affected"),
+        lit(d.getLong(2)).as("affected_micro"), lit(d.getBoolean(3)).as("rebuild"))
+        .orderBy("p_partkey")
     }
   )
+
+  /** q172's rebuild threshold in micro-units (2%), shared with the
+    * oracle generator (the TfidfMaxDf discipline).
+    */
+  private val DriftThresholdMicro: Long = 20000L
 
   /** q160's fusion knobs, shared between the query closure and the
     * oracle generator (the TfidfMaxDf discipline — declared with the
@@ -3850,7 +3894,9 @@ object PipelineQueries {
     "q170_countmin_window" -> CountMinWindowSql,
     // q171 is q170's physical-path variant (day shards maintained from
     // a stream; cell sums are associative) — one oracle gates both.
-    "q171_stream_countmin_window" -> CountMinWindowSql
+    "q171_stream_countmin_window" -> CountMinWindowSql,
+    // q172: drift row + grown-graph PageRank — see GraphDriftSql
+    "q172_graph_drift" -> GraphDriftSql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -3899,19 +3945,32 @@ object PipelineQueries {
     * ONE text shared by the q142 (PageRank) and q149 (random walks)
     * oracles so the edge definition can never drift between them.
     */
-  private lazy val CoPurchaseGraphCte =
+  /** The capped item-per-order prefix (li/sized/ic) + part vertex set
+    * (v) — shared by [[CoPurchaseGraphCte]] and q172's split-graph
+    * oracle so the group cap and null discipline can never drift
+    * between the whole-corpus and base/batch edge definitions.
+    */
+  private lazy val CoPurchasePrefixCte =
     """li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
       |            FROM lineitem
       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
       |sized AS (SELECT g FROM li GROUP BY g HAVING count(*) <= 1000),
       |ic AS (SELECT li.g, li.i FROM li JOIN sized USING (g)),
-      |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
-      |      FROM ic a JOIN ic b ON a.g = b.g AND a.i <> b.i),
       |v AS (SELECT DISTINCT p_partkey AS vx FROM part
       |      WHERE p_partkey IS NOT NULL)""".stripMargin
 
-  private lazy val PageRankSql = {
-    val iters = (1 to 5).map { k =>
+  private lazy val CoPurchaseGraphCte =
+    s"""$CoPurchasePrefixCte,
+       |e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+       |      FROM ic a JOIN ic b ON a.g = b.g AND a.i <> b.i)""".stripMargin
+
+  /** The q142 integer-PageRank recurrence unrolled over CTEs `e`
+    * (edges), `v` (vertices), `d` (degrees), `p0` (start) — shared by
+    * [[PageRankSql]] and q172's grown-graph replay so the recurrence
+    * text cannot drift between them.
+    */
+  private def pageRankIterCtes(n: Int): String =
+    (1 to n).map { k =>
       s"""p$k AS (SELECT v.vx,
          |  CAST(150000 + (85 * COALESCE(m.msg, 0)) // 100 AS BIGINT) AS pr
          |  FROM v LEFT JOIN (
@@ -3920,13 +3979,50 @@ object PipelineQueries {
          |           JOIN d ON d.src = e.src
          |    GROUP BY e.dst) m ON m.vx = v.vx)""".stripMargin
     }.mkString(",\n")
+
+  private lazy val PageRankSql =
     s"""WITH $CoPurchaseGraphCte,
        |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
        |p0 AS (SELECT vx, CAST(1000000 AS BIGINT) AS pr FROM v),
-       |$iters
+       |${pageRankIterCtes(5)}
        |SELECT vx AS p_partkey, pr AS rank_micro
        |FROM p5 ORDER BY p_partkey""".stripMargin
-  }
+
+  /** q172's oracle: the base/batch edge split over the SHARED capped
+    * prefix, the drift row computed exactly as `Graph.graphDriftReport`
+    * does (touched endpoints ∪ their 1-hop ring in the grown graph,
+    * intersected with the vertex universe, micro-fraction by integer
+    * division), and the q142 recurrence replayed over the grown
+    * SET-union graph — named `e` so [[pageRankIterCtes]] applies
+    * verbatim. The rebuild flag is part of the hashed output: if the
+    * fixture ever dropped under the threshold, the Spark side would
+    * serve base-graph ranks and mismatch loudly.
+    */
+  private lazy val GraphDriftSql =
+    s"""WITH $CoPurchasePrefixCte,
+       |eb AS (SELECT DISTINCT a.i AS src, b.i AS dst
+       |       FROM ic a JOIN ic b ON a.g = b.g AND a.i <> b.i WHERE a.g % 7 <> 0),
+       |en AS (SELECT DISTINCT a.i AS src, b.i AS dst
+       |       FROM ic a JOIN ic b ON a.g = b.g AND a.i <> b.i WHERE a.g % 7 = 0),
+       |e AS (SELECT src, dst FROM eb UNION SELECT src, dst FROM en),
+       |touched AS (SELECT src AS vv FROM en UNION SELECT dst FROM en),
+       |grown AS (SELECT src, dst FROM eb UNION ALL SELECT src, dst FROM en),
+       |ring AS (SELECT g2.dst AS vv FROM grown g2 JOIN touched t ON t.vv = g2.src
+       |         UNION
+       |         SELECT g2.src FROM grown g2 JOIN touched t ON t.vv = g2.dst),
+       |affected AS (SELECT vv FROM touched UNION SELECT vv FROM ring),
+       |uni AS (SELECT vx AS vv FROM v UNION SELECT vv FROM touched),
+       |dr AS (SELECT CAST(nu AS BIGINT) AS n_universe, CAST(na AS BIGINT) AS n_affected,
+       |         CAST(1000000 * na // nu AS BIGINT) AS affected_micro
+       |       FROM (SELECT (SELECT count(*) FROM uni) AS nu,
+       |               (SELECT count(*) FROM (SELECT vv FROM affected INTERSECT SELECT vv FROM uni)) AS na)),
+       |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |p0 AS (SELECT vx, CAST(1000000 AS BIGINT) AS pr FROM v),
+       |${pageRankIterCtes(5)}
+       |SELECT vx AS p_partkey, pr AS rank_micro,
+       |  n_universe, n_affected, affected_micro,
+       |  (affected_micro >= $DriftThresholdMicro) AS rebuild
+       |FROM p5, dr ORDER BY p_partkey""".stripMargin
 
   /** The q149 recurrence unrolled: each step scores the frontier's
     * out-neighbors with the identical md5-prefix hash and takes the
@@ -4501,11 +4597,16 @@ object PipelineQueries {
     * (`dt`) — plus the per-subspace dt joins and the left-associated
     * ADC sum, returned separately so each query composes its own tail.
     * ONE generator, so the training/coding replay cannot drift between
-    * the standalone-PQ and IVF-PQ oracles.
+    * the standalone-PQ and IVF-PQ oracles. `dtMetric` picks the dt
+    * CTE's per-subspace score: "l2" (q150's symmetric-distance face)
+    * or "dot" (q152/q155's quantized-cosine face).
     */
-  private def pqChainParts(m: Int, k: Int, d: Int): (String, String, String) = {
+  private def pqChainParts(
+      m: Int, k: Int, d: Int, dtMetric: String = "l2"): (String, String, String) = {
     def l2(a: String, b: String) =
       s"(SELECT sum((z.a - z.b) * (z.a - z.b)) FROM (SELECT unnest($a) AS a, unnest($b) AS b) z)"
+    def dotp(a: String, b: String) =
+      s"(SELECT sum(z.a * z.b) FROM (SELECT unnest($a) AS a, unnest($b) AS b) z)"
     def assignStage(r: Int, cPrev: String) =
       s"""d$r AS (SELECT sub.sub, sub.vec_id, c.cid,
          |  ${l2("sub.sv", "c.cv")} AS l2
@@ -4540,7 +4641,8 @@ object PipelineQueries {
          |$rounds,
          |${assignStage(3, "c2")},
          |q AS (SELECT sub, sv FROM sub WHERE vec_id = 0),
-         |dt AS (SELECT c2.sub, c2.cid, ${l2("q.sv", "c2.cv")} AS d
+         |dt AS (SELECT c2.sub, c2.cid,
+         |       ${if (dtMetric == "dot") dotp("q.sv", "c2.cv") else l2("q.sv", "c2.cv")} AS d
          |       FROM c2 JOIN q ON q.sub = c2.sub),
          |cd AS (SELECT vec_id, $codeCols FROM a3 GROUP BY vec_id)""".stripMargin
     (chain, dtJoins, adcSum)
@@ -4561,15 +4663,22 @@ object PipelineQueries {
     * [[IvfAnnOracleSql]] VERBATIM (the q116/q83 anchor discipline), so
     * neither leg can drift from its standalone twin. The composed tail
     * is the probe contract itself: candidates = probed buckets minus
-    * the query, ADC over candidate codes, TIE-INCLUSIVE shortlist cut
-    * at the 40th smallest adc (every candidate at or below the cut
-    * survives — RANK-style top-N, `Similarity.ivfPqTopK`'s recall
-    * semantics since RECALL_r15 measured the row-count cut collapsing
-    * on clustered corpora), exact cosine re-rank of the shortlist
-    * only, top 10.
+    * the query, DOT-face ADC over candidate codes (quantized cosine —
+    * per-subspace dot sums over exact norms, `Similarity.ivfPqTopK`'s
+    * default metric since RECALL_r16 measured the L2 ranking
+    * mis-ordering a cosine answer), TIE-INCLUSIVE shortlist cut at the
+    * 40th LARGEST adc (every candidate at or above the cut survives —
+    * RANK-style top-N, the recall semantics since RECALL_r15 measured
+    * the row-count cut collapsing on clustered corpora), exact cosine
+    * re-rank of the shortlist only, top 10.
     */
   private lazy val IvfPqOracleSql: String = {
-    val (chain, dtJoins, adcSum) = pqChainParts(4, 8, 16)
+    // the DOT-face probe (Similarity.ivfPqTopK's default metric since
+    // r17): the dt CTE carries per-subspace DOT products, the candidate
+    // score is round(Σ dots / (|q| · |v|), 6) with both norms exact, the
+    // shortlist keeps the 40th LARGEST and everything tied at or above
+    // it, and only the shortlist pays the exact cosine re-rank
+    val (chain, dtJoins, adcSum) = pqChainParts(4, 8, 16, dtMetric = "dot")
     val marker = "probe AS (SELECT cid FROM cs WHERE vec_id = 0 ORDER BY cs DESC, cid LIMIT 4),"
     require(IvfAnnOracleSql.contains(marker),
       "IvfAnnOracleSql probe anchor changed; update q152's derivation")
@@ -4579,14 +4688,21 @@ object PipelineQueries {
     s"""WITH $chain,
        |$coarse
        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qn AS (SELECT sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+       |        FROM (SELECT unnest(qv.qe) AS y) z)) AS qn FROM qv),
+       |nr AS (SELECT e.vec_id,
+       |  sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+       |        FROM (SELECT unnest(e.embedding) AS x) z)) AS nrm
+       |  FROM embeddings e),
        |cand AS (SELECT a.vec_id FROM asg a JOIN probe p ON p.cid = a.cid
        |         WHERE a.vec_id <> 0),
-       |adcs AS (SELECT cd.vec_id, round($adcSum, 6) AS adc
+       |adcs AS (SELECT cd.vec_id, round($adcSum / (qn.qn * nr.nrm), 6) AS adc
        |         FROM cd JOIN cand ON cand.vec_id = cd.vec_id
-       |         $dtJoins),
-       |cut AS (SELECT max(adc) AS cut
-       |        FROM (SELECT adc FROM adcs ORDER BY adc, vec_id LIMIT 40)),
-       |short AS (SELECT vec_id, adc FROM adcs, cut WHERE adcs.adc <= cut.cut),
+       |         JOIN nr ON nr.vec_id = cd.vec_id AND nr.nrm > 0
+       |         $dtJoins, qn),
+       |cut AS (SELECT min(adc) AS cut
+       |        FROM (SELECT adc FROM adcs ORDER BY adc DESC, vec_id LIMIT 40)),
+       |short AS (SELECT vec_id, adc FROM adcs, cut WHERE adcs.adc >= cut.cut),
        |sc AS (SELECT e.vec_id,
        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
        |   FROM (SELECT unnest(e.embedding) AS x, unnest(qv.qe) AS y) z) AS dot,
