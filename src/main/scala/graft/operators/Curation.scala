@@ -1061,14 +1061,28 @@ object Curation {
     *   5. `untrusted`       personalized-PageRank mass from the
     *                        trusted seed set < minRankMicro (absent ⇒
     *                        0 — unreachable from every seed)
-    *   6. `kept`            all gates passed
+    *   6. `overexposed`     (only when `freshness` is supplied) the
+    *                        document's recent-window frequency
+    *                        estimate ≥ maxFreshCount — "seen k× in the
+    *                        last N days", the windowed count-min gate
+    *                        ([[graft.operators.Scale.countMinWindow]]):
+    *                        content flooding the recent ingest window
+    *                        is over-represented and excluded. The
+    *                        estimate's one-sided guarantee (est ≥
+    *                        true) means a PASS here is sound — a
+    *                        document the sketch clears truly is under
+    *                        the cap; overcounts can only drop extra
+    *                        rows, never admit one. Absent row ⇒ drop
+    *                        (no witness — e.g. a null fingerprint).
+    *   7. `kept`            all gates passed
     *
     * Missing-signal semantics are DROP-biased by design (absent
     * survivor row ⇒ duplicate, absent core ⇒ 0, absent label ⇒ weak,
     * absent rank ⇒ 0): a curation mix must fail closed — a document
     * no signal vouches for does not enter a training corpus.
     *
-    * Scale shape: five left equi-joins on the document key (at 100 TB
+    * Scale shape: five (six with freshness) left equi-joins on the
+    * document key (at 100 TB
     * they co-shuffle on one key; every signal table is document-scale
     * or smaller), plus one community-scale join for q_num, broadcast
     * while the community table is provably small (one bounded count —
@@ -1078,8 +1092,10 @@ object Curation {
     * Inputs: `survivorIds` (a column named `idCol` — the kept set),
     * `quality` (idCol, quality DOUBLE), `cores` (idCol, core BIGINT),
     * `labels` (idCol, label), `modularity` (label, …, q_num),
-    * `ppr` (idCol, rank_micro). Returns (idCol, kept BOOLEAN,
-    * reason STRING), one row per `docs` row.
+    * `ppr` (idCol, rank_micro), optionally `freshness` (idCol,
+    * fresh_cnt BIGINT — a windowed count-min estimate per document).
+    * Returns (idCol, kept BOOLEAN, reason STRING), one row per `docs`
+    * row.
     */
   def curationMix(
       docs: DataFrame,
@@ -1093,15 +1109,23 @@ object Curation {
       minQuality: Double,
       minCore: Long,
       minRankMicro: Long,
-      maxBroadcastCommunities: Long = 1000000L
+      maxBroadcastCommunities: Long = 1000000L,
+      freshness: Option[DataFrame] = None,
+      maxFreshCount: Long = Long.MaxValue
   ): DataFrame = {
-    Seq(
+    (Seq(
       ("survivorIds", survivorIds, idCol), ("quality", quality, idCol),
       ("cores", cores, idCol), ("labels", labels, idCol),
       ("modularity", modularity, "label"), ("ppr", ppr, idCol)
-    ).foreach { case (name, df, key) =>
+    ) ++ freshness.map(f => ("freshness", f, idCol))).foreach { case (name, df, key) =>
       require(df.columns.contains(key),
         s"curationMix: $name must carry a '$key' column, has ${df.columns.mkString(", ")}")
+    }
+    freshness.foreach { f =>
+      require(f.columns.contains("fresh_cnt"),
+        s"curationMix: freshness must carry a 'fresh_cnt' column, has ${f.columns.mkString(", ")}")
+      require(maxFreshCount < Long.MaxValue,
+        "curationMix: supply maxFreshCount alongside freshness — the default never gates")
     }
     val surv = survivorIds.select(col(idCol)).distinct().withColumn("_surv", lit(true))
     val qual = quality.select(col(idCol), round(col("quality"), 6).as("_q"))
@@ -1110,19 +1134,30 @@ object Curation {
     val mq = modularity.select(col("label").as("_lab"), col("q_num").as("_qnum"))
     val mqSide = if (mq.count() <= maxBroadcastCommunities) broadcast(mq) else mq
     val rank = ppr.select(col(idCol), col("rank_micro").cast("long").as("_rank"))
-    val reason = when(coalesce(col("_surv"), lit(false)) === false, lit("duplicate"))
+    val baseReason = when(coalesce(col("_surv"), lit(false)) === false, lit("duplicate"))
       .when(coalesce(col("_q"), lit(0.0)) < minQuality, lit("low_quality"))
       .when(coalesce(col("_core"), lit(0L)) < minCore, lit("shallow_core"))
       .when(coalesce(col("_qnum"), lit(0L)) <= 0L, lit("weak_community"))
       .when(coalesce(col("_rank"), lit(0L)) < minRankMicro, lit("untrusted"))
-      .otherwise(lit("kept"))
-    docs.select(col(idCol))
+    // absent freshness row coalesces to Long.MaxValue ⇒ overexposed —
+    // the fail-closed direction (no witness, no entry)
+    val reason = (freshness match {
+      case Some(_) => baseReason.when(
+        coalesce(col("_fresh"), lit(Long.MaxValue)) >= maxFreshCount, lit("overexposed"))
+      case None => baseReason
+    }).otherwise(lit("kept"))
+    val joined = docs.select(col(idCol))
       .join(surv, Seq(idCol), "left")
       .join(qual, Seq(idCol), "left")
       .join(core, Seq(idCol), "left")
       .join(lab, Seq(idCol), "left")
       .join(mqSide, Seq("_lab"), "left")
       .join(rank, Seq(idCol), "left")
+    freshness
+      .map(f => joined.join(
+        f.select(col(idCol), col("fresh_cnt").cast("long").as("_fresh")),
+        Seq(idCol), "left"))
+      .getOrElse(joined)
       .select(col(idCol), reason.as("reason"))
       .select(col(idCol), (col("reason") === "kept").as("kept"), col("reason"))
   }

@@ -2038,6 +2038,54 @@ object PipelineQueries {
         lit(d.getLong(0)).as("n_universe"), lit(d.getLong(1)).as("n_affected"),
         lit(d.getLong(2)).as("affected_micro"), lit(d.getBoolean(3)).as("rebuild"))
         .orderBy("p_partkey")
+    },
+    // q173: q169's curation mix EXTENDED with the sixth fail-closed
+    // gate a production mix needs — "seen k× in the last N days": the
+    // q170 windowed count-min lifecycle over head FINGERPRINTS (ingest
+    // day = doc_id % 30, day shards rolled up to the 7-day window),
+    // probed per document and joined in as the `overexposed` reason.
+    // The estimate's one-sided guarantee makes a PASS sound (est ≥
+    // true, so est < cap ⇒ truly under the cap); a missing fingerprint
+    // has no witness and drops. The five shared gates and their oracle
+    // CTEs are q169's verbatim (one generator), so the extension
+    // cannot drift the base policy; the oracle builds ONE sketch over
+    // exactly the window's rows, putting the shard-concat property
+    // under this hash gate too.
+    "q173_curation_fresh" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val ids = docs.select(col("doc_id")).where(col("doc_id").isNotNull).distinct()
+      val edges = kcoreFixtureEdges(s, dir)
+      val und = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val survivors = docs.join(
+        nearDupLabels(s, dir).where(col("node") =!= col("label"))
+          .select(col("node").as("doc_id")),
+        Seq("doc_id"), "left_anti").select("doc_id")
+      val quality = docs.select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+      val cores = graft.operators.Graph.coreNumbers(edges, kMax = 5)
+        .select(col("node").as("doc_id"), col("core"))
+      val labels = graft.operators.Graph.labelPropagation(edges, rounds = LpaRounds)
+      val mod = graft.operators.Graph.modularityByCommunity(edges, labels)
+      val ppr = graft.operators.Graph.personalizedPageRankExact(
+        und, ids, "doc_id",
+        docs.where(col("doc_id") % 37 === 0), "doc_id", iterations = 5)
+      val fp = docs.select(
+        col("doc_id"), (col("doc_id") % 30).as("iday"), headFingerprint.as("fp"))
+      val fpnn = fp.where(col("fp").isNotNull)
+      val shards = Scale.countMinSharded(
+        fpnn, col("iday"), "iday", col("fp"), CmDepth, FreshWidth)
+      val sketch = Scale.countMinWindow(shards, col("iday") >= FreshFromDay)
+      val est = Scale.countMinEstimate(fpnn, col("fp"), sketch, CmDepth, FreshWidth)
+      val fresh = fpnn
+        .join(est, fpnn("fp") === est("key"))
+        .select(fpnn("doc_id"), col("cm_est").as("fresh_cnt"))
+      graft.operators.Curation.curationMix(
+        docs, "doc_id", survivors, quality,
+        cores, labels.select(col("node").as("doc_id"), col("label")), mod, ppr,
+        minQuality = MixMinQuality, minCore = MixMinCore,
+        minRankMicro = MixMinRankMicro,
+        freshness = Some(fresh), maxFreshCount = MixMaxFresh)
+        .orderBy("doc_id")
     }
   )
 
@@ -2078,6 +2126,18 @@ object PipelineQueries {
   private val MixMinQuality: Double = 0.37 // corpus median ≈ 0.378 — the gate splits, not rubber-stamps
   private val MixMinCore: Long = 3L
   private val MixMinRankMicro: Long = 1000L
+
+  /** q173's freshness-gate knobs (shared with the oracle generator):
+    * ingest day is the deterministic doc_id % 30 fixture convention
+    * (documents carry no timestamp), the window is days 23..29 ("the
+    * last 7 days"), width 64 keeps real collisions at the fixture's
+    * fingerprint cardinality (the q161 discipline), and the cap fires
+    * on any head fingerprint seen ≥ 2× in the window — tight enough
+    * that the dup families' shared heads trip it at sf0.001.
+    */
+  private val FreshFromDay: Long = 23L
+  private val FreshWidth: Long = 64L
+  private val MixMaxFresh: Long = 2L
 
   /** q170/q171's shared report tail: probe every user active in the
     * window against the windowed sketch, exact window counts alongside
@@ -3896,7 +3956,9 @@ object PipelineQueries {
     // a stream; cell sums are associative) — one oracle gates both.
     "q171_stream_countmin_window" -> CountMinWindowSql,
     // q172: drift row + grown-graph PageRank — see GraphDriftSql
-    "q172_graph_drift" -> GraphDriftSql
+    "q172_graph_drift" -> GraphDriftSql,
+    // q173: the six-gate mix — see CurationFreshSql
+    "q173_curation_fresh" -> CurationFreshSql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -4495,35 +4557,77 @@ object PipelineQueries {
     * the verbatim gate CASE of `Curation.curationMix` — first failing
     * gate names the reason, missing signals read as failing.
     */
-  private lazy val CurationMixSql =
+  private lazy val CurationMixSql = curationMixSqlGen(withFresh = false)
+
+  /** q173's oracle: [[CurationMixSql]] extended the same CTE-sharing
+    * way with the WINDOWED count-min freshness signal (the q170 cell
+    * recipe over head fingerprints, ingest day = doc_id % 30, window =
+    * the last $FreshWindowDays days) and the sixth `overexposed` gate.
+    * The oracle builds ONE sketch over exactly the window's rows while
+    * the Spark side rolls up day shards — the concat property is under
+    * the hash gate here too. Generated with [[curationMixSqlGen]] so
+    * the five shared gates cannot drift from q169's.
+    */
+  private lazy val CurationFreshSql = curationMixSqlGen(withFresh = true)
+
+  /** ONE generator for the q169 (five-gate) and q173 (six-gate) mixes:
+    * every shared CTE and the CASE precedence are the same text, so the
+    * freshness extension cannot drift the base policy.
+    */
+  private def curationMixSqlGen(withFresh: Boolean): String = {
+    def cell(i: String, term: String) =
+      s"CAST('0x' || substring(md5('cm' || $i || ':' || $term), 1, 13) AS BIGINT) % $FreshWidth"
+    val freshCtes =
+      if (!withFresh) ""
+      else
+        s"""fpd AS (SELECT doc_id, doc_id % 30 AS iday,
+           |    array_to_string(($TokensSql)[1:8], ' ') AS fp FROM documents),
+           |winfp AS (SELECT fp FROM fpd WHERE iday >= $FreshFromDay AND fp IS NOT NULL),
+           |fcells AS (SELECT r.i AS row_idx, ${cell("CAST(r.i AS VARCHAR)", "fp")} AS bucket,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM winfp, UNNEST(range(0, $CmDepth)) AS r(i) GROUP BY 1, 2),
+           |fpc AS (SELECT fp, r.i AS row_idx, ${cell("CAST(r.i AS VARCHAR)", "fp")} AS bucket
+           |  FROM (SELECT DISTINCT fp FROM fpd WHERE fp IS NOT NULL),
+           |       UNNEST(range(0, $CmDepth)) AS r(i)),
+           |fest AS (SELECT fp, min(COALESCE(c.cnt, 0)) AS cm_est
+           |  FROM fpc LEFT JOIN fcells c USING (row_idx, bucket) GROUP BY 1),
+           |fr AS (SELECT d.doc_id, f.cm_est FROM fpd d JOIN fest f ON f.fp = d.fp),
+           |""".stripMargin
+    val freshSig =
+      if (withFresh) ",\n    COALESCE(fh.cm_est, 9223372036854775807) AS fresh" else ""
+    val freshJoin =
+      if (withFresh) "\n  LEFT JOIN fr fh ON fh.doc_id = i.doc_id" else ""
+    val freshGate =
+      if (withFresh) s"\n       WHEN fresh >= $MixMaxFresh THEN 'overexposed'" else ""
     s"""WITH RECURSIVE $SurvivorCtes,
        |$KCoreGraphCte,
        |$CoreNumberPhaseCtes,
        |$LpaRoundCtes,
        |$ModularityTailCtes,
        |$DocPprCtes,
-       |qual AS (SELECT doc_id, $QualityExprSql AS q FROM documents),
+       |${freshCtes}qual AS (SELECT doc_id, $QualityExprSql AS q FROM documents),
        |sig AS (SELECT i.doc_id,
        |    (i.doc_id NOT IN (SELECT node FROM losers)) AS surv,
        |    COALESCE(qu.q, 0.0) AS q,
        |    COALESCE(cn.core, 0) AS core,
        |    COALESCE(mo.q_num, 0) AS qnum,
-       |    COALESCE(pp.pr, 0) AS rnk
+       |    COALESCE(pp.pr, 0) AS rnk$freshSig
        |  FROM ids i
        |  LEFT JOIN qual qu ON qu.doc_id = i.doc_id
        |  LEFT JOIN coren cn ON cn.doc_id = i.doc_id
        |  LEFT JOIN lab$LpaRounds lb ON lb.v = i.doc_id
        |  LEFT JOIN modq mo ON mo.label = lb.lab
-       |  LEFT JOIN prp5 pp ON pp.vx = i.doc_id),
+       |  LEFT JOIN prp5 pp ON pp.vx = i.doc_id$freshJoin),
        |dec AS (SELECT doc_id,
        |  CASE WHEN NOT surv THEN 'duplicate'
        |       WHEN q < $MixMinQuality THEN 'low_quality'
        |       WHEN core < $MixMinCore THEN 'shallow_core'
        |       WHEN qnum <= 0 THEN 'weak_community'
-       |       WHEN rnk < $MixMinRankMicro THEN 'untrusted'
+       |       WHEN rnk < $MixMinRankMicro THEN 'untrusted'$freshGate
        |       ELSE 'kept' END AS reason
        |  FROM sig)
        |SELECT doc_id, (reason = 'kept') AS kept, reason FROM dec ORDER BY doc_id""".stripMargin
+  }
 
   /** q170/q171's oracle: ONE count-min sketch built over exactly the
     * window's event rows (the Spark side builds per-DAY shards and

@@ -496,4 +496,40 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       minQuality = 0.5, minCore = 3L, minRankMicro = 1000L))
     assert(err.getMessage.contains("modularity"), err.getMessage)
   }
+
+  test("curationMix: optional freshness gate — overexposed cap, fail-closed absent row, guards") {
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val all = Seq(1L, 2L, 3L).toDF("doc_id")
+    val qual = Seq((1L, 0.9), (2L, 0.9), (3L, 0.9)).toDF("doc_id", "quality")
+    val cores = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("doc_id", "core")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("doc_id", "label")
+    val mod = Seq((10L, 50L)).toDF("label", "q_num")
+    val ppr = Seq((1L, 5000L), (2L, 5000L), (3L, 5000L)).toDF("doc_id", "rank_micro")
+    // 1 under the cap → kept; 2 at the cap → overexposed; 3 has NO
+    // freshness row → fail-closed overexposed (no witness)
+    val fresh = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "fresh_cnt")
+    val got = Curation.curationMix(
+      docs, "doc_id", all, qual, cores, labels, mod, ppr,
+      minQuality = 0.5, minCore = 3L, minRankMicro = 1000L,
+      freshness = Some(fresh), maxFreshCount = 2L)
+      .as[(Long, Boolean, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, true, "kept"), (2L, false, "overexposed"), (3L, false, "overexposed")))
+    // without the signal the gate does not exist: same inputs, all kept
+    val base = Curation.curationMix(
+      docs, "doc_id", all, qual, cores, labels, mod, ppr,
+      minQuality = 0.5, minCore = 3L, minRankMicro = 1000L)
+      .as[(Long, Boolean, String)].collect().sortBy(_._1).toSeq
+    assert(base.forall(_._2), base.toString)
+    // guards: freshness without a cap, and a mis-shaped freshness frame
+    assert(intercept[IllegalArgumentException](Curation.curationMix(
+      docs, "doc_id", all, qual, cores, labels, mod, ppr,
+      minQuality = 0.5, minCore = 3L, minRankMicro = 1000L,
+      freshness = Some(fresh))).getMessage.contains("maxFreshCount"))
+    assert(intercept[IllegalArgumentException](Curation.curationMix(
+      docs, "doc_id", all, qual, cores, labels, mod, ppr,
+      minQuality = 0.5, minCore = 3L, minRankMicro = 1000L,
+      freshness = Some(Seq((1L, 1L)).toDF("doc_id", "cnt")),
+      maxFreshCount = 2L)).getMessage.contains("fresh_cnt"))
+  }
 }
