@@ -1422,6 +1422,19 @@ object Similarity {
       .toMap
   }
 
+  /** Bounded collect of the m·k per-(sub, cid) centroid NORM² table —
+    * ‖c_s‖², the reconstruction-norm building block of the dot face:
+    * ‖q(v)‖² = Σ_s ‖c_s‖² exactly (subspaces are disjoint coordinate
+    * blocks), summed per candidate in the same fixed-order
+    * [[adcLookupSum]] fold as the dot numerator.
+    */
+  private def centroidNorm2Table(codebook: DataFrame): Map[(Int, Long), Double] =
+    codebook
+      .select(col("sub"), col("cid"), norm2D(col("cvec")).as("_n2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+
   /** Bounded collect of the m·k ADC distance table (the probedIds move):
     * squared L2 from each codebook centroid to the query's matching
     * subvector, keyed by (sub, cid).
@@ -1662,18 +1675,23 @@ object Similarity {
     * TWO ADC rankings, chosen by `metric` (default `"dot"`):
     *
     *   - `"dot"` — QUANTIZED COSINE, the answer's own metric: the
-    *     candidate score is `dot(q, q(v)) / (‖q‖ · nrm)` where
-    *     `dot(q, q(v)) = Σ_s dot(q_s, c_s)` is exact over the
-    *     reconstruction (subspaces are disjoint coordinate blocks) and
-    *     `nrm = ‖v‖` is the EXACT per-vector norm the postings already
-    *     carry ([[codesWithStats]]) — the only approximation left is
-    *     the reconstruction itself. This closes the measured L2↔cosine
+    *     candidate score is `cos(q, q(v)) = dot(q, q(v)) /
+    *     (‖q‖·‖q(v)‖)` where `dot(q, q(v)) = Σ_s dot(q_s, c_s)` and
+    *     `‖q(v)‖² = Σ_s ‖c_s‖²` are BOTH exact over the reconstruction
+    *     (subspaces are disjoint coordinate blocks) and both pure
+    *     functions of the CODES. This closes the measured L2↔cosine
     *     mismatch: ranking quantized L2 while the answer is cosine
     *     over unnormalized vectors mis-orders candidates whose norms
     *     differ, measured to CAP clustered recall (0.52 at shortlist
     *     200) and to get WORSE as codes get near-exact (m16 k64
     *     recall 0.12–0.20, RECALL_r16.json) because exact L2 order is
-    *     still not cosine order. Shortlist keeps the LARGEST scores.
+    *     still not cosine order. The denominator choice is
+    *     measured-load-bearing: dividing by the exact stored ‖v‖
+    *     instead collapses clustered small-shortlist recall to
+    *     ~topK/cell-size (0.04–0.05) — within a code cell the
+    *     numerator is constant, so 1/‖v‖, pure norm noise, does the
+    *     ranking; ‖q(v)‖ is cell-constant, keeping whole cells tied
+    *     for the rank cut. Shortlist keeps the LARGEST scores.
     *   - `"l2"` — quantized squared L2 (`Σ_s l2sq(q_s, c_s)`), the
     *     classic FAISS IVFADC ranking; kept as the face for callers
     *     whose downstream metric IS L2 and as the measured-regression
@@ -1696,10 +1714,10 @@ object Similarity {
     * the rank cut, `shortlist` bounds CODE-RESOLUTION positions —
     * candidates the codes genuinely distinguish — and the re-ranker
     * always sees whole code-equivalence classes (same corpus and
-    * knobs: 0.13 → 0.52, RECALL_r16.json). The `"dot"` face divides by
-    * the exact per-vector norm, so code-tied candidates usually
-    * UNTIE — the rank cut still guards the residual ties (identical
-    * codes AND norms). Cost is still bounded: the re-rank set is
+    * knobs: 0.13 → 0.52, RECALL_r16.json). The `"dot"` face scores are
+    * pure functions of the codes too, so its tie classes are exactly
+    * the code cells — the same rank-cut regime, with cosine-consistent
+    * ordering ACROSS cells. Cost is still bounded: the re-rank set is
     * `shortlist` plus the boundary class, worst case one whole probed
     * bucket (≈ nprobe·n/nlist rows of exact cosine — the
     * IVF-without-PQ probe cost, the correct degenerate fallback when
@@ -1806,20 +1824,31 @@ object Similarity {
     val qv = query.select(col(query.columns.head).as("_qv"))
     val (scored, cutOf, keepPastCut) = metric match {
       case "dot" =>
-        // quantized cosine: dot(q, reconstruction) / (|q| · exact nrm);
-        // |q| is driver-computed from the collected query row with the
-        // same left-to-right fold as norm2 (and the oracle's sum), and
-        // zero-norm candidates are excluded — cosine is undefined there,
-        // matching the re-rank's cos_sim IS NOT NULL contract
+        // quantized cosine cos(q, q(v)) = dot(q, q(v)) / (|q|·‖q(v)‖):
+        // BOTH factors are pure functions of the CODES (per-subspace
+        // dot and centroid-norm² map literals, summed in fixed subspace
+        // order), so code-tied candidates score IDENTICALLY and the
+        // tie-inclusive cut hands the re-ranker whole code cells —
+        // exactly the L2 face's tie regime, with cosine-consistent
+        // ordering ACROSS cells. Dividing by the exact stored ‖v‖
+        // instead was measured to DESTROY small-shortlist recall
+        // (0.045 at shortlist 10 on clustered 50k ≈ 10/cell-size, i.e.
+        // random-within-cell): within a code cell the numerator is
+        // constant, so 1/‖v‖ — pure norm noise, uncorrelated with
+        // cosine — did the ranking. ‖q(v)‖ is cell-constant, so the
+        // quantized signal, not the noise, ranks. |q| is
+        // driver-computed with the same left-to-right fold as the
+        // oracle's sum.
         val dt = adcDotTable(storedCb, qv, "_qv", m, dim / m)
+        val cn2 = centroidNorm2Table(storedCb)
         val qNorm = math.sqrt(
           qRows.head.getSeq[Float](0).foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
         require(qNorm > 0.0, "ivfPqTopK: metric 'dot' needs a non-zero query vector")
+        val recNorm = sqrt(adcLookupSum(cn2, m, col("codes")))
         val s = inProbed
-          .where(col("nrm") > 0.0)
           .select(col(idCol),
-            round(adcLookupSum(dt, m, col("codes")) / (lit(qNorm) * col("nrm")), 6).as("adc"))
-          .where(col("adc").isNotNull)
+            round(adcLookupSum(dt, m, col("codes")) / (lit(qNorm) * recNorm), 6).as("adc"))
+          .where(col("adc").isNotNull && !isnan(col("adc")))
         (s,
           (sc: DataFrame) => sc.orderBy(col("adc").desc, col(idCol)).limit(shortlist)
             .agg(min(col("adc"))).head(),
@@ -1903,6 +1932,164 @@ object Similarity {
     math.min(
       Int.MaxValue.toLong,
       math.max(minFactor.toLong * topK, math.ceil(frac * nprobe * perBucket).toLong)).toInt
+  }
+
+  /** BATCH probe of the persisted IVF-PQ index — [[ivfPqTopK]]'s dot
+    * face for a query SET in ONE pass ([[ivfTopKIndexedBatch]]'s
+    * machinery composed with PQ, the shape a dedup/contamination sweep
+    * runs at 10⁹ vectors): per-query bucket ranking over the broadcast
+    * centroid table, ONE footer-pruned postings read over the batch's
+    * probed-bucket union, ADC by a DISTRIBUTED (query, sub, cid)
+    * dot-table join — the single-query map literals cannot scale past
+    * one query; the table is nq·m·k rows, broadcast while provably
+    * small — with the per-candidate sum reassembled in FIXED subspace
+    * order (sort-then-fold, bit-identical to [[adcLookupSum]]'s
+    * left-association, so the batch face and the single-query face
+    * round to the same 6dp adc), a per-query TIE-INCLUSIVE shortlist
+    * cut via one rank window partitioned by query, and one exact-cosine
+    * re-rank join of the union shortlist against the vector lake.
+    * Returns (query_id, idCol, adc, cos_sim): topK rows per query by
+    * (cos_sim desc, id).
+    *
+    * Scale shape: no per-query job, no driver loop — the only collects
+    * are the probed-bucket union (≤ centroid count) and the stored-m
+    * guard; windows partition by query_id (batch-parallel); the
+    * re-rank join broadcasts only under [[MaxBroadcastShortlist]].
+    */
+  def ivfPqTopKBatch(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      m: Int,
+      topK: Int,
+      nprobe: Int,
+      shortlist: Int,
+      rerank: DataFrame,
+      rerankVecCol: String,
+      excludeSelf: Boolean = false,
+      maxBroadcastDtRows: Long = 1L << 22
+  ): DataFrame = {
+    require(topK >= 1, s"ivfPqTopKBatch: topK must be at least 1, got $topK")
+    require(shortlist >= topK,
+      s"ivfPqTopKBatch: shortlist ($shortlist) must be at least topK ($topK)")
+    require(nprobe >= 1, s"ivfPqTopKBatch: nprobe must be at least 1, got $nprobe")
+    Incremental.recoverAll(spark, indexPath)
+    val post = postingsPath(indexPath)
+    Incremental.recoverAll(spark, post)
+    Incremental.recoverAll(spark, centroidsPath(indexPath))
+    Incremental.recoverAll(spark, codebookPath(indexPath))
+    val storedCb = spark.read.parquet(codebookPath(indexPath)).localCheckpoint()
+    val storedM = storedCb.agg(max(col("sub"))).head().getInt(0) + 1
+    require(m == storedM,
+      s"ivfPqTopKBatch: caller m=$m does not match the stored codebook's " +
+        s"subspace count $storedM at $indexPath — a mismatched m would " +
+        "silently filter every candidate")
+    val q = queries
+      .select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("_qvec"))
+      .where(col("query_id").isNotNull && col("_qvec").isNotNull)
+      .localCheckpoint()
+    val dim = pqDim(q, "query_id", "_qvec", "ivfPqTopKBatch")
+    require(dim % m == 0,
+      s"ivfPqTopKBatch: query dim $dim not divisible into $m subspaces")
+    // 1. per-query bucket ranking (the indexedBatchCandidates shape)
+    val cents = broadcast(spark.read.parquet(centroidsPath(indexPath)))
+    val probeRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("_pcs").desc, col("centroid_id"))
+    val probeTable = q
+      .crossJoin(cents)
+      .select(
+        col("query_id"), col("centroid_id"),
+        cosine(col("_qvec"), col("centroid")).as("_pcs"))
+      .where(col("_pcs").isNotNull)
+      .withColumn("_pr", row_number().over(probeRank))
+      .where(col("_pr") <= nprobe)
+      .select("query_id", "centroid_id")
+    // 2. one footer selection over the batch's probed-bucket union
+    // (bounded collect: ≤ centroid count rows)
+    val probedIds = probeTable
+      .select("centroid_id").distinct().collect().map(_.getLong(0)).sorted
+    val selected = FileMerge
+      .fileRanges(spark, post, "centroid_id")
+      .filter(r => !r.known || probedIds.exists(c => c >= r.lo && c <= r.hi))
+      .map(r => s"$post/${r.file}")
+    val cand =
+      if (selected.isEmpty) spark.read.parquet(post).where(lit(false))
+      else spark.read.parquet(selected: _*)
+    val probedCand = cand
+      .join(probeTable, "centroid_id")
+      .where(size(col("codes")) === m)
+    val excluded =
+      if (excludeSelf) probedCand.where(col(idCol) =!= col("query_id")) else probedCand
+    // 3. distributed ADC dot table (query_id, sub, cid, _dt, _cn2):
+    // per-(query, sub, cid) dot plus the query-independent centroid
+    // norm² riding the same row — one join serves both folds
+    val dt = subspaces(q, "query_id", "_qvec", m, dim / m)
+      .join(broadcast(storedCb.select(col("sub"), col("cid"), col("cvec"))), "sub")
+      .select(col("_vid").as("query_id"), col("sub"), col("cid"),
+        dotD(col("subvec"), col("cvec")).as("_dt"),
+        norm2D(col("cvec")).as("_cn2"))
+    val nDtRows = q.count() * storedCb.count()
+    val dtSide = if (nDtRows <= maxBroadcastDtRows) broadcast(dt) else dt
+    val qNorms = broadcast(q.select(col("query_id"), sqrt(norm2(col("_qvec"))).as("_qn")))
+    // 4. per-candidate sums in FIXED subspace order (sort-then-fold —
+    // a bare SUM over shuffled doubles would be association-order
+    // nondeterministic at the 6dp rounding boundary): the dot
+    // numerator and the reconstruction norm² take the SAME fold, so
+    // the quantized cosine is bit-identical to the single-query face's
+    val scored = excluded
+      .select(col("query_id"), col(idCol),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(dtSide, Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("sub"), col("_dt")))),
+          s => s.getField("_dt")).as("_ds"),
+        transform(
+          array_sort(collect_list(struct(col("sub"), col("_cn2")))),
+          s => s.getField("_cn2")).as("_ns"))
+      .where(size(col("_ds")) === m)
+      .join(qNorms, "query_id")
+      .select(col("query_id"), col(idCol),
+        round(
+          expr("aggregate(_ds, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)") /
+            (col("_qn") *
+              sqrt(expr("aggregate(_ns, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))),
+          6).as("adc"))
+      .where(col("adc").isNotNull && !isnan(col("adc")))
+    // 5. per-query tie-inclusive cut: one rank window, batch-parallel
+    val cutW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc").desc, col(idCol))
+    val cuts = scored
+      .withColumn("_rn", row_number().over(cutW))
+      .where(col("_rn") <= shortlist)
+      .groupBy("query_id").agg(min(col("adc")).as("_cut"))
+    val short = scored
+      .join(cuts, "query_id")
+      .where(col("adc") >= col("_cut"))
+      .select(col("query_id"), col(idCol), col("adc"))
+    // 6. one exact re-rank of the union shortlist (broadcast only while
+    // provably small — the ivfPqTopK gate)
+    val shortCount = short.count()
+    val rv = rerank.select(col(idCol), col(rerankVecCol).as("_rv"))
+    val joined =
+      if (shortCount <= MaxBroadcastShortlist) broadcast(short).join(rv, idCol)
+      else short.join(rv, idCol)
+    val topW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col(idCol))
+    joined
+      .join(broadcast(q.select(col("query_id"), col("_qvec"))), "query_id")
+      .select(col("query_id"), col(idCol), col("adc"),
+        round(cosine(col("_rv"), col("_qvec")), 6).as("cos_sim"))
+      .where(col("cos_sim").isNotNull)
+      .withColumn("_rn", row_number().over(topW))
+      .where(col("_rn") <= topK)
+      .select(col("query_id"), col(idCol), col("adc"), col("cos_sim"))
+      .orderBy(col("query_id"), col("cos_sim").desc, col(idCol))
   }
 
   /** SemDeDup candidate pairs from the PERSISTED IVF-PQ index ALONE —

@@ -2086,6 +2086,28 @@ object PipelineQueries {
         minRankMicro = MixMinRankMicro,
         freshness = Some(fresh), maxFreshCount = MixMaxFresh)
         .orderBy("doc_id")
+    },
+    // q174: the IVF-PQ BATCH probe — q152's index swept by a query SET
+    // in one pass (per-query bucket ranking, ONE footer-pruned read
+    // over the probed-bucket union, distributed dot-table ADC with the
+    // fixed-order sum, per-query tie-inclusive cut, one re-rank join).
+    // The oracle replays the whole batch path per query — same coarse
+    // CTEs as q75/q152, same PQ training chain, per-query dt/cut/top-k
+    // — so the batch machinery (windows, dt join, union read) is under
+    // the hash gate, not just spec-gated against the single face.
+    "q174_ann_ivfpq_batch" -> { (s, dir) =>
+      val tmp = freshScratch(s, dir, "q174", Seq("_staging"))
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqBuild(
+        s, emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 16), "vec_id", "embedding",
+        m = 4, k = 8, indexPath = tmp, files = 8)
+      Similarity.ivfPqTopKBatch(
+        s, tmp, "vec_id",
+        emb.where(col("vec_id") < 3).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding",
+        m = 4, topK = 10, nprobe = 4, shortlist = 40,
+        rerank = emb, rerankVecCol = "embedding", excludeSelf = true)
     }
   )
 
@@ -3958,7 +3980,9 @@ object PipelineQueries {
     // q172: drift row + grown-graph PageRank — see GraphDriftSql
     "q172_graph_drift" -> GraphDriftSql,
     // q173: the six-gate mix — see CurationFreshSql
-    "q173_curation_fresh" -> CurationFreshSql
+    "q173_curation_fresh" -> CurationFreshSql,
+    // q174: the batch probe replayed per query — see IvfPqBatchOracleSql
+    "q174_ann_ivfpq_batch" -> IvfPqBatchOracleSql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -4778,11 +4802,16 @@ object PipelineQueries {
     */
   private lazy val IvfPqOracleSql: String = {
     // the DOT-face probe (Similarity.ivfPqTopK's default metric since
-    // r17): the dt CTE carries per-subspace DOT products, the candidate
-    // score is round(Σ dots / (|q| · |v|), 6) with both norms exact, the
-    // shortlist keeps the 40th LARGEST and everything tied at or above
-    // it, and only the shortlist pays the exact cosine re-rank
+    // r17): the dt CTE carries per-subspace DOT products, cq the
+    // per-subspace centroid norms², the candidate score is
+    // round(Σ dots / (|q| · √Σ‖c_s‖²), 6) — the quantized cosine
+    // cos(q, q(v)), a pure function of the codes — the shortlist keeps
+    // the 40th LARGEST and everything tied at or above it, and only
+    // the shortlist pays the exact cosine re-rank
     val (chain, dtJoins, adcSum) = pqChainParts(4, 8, 16, dtMetric = "dot")
+    val cqJoins = (0 until 4)
+      .map(s => s"JOIN cq u$s ON u$s.sub = $s AND u$s.cid = cd.k$s").mkString("\n")
+    val rec2 = (0 until 4).map(s => s"u$s.c2n").reduce((a, b) => s"($a + $b)")
     val marker = "probe AS (SELECT cid FROM cs WHERE vec_id = 0 ORDER BY cs DESC, cid LIMIT 4),"
     require(IvfAnnOracleSql.contains(marker),
       "IvfAnnOracleSql probe anchor changed; update q152's derivation")
@@ -4794,16 +4823,16 @@ object PipelineQueries {
        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |qn AS (SELECT sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
        |        FROM (SELECT unnest(qv.qe) AS y) z)) AS qn FROM qv),
-       |nr AS (SELECT e.vec_id,
-       |  sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-       |        FROM (SELECT unnest(e.embedding) AS x) z)) AS nrm
-       |  FROM embeddings e),
+       |cq AS (SELECT c2.sub, c2.cid,
+       |  (SELECT sum(z.a * z.a) FROM (SELECT unnest(c2.cv) AS a) z) AS c2n
+       |  FROM c2),
        |cand AS (SELECT a.vec_id FROM asg a JOIN probe p ON p.cid = a.cid
        |         WHERE a.vec_id <> 0),
-       |adcs AS (SELECT cd.vec_id, round($adcSum / (qn.qn * nr.nrm), 6) AS adc
+       |adcs AS (SELECT cd.vec_id, round($adcSum / (qn.qn * sqrt($rec2)), 6) AS adc
        |         FROM cd JOIN cand ON cand.vec_id = cd.vec_id
-       |         JOIN nr ON nr.vec_id = cd.vec_id AND nr.nrm > 0
-       |         $dtJoins, qn),
+       |         $dtJoins
+       |         $cqJoins, qn
+       |         WHERE $rec2 > 0),
        |cut AS (SELECT min(adc) AS cut
        |        FROM (SELECT adc FROM adcs ORDER BY adc DESC, vec_id LIMIT 40)),
        |short AS (SELECT vec_id, adc FROM adcs, cut WHERE adcs.adc >= cut.cut),
@@ -4820,6 +4849,84 @@ object PipelineQueries {
        |FROM sc JOIN short ON short.vec_id = sc.vec_id
        |WHERE n2a > 0 AND n2b > 0
        |ORDER BY cos_sim DESC, sc.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** q174's oracle — the BATCH probe replayed per query: the SAME PQ
+    * training chain and coarse CTEs as q152's oracle (spliced at the
+    * identical anchor), then per-query probe sets (rank window over
+    * `cs`), a query-keyed dot table, the fixed-order ADC sum joined per
+    * (query, candidate), the per-query tie-inclusive 40-cut, and the
+    * per-query exact-cosine top 10. The chain's single-query q/dt CTEs
+    * go unused here (CTEs are lazy); the batch tail defines its own
+    * query-keyed twins.
+    */
+  private lazy val IvfPqBatchOracleSql: String = {
+    val (chain, _, _) = pqChainParts(4, 8, 16, dtMetric = "dot")
+    val marker = "probe AS (SELECT cid FROM cs WHERE vec_id = 0 ORDER BY cs DESC, cid LIMIT 4),"
+    require(IvfAnnOracleSql.contains(marker),
+      "IvfAnnOracleSql probe anchor changed; update q174's derivation")
+    val coarse = IvfAnnOracleSql
+      .stripPrefix("WITH ")
+      .split(java.util.regex.Pattern.quote(marker))(0)
+    val adcSum = "(((t0.d + t1.d) + t2.d) + t3.d)"
+    val rec2b = "(((u0.c2n + u1.c2n) + u2.c2n) + u3.c2n)"
+    s"""WITH $chain,
+       |$coarse
+       |probeb AS (SELECT qid, cid FROM (
+       |    SELECT vec_id AS qid, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |    FROM cs WHERE vec_id IN (0, 1, 2)) WHERE rn <= 4),
+       |qvb AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |        WHERE vec_id IN (0, 1, 2)),
+       |qnb AS (SELECT qid, sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+       |         FROM (SELECT unnest(qe) AS y) z)) AS qn FROM qvb),
+       |cqb AS (SELECT c2.sub, c2.cid,
+       |  (SELECT sum(z.a * z.a) FROM (SELECT unnest(c2.cv) AS a) z) AS c2n
+       |  FROM c2),
+       |qb AS (SELECT vec_id AS qid, sub, sv FROM sub WHERE vec_id IN (0, 1, 2)),
+       |dtb AS (SELECT qb.qid, c2.sub, c2.cid,
+       |        (SELECT sum(z.a * z.b)
+       |         FROM (SELECT unnest(qb.sv) AS a, unnest(c2.cv) AS b) z) AS d
+       |        FROM c2 JOIN qb ON qb.sub = c2.sub),
+       |candb AS (SELECT p.qid, a.vec_id FROM asg a JOIN probeb p ON p.cid = a.cid
+       |          WHERE a.vec_id <> p.qid),
+       |adcsb AS (SELECT cb.qid, cb.vec_id,
+       |    round($adcSum / (qnb.qn * sqrt($rec2b)), 6) AS adc
+       |  FROM (SELECT c.qid, c.vec_id, cd.k0, cd.k1, cd.k2, cd.k3
+       |        FROM candb c JOIN cd ON cd.vec_id = c.vec_id) cb
+       |  JOIN qnb ON qnb.qid = cb.qid
+       |  JOIN dtb t0 ON t0.qid = cb.qid AND t0.sub = 0 AND t0.cid = cb.k0
+       |  JOIN dtb t1 ON t1.qid = cb.qid AND t1.sub = 1 AND t1.cid = cb.k1
+       |  JOIN dtb t2 ON t2.qid = cb.qid AND t2.sub = 2 AND t2.cid = cb.k2
+       |  JOIN dtb t3 ON t3.qid = cb.qid AND t3.sub = 3 AND t3.cid = cb.k3
+       |  JOIN cqb u0 ON u0.sub = 0 AND u0.cid = cb.k0
+       |  JOIN cqb u1 ON u1.sub = 1 AND u1.cid = cb.k1
+       |  JOIN cqb u2 ON u2.sub = 2 AND u2.cid = cb.k2
+       |  JOIN cqb u3 ON u3.sub = 3 AND u3.cid = cb.k3
+       |  WHERE $rec2b > 0),
+       |cutb AS (SELECT qid, min(adc) AS cut FROM (
+       |    SELECT qid, adc,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn
+       |    FROM adcsb) WHERE rn <= 40 GROUP BY qid),
+       |shortb AS (SELECT a.qid, a.vec_id, a.adc
+       |           FROM adcsb a JOIN cutb c ON c.qid = a.qid AND a.adc >= c.cut),
+       |scb AS (SELECT s.qid, s.vec_id, s.adc,
+       |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |   FROM (SELECT unnest(e.embedding) AS x, unnest(qv.qe) AS y) z) AS dot,
+       |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+       |   FROM (SELECT unnest(e.embedding) AS x) z) AS n2a,
+       |  (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+       |   FROM (SELECT unnest(qv.qe) AS y) z) AS n2b
+       | FROM shortb s JOIN embeddings e ON e.vec_id = s.vec_id
+       |      JOIN qvb qv ON qv.qid = s.qid)
+       |SELECT qid AS query_id, vec_id, adc, cos_sim FROM (
+       |  SELECT qid, vec_id, adc,
+       |    round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 6) DESC, vec_id) AS rn
+       |  FROM scb WHERE n2a > 0 AND n2b > 0)
+       |WHERE rn <= 10
+       |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin
   }
 
   // Shared by q107 (in-memory index) and q118 (persisted lifecycle):

@@ -144,7 +144,7 @@ object ProfileRecall {
               rerank = emb, rerankVecCol = "embedding", excludeId = Some(q))
               .collect().map(_.getLong(0)).toSet)
           val sec = (System.nanoTime() - t0) / 1e9 / nQueries
-          emit(f"""{"corpus":"$corpusName","n":$n,"family":"ivfpq","nlist":$nlist,"m":$m,"k":$kCodes,"nprobe":$nprobe,"shortlist":$shortlist,"recall_at_10":$r%.4f,"sec_per_query":$sec%.3f}""")
+          emit(f"""{"corpus":"$corpusName","n":$n,"family":"ivfpq","metric":"dot","nlist":$nlist,"m":$m,"k":$kCodes,"nprobe":$nprobe,"shortlist":$shortlist,"recall_at_10":$r%.4f,"sec_per_query":$sec%.3f}""")
         }
       }
 

@@ -659,10 +659,10 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(got == brute, "tie-inclusive shortlist must recover brute force here")
     assert(got == Seq(198L, 196L, 194L, 192L, 190L),
       "expected the smallest-noise (largest even) ids — a row-count cut would return 2,4,6,8,10")
-    // the DOT face resolves the same fixture at the same starved
-    // shortlist WITHOUT leaning on the tie class: code-tied candidates
-    // untie through their exact norms, so the quantized-cosine order
-    // inside the cluster is already brute force's order
+    // the DOT face ties exactly the same way — its score is a pure
+    // function of the codes (dot over reconstruction norm, both
+    // cell-constant) — so the rank cut must surface the class whole
+    // here too and the re-rank recovers brute force
     val gotDot = Similarity.ivfPqTopK(
       spark, idx, "vec_id", tiny.where(col("vec_id") === 0L).select("embedding"),
       m = 4, topK = 5, nprobe = 1, shortlist = 5,
@@ -695,6 +695,41 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(got == brute)
     intercept[IllegalArgumentException](
       Similarity.ivfPqShortlistFor(spark, idx, topK = 0, nprobe = 4))
+  }
+
+  test("ivfPqTopKBatch: equals per-query probes; brute force at exhaustive settings; off-broadcast paths match") {
+    val idx = buildIvfPq("pqbatch", files = 4)
+    val qs = emb.where(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    def batch(dtCap: Long) = Similarity.ivfPqTopKBatch(
+      spark, idx, "vec_id", qs, "vec_id", "embedding",
+      m = 4, topK = 10, nprobe = 4, shortlist = 40,
+      rerank = emb, rerankVecCol = "embedding", excludeSelf = true,
+      maxBroadcastDtRows = dtCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val got = batch(1L << 22)
+    val singles = (0L until 3L).flatMap { qid =>
+      Similarity.ivfPqTopK(
+        spark, idx, "vec_id", emb.where(col("vec_id") === qid).select("embedding"),
+        m = 4, topK = 10, nprobe = 4, shortlist = 40,
+        rerank = emb, rerankVecCol = "embedding", excludeId = Some(qid))
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    }
+    assert(got == singles,
+      "batch probe must return exactly the per-query single probes' rows")
+    // the dot-table shuffle path (dt past its broadcast cap) is value-identical
+    assert(batch(0L) == singles)
+    // exhaustive probe + full shortlist recovers brute force per query
+    val n = emb.count().toInt
+    val full = Similarity.ivfPqTopKBatch(
+      spark, idx, "vec_id", qs, "vec_id", "embedding",
+      m = 4, topK = 10, nprobe = 16, shortlist = n,
+      rerank = emb, rerankVecCol = "embedding", excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val brute = (0L until 3L).flatMap { qid =>
+      Similarity.cosineTopK(emb, "vec_id", "embedding", queryId = qid, k = 10)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+    }
+    assert(full == brute)
   }
 
   test("ivfPq: contract guards and the NULL query") {
