@@ -41,21 +41,31 @@ import graft.operators.Similarity
   */
 object ProfileRecall {
 
-  private def synth(spark: SparkSession, n: Long, dim: Int, clustered: Boolean,
+  private def synth(spark: SparkSession, n: Long, dim: Int, corpus: String,
       centers: Int): DataFrame = {
-    val base =
-      if (!clustered)
+    val clusteredBase =
+      // cluster c = hash(id) mod centers; component = cluster base +
+      // small per-id noise, both hash-derived
+      s"(pmod(xxhash64(concat(CAST(pmod(xxhash64(concat(CAST(id AS STRING), ':c')), $centers) AS STRING), '#', CAST(i AS STRING))), 2000001) - 1000000) / 1000000.0" +
+        s" + 0.15 * (pmod(xxhash64(concat(CAST(id AS STRING), ':', CAST(i AS STRING), ':n')), 2000001) - 1000000) / 1000000.0"
+    val base = corpus match {
+      case "uniform" =>
         s"transform(sequence(0, ${dim - 1}), i -> CAST(" +
           s"(pmod(xxhash64(concat(CAST(id AS STRING), ':', CAST(i AS STRING), ':u')), 2000001) - 1000000) / 1000000.0" +
           " AS FLOAT))"
-      else {
-        // cluster c = hash(id) mod centers; component = cluster base +
-        // small per-id noise, both hash-derived
+      case "clustered" =>
+        s"transform(sequence(0, ${dim - 1}), i -> CAST($clusteredBase AS FLOAT))"
+      case "scaled" =>
+        // the clustered corpus with a per-vector NORM SCALE in [1, 10]
+        // (hash-derived): cosine ground truth is scale-invariant, so
+        // this isolates metric-vs-norm sensitivity — an L2-quantized
+        // ranking prefers small-norm vectors regardless of angle,
+        // a quantized-cosine ranking must not care
         s"transform(sequence(0, ${dim - 1}), i -> CAST(" +
-          s"(pmod(xxhash64(concat(CAST(pmod(xxhash64(concat(CAST(id AS STRING), ':c')), $centers) AS STRING), '#', CAST(i AS STRING))), 2000001) - 1000000) / 1000000.0" +
-          s" + 0.15 * (pmod(xxhash64(concat(CAST(id AS STRING), ':', CAST(i AS STRING), ':n')), 2000001) - 1000000) / 1000000.0" +
-          " AS FLOAT))"
-      }
+          s"(1.0 + 9.0 * pmod(xxhash64(concat(CAST(id AS STRING), ':s')), 1000001) / 1000000.0)" +
+          s" * ($clusteredBase) AS FLOAT))"
+      case other => throw new IllegalArgumentException(s"unknown corpus '$other'")
+    }
     spark.range(n).select(col("id").as("vec_id"), expr(base).as("embedding"))
   }
 
@@ -75,8 +85,23 @@ object ProfileRecall {
     val scratchRoot = s"${System.getProperty("java.io.tmpdir")}/graft_recall_" +
       ProcessHandle.current().pid()
 
-    for (corpusName <- Seq("clustered", "uniform")) {
-      val emb = synth(spark, n, dim, corpusName == "clustered", centers = 200)
+    // SPARK_GRAFT_RECALL_CORPORA / _FAMILIES / _METRICS: comma lists to
+    // focus a run (e.g. CORPORA=scaled FAMILIES=ivfpq METRICS=dot,l2
+    // for the metric-sensitivity measurement) — defaults reproduce the
+    // standard grid
+    val corpora = sys.env.getOrElse("SPARK_GRAFT_RECALL_CORPORA", "clustered,uniform")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val families = sys.env.getOrElse("SPARK_GRAFT_RECALL_FAMILIES", "ivf,ivfpq,lsh")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val metrics = sys.env.getOrElse("SPARK_GRAFT_RECALL_METRICS", "dot")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // PQ (m, k) grid as "m:k" pairs — trim for focused scale runs
+    val pqConfigs = sys.env.getOrElse("SPARK_GRAFT_RECALL_PQCONFIGS", "8:16,8:64,16:64")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+      .map { s => val Array(a, b) = s.split(":"); (a.toInt, b.toInt) }.toSeq
+
+    for (corpusName <- corpora) {
+      val emb = synth(spark, n, dim, corpusName, centers = 200)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       emb.count()
       val queryIds = (0L until nQueries.toLong).toSeq
@@ -97,6 +122,7 @@ object ProfileRecall {
 
       // ---- IVF ----
       val ivfIdx = s"${scratchRoot}_ivf_$corpusName"
+      if (families.contains("ivf")) {
       Similarity.ivfBuild(spark, emb, "vec_id", "embedding",
         cents, "centroid_id", "centroid", ivfIdx, files = 16)
       for (nprobe <- Seq(1, 2, 4, 8, 16, 32, 64)) {
@@ -107,6 +133,7 @@ object ProfileRecall {
             .collect().map(_.getLong(0)).toSet)
         val sec = (System.nanoTime() - t0) / 1e9 / nQueries
         emit(f"""{"corpus":"$corpusName","n":$n,"family":"ivf","nlist":$nlist,"nprobe":$nprobe,"recall_at_10":$r%.4f,"sec_per_query":$sec%.3f}""")
+      }
       }
 
       // ---- IVF-PQ ----
@@ -119,7 +146,7 @@ object ProfileRecall {
       // the full (nprobe × shortlist) grid for r15 comparability; the
       // sizing configs probe at nprobe 4 only (nprobe was measured
       // recall-neutral on both corpora at 500k).
-      for ((m, kCodes) <- Seq((8, 16), (8, 64), (16, 64))) {
+      for ((m, kCodes) <- pqConfigs if families.contains("ivfpq")) {
         val pqIdx = s"${scratchRoot}_ivfpq_${m}_${kCodes}_$corpusName"
         Similarity.ivfPqBuild(spark, emb, "vec_id", "embedding",
           cents, "centroid_id", "centroid", m = m, k = kCodes,
@@ -136,20 +163,21 @@ object ProfileRecall {
         val shortlists =
           if (m == 16) Seq(10, 50, 200)
           else Seq(10, 50, 200) ++ popShort
-        for (nprobe <- nprobes; shortlist <- shortlists) {
+        for (metric <- metrics; nprobe <- nprobes; shortlist <- shortlists) {
           val t0 = System.nanoTime()
           val r = recallOf(q =>
             Similarity.ivfPqTopK(spark, pqIdx, "vec_id", queryVec(q),
               m = m, topK = topK, nprobe = nprobe, shortlist = shortlist,
-              rerank = emb, rerankVecCol = "embedding", excludeId = Some(q))
+              rerank = emb, rerankVecCol = "embedding", excludeId = Some(q),
+              metric = metric)
               .collect().map(_.getLong(0)).toSet)
           val sec = (System.nanoTime() - t0) / 1e9 / nQueries
-          emit(f"""{"corpus":"$corpusName","n":$n,"family":"ivfpq","metric":"dot","nlist":$nlist,"m":$m,"k":$kCodes,"nprobe":$nprobe,"shortlist":$shortlist,"recall_at_10":$r%.4f,"sec_per_query":$sec%.3f}""")
+          emit(f"""{"corpus":"$corpusName","n":$n,"family":"ivfpq","metric":"$metric","nlist":$nlist,"m":$m,"k":$kCodes,"nprobe":$nprobe,"shortlist":$shortlist,"recall_at_10":$r%.4f,"sec_per_query":$sec%.3f}""")
         }
       }
 
       // ---- LSH (q28 face; (numPlanes=8, tables=4) are the defaults) ----
-      for ((planes, tables) <- Seq((8, 4), (6, 8), (12, 8))) {
+      for ((planes, tables) <- Seq((8, 4), (6, 8), (12, 8)) if families.contains("lsh")) {
         val t0 = System.nanoTime()
         val r = recallOf(q =>
           Similarity.annTopK(emb, "vec_id", "embedding", q, topK,
