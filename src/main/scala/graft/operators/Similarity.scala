@@ -1816,12 +1816,22 @@ object Similarity {
     // tie-inclusive shortlist cut: one distributed TakeOrdered finds
     // the shortlist-th best adc (a single scalar collected — the
     // probed-centroids discipline), and the filter keeps every
-    // candidate at or past it. adc is rounded to 6dp BEFORE the cut,
-    // so equivalence classes are robust to engine-order float noise.
+    // candidate at or past it. The cut compares RAW doubles: code-tied
+    // candidates are bit-equal anyway (identical codes → identical
+    // fixed-order folds of shared literals, in every engine), while
+    // rounding to 6dp BEFORE the cut merged near-misses across cells
+    // into spurious tie classes — measured 2.2× probe cost at 500k on
+    // the cosine-scale dot face (values concentrate near 1.0) with
+    // zero recall change. Only the OUTPUT adc is 6dp-rounded (the
+    // cross-engine hash grain).
     val inProbed = excluded
       .where(col("centroid_id").isin(probed.map(Long.box): _*))
       .where(size(col("codes")) === m)
     val qv = query.select(col(query.columns.head).as("_qv"))
+    def dbg(tag: String, t0: Long): Unit =
+      if (sys.env.contains("GRAFT_ADC_DEBUG"))
+        System.err.println(f"[adc] $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val tDt = System.nanoTime()
     val (scored, cutOf, keepPastCut) = metric match {
       case "dot" =>
         // quantized cosine cos(q, q(v)) = dot(q, q(v)) / (|q|·‖q(v)‖):
@@ -1844,26 +1854,56 @@ object Similarity {
         val qNorm = math.sqrt(
           qRows.head.getSeq[Float](0).foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
         require(qNorm > 0.0, "ivfPqTopK: metric 'dot' needs a non-zero query vector")
-        val recNorm = sqrt(adcLookupSum(cn2, m, col("codes")))
-        val s = inProbed
-          .select(col(idCol),
-            round(adcLookupSum(dt, m, col("codes")) / (lit(qNorm) * recNorm), 6).as("adc"))
-          .where(col("adc").isNotNull && !isnan(col("adc")))
+        // ONE map lookup per subspace (cid → (dot, cn2) pair), not two:
+        // the measured cost of a second element_at chain was ~2.5× per
+        // probe at 500k for zero recall gain. The two sums still fold
+        // left-associated in subspace order over the SAME per-(sub,cid)
+        // values, so the 6dp adc is bit-identical to the two-chain
+        // form (and to the oracle's (((t0+t1)+t2)+t3 replay). The
+        // two-stage select keeps each lookup evaluated once — Catalyst
+        // leaves multi-referenced non-trivial aliases uncollapsed.
+        // SENTINEL instead of a WHERE on the score: a filter predicate
+        // over the lookup chain re-evaluates the whole chain per
+        // conjunct (isNotNull + isnan tripled the per-row work — a
+        // measured ~2.5× on the whole probe at 500k). nanvl∘coalesce
+        // wraps ONE evaluation; invalid rows (a code missing from the
+        // stored codebook → null; 0/0 on an all-zero cell → NaN) become
+        // −2, which sorts below every real quantized cosine (|cos| ≤ 1
+        // by Cauchy–Schwarz, exactly), so they reach the cut only when
+        // the probe is starved below `shortlist` — and the post-cut
+        // strip (shortlist-scale rows) removes them always.
+        val pairCols = (0 until m).map { s =>
+          val subPairs = dt.collect { case ((`s`, cid), d) => cid -> ((d, cn2((s, cid)))) }
+          if (subPairs.isEmpty) lit(null).cast("struct<_1:double,_2:double>")
+          else element_at(typedLit(subPairs), col("codes").getItem(s))
+        }
+        val withPairs = inProbed.select(
+          col(idCol) +: pairCols.zipWithIndex.map { case (c, s) => c.as(s"_p$s") }: _*)
+        val qdot = (0 until m).map(s => col(s"_p$s").getField("_1")).reduce(_ + _)
+        val rec2 = (0 until m).map(s => col(s"_p$s").getField("_2")).reduce(_ + _)
+        val s = withPairs.select(col(idCol),
+          nanvl(coalesce(qdot / (lit(qNorm) * sqrt(rec2)), lit(-2.0)), lit(-2.0))
+            .as("_adcr"))
         (s,
-          (sc: DataFrame) => sc.orderBy(col("adc").desc, col(idCol)).limit(shortlist)
-            .agg(min(col("adc"))).head(),
-          (cut: Double) => col("adc") >= cut)
+          (sc: DataFrame) => sc.orderBy(col("_adcr").desc, col(idCol)).limit(shortlist)
+            .agg(min(col("_adcr"))).head(),
+          (cut: Double) => col("_adcr") >= cut && col("_adcr") >= lit(-1.5))
       case _ =>
         val dt = adcDistanceTable(storedCb, qv, "_qv", m, dim / m)
+        // same sentinel discipline, opposite pole: missing-code rows
+        // become Double.MaxValue, past any real L2 sum of float data
         val s = inProbed
-          .select(col(idCol), round(adcLookupSum(dt, m, col("codes")), 6).as("adc"))
-          .where(col("adc").isNotNull)
+          .select(col(idCol),
+            coalesce(adcLookupSum(dt, m, col("codes")), lit(Double.MaxValue)).as("_adcr"))
         (s,
-          (sc: DataFrame) => sc.orderBy(col("adc"), col(idCol)).limit(shortlist)
-            .agg(max(col("adc"))).head(),
-          (cut: Double) => col("adc") <= cut)
+          (sc: DataFrame) => sc.orderBy(col("_adcr"), col(idCol)).limit(shortlist)
+            .agg(max(col("_adcr"))).head(),
+          (cut: Double) => col("_adcr") <= cut && col("_adcr") < lit(1e300))
     }
+    dbg(s"$metric tables", tDt)
+    val tCut = System.nanoTime()
     val cutRow = cutOf(scored)
+    dbg(s"$metric cut", tCut)
     if (cutRow.isNullAt(0))
       return spark.read.parquet(post)
         .where(lit(false))
@@ -1876,13 +1916,16 @@ object Similarity {
     // pruned codes read), shuffle-join past it (a maximal tie class is
     // a whole probed bucket; correctness must not depend on it
     // fitting in the driver)
+    val tCount = System.nanoTime()
     val shortCount = short.count()
+    dbg(s"$metric shortCount=$shortCount", tCount)
     val rerankVecs = rerank.select(col(idCol), col(rerankVecCol).as("_rv"))
     val joined =
       if (shortCount <= MaxBroadcastShortlist) broadcast(short).join(rerankVecs, idCol)
       else short.join(rerankVecs, idCol)
     joined
-      .select(col(idCol), col("adc"), round(cosine(col("_rv"), qVec), 6).as("cos_sim"))
+      .select(col(idCol), round(col("_adcr"), 6).as("adc"),
+        round(cosine(col("_rv"), qVec), 6).as("cos_sim"))
       .where(col("cos_sim").isNotNull)
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(topK)
@@ -2055,23 +2098,24 @@ object Similarity {
       .where(size(col("_ds")) === m)
       .join(qNorms, "query_id")
       .select(col("query_id"), col(idCol),
-        round(
+        nanvl(coalesce(
           expr("aggregate(_ds, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)") /
             (col("_qn") *
               sqrt(expr("aggregate(_ns, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))),
-          6).as("adc"))
-      .where(col("adc").isNotNull && !isnan(col("adc")))
-    // 5. per-query tie-inclusive cut: one rank window, batch-parallel
+          lit(-2.0)), lit(-2.0)).as("_adcr"))
+    // 5. per-query tie-inclusive cut on RAW doubles (the ivfPqTopK cut
+    // discipline — pre-cut rounding merged near-misses into spurious
+    // tie classes): one rank window, batch-parallel
     val cutW = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("adc").desc, col(idCol))
+      .partitionBy("query_id").orderBy(col("_adcr").desc, col(idCol))
     val cuts = scored
       .withColumn("_rn", row_number().over(cutW))
       .where(col("_rn") <= shortlist)
-      .groupBy("query_id").agg(min(col("adc")).as("_cut"))
+      .groupBy("query_id").agg(min(col("_adcr")).as("_cut"))
     val short = scored
       .join(cuts, "query_id")
-      .where(col("adc") >= col("_cut"))
-      .select(col("query_id"), col(idCol), col("adc"))
+      .where(col("_adcr") >= col("_cut") && col("_adcr") >= lit(-1.5))
+      .select(col("query_id"), col(idCol), col("_adcr"))
     // 6. one exact re-rank of the union shortlist (broadcast only while
     // provably small — the ivfPqTopK gate)
     val shortCount = short.count()
@@ -2083,7 +2127,7 @@ object Similarity {
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col(idCol))
     joined
       .join(broadcast(q.select(col("query_id"), col("_qvec"))), "query_id")
-      .select(col("query_id"), col(idCol), col("adc"),
+      .select(col("query_id"), col(idCol), round(col("_adcr"), 6).as("adc"),
         round(cosine(col("_rv"), col("_qvec")), 6).as("cos_sim"))
       .where(col("cos_sim").isNotNull)
       .withColumn("_rn", row_number().over(topW))

@@ -4804,10 +4804,12 @@ object PipelineQueries {
     // the DOT-face probe (Similarity.ivfPqTopK's default metric since
     // r17): the dt CTE carries per-subspace DOT products, cq the
     // per-subspace centroid norms², the candidate score is
-    // round(Σ dots / (|q| · √Σ‖c_s‖²), 6) — the quantized cosine
-    // cos(q, q(v)), a pure function of the codes — the shortlist keeps
-    // the 40th LARGEST and everything tied at or above it, and only
-    // the shortlist pays the exact cosine re-rank
+    // Σ dots / (|q| · √Σ‖c_s‖²) — the quantized cosine cos(q, q(v)),
+    // a pure function of the codes — the shortlist cut compares the
+    // RAW doubles (code ties are bit-equal in both engines; 6dp
+    // rounding happens only in the output column), keeping the 40th
+    // LARGEST and everything tied at or above it; only the shortlist
+    // pays the exact cosine re-rank
     val (chain, dtJoins, adcSum) = pqChainParts(4, 8, 16, dtMetric = "dot")
     val cqJoins = (0 until 4)
       .map(s => s"JOIN cq u$s ON u$s.sub = $s AND u$s.cid = cd.k$s").mkString("\n")
@@ -4828,14 +4830,15 @@ object PipelineQueries {
        |  FROM c2),
        |cand AS (SELECT a.vec_id FROM asg a JOIN probe p ON p.cid = a.cid
        |         WHERE a.vec_id <> 0),
-       |adcs AS (SELECT cd.vec_id, round($adcSum / (qn.qn * sqrt($rec2)), 6) AS adc
+       |adcs AS (SELECT cd.vec_id, $adcSum / (qn.qn * sqrt($rec2)) AS adcr
        |         FROM cd JOIN cand ON cand.vec_id = cd.vec_id
        |         $dtJoins
        |         $cqJoins, qn
        |         WHERE $rec2 > 0),
-       |cut AS (SELECT min(adc) AS cut
-       |        FROM (SELECT adc FROM adcs ORDER BY adc DESC, vec_id LIMIT 40)),
-       |short AS (SELECT vec_id, adc FROM adcs, cut WHERE adcs.adc >= cut.cut),
+       |cut AS (SELECT min(adcr) AS cut
+       |        FROM (SELECT adcr FROM adcs ORDER BY adcr DESC, vec_id LIMIT 40)),
+       |short AS (SELECT vec_id, round(adcr, 6) AS adc FROM adcs, cut
+       |          WHERE adcs.adcr >= cut.cut),
        |sc AS (SELECT e.vec_id,
        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
        |   FROM (SELECT unnest(e.embedding) AS x, unnest(qv.qe) AS y) z) AS dot,
@@ -4891,7 +4894,7 @@ object PipelineQueries {
        |candb AS (SELECT p.qid, a.vec_id FROM asg a JOIN probeb p ON p.cid = a.cid
        |          WHERE a.vec_id <> p.qid),
        |adcsb AS (SELECT cb.qid, cb.vec_id,
-       |    round($adcSum / (qnb.qn * sqrt($rec2b)), 6) AS adc
+       |    $adcSum / (qnb.qn * sqrt($rec2b)) AS adcr
        |  FROM (SELECT c.qid, c.vec_id, cd.k0, cd.k1, cd.k2, cd.k3
        |        FROM candb c JOIN cd ON cd.vec_id = c.vec_id) cb
        |  JOIN qnb ON qnb.qid = cb.qid
@@ -4904,12 +4907,12 @@ object PipelineQueries {
        |  JOIN cqb u2 ON u2.sub = 2 AND u2.cid = cb.k2
        |  JOIN cqb u3 ON u3.sub = 3 AND u3.cid = cb.k3
        |  WHERE $rec2b > 0),
-       |cutb AS (SELECT qid, min(adc) AS cut FROM (
-       |    SELECT qid, adc,
-       |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn
+       |cutb AS (SELECT qid, min(adcr) AS cut FROM (
+       |    SELECT qid, adcr,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adcr DESC, vec_id) AS rn
        |    FROM adcsb) WHERE rn <= 40 GROUP BY qid),
-       |shortb AS (SELECT a.qid, a.vec_id, a.adc
-       |           FROM adcsb a JOIN cutb c ON c.qid = a.qid AND a.adc >= c.cut),
+       |shortb AS (SELECT a.qid, a.vec_id, round(a.adcr, 6) AS adc
+       |           FROM adcsb a JOIN cutb c ON c.qid = a.qid AND a.adcr >= c.cut),
        |scb AS (SELECT s.qid, s.vec_id, s.adc,
        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
        |   FROM (SELECT unnest(e.embedding) AS x, unnest(qv.qe) AS y) z) AS dot,
