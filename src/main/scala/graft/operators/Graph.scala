@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph authority scoring in EXACT INTEGER arithmetic.
@@ -66,6 +66,45 @@ object Graph {
     a.join(b, Seq("_g"))
       .where(col("src") =!= col("dst"))
       .select("src", "dst")
+      .distinct()
+  }
+
+  /** [[cooccurrenceEdges]] with a per-GROUP tag carried through the
+    * pair join — the q172 base/batch lifecycle shape: ONE corpus scan
+    * and ONE self-join produce the edge set of every slice of a
+    * group-level split (tag must be a function of `groupCol`, e.g.
+    * "is this order in the new batch"), where building per slice pays
+    * a full scan + self-join EACH. Returns `(src, dst, tag)` DISTINCT
+    * per tag: because every group is wholly inside one slice,
+    * `where(tag = t).select(src, dst)` is row-identical to
+    * [[cooccurrenceEdges]] over the slice's rows (GraphSpec pins it) —
+    * a pair co-purchased in both slices appears once per tag, exactly
+    * as the two separate builds would emit it. Same group-size cap,
+    * same scale shape, one pass.
+    */
+  def cooccurrenceEdgesTagged(
+      items: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      tagCol: Column,
+      maxGroupSize: Int = 1000
+  ): DataFrame = {
+    require(maxGroupSize >= 2,
+      s"cooccurrenceEdgesTagged: maxGroupSize must be at least 2, got $maxGroupSize")
+    val pairs = items
+      .select(col(groupCol).as("_g"), col(itemCol).as("_i"), tagCol.as("tag"))
+      .where(col("_g").isNotNull && col("_i").isNotNull)
+      .distinct()
+    val sized = pairs
+      .groupBy("_g").agg(count(lit(1)).as("_n"))
+      .where(col("_n") <= maxGroupSize)
+      .select("_g")
+    val inCap = pairs.join(sized, "_g")
+    val a = inCap.select(col("_g"), col("tag"), col("_i").as("src"))
+    val b = inCap.select(col("_g"), col("_i").as("dst"))
+    a.join(b, Seq("_g"))
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst", "tag")
       .distinct()
   }
 

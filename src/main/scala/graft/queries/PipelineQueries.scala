@@ -2021,10 +2021,17 @@ object PipelineQueries {
     "q172_graph_drift" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val parts = t(s, dir, "part")
-      val base = graft.operators.Graph.cooccurrenceEdges(
-        li.where(col("l_orderkey") % 7 =!= 0), "l_orderkey", "l_partkey")
-      val batch = graft.operators.Graph.cooccurrenceEdges(
-        li.where(col("l_orderkey") % 7 === 0), "l_orderkey", "l_partkey")
+      // ONE tagged build + one materialization: the drift probe and
+      // the rebuild consume base/batch several times each, and two
+      // separate cooccurrenceEdges builds re-ran the corpus self-join
+      // per consumer (measured 385 s at sf10 — ~2.6× q142). The tagged
+      // edge list is the same edges-scale table pageRankExact pins
+      // internally anyway.
+      val tagged = graft.operators.Graph.cooccurrenceEdgesTagged(
+        li, "l_orderkey", "l_partkey", col("l_orderkey") % 7 === 0)
+        .localCheckpoint()
+      val base = tagged.where(!col("tag")).select("src", "dst")
+      val batch = tagged.where(col("tag")).select("src", "dst")
       val d = graft.operators.Graph.graphDriftReport(
         parts.select("p_partkey"), "p_partkey", base, batch, DriftThresholdMicro)
         .head()

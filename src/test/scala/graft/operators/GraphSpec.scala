@@ -97,6 +97,36 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       Graph.cooccurrenceEdges(items, "g", "item", maxGroupSize = 1))
   }
 
+  test("cooccurrenceEdgesTagged: each tag slice equals the per-slice build (one pass)") {
+    // groups split by a group-level predicate; a pair co-purchased in
+    // BOTH slices (2,3) must appear once per tag, exactly as two
+    // separate builds would emit it
+    val items = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 2L), (20L, 3L),
+      (21L, 2L), (21L, 3L), (21L, 4L),
+      (35L, 5L)
+    ).toDF("g", "item")
+    val pred = org.apache.spark.sql.functions.col("g") % 2 === 1
+    val tagged = Graph.cooccurrenceEdgesTagged(items, "g", "item", pred)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val odd = Graph.cooccurrenceEdges(items.where(pred), "g", "item")
+      .as[(Long, Long)].collect().toSet
+    val even = Graph.cooccurrenceEdges(items.where(!pred), "g", "item")
+      .as[(Long, Long)].collect().toSet
+    assert(tagged == odd.map { case (a, b) => (a, b, true) } ++
+      even.map { case (a, b) => (a, b, false) })
+    // the cap applies identically (group 21 has 3 items)
+    val cappedTagged = Graph
+      .cooccurrenceEdgesTagged(items, "g", "item", pred, maxGroupSize = 2)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(cappedTagged ==
+      Graph.cooccurrenceEdges(items.where(pred), "g", "item", maxGroupSize = 2)
+        .as[(Long, Long)].collect().toSet.map((p: (Long, Long)) => (p._1, p._2, true)) ++
+      Graph.cooccurrenceEdges(items.where(!pred), "g", "item", maxGroupSize = 2)
+        .as[(Long, Long)].collect().toSet.map((p: (Long, Long)) => (p._1, p._2, false)))
+  }
+
   /** Reference: driver-side union-find with min-id component labels. */
   private def refComponents(
       verts: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
