@@ -230,8 +230,11 @@ object Bench {
     // regexable `BENCH_JSON {...}` line under ~700 bytes carrying the
     // headline totals, error census, probe yardstick and a pointer to
     // the full per-query JSON written above.
+    // the first few error NAMES ride the compact line (bounded size) so
+    // a failing run's artifact can be triaged without the full JSON
+    val errNames = errors.keys.take(3).toSeq.map(JsonUtil.quote).mkString("[", ",", "]")
     val compact =
-      s"""BENCH_JSON {"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"n_errors":${errors.size},"skipped_n":${skip.size},"pass1_total":${r3(t1)},"pass2_total":${r3(t2)},"host_probe_sec":${r3(hostProbeSec)},"host_probe_n":${probeNames.size},"host_probe_failures":$probeFailures,"loadavg_start":${JsonUtil.quote(loadStart)},"loadavg_end":${JsonUtil.quote(loadEnd)},"sf":${JsonUtil.quote(sfDir)},"queries_file":${JsonUtil.quote(outPath)}}"""
+      s"""BENCH_JSON {"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"n_errors":${errors.size},"error_names":$errNames,"skipped_n":${skip.size},"pass1_total":${r3(t1)},"pass2_total":${r3(t2)},"host_probe_sec":${r3(hostProbeSec)},"host_probe_n":${probeNames.size},"host_probe_failures":$probeFailures,"loadavg_start":${JsonUtil.quote(loadStart)},"loadavg_end":${JsonUtil.quote(loadEnd)},"sf":${JsonUtil.quote(sfDir)},"queries_file":${JsonUtil.quote(outPath)}}"""
     println(compact)
     spark.stop()
   }

@@ -2037,6 +2037,13 @@ object Similarity {
     val dim = pqDim(q, "query_id", "_qvec", "ivfPqTopKBatch")
     require(dim % m == 0,
       s"ivfPqTopKBatch: query dim $dim not divisible into $m subspaces")
+    // loud on a mixed-dim batch: subspaces would silently DROP the
+    // nonconforming queries and the caller would read a partial answer
+    // as a complete one (one metadata-scale count on the pinned batch)
+    val nBadDim = q.where(size(col("_qvec")) =!= dim).count()
+    require(nBadDim == 0L,
+      s"ivfPqTopKBatch: $nBadDim query rows have a vector length != $dim — " +
+        "a mixed-dim batch would return results for the conforming subset only")
     // 1. per-query bucket ranking (the indexedBatchCandidates shape)
     val cents = broadcast(spark.read.parquet(centroidsPath(indexPath)))
     val probeRank = org.apache.spark.sql.expressions.Window

@@ -11,8 +11,9 @@ import graft.operators.Similarity
   * the executed plan of one probe per metric — for diagnosing where a
   * metric's probe cost diverges.
   *
-  * Env: SPARK_GRAFT_ADC_INDEX (required), SPARK_GRAFT_RECALL_N,
-  * SPARK_GRAFT_RECALL_Q, SPARK_GRAFT_CPUS.
+  * Env: SPARK_GRAFT_ADC_INDEX (required), SPARK_GRAFT_ADC_M /
+  * _NPROBE / _SHORTLIST (knobs, defaults 8/4/1953),
+  * SPARK_GRAFT_RECALL_N, SPARK_GRAFT_RECALL_Q, SPARK_GRAFT_CPUS.
   */
 object ProfileAdcMetric {
   def main(args: Array[String]): Unit = {
@@ -32,17 +33,19 @@ object ProfileAdcMetric {
     emb.count()
     def queryVec(q: Long) = emb.where(col("vec_id") === q).select("embedding")
     val shortlist = sys.env.getOrElse("SPARK_GRAFT_ADC_SHORTLIST", "1953").toInt
+    val m = sys.env.getOrElse("SPARK_GRAFT_ADC_M", "8").toInt
+    val nprobe = sys.env.getOrElse("SPARK_GRAFT_ADC_NPROBE", "4").toInt
     for (metric <- Seq("l2", "dot", "l2", "dot")) {
       val t0 = System.nanoTime()
       var shortRows = 0L
       (0L until nQ.toLong).foreach { q =>
         shortRows += Similarity.ivfPqTopK(spark, idx, "vec_id", queryVec(q),
-          m = 8, topK = 10, nprobe = 4, shortlist = shortlist,
+          m = m, topK = 10, nprobe = nprobe, shortlist = shortlist,
           rerank = emb, rerankVecCol = "embedding", excludeId = Some(q),
           metric = metric).count()
       }
       val sec = (System.nanoTime() - t0) / 1e9 / nQ
-      println(f"METRIC $metric%-4s shortlist=$shortlist sec_per_query=$sec%.3f rows=$shortRows")
+      println(f"METRIC $metric%-4s m=$m nprobe=$nprobe shortlist=$shortlist sec_per_query=$sec%.3f rows=$shortRows")
     }
     spark.stop()
   }
