@@ -73,7 +73,9 @@ object Graph {
     * pair join — the q172 base/batch lifecycle shape: ONE corpus scan
     * and ONE self-join produce the edge set of every slice of a
     * group-level split (tag must be a function of `groupCol`, e.g.
-    * "is this order in the new batch"), where building per slice pays
+    * "is this order in the new batch" — ENFORCED by a lazy per-group
+    * guard in the sizing pass; a row-level tag raises instead of
+    * silently emitting cross-tag pairs), where building per slice pays
     * a full scan + self-join EACH. Returns `(src, dst, tag)` DISTINCT
     * per tag: because every group is wholly inside one slice,
     * `where(tag = t).select(src, dst)` is row-identical to
@@ -95,9 +97,26 @@ object Graph {
       .select(col(groupCol).as("_g"), col(itemCol).as("_i"), tagCol.as("tag"))
       .where(col("_g").isNotNull && col("_i").isNotNull)
       .distinct()
+    // ENFORCE the documented contract, not just state it: a row-level
+    // tag would make the distinct above count (item, tag) rows per
+    // group — silently shifting the maxGroupSize cap — and emit
+    // cross-tag pair combinations, breaking the slice-equivalence to
+    // per-slice [[cooccurrenceEdges]]. The check rides the sizing agg's
+    // own pass (two extra accumulators, no extra scan) and is LAZY per
+    // group (the Scale row-guard discipline): min ≠ max catches two
+    // tag values, count(tag) ∉ {0, _n} catches null-mixed-with-value.
     val sized = pairs
-      .groupBy("_g").agg(count(lit(1)).as("_n"))
-      .where(col("_n") <= maxGroupSize)
+      .groupBy("_g").agg(count(lit(1)).as("_n"), count(col("tag")).as("_nt"),
+        min(col("tag")).as("_t0"), max(col("tag")).as("_t1"))
+      .where(
+        when(not(col("_t0") <=> col("_t1")) ||
+            (col("_nt") =!= lit(0L) && col("_nt") =!= col("_n")),
+          raise_error(concat(
+            lit("cooccurrenceEdgesTagged: group "), col("_g").cast("string"),
+            lit(s" carries more than one tag value — tag must be a function " +
+              s"of $groupCol, or the slice-equivalence contract breaks")))
+            .cast("boolean"))
+          .otherwise(col("_n") <= maxGroupSize))
       .select("_g")
     val inCap = pairs.join(sized, "_g")
     val a = inCap.select(col("_g"), col("tag"), col("_i").as("src"))
@@ -961,6 +980,105 @@ object Graph {
       .unionByName(touched).distinct()
     val nUniverse = universe.count()
     require(nUniverse > 0, "graphDriftReport: empty vertex universe")
+    val nAffected = affected.join(universe, Seq("_v"), "left_semi").count()
+    val spark = storedVertices.sparkSession
+    import spark.implicits._
+    Seq((nUniverse, nAffected, 1000000L * nAffected / nUniverse))
+      .toDF("n_universe", "n_affected", "affected_micro")
+      .withColumn("rebuild", col("affected_micro") >= thresholdMicro)
+  }
+
+  /** [[graphDriftReport]] for CO-OCCURRENCE graphs, computed at
+    * item-table scale — WITHOUT materializing a single edge. The edge
+    * list of a co-occurrence graph is the corpus self-join (239M rows
+    * at sf10 for the co-purchase corpus, ~10 GB pinned); building it
+    * just to count drift is the bottleneck the r17 q172 measurement
+    * exposed (416 s / 48g-OOM at sf10 with the tagged-edge probe).
+    * Every set in the report is derivable from GROUP MEMBERSHIP
+    * directly, in item-scale joins:
+    *
+    *   touched  = endpoints of batch edges
+    *            = items of batch groups with 2 ≤ |group| ≤ cap
+    *              (an edge needs two distinct items; the cap is
+    *              [[cooccurrenceEdges]]' own);
+    *   ring     = grown-graph neighbours of touched
+    *            = items of capped groups (either slice) containing a
+    *              touched item (every co-member v of touched w has
+    *              edge (v, w); w itself is already in touched, so the
+    *              union is unchanged);
+    *   affected = touched ∪ ring;  universe = stored ∪ touched;
+    *   affected_micro = 10⁶·|affected ∩ universe| DIV |universe|.
+    *
+    * Set-for-set equal to `graphDriftReport(stored, edges(base),
+    * edges(batch))` over [[cooccurrenceEdgesTagged]]'s slices
+    * (GraphSpec pins the equality), at the cost of two item-scale
+    * passes instead of a pair-scale build — the probe a 100 TB
+    * lifecycle can afford to run on EVERY batch. `batchTag` must be a
+    * boolean function of `groupCol` (same contract and same lazy
+    * per-group guard as the tagged edge build).
+    */
+  def cooccurrenceDriftReport(
+      items: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      batchTag: Column,
+      storedVertices: DataFrame,
+      vertexCol: String,
+      thresholdMicro: Long,
+      maxGroupSize: Int = 1000,
+      maxBroadcastVertices: Long = 2000000L
+  ): DataFrame = {
+    require(thresholdMicro >= 0 && thresholdMicro <= 1000000L,
+      s"cooccurrenceDriftReport: thresholdMicro must be in [0, 1000000], got $thresholdMicro")
+    require(maxGroupSize >= 2,
+      s"cooccurrenceDriftReport: maxGroupSize must be at least 2, got $maxGroupSize")
+    val pairs = items
+      .select(col(groupCol).as("_g"), col(itemCol).as("_i"), batchTag.as("_t"))
+      .where(col("_g").isNotNull && col("_i").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    // groups that EMIT edges under the cap: 2 ≤ distinct items ≤ cap
+    // (same lazy tag-constancy guard as cooccurrenceEdgesTagged — a
+    // row-level tag would silently misclassify groups across slices)
+    val sized = pairs
+      .groupBy("_g").agg(count(lit(1)).as("_n"), count(col("_t")).as("_nt"),
+        min(col("_t")).as("_t0"), max(col("_t")).as("_t1"))
+      .where(
+        when(not(col("_t0") <=> col("_t1")) ||
+            (col("_nt") =!= lit(0L) && col("_nt") =!= col("_n")),
+          raise_error(concat(
+            lit("cooccurrenceDriftReport: group "), col("_g").cast("string"),
+            lit(s" carries more than one batchTag value — batchTag must be " +
+              s"a function of $groupCol")))
+            .cast("boolean"))
+          .otherwise(col("_n") >= 2 && col("_n") <= maxGroupSize))
+      .select(col("_g"), col("_t0").as("_tag"))
+    // an all-NULL-tag group belongs to NEITHER slice (`where(pred)` and
+    // `where(!pred)` both drop it), so it must not contribute ring
+    // members either; a null MIXED with a value is caught by the guard
+    val capped = pairs.join(sized, "_g")
+      .where(col("_tag").isNotNull)
+      .select(col("_g"), col("_i"), col("_tag"))
+      .localCheckpoint()
+    val touched = capped.where(col("_tag")).select(col("_i").as("_v")).distinct()
+      .localCheckpoint()
+    val nTouched = touched.count()
+    val touchedSide =
+      if (nTouched <= maxBroadcastVertices) broadcast(touched) else touched
+    // capped groups containing ≥ 1 touched item — their members are
+    // exactly the grown-graph 1-hop ring (∪ touched itself)
+    val hitGroups = capped
+      .join(touchedSide.withColumnRenamed("_v", "_i"), Seq("_i"), "left_semi")
+      .select("_g").distinct()
+    val ring = capped
+      .join(hitGroups, Seq("_g"), "left_semi")
+      .select(col("_i").as("_v"))
+    val affected = touched.unionByName(ring).distinct()
+    val universe = storedVertices
+      .select(col(vertexCol).as("_v")).where(col("_v").isNotNull).distinct()
+      .unionByName(touched).distinct()
+    val nUniverse = universe.count()
+    require(nUniverse > 0, "cooccurrenceDriftReport: empty vertex universe")
     val nAffected = affected.join(universe, Seq("_v"), "left_semi").count()
     val spark = storedVertices.sparkSession
     import spark.implicits._

@@ -1519,18 +1519,53 @@ object Similarity {
         s => s.getField("code")).as("_codes"))
       .where(size(col("_codes")) === m)
 
-  /** The row-local ADC sum: per subspace a MAP-literal lookup (code →
-    * distance; missing code → NULL, exactly the CASE-chain semantics it
-    * replaces but O(1) per lookup instead of O(k) comparisons), summed
-    * left-associated in fixed subspace order — engine-independent by
-    * construction.
+  /** O(1)-per-row lookup column over a per-subspace (cid → value)
+    * table. The map-literal form (`element_at` on a map literal =
+    * Catalyst `GetMapValue`) walks the key array LINEARLY — O(k) per
+    * lookup, measured 13–14 s/query at (m16, k64) on the clustered
+    * 500k corpus where (m8, k16) took 2.5 s. Codes are DENSE 0..k−1 by
+    * [[pqBuild]]'s seeding, so positional indexing into an ARRAY
+    * literal is an O(1) drop-in: `get` is 0-based and returns NULL for
+    * a null/out-of-range index, and holes materialize as null
+    * elements — exactly the map form's missing-key semantics, so the
+    * downstream sentinel coalesce is unchanged. The explicit range
+    * guard keeps a corrupted code (negative, or past Int range, which
+    * ANSI `cast` would otherwise throw on) on the null path too.
+    * Values, fold order, and null surface are identical, so every 6dp
+    * adc is bit-identical to the map form's. Falls back to the map
+    * literal when the stored cids are NOT dense (a hand-filtered
+    * codebook) or the span exceeds [[DenseLookupMaxK]] — correctness
+    * never depends on density; only the O(1) fast path does.
+    */
+  private def denseLookup[T: scala.reflect.runtime.universe.TypeTag](
+      table: Map[Long, T], codeCol: Column): Column = {
+    val kMax = table.keys.max
+    if (table.keys.min >= 0L && kMax < DenseLookupMaxK &&
+        kMax + 1 <= 2L * table.size) {
+      val arr: Seq[Option[T]] = (0L to kMax).map(table.get)
+      when(codeCol >= 0L && codeCol <= kMax,
+        get(typedLit(arr), codeCol.cast("int")))
+    } else element_at(typedLit(table), codeCol)
+  }
+
+  /** Densest-allowed lookup-array span: covers every codebook regime
+    * the SDC face admits (m·k² ≤ 262144 ⇒ per-subspace pair-key span
+    * ≤ 2¹⁸) and any sane per-subspace k; a sparser/larger table falls
+    * back to the map literal.
+    */
+  private val DenseLookupMaxK = 1L << 18
+
+  /** The row-local ADC sum: per subspace an O(1) dense-array lookup
+    * (code → distance; missing code → NULL — see [[denseLookup]]),
+    * summed left-associated in fixed subspace order —
+    * engine-independent by construction.
     */
   private def adcLookupSum(
       dt: Map[(Int, Long), Double], m: Int, codesCol: Column): Column =
     (0 until m).map { s =>
       val sub = dt.collect { case ((`s`, cid), dist) => cid -> dist }
       if (sub.isEmpty) lit(null).cast("double")
-      else element_at(typedLit(sub), codesCol.getItem(s))
+      else denseLookup(sub, codesCol.getItem(s))
     }.reduce(_ + _)
 
   // ---------------------------------------------------------------------
@@ -1875,7 +1910,7 @@ object Similarity {
         val pairCols = (0 until m).map { s =>
           val subPairs = dt.collect { case ((`s`, cid), d) => cid -> ((d, cn2((s, cid)))) }
           if (subPairs.isEmpty) lit(null).cast("struct<_1:double,_2:double>")
-          else element_at(typedLit(subPairs), col("codes").getItem(s))
+          else denseLookup(subPairs, col("codes").getItem(s))
         }
         val withPairs = inProbed.select(
           col(idCol) +: pairCols.zipWithIndex.map { case (c, s) => c.as(s"_p$s") }: _*)
@@ -1904,6 +1939,21 @@ object Similarity {
     val tCut = System.nanoTime()
     val cutRow = cutOf(scored)
     dbg(s"$metric cut", tCut)
+    // Cross-engine flake attribution (debug-only extra pass): the cut
+    // compares RAW doubles on the recorded assumption that code-tied
+    // candidates fold bit-identically in BOTH engines from
+    // independently-trained/replayed centroid floats. A candidate in a
+    // DIFFERENT code cell within ~1e-7 of the cut is the one surface
+    // where that could flake, so report the closest non-tied gap —
+    // a future sf-drift becomes attributable instead of mysterious.
+    if (sys.env.contains("GRAFT_ADC_DEBUG") && !cutRow.isNullAt(0)) {
+      val c = cutRow.getDouble(0)
+      val gap = scored.where(col("_adcr") =!= c)
+        .agg(min(abs(col("_adcr") - lit(c)))).head()
+      System.err.println(s"[adc] $metric min|adcr-cut| gap: " +
+        (if (gap.isNullAt(0)) "n/a (all candidates code-tied at the cut)"
+         else gap.getDouble(0).toString))
+    }
     if (cutRow.isNullAt(0))
       return spark.read.parquet(post)
         .where(lit(false))
@@ -2032,18 +2082,42 @@ object Similarity {
         "silently filter every candidate")
     val q = queries
       .select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("_qvec"))
-      .where(col("query_id").isNotNull && col("_qvec").isNotNull)
       .localCheckpoint()
     val dim = pqDim(q, "query_id", "_qvec", "ivfPqTopKBatch")
     require(dim % m == 0,
       s"ivfPqTopKBatch: query dim $dim not divisible into $m subspaces")
-    // loud on a mixed-dim batch: subspaces would silently DROP the
-    // nonconforming queries and the caller would read a partial answer
-    // as a complete one (one metadata-scale count on the pinned batch)
-    val nBadDim = q.where(size(col("_qvec")) =!= dim).count()
-    require(nBadDim == 0L,
-      s"ivfPqTopKBatch: $nBadDim query rows have a vector length != $dim — " +
+    // loud on EVERY degenerate batch row, not just mixed-dim: a null
+    // id, null vector, wrong-length vector, or zero-norm vector would
+    // each silently VANISH from the output (null/zero-norm rows score
+    // the -2 sentinel everywhere and are stripped at the cut; the
+    // single-query face requires qNorm > 0 and types its null-query
+    // empty frame for the same reason) while the other queries return
+    // rows — and a dedup/contamination sweep would read the missing
+    // query as "no neighbors". One metadata-scale agg on the pinned
+    // batch; its count also feeds the dt broadcast gate.
+    val qStats = q.agg(
+      count(lit(1)).as("_nq"),
+      sum(when(col("query_id").isNull, 1L).otherwise(0L)).as("_nid"),
+      sum(when(col("_qvec").isNull, 1L).otherwise(0L)).as("_nvec"),
+      sum(when(col("_qvec").isNotNull && size(col("_qvec")) =!= dim, 1L)
+        .otherwise(0L)).as("_ndim"),
+      sum(when(col("_qvec").isNotNull && size(col("_qvec")) === dim &&
+          norm2(col("_qvec")) <= 0.0, 1L)
+        .otherwise(0L)).as("_nzero")).head()
+    val nQueries = qStats.getLong(0)
+    require(qStats.getLong(1) == 0L,
+      s"ivfPqTopKBatch: ${qStats.getLong(1)} query rows have a null $qIdCol — " +
+        "their results would be unattributable")
+    require(qStats.getLong(2) == 0L,
+      s"ivfPqTopKBatch: ${qStats.getLong(2)} query rows have a null $qVecCol — " +
+        "those query ids would silently vanish from the batch answer")
+    require(qStats.getLong(3) == 0L,
+      s"ivfPqTopKBatch: ${qStats.getLong(3)} query rows have a vector length != $dim — " +
         "a mixed-dim batch would return results for the conforming subset only")
+    require(qStats.getLong(4) == 0L,
+      s"ivfPqTopKBatch: ${qStats.getLong(4)} query rows have a zero-norm vector — " +
+        "the quantized cosine is undefined for them and those query ids would " +
+        "silently vanish from the batch answer")
     // 1. per-query bucket ranking (the indexedBatchCandidates shape)
     val cents = broadcast(spark.read.parquet(centroidsPath(indexPath)))
     val probeRank = org.apache.spark.sql.expressions.Window
@@ -2082,7 +2156,7 @@ object Similarity {
       .select(col("_vid").as("query_id"), col("sub"), col("cid"),
         dotD(col("subvec"), col("cvec")).as("_dt"),
         norm2D(col("cvec")).as("_cn2"))
-    val nDtRows = q.count() * storedCb.count()
+    val nDtRows = nQueries * storedCb.count()
     val dtSide = if (nDtRows <= maxBroadcastDtRows) broadcast(dt) else dt
     val qNorms = broadcast(q.select(col("query_id"), sqrt(norm2(col("_qvec"))).as("_qn")))
     // 4. per-candidate sums in FIXED subspace order (sort-then-fold —
@@ -2207,7 +2281,7 @@ object Similarity {
       (0 until m).map { s =>
         val sub = sdc.collect { case ((`s`, x, y), d) => (x * kMax + y) -> d }
         if (sub.isEmpty) lit(null).cast("double")
-        else element_at(typedLit(sub), ca.getItem(s) * kMax + cbc.getItem(s))
+        else denseLookup(sub, ca.getItem(s) * kMax + cbc.getItem(s))
       }.reduce(_ + _)
     val post = spark.read.parquet(postingsPath(indexPath))
       .where(size(col("codes")) === m && col("nrm") > 0)

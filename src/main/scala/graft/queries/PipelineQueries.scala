@@ -2021,26 +2021,33 @@ object PipelineQueries {
     "q172_graph_drift" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val parts = t(s, dir, "part")
-      // ONE tagged build + one materialization: the drift probe and
-      // the rebuild consume base/batch several times each, and two
-      // separate cooccurrenceEdges builds re-ran the corpus self-join
-      // per consumer (measured 385 s at sf10 — ~2.6× q142). The tagged
-      // edge list is the same edges-scale table pageRankExact pins
-      // internally anyway.
-      val tagged = graft.operators.Graph.cooccurrenceEdgesTagged(
-        li, "l_orderkey", "l_partkey", col("l_orderkey") % 7 === 0)
-        .localCheckpoint()
-      val base = tagged.where(!col("tag")).select("src", "dst")
-      val batch = tagged.where(col("tag")).select("src", "dst")
-      val d = graft.operators.Graph.graphDriftReport(
-        parts.select("p_partkey"), "p_partkey", base, batch, DriftThresholdMicro)
+      // Drift probe at ITEM scale — no edge set is ever materialized
+      // for the DECISION: the r17 tagged-edge probe pinned the
+      // pair-scale self-join output (239M rows at sf10) and measured
+      // 416 s clean-host / OOM'd its second pass at 48g.
+      // cooccurrenceDriftReport derives touched/ring from group
+      // membership in item-scale joins, set-equal to graphDriftReport
+      // over the tagged slices (GraphSpec pins the equality), so the
+      // pair-scale build is paid exactly ONCE — inside whichever
+      // PageRank branch the decision takes, the q142 shape.
+      val d = graft.operators.Graph.cooccurrenceDriftReport(
+        li, "l_orderkey", "l_partkey", col("l_orderkey") % 7 === 0,
+        parts.select("p_partkey"), "p_partkey", DriftThresholdMicro)
         .head()
+      // grown graph = cooccurrenceEdges over ALL orders: each order is
+      // wholly inside one slice and the cap is per order, so this is
+      // row-identical to base ∪ batch DISTINCT without paying the
+      // union's extra full-edge shuffle
       val ranks =
         if (d.getBoolean(3))
           graft.operators.Graph.pageRankExact(
-            base.unionByName(batch).distinct(), parts, "p_partkey", iterations = 5)
+            graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey"),
+            parts, "p_partkey", iterations = 5)
         else
-          graft.operators.Graph.pageRankExact(base, parts, "p_partkey", iterations = 5)
+          graft.operators.Graph.pageRankExact(
+            graft.operators.Graph.cooccurrenceEdges(
+              li.where(col("l_orderkey") % 7 =!= 0), "l_orderkey", "l_partkey"),
+            parts, "p_partkey", iterations = 5)
       ranks.select(col("p_partkey"), col("rank_micro"),
         lit(d.getLong(0)).as("n_universe"), lit(d.getLong(1)).as("n_affected"),
         lit(d.getLong(2)).as("affected_micro"), lit(d.getBoolean(3)).as("rebuild"))

@@ -23,12 +23,10 @@ object ProfileAdcMetric {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Engine.session("profile-adc", s"local[$cpus]", cpus)
     spark.sparkContext.setLogLevel("WARN")
-    // the clustered synth corpus, identical to ProfileRecall's
-    val base =
-      s"(pmod(xxhash64(concat(CAST(pmod(xxhash64(concat(CAST(id AS STRING), ':c')), 200) AS STRING), '#', CAST(i AS STRING))), 2000001) - 1000000) / 1000000.0" +
-        s" + 0.15 * (pmod(xxhash64(concat(CAST(id AS STRING), ':', CAST(i AS STRING), ':n')), 2000001) - 1000000) / 1000000.0"
-    val emb = spark.range(n).select(col("id").as("vec_id"),
-      expr(s"transform(sequence(0, 63), i -> CAST($base AS FLOAT))").as("embedding"))
+    // the clustered synth corpus — ProfileRecall's OWN generator, not a
+    // copy (a drifted duplicate would silently profile a different
+    // corpus than the recall artifacts this A/B is compared against)
+    val emb = ProfileRecall.synth(spark, n, dim = 64, corpus = "clustered", centers = 200)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     emb.count()
     def queryVec(q: Long) = emb.where(col("vec_id") === q).select("embedding")

@@ -41,7 +41,11 @@ import graft.operators.Similarity
   */
 object ProfileRecall {
 
-  private def synth(spark: SparkSession, n: Long, dim: Int, corpus: String,
+  /** Shared with [[ProfileAdcMetric]] so the A/B cost profile measures
+    * EXACTLY the corpus the recall artifacts were taken on — a drifted
+    * copy-paste here would silently compare against different data.
+    */
+  private[tools] def synth(spark: SparkSession, n: Long, dim: Int, corpus: String,
       centers: Int): DataFrame = {
     val clusteredBase =
       // cluster c = hash(id) mod centers; component = cluster base +

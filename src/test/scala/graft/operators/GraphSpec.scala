@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -595,5 +595,78 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(hubShuffle == hub)
     intercept[IllegalArgumentException](Graph.graphDriftReport(
       stored, "node", chain, chain, thresholdMicro = 2000000L))
+  }
+
+  test("cooccurrenceDriftReport: equals graphDriftReport over the tagged slices") {
+    // groups across both slices, a shared cross-slice item (3), a
+    // singleton group (no edges), and an over-cap group under the
+    // capped variant — every structural case the set-equivalence proof
+    // leans on
+    val items = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),          // base (g even)
+      (12L, 7L), (12L, 8L),                     // base, untouched by batch
+      (20L, 9L),                                // base singleton: no edges
+      (11L, 3L), (11L, 4L),                     // batch (g odd)
+      (13L, 5L), (13L, 5L), (13L, 6L),          // batch (dup row collapses)
+      (15L, 9L)                                 // batch singleton: NOT touched
+    ).toDF("g", "item")
+    val pred = col("g") % 2 === 1
+    val stored = (1L to 9L).toDF("node")
+    for (cap <- Seq(1000, 2)) {
+      val base = Graph.cooccurrenceEdges(items.where(!pred), "g", "item", cap)
+      val batch = Graph.cooccurrenceEdges(items.where(pred), "g", "item", cap)
+      val want = Graph.graphDriftReport(
+        stored, "node", base, batch, thresholdMicro = 300000L)
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+      val got = Graph.cooccurrenceDriftReport(
+        items, "g", "item", pred, stored, "node",
+        thresholdMicro = 300000L, maxGroupSize = cap)
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+      assert(got == want, s"cap=$cap")
+      // forced-shuffle path (broadcast gate off) is value-identical
+      val gotShuffle = Graph.cooccurrenceDriftReport(
+        items, "g", "item", pred, stored, "node",
+        thresholdMicro = 300000L, maxGroupSize = cap,
+        maxBroadcastVertices = 0L)
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+      assert(gotShuffle == want, s"cap=$cap shuffle")
+    }
+    // at cap 1000: batch edges touch {3,4,5,6}; ring adds {1,2} via
+    // group 10 (contains touched 3); 9 is NOT affected (its groups are
+    // singletons) — pin the absolute numbers too, not just equality
+    val full = Graph.cooccurrenceDriftReport(
+      items, "g", "item", pred, stored, "node", thresholdMicro = 300000L)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(full == Seq((9L, 6L, 666666L, true)))
+    intercept[IllegalArgumentException](Graph.cooccurrenceDriftReport(
+      items, "g", "item", pred, stored, "node", thresholdMicro = -1L))
+    intercept[IllegalArgumentException](Graph.cooccurrenceDriftReport(
+      items, "g", "item", pred, stored, "node",
+      thresholdMicro = 0L, maxGroupSize = 1))
+  }
+
+  test("tagged builds: a row-level tag raises instead of silently emitting cross-tag pairs") {
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val items = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("g", "item")
+    // tag depends on the ITEM, not the group — the contract violation
+    val rowTag = col("item") % 2 === 0
+    val e1 = intercept[Exception](
+      Graph.cooccurrenceEdgesTagged(items, "g", "item", rowTag).collect())
+    assert(messages(e1).exists(_.contains("more than one tag value")), e1.toString)
+    val e2 = intercept[Exception](
+      Graph.cooccurrenceDriftReport(
+        items, "g", "item", rowTag, Seq(1L).toDF("node"), "node",
+        thresholdMicro = 0L).collect())
+    assert(messages(e2).exists(_.contains("more than one batchTag value")), e2.toString)
+    // null mixed with a value inside one group is ALSO two tag states
+    val nullTag = when(col("item") === 1L, lit(null).cast("boolean")).otherwise(lit(true))
+    val e3 = intercept[Exception](
+      Graph.cooccurrenceEdgesTagged(items, "g", "item", nullTag).collect())
+    assert(messages(e3).exists(_.contains("more than one tag value")), e3.toString)
+    // a legal group-level tag still works with nulls ABSENT
+    val ok = Graph.cooccurrenceEdgesTagged(items, "g", "item", col("g") % 2 === 0)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(ok.nonEmpty && ok.forall(_._3))
   }
 }
