@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Curation, Dedup, Pack, Scale}
+import graft.operators.{Curation, Dedup, Graph, Pack, Scale}
 import graft.plans.{MetaStore, Runner, Validate}
 import graft.plans.Runner.{Job, JobRunRecord}
 
@@ -25,6 +25,20 @@ import graft.plans.Runner.{Job, JobRunRecord}
   * stage is individually scale-shaped by its operator (digest-only
   * exact dedup, banded LSH, broadcast benchmark shingles, scan-side
   * quality filter, sharded packing windows).
+  *
+  * When a document LINK graph is supplied (`links` — citations,
+  * hyperlinks, co-references: the graph a web-scale corpus carries),
+  * the DAG additionally runs the full COMPOSED curation policy the
+  * q169/q173 queries prove out, as a `mix` stage parallel to
+  * decontamination: [[graft.operators.Curation.curationMix]] over the
+  * dedup survivors, quality score, k-core number, LPA community
+  * modularity, trusted-seed personalized PageRank, and the windowed
+  * count-min freshness estimate. `stage_mix` lands one row per raw
+  * document with the fail-closed `(kept, reason)` decision — the audit
+  * table — and the pack stage then admits only mix-kept survivors.
+  * Without `links` the classic five-stage chain runs unchanged (the
+  * graph gates are fail-closed by design, so running them without a
+  * real link graph would drop every unlinked document).
   */
 object CurationDriver {
 
@@ -53,7 +67,25 @@ object CurationDriver {
         * Batch ids must be disjoint from (and, for min-id survivor
         * parity with a from-scratch run, greater than) the corpus's.
         */
-      existingCorpusPath: Option[String] = None
+      existingCorpusPath: Option[String] = None,
+      // ---- mix-stage knobs (in effect only when `links` is supplied;
+      // defaults mirror the q169/q173 corpus policy) ----
+      mixMinQuality: Double = 0.3,
+      mixMinCore: Long = 2L,
+      mixMinRankMicro: Long = 1L,
+      /** Trusted PPR seed set: doc_id % trustedSeedMod == 0. */
+      trustedSeedMod: Long = 37L,
+      lpaRounds: Int = 3,
+      coreKMax: Int = 5,
+      cmDepth: Int = 4,
+      freshWidth: Long = 64L,
+      /** Synthetic ingest day = doc_id % freshDayMod (a real pipeline
+        * passes its ingest-date column; the modulo keeps the driver
+        * self-contained on corpora without one).
+        */
+      freshDayMod: Long = 30L,
+      freshFromDay: Long = 23L,
+      mixMaxFresh: Long = 4L
   )
 
   final case class RunResult(
@@ -65,13 +97,18 @@ object CurationDriver {
   /** Stage tables in hand-off order; `stageCounts` reports them all. */
   val Stages: Seq[String] = Seq("raw", "dedup", "clean", "quality", "packed")
 
+  /** Stage list when a link graph enables the composed-policy stage. */
+  val StagesWithMix: Seq[String] =
+    Seq("raw", "dedup", "clean", "quality", "mix", "packed")
+
   private def stagePath(c: Config, s: String) = s"${c.root}/stage_$s"
 
   def run(
       spark: SparkSession,
       docs: DataFrame,
       bench: DataFrame,
-      c: Config
+      c: Config,
+      links: Option[DataFrame] = None
   ): RunResult = {
     val id = col(c.idCol)
     val text = col(c.textCol)
@@ -82,7 +119,7 @@ object CurationDriver {
     }
     def read(stage: String) = spark.read.parquet(stagePath(c, stage))
 
-    val registry: Map[String, Job] = Map(
+    val baseRegistry: Map[String, Job] = Map(
       // gate first: a malformed corpus fails BEFORE any stage runs, and
       // the cascade records every downstream stage SUSPENDED
       "validate" -> { _ =>
@@ -134,7 +171,16 @@ object CurationDriver {
           "quality")
       },
       "pack" -> { _ =>
-        val q = read("quality").withColumn("n_tokens", Text.tokenCount(text))
+        // under the composed policy only mix-kept documents train —
+        // the reason for every exclusion is durable in stage_mix
+        val qualityDocs = read("quality")
+        val gated = links match {
+          case Some(_) =>
+            qualityDocs.join(
+              read("mix").where(col("kept")).select(id), Seq(c.idCol), "left_semi")
+          case None => qualityDocs
+        }
+        val q = gated.withColumn("n_tokens", Text.tokenCount(text))
         val shuffled = Scale
           .trainingShuffle(q, Seq(c.idCol), c.shuffleSeed)
           .withColumn("shard", pmod(col("train_pos"), lit(c.shards)))
@@ -143,13 +189,62 @@ object CurationDriver {
           "packed")
       }
     )
+    // the COMPOSED curation policy (q169's five gates + q173's
+    // freshness gate) over the supplied link graph: every signal
+    // from its own oracled operator, one fail-closed decision per
+    // raw document, durable in stage_mix. Runs PARALLEL to
+    // decontamination (it needs only raw + dedup survivors).
+    val registry: Map[String, Job] = baseRegistry ++ links.map { linkGraph =>
+      "mix" -> { (_: SparkSession) =>
+        val raw = read("raw")
+        val survivors = read("dedup").select(id)
+        val quality = raw.select(id, Text.qualityScore(text).as("quality"))
+        val cores = Graph.coreNumbers(linkGraph, kMax = c.coreKMax)
+          .select(col("node").as(c.idCol), col("core"))
+        val labels = Graph.labelPropagation(linkGraph, rounds = c.lpaRounds)
+        val mod = Graph.modularityByCommunity(linkGraph, labels)
+        val und = linkGraph.unionByName(
+          linkGraph.select(col("dst").as("src"), col("src").as("dst")))
+        val ids = raw.select(id).where(id.isNotNull).distinct()
+        val ppr = Graph.personalizedPageRankExact(
+          und, ids, c.idCol,
+          raw.where(id % c.trustedSeedMod === 0), c.idCol, iterations = 5)
+        // recent-window frequency over head fingerprints — the q173
+        // windowed count-min lifecycle (day shards rolled to a window)
+        val fp = raw.select(id, (id % c.freshDayMod).as("iday"),
+          array_join(slice(Text.tokens(text), 1, 8), " ").as("fp"))
+        val fpnn = fp.where(col("fp").isNotNull)
+        val shards = Scale.countMinSharded(
+          fpnn, col("iday"), "iday", col("fp"), c.cmDepth, c.freshWidth)
+        val sketch = Scale.countMinWindow(shards, col("iday") >= c.freshFromDay)
+        val est = Scale.countMinEstimate(
+          fpnn, col("fp"), sketch, c.cmDepth, c.freshWidth)
+        val fresh = fpnn.join(est, fpnn("fp") === est("key"))
+          .select(fpnn(c.idCol), col("cm_est").as("fresh_cnt"))
+        write(Curation.curationMix(
+          raw, c.idCol, survivors, quality, cores,
+          labels.select(col("node").as(c.idCol), col("label")), mod, ppr,
+          minQuality = c.mixMinQuality, minCore = c.mixMinCore,
+          minRankMicro = c.mixMinRankMicro,
+          freshness = Some(fresh), maxFreshCount = c.mixMaxFresh), "mix")
+      }
+    }
 
-    val layers = Map(
-      0 -> Seq("validate"),
-      1 -> Seq("dedup"),
-      2 -> Seq("decontaminate"),
-      3 -> Seq("quality"),
-      4 -> Seq("pack"))
+    val layers =
+      if (links.isDefined)
+        Map(
+          0 -> Seq("validate"),
+          1 -> Seq("dedup"),
+          2 -> Seq("decontaminate", "mix"),
+          3 -> Seq("quality"),
+          4 -> Seq("pack"))
+      else
+        Map(
+          0 -> Seq("validate"),
+          1 -> Seq("dedup"),
+          2 -> Seq("decontaminate"),
+          3 -> Seq("quality"),
+          4 -> Seq("pack"))
     val metaPath = s"${c.root}/${c.metaSubdir}"
     val records = Runner.runLayers(
       spark,
@@ -157,7 +252,7 @@ object CurationDriver {
       registry,
       record = recs => MetaStore.append(spark, recs, metaPath))
 
-    val counts = Stages.map { st =>
+    val counts = (if (links.isDefined) StagesWithMix else Stages).map { st =>
       val p = new org.apache.hadoop.fs.Path(stagePath(c, st))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       st -> (if (fs.exists(p)) read(st).count() else -1L)

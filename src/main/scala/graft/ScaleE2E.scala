@@ -14,10 +14,11 @@ import graft.plans.Runner.Job
   *     layer-0 lake output (layer 1), operational metadata per batch,
   *     reconciliation report at the end — `driver_ingestions.py`'s
   *     whole lifecycle at data volume.
-  *   - [[CurationDriver]]: the five-stage training-data pipeline
-  *     (validate → dedup → decontaminate → quality+redact →
-  *     shuffle+pack) over the scaled `documents` table with a planted
-  *     benchmark overlap.
+  *   - [[CurationDriver]]: the training-data pipeline (validate →
+  *     dedup → [decontaminate ∥ mix] → quality+redact → shuffle+pack)
+  *     over the scaled `documents` table with a planted benchmark
+  *     overlap and a deterministic clique-chain link graph driving the
+  *     composed q169/q173 policy stage.
   *
   * Prints ONE JSON line with per-stage durations and row counts so the
   * run can be recorded beside the bench artifacts. Usage:
@@ -78,9 +79,31 @@ object ScaleE2E {
     // prove nothing about the downstream stages at volume.
     val bench = docs.where(col("doc_id") % 1009 === 0)
       .withColumn("doc_id", col("doc_id") + 1000000000L)
+    // Deterministic document LINK graph (the corpus carries no real
+    // citation/hyperlink edges): the q158/q169 clique-chain fixture
+    // shape — hash-sized cliques of consecutive ids bridged into
+    // chains — so the mix stage's k-core / community / PPR signals see
+    // realistic structure at volume.
+    val ids = docs.select(col("doc_id")).where(col("doc_id").isNotNull).distinct()
+    val mem = ids
+      .select(col("doc_id"), expr("doc_id div 6").as("_g"), (col("doc_id") % 6).as("_j"))
+      .withColumn("_s",
+        lit(3L) + graft.functions.Text.md5PrefixLong(
+          concat(lit("kc:"), col("_g").cast("string")), 13) % 4)
+      .where(col("_j") < col("_s"))
+    val links = mem.select(col("_g"), col("doc_id").as("src"))
+      .join(mem.select(col("_g"), col("doc_id").as("dst")), "_g")
+      .where(col("src") < col("dst"))
+      .select("src", "dst")
+      .unionByName(
+        mem.where(col("_j") === col("_s") - 1)
+          .select(col("doc_id").as("src"), ((col("_g") + 1) * 6).as("dst"))
+          .join(ids.select(col("doc_id").as("dst")), "dst")
+          .select("src", "dst"))
     val t1 = System.nanoTime()
     val cur = CurationDriver.run(
-      spark, docs, bench, CurationDriver.Config(root = s"$root/curation"))
+      spark, docs, bench, CurationDriver.Config(root = s"$root/curation"),
+      links = Some(links))
     val curSec = (System.nanoTime() - t1) / 1e9
     val curOk = cur.records.count(_.job_status == "SUCCESS")
 

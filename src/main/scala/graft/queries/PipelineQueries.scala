@@ -2053,6 +2053,37 @@ object PipelineQueries {
         lit(d.getLong(2)).as("affected_micro"), lit(d.getBoolean(3)).as("rebuild"))
         .orderBy("p_partkey")
     },
+    // q175: the q172 rebuild lifecycle governing a CACHED PPR result —
+    // graphDriftReport is algorithm-agnostic (any cached iterative
+    // output over the same graph goes stale the same way: PageRank,
+    // PPR, core numbers, communities), and this puts a SECOND cached
+    // algorithm under the hash gate: the same item-scale drift probe
+    // (cooccurrenceDriftReport — one decision text with q172), then
+    // exactly one seed-gated PPR on whichever graph the decision
+    // selects. The oracle composes the SHARED DriftCtes with q168's
+    // pprIterCtes — neither the lifecycle arithmetic nor the teleport
+    // recurrence can drift from the queries they gate.
+    "q175_ppr_drift" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val parts = t(s, dir, "part")
+      val d = graft.operators.Graph.cooccurrenceDriftReport(
+        li, "l_orderkey", "l_partkey", col("l_orderkey") % 7 === 0,
+        parts.select("p_partkey"), "p_partkey", DriftThresholdMicro)
+        .head()
+      val edges =
+        if (d.getBoolean(3))
+          graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+        else
+          graft.operators.Graph.cooccurrenceEdges(
+            li.where(col("l_orderkey") % 7 =!= 0), "l_orderkey", "l_partkey")
+      graft.operators.Graph.personalizedPageRankExact(
+        edges, parts, "p_partkey",
+        parts.where(col("p_partkey") % 37 === 0), "p_partkey", iterations = 5)
+        .select(col("p_partkey"), col("rank_micro"),
+          lit(d.getLong(0)).as("n_universe"), lit(d.getLong(1)).as("n_affected"),
+          lit(d.getLong(2)).as("affected_micro"), lit(d.getBoolean(3)).as("rebuild"))
+        .orderBy("p_partkey")
+    },
     // q173: q169's curation mix EXTENDED with the sixth fail-closed
     // gate a production mix needs — "seen k× in the last N days": the
     // q170 windowed count-min lifecycle over head FINGERPRINTS (ingest
@@ -3996,7 +4027,9 @@ object PipelineQueries {
     // q173: the six-gate mix — see CurationFreshSql
     "q173_curation_fresh" -> CurationFreshSql,
     // q174: the batch probe replayed per query — see IvfPqBatchOracleSql
-    "q174_ann_ivfpq_batch" -> IvfPqBatchOracleSql
+    "q174_ann_ivfpq_batch" -> IvfPqBatchOracleSql,
+    // q175: the shared DriftCtes lifecycle over q168's PPR recurrence
+    "q175_ppr_drift" -> PprDriftSql
   )
 
   // Shared by q133 (direct histogram quantiles) and q138 (per-shard
@@ -4088,19 +4121,17 @@ object PipelineQueries {
        |SELECT vx AS p_partkey, pr AS rank_micro
        |FROM p5 ORDER BY p_partkey""".stripMargin
 
-  /** q172's oracle: the base/batch edge split over the SHARED capped
-    * prefix, the drift row computed exactly as `Graph.graphDriftReport`
-    * does (touched endpoints ∪ their 1-hop ring in the grown graph,
+  /** The drift-lifecycle CTE block SHARED by q172 (cached PageRank)
+    * and q175 (cached PPR): base/batch edge split over the shared
+    * capped prefix, grown SET-union graph `e`, and the drift row `dr`
+    * replaying `Graph.graphDriftReport` / `cooccurrenceDriftReport`
+    * exactly (touched endpoints ∪ their 1-hop ring in the grown graph,
     * intersected with the vertex universe, micro-fraction by integer
-    * division), and the q142 recurrence replayed over the grown
-    * SET-union graph — named `e` so [[pageRankIterCtes]] applies
-    * verbatim. The rebuild flag is part of the hashed output: if the
-    * fixture ever dropped under the threshold, the Spark side would
-    * serve base-graph ranks and mismatch loudly.
+    * division). ONE text, so the lifecycle arithmetic cannot drift
+    * between the cached-result queries it governs.
     */
-  private lazy val GraphDriftSql =
-    s"""WITH $CoPurchasePrefixCte,
-       |eb AS (SELECT DISTINCT a.i AS src, b.i AS dst
+  private lazy val DriftCtes =
+    s"""eb AS (SELECT DISTINCT a.i AS src, b.i AS dst
        |       FROM ic a JOIN ic b ON a.g = b.g AND a.i <> b.i WHERE a.g % 7 <> 0),
        |en AS (SELECT DISTINCT a.i AS src, b.i AS dst
        |       FROM ic a JOIN ic b ON a.g = b.g AND a.i <> b.i WHERE a.g % 7 = 0),
@@ -4115,10 +4146,37 @@ object PipelineQueries {
        |dr AS (SELECT CAST(nu AS BIGINT) AS n_universe, CAST(na AS BIGINT) AS n_affected,
        |         CAST(1000000 * na // nu AS BIGINT) AS affected_micro
        |       FROM (SELECT (SELECT count(*) FROM uni) AS nu,
-       |               (SELECT count(*) FROM (SELECT vv FROM affected INTERSECT SELECT vv FROM uni)) AS na)),
+       |               (SELECT count(*) FROM (SELECT vv FROM affected INTERSECT SELECT vv FROM uni)) AS na))""".stripMargin
+
+  /** q172's oracle: [[DriftCtes]] (base/batch split, grown graph, the
+    * exact drift row) with the q142 recurrence replayed over the grown
+    * SET-union graph — named `e` so [[pageRankIterCtes]] applies
+    * verbatim. The rebuild flag is part of the hashed output: if the
+    * fixture ever dropped under the threshold, the Spark side would
+    * serve base-graph ranks and mismatch loudly.
+    */
+  private lazy val GraphDriftSql =
+    s"""WITH $CoPurchasePrefixCte,
+       |$DriftCtes,
        |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
        |p0 AS (SELECT vx, CAST(1000000 AS BIGINT) AS pr FROM v),
        |${pageRankIterCtes(5)}
+       |SELECT vx AS p_partkey, pr AS rank_micro,
+       |  n_universe, n_affected, affected_micro,
+       |  (affected_micro >= $DriftThresholdMicro) AS rebuild
+       |FROM p5, dr ORDER BY p_partkey""".stripMargin
+
+  /** q175's oracle: the SAME [[DriftCtes]] lifecycle with the q168
+    * seed-gated teleport recurrence ([[pprIterCtes]] — one text with
+    * q168, so the recurrence cannot drift) over the grown graph. The
+    * drift row rides every output row exactly as in q172.
+    */
+  private lazy val PprDriftSql =
+    s"""WITH $CoPurchasePrefixCte,
+       |$DriftCtes,
+       |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |p0 AS (SELECT vx, CAST(1000000 * (CASE WHEN vx % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pr FROM v),
+       |${pprIterCtes(5)}
        |SELECT vx AS p_partkey, pr AS rank_micro,
        |  n_universe, n_affected, affected_micro,
        |  (affected_micro >= $DriftThresholdMicro) AS rebuild
@@ -4514,8 +4572,12 @@ object PipelineQueries {
     * start mass 1 000 000 multiply the seed flag, everything else is
     * the identical integer-DIV text over [[CoPurchaseGraphCte]].
     */
-  private lazy val PersonalizedPageRankSql = {
-    val iters = (1 to 5).map { k =>
+  /** The q168 SEED-GATED teleport recurrence unrolled over CTEs `e`,
+    * `v`, `d`, `p0` — shared by [[PersonalizedPageRankSql]] and q175's
+    * grown-graph replay, the [[pageRankIterCtes]] discipline.
+    */
+  private def pprIterCtes(n: Int): String =
+    (1 to n).map { k =>
       s"""p$k AS (SELECT v.vx,
          |  CAST(150000 * (CASE WHEN v.vx % 37 = 0 THEN 1 ELSE 0 END)
          |    + (85 * COALESCE(m.msg, 0)) // 100 AS BIGINT) AS pr
@@ -4525,13 +4587,14 @@ object PipelineQueries {
          |           JOIN d ON d.src = e.src
          |    GROUP BY e.dst) m ON m.vx = v.vx)""".stripMargin
     }.mkString(",\n")
+
+  private lazy val PersonalizedPageRankSql =
     s"""WITH $CoPurchaseGraphCte,
        |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
        |p0 AS (SELECT vx, CAST(1000000 * (CASE WHEN vx % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pr FROM v),
-       |$iters
+       |${pprIterCtes(5)}
        |SELECT vx AS p_partkey, pr AS rank_micro
        |FROM p5 ORDER BY p_partkey""".stripMargin
-  }
 
   /** q167's oracle: q162's unrolled LPA CTEs (one label text — the
     * labels cannot drift between the two queries) composed with

@@ -127,6 +127,58 @@ class CurationDriverSpec extends AnyFunSuite with SparkSpec {
     assert(incSurvivors == fullSurvivors -- Set(1L, 3L))
   }
 
+  test("mix stage: composed policy reasons land in stage_mix, pack admits only kept") {
+    val root = Files.createTempDirectory("curationmix").toString
+    // distinct 12-token sentences (all pass the scan-side quality
+    // filter); 13 exactly duplicates 11; 23/53 share their FIRST 8
+    // tokens (same head fingerprint, same synthetic ingest day
+    // 23 % 30 = 53 % 30 = 23 — inside the freshness window) but differ
+    // past token 8 (3-gram jaccard 0.4 < 0.8 — both survive dedup)
+    val docs = Seq(
+      (10L, "alpine rivers carve granite canyons while eagles trace slow circles overhead daily"),
+      (11L, "desert winds sculpt crimson dunes as lizards sprint between scattered thorny shrubs"),
+      (12L, "harbor cranes lift painted containers onto barges bound for distant northern ports"),
+      (13L, "desert winds sculpt crimson dunes as lizards sprint between scattered thorny shrubs"),
+      (3L, "glacial moraines record ancient advances beneath layers of compacted volcanic ash deposits"),
+      (6L, "monsoon clouds gather above terraced paddies where herons stalk silver darting fish"),
+      (7L, "basalt columns frame hidden coves where otters crack urchins on flat stones"),
+      (4L, "library archives preserve brittle manuscripts describing forgotten trade routes across frozen straits"),
+      (23L, "quartz veins thread the canyon walls above the old mining camp ruins"),
+      (53L, "quartz veins thread the canyon walls above the collapsed smelter foundations near town")
+    ).toDF("doc_id", "text")
+    // link graph: a 5-clique {10,11,12,23,53} reachable from trusted
+    // seed 10 (10 % 5 = 0), a seed-free triangle {3,6,7} (untrusted),
+    // 4 isolated (shallow core), 13 only ever a dedup loser
+    val links = Seq(
+      (10L, 11L), (10L, 12L), (10L, 23L), (10L, 53L), (11L, 12L),
+      (11L, 23L), (11L, 53L), (12L, 23L), (12L, 53L), (23L, 53L),
+      (3L, 6L), (3L, 7L), (6L, 7L)).toDF("src", "dst")
+    val res = CurationDriver.run(
+      spark, docs, benchDf,
+      CurationDriver.Config(root = root,
+        mixMinQuality = 0.0, mixMinCore = 1L, mixMinRankMicro = 1L,
+        trustedSeedMod = 5L, mixMaxFresh = 2L),
+      links = Some(links))
+    assert(res.records.map(_.job_status).forall(_ == "SUCCESS"), res.records)
+    assert(res.records.map(_.job_name).contains("mix"))
+    // the audit table: one fail-closed decision per RAW document
+    val mix = spark.read.parquet(s"$root/stage_mix")
+      .select("doc_id", "kept", "reason").as[(Long, Boolean, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mix.keySet == docs.select("doc_id").as[Long].collect().toSet)
+    assert(mix(13L) == ((false, "duplicate")))
+    assert(mix(4L) == ((false, "shallow_core")))
+    assert(Seq(3L, 6L, 7L).forall(mix(_) == ((false, "untrusted"))), mix)
+    assert(Seq(23L, 53L).forall(mix(_) == ((false, "overexposed"))), mix)
+    assert(Seq(10L, 11L, 12L).forall(mix(_) == ((true, "kept"))), mix)
+    // pack admits exactly the mix-kept survivors
+    val packed = spark.read.parquet(res.finalPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(packed == Set(10L, 11L, 12L))
+    // the stage count census includes the audit table
+    assert(res.stageCounts.toMap.apply("mix") == docs.count())
+  }
+
   test("a failed validation gate suspends every downstream stage") {
     val root = Files.createTempDirectory("curationfail").toString
     val bad = Seq((1L, DocA), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
