@@ -78,7 +78,16 @@ object CurationDriver {
       lpaRounds: Int = 3,
       coreKMax: Int = 5,
       cmDepth: Int = 4,
-      freshWidth: Long = 64L,
+      /** Count-min width must scale with the WINDOW's key volume — at
+        * width 64 an sf0.1 window (≈1200 distinct fingerprints) puts
+        * ~18 keys in every bucket and the estimate saturates ≥ any
+        * sane cap, overexposing the whole corpus (measured: 2333/5000
+        * docs dropped with max TRUE count 2). 2¹⁶ cells × depth 4 is
+        * still trivial memory and keeps the collision floor ≈ 0 into
+        * the millions of window keys; the one-sided est ≥ true bound
+        * then gates only genuinely recurring content.
+        */
+      freshWidth: Long = 1L << 16,
       /** Synthetic ingest day = doc_id % freshDayMod (a real pipeline
         * passes its ingest-date column; the modulo keeps the driver
         * self-contained on corpora without one).

@@ -732,6 +732,38 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(full == brute)
   }
 
+  test("ivfPqTopKBatch: degenerate query rows raise with counts instead of vanishing") {
+    // the single-query face types an EMPTY frame for a null query and
+    // requires a non-zero norm; in a batch those rows would silently
+    // disappear while other queries return rows — a dedup sweep would
+    // read the missing query as "no neighbors" — so the batch face
+    // must refuse the whole batch loudly
+    val idx = buildIvfPq("pqbatchdeg", files = 2)
+    val good = emb.where(col("vec_id") < 2).select(col("vec_id"), col("embedding"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    def run(qs: org.apache.spark.sql.DataFrame) = Similarity.ivfPqTopKBatch(
+      spark, idx, "vec_id", qs, "vec_id", "embedding",
+      m = 4, topK = 5, nprobe = 4, shortlist = 40,
+      rerank = emb, rerankVecCol = "embedding")
+    val nullVec = good.unionByName(
+      Seq((99L, Option.empty[Array[Float]])).toDF("vec_id", "embedding"))
+    val e1 = intercept[IllegalArgumentException](run(nullVec))
+    assert(e1.getMessage.contains("null embedding"), e1.getMessage)
+    val zeroVec = good.unionByName(
+      Seq((98L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding"))
+    val e2 = intercept[IllegalArgumentException](run(zeroVec))
+    assert(e2.getMessage.contains("zero-norm"), e2.getMessage)
+    val nullId = good.unionByName(
+      emb.where(col("vec_id") === 5L)
+        .select(lit(null).cast("long").as("vec_id"), col("embedding")))
+    val e3 = intercept[IllegalArgumentException](run(nullId))
+    assert(e3.getMessage.contains("null vec_id"), e3.getMessage)
+    val shortVec = good.unionByName(
+      Seq((97L, Array.fill(dim / 2)(0.5f))).toDF("vec_id", "embedding"))
+    val e4 = intercept[IllegalArgumentException](run(shortVec))
+    assert(e4.getMessage.contains("vector length"), e4.getMessage)
+  }
+
   test("ivfPq: contract guards and the NULL query") {
     val idx = buildIvfPq("pqguards", files = 2)
     intercept[IllegalArgumentException] { // multi-row query
