@@ -949,7 +949,11 @@ object Dedup {
     *
     * Returns (node, label) with label = min node id of the component.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      maxBroadcastVertices: Long = 2000000L
+  ): DataFrame = {
     // checkpoint lifecycle: see [[Checkpoints]] — every superseded
     // round's persisted copy is released, the live round's stays
     import Checkpoints.{tracked => checkpointTracked, release}
@@ -961,16 +965,23 @@ object Dedup {
         .distinct())
     var (labels, prevRdds) = checkpointTracked(
       sym.select(col("src").as("node")).distinct().withColumn("label", col("node")))
+    // label tables are vertex-scale: broadcast them under the measured
+    // bound (the Graph.pageRankExact discipline — checkpointed frames
+    // have no size stats, so AQE sort-merges the pair-scale sym side
+    // against them every round otherwise)
+    val nVerts = labels.count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nVerts <= maxBroadcastVertices) broadcast(df) else df
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = sym
-        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .join(maybeBroadcast(labels.select(col("node").as("dst"), col("label"))), "dst")
         .groupBy(col("src").as("node"))
         .agg(min("label").as("nbr_min"))
       val (updated, newRdds) = checkpointTracked( // eager: materialized before release
         labels
-          .join(nbrMin, Seq("node"), "left")
+          .join(maybeBroadcast(nbrMin), Seq("node"), "left")
           .select(
             col("node"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"),

@@ -176,16 +176,24 @@ object Graph {
       .localCheckpoint()
     for (_ <- 1 to iterations) {
       // fold rank and degree FIRST (vertex-scale join), so the edge
-      // list is joined once per iteration, not twice
+      // list is joined once per iteration, not twice. EVERY vertex-scale
+      // side of the iteration is broadcast under the same measured
+      // bound — deg into the contrib fold, contrib into the edge join,
+      // msgs into the rank update — so one iteration pays exactly ONE
+      // shuffle (the message aggregation, which is the Pregel combine
+      // and irreducible); checkpointed frames have no size stats, so
+      // without the explicit hints AQE sort-merges pr⋈deg and
+      // verts⋈msgs every round (guide §2.4/§3.1). Past the bound the
+      // un-hinted shuffle shape is the correct one.
       val contrib = pr
-        .join(deg, Seq("_v"))
+        .join(maybeBroadcast(deg), Seq("_v"))
         .select(col("_v").as("_src"), expr("_pr div _deg").as("_c"))
       val msgs = e
         .join(maybeBroadcast(contrib), Seq("_src"))
         .groupBy(col("_dst").as("_v"))
         .agg(sum(col("_c")).as("_msg"))
       pr = verts
-        .join(msgs, Seq("_v"), "left")
+        .join(maybeBroadcast(msgs), Seq("_v"), "left")
         .select(col("_v"),
           (lit(150000L) + expr("85 * coalesce(_msg, 0L) div 100")).as("_pr"))
         .localCheckpoint()
@@ -230,27 +238,36 @@ object Graph {
     require(iterations >= 1,
       s"personalizedPageRankExact: iterations must be at least 1, got $iterations")
     import Checkpoints.{tracked => checkpointTracked, release}
-    val (verts, vertRdds) = checkpointTracked(
-      vertices.select(col(vertexCol).as("_v")).where(col("_v").isNotNull).distinct())
+    val verts =
+      vertices.select(col(vertexCol).as("_v")).where(col("_v").isNotNull).distinct()
     val seedSet = seeds.select(col(seedCol).as("_v")).where(col("_v").isNotNull).distinct()
-    // seed flag folded into the vertex table once — loop-invariant
+    // seed flag folded into the vertex table once — loop-invariant. The
+    // flagged table subsumes the plain vertex set, so only IT is
+    // checkpointed (the former separate verts checkpoint materialized
+    // the same distinct twice: one extra job + one extra pinned copy).
     val (flagged, flagRdds) = checkpointTracked(
       verts.join(seedSet.withColumn("_s", lit(1L)), Seq("_v"), "left")
         .select(col("_v"), coalesce(col("_s"), lit(0L)).as("_seed")))
-    val nSeeds = flagged.where(col("_seed") === 1L).count()
+    // one cached-scan job for both loop constants instead of two
+    val stats = flagged.agg(
+      count(lit(1)).as("_n"), sum(col("_seed")).as("_ns")).head()
+    val nVerts = stats.getLong(0)
+    val nSeeds = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     require(nSeeds > 0, "personalizedPageRankExact: no seed vertex is in the vertex universe")
     val (e, eRdds) = checkpointTracked(
       edges.select(col("src").as("_src"), col("dst").as("_dst")))
     val (deg, degRdds) = checkpointTracked(
       e.groupBy(col("_src").as("_v")).agg(count(lit(1)).as("_deg")))
-    val nVerts = flagged.count()
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (nVerts <= maxBroadcastVertices) broadcast(df) else df
     var (pr, prevRdds) = checkpointTracked(
       flagged.select(col("_v"), (col("_seed") * 1000000L).as("_pr")))
     for (_ <- 1 to iterations) {
+      // same one-shuffle-per-iteration shape as [[pageRankExact]]: deg,
+      // contrib and msgs are all vertex-scale and broadcast under the
+      // measured bound, so only the message aggregation shuffles
       val contrib = pr
-        .join(deg, Seq("_v"))
+        .join(maybeBroadcast(deg), Seq("_v"))
         .select(col("_v").as("_src"), expr("_pr div _deg").as("_c"))
       val msgs = e
         .join(maybeBroadcast(contrib), Seq("_src"))
@@ -258,7 +275,7 @@ object Graph {
         .agg(sum(col("_c")).as("_msg"))
       val (next, nextRdds) = checkpointTracked(
         flagged
-          .join(msgs, Seq("_v"), "left")
+          .join(maybeBroadcast(msgs), Seq("_v"), "left")
           .select(col("_v"), col("_seed"),
             (col("_seed") * 150000L + expr("85 * coalesce(_msg, 0L) div 100")).as("_pr"))
           .select(col("_v"), col("_pr")))
@@ -268,7 +285,7 @@ object Graph {
     }
     val (result, _) = checkpointTracked(
       pr.select(col("_v").as(vertexCol), col("_pr").as("rank_micro")))
-    release(prevRdds); release(eRdds); release(degRdds); release(flagRdds); release(vertRdds)
+    release(prevRdds); release(eRdds); release(degRdds); release(flagRdds)
     result
   }
 
@@ -294,7 +311,8 @@ object Graph {
   def triangleCounts(
       edges: DataFrame,
       vertices: DataFrame,
-      vertexCol: String
+      vertexCol: String,
+      maxBroadcastVertices: Long = 2000000L
   ): DataFrame = {
     // referenced by the degree count AND both keyed joins — pin once so
     // the upstream edge derivation runs once, not three times
@@ -306,14 +324,21 @@ object Graph {
       .where(col("_a") =!= col("_b"))
       .distinct()
       .localCheckpoint()
+    // the degree table is VERTEX-scale — pin it (it feeds two joins)
+    // and broadcast it under the measured bound so the edge-scale canon
+    // side is never shuffled for the orientation (two sort-merge
+    // exchanges of the full edge list otherwise; guide §3.1)
     val deg = canon.select(col("_a").as("_v"))
       .unionByName(canon.select(col("_b").as("_v")))
       .groupBy("_v").agg(count(lit(1)).as("_d"))
+      .localCheckpoint()
+    val degSide =
+      if (deg.count() <= maxBroadcastVertices) broadcast(deg) else deg
     // orient low (deg, id) -> high (deg, id); ties broken by id, so the
     // orientation is total and deterministic
     val keyed = canon
-      .join(deg.select(col("_v").as("_a"), col("_d").as("_da")), Seq("_a"))
-      .join(deg.select(col("_v").as("_b"), col("_d").as("_db")), Seq("_b"))
+      .join(degSide.select(col("_v").as("_a"), col("_d").as("_da")), Seq("_a"))
+      .join(degSide.select(col("_v").as("_b"), col("_d").as("_db")), Seq("_b"))
       .withColumn("_fwd", struct(col("_da"), col("_a")) < struct(col("_db"), col("_b")))
     // the oriented list feeds both wedge sides and the closing-edge
     // probe — pin it so orientation runs once
@@ -371,7 +396,8 @@ object Graph {
       walkLen: Int,
       salt: String = "walk",
       maxBroadcastVertices: Long = 2000000L,
-      hashFamily: String = "md5"
+      hashFamily: String = "md5",
+      edgesDistinct: Boolean = false
   ): DataFrame = {
     require(walkLen >= 1, s"randomWalks: walkLen must be at least 1, got $walkLen")
     walkCore(
@@ -379,7 +405,7 @@ object Graph {
       t => stepHash(hashFamily,
         concat_ws(":", lit(salt), col("_root").cast("string"),
           lit(t.toString), col("_nxt").cast("string"))),
-      maxBroadcastVertices)
+      maxBroadcastVertices, edgesDistinct)
       .select(col("_root").as(vertexCol), col("step"), col("node"))
       .orderBy(vertexCol, "step")
   }
@@ -406,7 +432,8 @@ object Graph {
       numWalks: Int,
       salt: String = "walk",
       maxBroadcastVertices: Long = 2000000L,
-      hashFamily: String = "md5"
+      hashFamily: String = "md5",
+      edgesDistinct: Boolean = false
   ): DataFrame = {
     require(walkLen >= 1,
       s"randomWalksEnsemble: walkLen must be at least 1, got $walkLen")
@@ -421,7 +448,7 @@ object Graph {
       t => stepHash(hashFamily,
         concat_ws(":", lit(salt), col("_wid").cast("string"),
           col("_root").cast("string"), lit(t.toString), col("_nxt").cast("string"))),
-      maxBroadcastVertices)
+      maxBroadcastVertices, edgesDistinct)
       .select(col("_root").as(vertexCol), col("_wid").as("walk"), col("step"), col("node"))
       .orderBy(vertexCol, "walk", "step")
   }
@@ -469,14 +496,23 @@ object Graph {
       keyCols: Seq[String],
       walkLen: Int,
       hashFor: Int => org.apache.spark.sql.Column,
-      maxBroadcastVertices: Long
+      maxBroadcastVertices: Long,
+      edgesDistinct: Boolean = false
   ): DataFrame = {
     import Checkpoints.{tracked => checkpointTracked, release}
     val handles = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    // the walk result is invariant to duplicate (src, dst) rows — the
+    // per-step hash-argmin takes the min over candidates, and a
+    // duplicated candidate contributes an identical struct — but each
+    // step's join would fan out per duplicate, so multi-edge inputs are
+    // deduped once here. `edgesDistinct = true` skips that shuffle when
+    // the caller's edge list is distinct by construction
+    // (cooccurrenceEdges ends in distinct(): q149/q153 save a full
+    // edge-scale exchange per query, 239M rows at sf10).
+    val eBase = edges.select(col("src").as("_cur"), col("dst").as("_nxt"))
+      .where(col("_cur").isNotNull && col("_nxt").isNotNull)
     val (e, eH) = checkpointTracked(
-      edges.select(col("src").as("_cur"), col("dst").as("_nxt"))
-        .where(col("_cur").isNotNull && col("_nxt").isNotNull)
-        .distinct())
+      if (edgesDistinct) eBase else eBase.distinct())
     handles ++= eH
     val (frontierInit, fH) = checkpointTracked(frontier0)
     handles ++= fH
@@ -543,7 +579,8 @@ object Graph {
       edges: DataFrame,
       vertices: DataFrame,
       vertexCol: String,
-      maxIter: Int = 50
+      maxIter: Int = 50,
+      maxBroadcastVertices: Long = 2000000L
   ): DataFrame = {
     require(maxIter >= 1,
       s"connectedComponentsStar: maxIter must be at least 1, got $maxIter")
@@ -561,6 +598,19 @@ object Graph {
         .distinct())
     var prevCount = canon.count()
     var converged = prevCount == 0L
+    // per-node min tables (lsMin/ssMin) are VERTEX-scale; under the
+    // measured broadcast bound, hinting them broadcast keeps the
+    // edge-scale sym/ls sides unshuffled — without the hint every round
+    // sort-merges the full edge list against a vertex table TWICE (the
+    // [[pageRankExact]] rationale; checkpointed frames carry no size
+    // stats for AQE). The vertex universe only shrinks as stars
+    // contract, so one upfront count gates every round.
+    val nVerts =
+      if (prevCount == 0L) 0L
+      else canon.select(col("_hi").as("_v"))
+        .unionByName(canon.select(col("_lo").as("_v"))).distinct().count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nVerts <= maxBroadcastVertices) broadcast(df) else df
     var i = 0
     while (!converged && i < maxIter) {
       // large-star over the SYMMETRIC view: node u's neighborhood min
@@ -571,7 +621,7 @@ object Graph {
         .unionByName(canon.select(col("_lo").as("_u"), col("_hi").as("_v")))
       val lsMin = sym.groupBy("_u").agg(min(col("_v")).as("_mn"))
       val ls = sym
-        .join(lsMin, "_u")
+        .join(maybeBroadcast(lsMin), "_u")
         .where(col("_v") > col("_u"))
         .select(col("_v").as("_hi"), least(col("_u"), col("_mn")).as("_lo"))
         .distinct()
@@ -580,7 +630,7 @@ object Graph {
       // pairs stay hi→lo: _lo > m for the re-pointed neighbors (m is
       // their min), _hi > m for u's own link.
       val ssMin = ls.groupBy("_hi").agg(min(col("_lo")).as("_mn"))
-      val withMin = ls.join(ssMin, "_hi")
+      val withMin = ls.join(maybeBroadcast(ssMin), "_hi")
       val (next, nextRdds) = checkpointTracked(
         withMin
           .where(col("_lo") =!= col("_mn"))
@@ -669,9 +719,15 @@ object Graph {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val removed = degrees(canon).where(col("_d") < k).select("_v")
+      // materialize the removed set ONCE per round: the count and the
+      // two anti-join probes below all read the checkpointed copy, so
+      // the degree aggregation's shuffle is paid once per round — the
+      // former lazy `removed` recomputed the whole degree pass inside
+      // the anti-join after the count had already paid it
+      val (removed, remRdds) = checkpointTracked(
+        degrees(canon).where(col("_d") < k).select("_v"))
       val nRemoved = removed.count()
-      if (nRemoved == 0L) converged = true
+      if (nRemoved == 0L) { converged = true; release(remRdds) }
       else {
         val r =
           if (nRemoved <= maxBroadcastVertices) broadcast(removed) else removed
@@ -681,6 +737,7 @@ object Graph {
             .join(r.select(col("_v").as("_b")), Seq("_b"), "left_anti")
             .select("_a", "_b"))
         release(prevRdds)
+        release(remRdds)
         prevRdds = nextRdds
         canon = next
         i += 1
@@ -798,11 +855,14 @@ object Graph {
     val (und, edgeRdds) = checkpointTracked(
       canon.unionByName(canon.select(col("_b").as("_a"), col("_a").as("_b")))
         .distinct())
-    val nVerts = und.select(col("_a").as("_v")).distinct().count()
-    def maybeBroadcast(df: DataFrame): DataFrame =
-      if (nVerts <= maxBroadcastVertices) broadcast(df) else df
+    // materialize the initial label table FIRST, then read the vertex
+    // count off the checkpointed copy — the former separate
+    // `distinct().count()` paid the same vertex-dedup shuffle twice
     var (labels, prevRdds) = checkpointTracked(
       und.select(col("_a").as("_v")).distinct().withColumn("_lab", col("_v")))
+    val nVerts = labels.count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nVerts <= maxBroadcastVertices) broadcast(df) else df
     for (_ <- 1 to rounds) {
       val votes = und
         .join(maybeBroadcast(labels), und("_a") === labels("_v"))
@@ -874,28 +934,42 @@ object Graph {
     // every edge — honest for any graph this engine peels or labels
     require(m < (1L << 30),
       s"modularityByCommunity: m = $m edges overflows the exact 4·m·e_c numerator bound (2^30)")
-    val nLabeled = labels.count()
     // fail loudly on a non-function assignment: a node with two label
     // rows would fan out BOTH equi-joins below, silently inflating
     // n_members/d_total and multiplying e_internal — the duplicate twin
-    // of the unlabeled-endpoint check (one vertex-scale distinct count)
-    val nDistinctNodes = labels.select(col("node")).distinct().count()
+    // of the unlabeled-endpoint check. Row count and distinct-node
+    // count ride ONE aggregation job (partial-aggregable on both).
+    val labStats = labels.agg(
+      count(lit(1)).as("_n"), count_distinct(col("node")).as("_nd")).head()
+    val nLabeled = labStats.getLong(0)
+    val nDistinctNodes = labStats.getLong(1)
     require(nDistinctNodes == nLabeled,
       s"modularityByCommunity: labels has $nLabeled rows over $nDistinctNodes " +
         "distinct nodes — a node with multiple labels would fan out the " +
         "joins and misreport q_num")
     val lab = if (nLabeled <= maxBroadcastVertices) broadcast(labels) else labels
-    // fail loudly on unlabeled endpoints: count rows the label join drops
     val withA = canon
       .join(lab.select(col("node").as("_a"), col("label").as("_la")), Seq("_a"), "left")
     val withBoth = withA
       .join(lab.select(col("node").as("_b"), col("label").as("_lb")), Seq("_b"), "left")
-    val nUnlabeled = withBoth.where(col("_la").isNull || col("_lb").isNull).count()
-    require(nUnlabeled == 0L,
-      s"modularityByCommunity: $nUnlabeled edge endpoint(s) missing from labels — " +
-        "an inner join would silently deflate e_c/d_c and misreport Q")
+    // fail loudly on unlabeled endpoints — as a LAZY row guard fused
+    // into the e_internal filter's own evaluation (the
+    // [[Scale.countMinEstimate]] row-guard discipline): every edge row
+    // passes through this predicate exactly once, so a missing label
+    // raises on the same pass that counts internal edges, and the
+    // former dedicated edge-scale validation pass (a full second
+    // evaluation of the canon⋈labels join) is gone. An inner join
+    // would silently deflate e_c/d_c and misreport Q; the guard keeps
+    // the failure loud at half the cost.
     val eInternal = withBoth
-      .where(col("_la") === col("_lb"))
+      .where(
+        when(col("_la").isNull || col("_lb").isNull,
+          raise_error(concat(
+            lit("modularityByCommunity: edge endpoint missing from labels ("),
+            col("_a").cast("string"), lit(", "), col("_b").cast("string"),
+            lit(") — an inner join would silently deflate e_c/d_c and misreport Q")))
+            .cast("boolean"))
+          .otherwise(col("_la") === col("_lb")))
       .groupBy(col("_la").as("label"))
       .agg(count(lit(1)).as("e_internal"))
     val degrees = canon.select(col("_a").as("_v"))
@@ -1027,7 +1101,31 @@ object Graph {
       thresholdMicro: Long,
       maxGroupSize: Int = 1000,
       maxBroadcastVertices: Long = 2000000L
-  ): DataFrame = {
+  ): DataFrame =
+    cooccurrenceDriftProbe(items, groupCol, itemCol, batchTag, storedVertices,
+      vertexCol, thresholdMicro, maxGroupSize, maxBroadcastVertices)._1
+
+  /** [[cooccurrenceDriftReport]] that ALSO returns the pinned capped
+    * membership `(_g, _i, _tag)` the probe derived — the lifecycle
+    * caller's edge-reuse face: the probe has already paid the corpus
+    * scan, the (group, item) distinct and the sizing aggregation, so
+    * the decision's edge slice can be built from the pinned membership
+    * via [[edgesFromDriftProbe]] instead of re-scanning the corpus
+    * through [[cooccurrenceEdges]] (which pays all three again). At
+    * sf10 the avoided work is a 60M-row scan + pair-distinct per
+    * lifecycle query.
+    */
+  def cooccurrenceDriftProbe(
+      items: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      batchTag: Column,
+      storedVertices: DataFrame,
+      vertexCol: String,
+      thresholdMicro: Long,
+      maxGroupSize: Int = 1000,
+      maxBroadcastVertices: Long = 2000000L
+  ): (DataFrame, DataFrame) = {
     require(thresholdMicro >= 0 && thresholdMicro <= 1000000L,
       s"cooccurrenceDriftReport: thresholdMicro must be in [0, 1000000], got $thresholdMicro")
     require(maxGroupSize >= 2,
@@ -1082,8 +1180,40 @@ object Graph {
     val nAffected = affected.join(universe, Seq("_v"), "left_semi").count()
     val spark = storedVertices.sparkSession
     import spark.implicits._
-    Seq((nUniverse, nAffected, 1000000L * nAffected / nUniverse))
+    val report = Seq((nUniverse, nAffected, 1000000L * nAffected / nUniverse))
       .toDF("n_universe", "n_affected", "affected_micro")
       .withColumn("rebuild", col("affected_micro") >= thresholdMicro)
+    (report, capped)
+  }
+
+  /** Edge set of one slice — or the grown union — from a
+    * [[cooccurrenceDriftProbe]]'s pinned capped membership:
+    * `slice = Some(t)` builds the tag-t slice, `None` the grown graph
+    * (all capped groups). Row-identical to [[cooccurrenceEdges]] over
+    * the same slice's item rows, because every group is wholly inside
+    * one slice (the probe's lazy guard enforces tag-is-function-of-
+    * group), group sizes are therefore slice-independent, and the
+    * probe's `2 ≤ n` lower bound only excludes groups that emit no
+    * pairs anyway. The `None` face additionally requires the probe's
+    * `batchTag` to be TOTAL (never null on kept rows) — an all-null-tag
+    * group belongs to neither slice and is absent from the probe's
+    * membership, while a direct [[cooccurrenceEdges]] over all rows
+    * would include it (q172/q175's modulo tags are total; GraphSpec
+    * pins the equivalence).
+    */
+  def edgesFromDriftProbe(
+      capped: DataFrame,
+      slice: Option[Boolean]
+  ): DataFrame = {
+    val rows = slice match {
+      case Some(tag) => capped.where(col("_tag") === tag)
+      case None      => capped
+    }
+    val a = rows.select(col("_g"), col("_i").as("src"))
+    val b = rows.select(col("_g"), col("_i").as("dst"))
+    a.join(b, Seq("_g"))
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst")
+      .distinct()
   }
 }

@@ -1601,7 +1601,10 @@ object PipelineQueries {
       val edges = graft.operators.Graph
         .cooccurrenceEdges(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
       graft.operators.Graph
-        .randomWalks(edges, t(s, dir, "part"), "p_partkey", walkLen = 4, salt = "wk")
+        .randomWalks(edges, t(s, dir, "part"), "p_partkey", walkLen = 4, salt = "wk",
+          // cooccurrenceEdges ends in distinct() — skip walkCore's
+          // defensive re-dedup (one edge-scale shuffle per query)
+          edgesDistinct = true)
     },
     // q150: product quantization + ADC retrieval — the MEMORY leg of the
     // ANN family (IVF prunes what to scan; PQ compresses what each row
@@ -1711,7 +1714,9 @@ object PipelineQueries {
         .cooccurrenceEdges(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
       graft.operators.Graph
         .randomWalksEnsemble(edges, t(s, dir, "part"), "p_partkey",
-          walkLen = 4, numWalks = 2, salt = "wk")
+          walkLen = 4, numWalks = 2, salt = "wk",
+          // cooccurrenceEdges output is distinct — same skip as q149
+          edgesDistinct = true)
     },
     // q154: the Bloom gate PAST the broadcast regime — mBits = 2³¹
     // exceeds bloomProbe's hard broadcast bound, so the word table is
@@ -1947,7 +1952,13 @@ object PipelineQueries {
     "q169_curation_mix" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val ids = docs.select(col("doc_id")).where(col("doc_id").isNotNull).distinct()
-      val edges = kcoreFixtureEdges(s, dir)
+      // the fixture edge build (doc scan + md5 membership + per-group
+      // self-join) feeds FOUR consumers (core numbers, LPA, modularity,
+      // PPR's undirected view), each of which pins only its own
+      // canonicalized copy — pin the shared upstream once so the build
+      // runs once, not four times (guide §2.4: remove repeated work
+      // the per-operator checkpoints cannot see)
+      val edges = kcoreFixtureEdges(s, dir).localCheckpoint()
       val und = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       val survivors = docs.join(
@@ -2030,24 +2041,24 @@ object PipelineQueries {
       // over the tagged slices (GraphSpec pins the equality), so the
       // pair-scale build is paid exactly ONCE — inside whichever
       // PageRank branch the decision takes, the q142 shape.
-      val d = graft.operators.Graph.cooccurrenceDriftReport(
+      val (rep, capped) = graft.operators.Graph.cooccurrenceDriftProbe(
         li, "l_orderkey", "l_partkey", col("l_orderkey") % 7 === 0,
         parts.select("p_partkey"), "p_partkey", DriftThresholdMicro)
-        .head()
+      val d = rep.head()
       // grown graph = cooccurrenceEdges over ALL orders: each order is
       // wholly inside one slice and the cap is per order, so this is
       // row-identical to base ∪ batch DISTINCT without paying the
-      // union's extra full-edge shuffle
-      val ranks =
-        if (d.getBoolean(3))
-          graft.operators.Graph.pageRankExact(
-            graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey"),
-            parts, "p_partkey", iterations = 5)
-        else
-          graft.operators.Graph.pageRankExact(
-            graft.operators.Graph.cooccurrenceEdges(
-              li.where(col("l_orderkey") % 7 =!= 0), "l_orderkey", "l_partkey"),
-            parts, "p_partkey", iterations = 5)
+      // union's extra full-edge shuffle. Either branch's edge set is
+      // built from the probe's PINNED capped membership (the modulo tag
+      // is total, so the grown face applies — GraphSpec pins the
+      // row-equivalence to cooccurrenceEdges): the probe already paid
+      // the lineitem scan, the (order, part) distinct and the sizing
+      // aggregation, and re-running cooccurrenceEdges would pay all
+      // three again just to reach the same self-join.
+      val ranks = graft.operators.Graph.pageRankExact(
+        graft.operators.Graph.edgesFromDriftProbe(
+          capped, if (d.getBoolean(3)) None else Some(false)),
+        parts, "p_partkey", iterations = 5)
       ranks.select(col("p_partkey"), col("rank_micro"),
         lit(d.getLong(0)).as("n_universe"), lit(d.getLong(1)).as("n_affected"),
         lit(d.getLong(2)).as("affected_micro"), lit(d.getBoolean(3)).as("rebuild"))
@@ -2066,16 +2077,14 @@ object PipelineQueries {
     "q175_ppr_drift" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val parts = t(s, dir, "part")
-      val d = graft.operators.Graph.cooccurrenceDriftReport(
+      val (rep, capped) = graft.operators.Graph.cooccurrenceDriftProbe(
         li, "l_orderkey", "l_partkey", col("l_orderkey") % 7 === 0,
         parts.select("p_partkey"), "p_partkey", DriftThresholdMicro)
-        .head()
-      val edges =
-        if (d.getBoolean(3))
-          graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
-        else
-          graft.operators.Graph.cooccurrenceEdges(
-            li.where(col("l_orderkey") % 7 =!= 0), "l_orderkey", "l_partkey")
+      val d = rep.head()
+      // decision edges from the probe's pinned membership — the q172
+      // reuse (one corpus scan for probe AND edges, not two)
+      val edges = graft.operators.Graph.edgesFromDriftProbe(
+        capped, if (d.getBoolean(3)) None else Some(false))
       graft.operators.Graph.personalizedPageRankExact(
         edges, parts, "p_partkey",
         parts.where(col("p_partkey") % 37 === 0), "p_partkey", iterations = 5)
@@ -2099,7 +2108,8 @@ object PipelineQueries {
     "q173_curation_fresh" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val ids = docs.select(col("doc_id")).where(col("doc_id").isNotNull).distinct()
-      val edges = kcoreFixtureEdges(s, dir)
+      // shared-fixture pin, same rationale as q169
+      val edges = kcoreFixtureEdges(s, dir).localCheckpoint()
       val und = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       val survivors = docs.join(

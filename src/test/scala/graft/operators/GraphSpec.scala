@@ -376,6 +376,15 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val c = Graph.randomWalks(und.toDF("src", "dst"), verts, "id", 3, salt = "other")
       .as[(Long, Long, Long)].collect().toSet
     assert(a != c)
+    // edgesDistinct = true (the q149/q153 shuffle skip) is result-
+    // identical on a distinct edge list, AND on a duplicated one — the
+    // hash-argmin is invariant to duplicate candidates, the flag only
+    // trades the defensive dedup for per-step join fan-out
+    val dup = (und ++ und).toDF("src", "dst")
+    assert(Graph.randomWalks(und.toDF("src", "dst"), verts, "id", 3,
+      edgesDistinct = true).as[(Long, Long, Long)].collect().toSet == a)
+    assert(Graph.randomWalks(dup, verts, "id", 3,
+      edgesDistinct = true).as[(Long, Long, Long)].collect().toSet == a)
     intercept[IllegalArgumentException](
       Graph.randomWalks(und.toDF("src", "dst"), verts, "id", walkLen = 0))
   }
@@ -553,11 +562,17 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val q0 = Graph.modularityByCommunity(e, one)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(q0 == Seq((9L, 6L, 7L, 14L, 0L)))
-    // unlabeled endpoints fail loudly, never silently deflate Q
+    // unlabeled endpoints fail loudly, never silently deflate Q — now a
+    // LAZY row guard fused into the e_internal pass (the Scale
+    // discipline), so the raise_error surfaces wrapped in the job
+    // failure: walk the cause chain
+    def causeMsgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString("\n")
     val missing = labels.where($"node" =!= 5L)
-    val err = intercept[IllegalArgumentException](
+    val err = intercept[Exception](
       Graph.modularityByCommunity(e, missing).collect())
-    assert(err.getMessage.contains("missing from labels"), err.getMessage)
+    assert(causeMsgs(err).contains("missing from labels"), err.getMessage)
     intercept[IllegalArgumentException](
       Graph.modularityByCommunity(e.where(lit(false)), labels))
     // a node with TWO label rows (non-function assignment) fails loudly
@@ -643,6 +658,44 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](Graph.cooccurrenceDriftReport(
       items, "g", "item", pred, stored, "node",
       thresholdMicro = 0L, maxGroupSize = 1))
+  }
+
+  test("edgesFromDriftProbe: slice and grown edges equal cooccurrenceEdges rebuilds") {
+    // same fixture as the drift-equivalence test: cross-slice item,
+    // singletons, dup rows, and an over-cap group under cap=2 — the
+    // structural cases of the q172/q175 edge-reuse proof
+    val items = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (12L, 7L), (12L, 8L),
+      (20L, 9L),
+      (11L, 3L), (11L, 4L),
+      (13L, 5L), (13L, 5L), (13L, 6L),
+      (15L, 9L)
+    ).toDF("g", "item")
+    val pred = col("g") % 2 === 1
+    val stored = (1L to 9L).toDF("node")
+    for (cap <- Seq(1000, 2)) {
+      val (_, capped) = Graph.cooccurrenceDriftProbe(
+        items, "g", "item", pred, stored, "node",
+        thresholdMicro = 300000L, maxGroupSize = cap)
+      def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.as[(Long, Long)].collect().toSet
+      // base slice ≡ direct build over the base rows
+      assert(
+        edges(Graph.edgesFromDriftProbe(capped, Some(false))) ==
+          edges(Graph.cooccurrenceEdges(items.where(!pred), "g", "item", cap)),
+        s"base cap=$cap")
+      // batch slice ≡ direct build over the batch rows
+      assert(
+        edges(Graph.edgesFromDriftProbe(capped, Some(true))) ==
+          edges(Graph.cooccurrenceEdges(items.where(pred), "g", "item", cap)),
+        s"batch cap=$cap")
+      // grown union ≡ direct build over ALL rows (the tag is total)
+      assert(
+        edges(Graph.edgesFromDriftProbe(capped, None)) ==
+          edges(Graph.cooccurrenceEdges(items, "g", "item", cap)),
+        s"grown cap=$cap")
+    }
   }
 
   test("tagged builds: a row-level tag raises instead of silently emitting cross-tag pairs") {
