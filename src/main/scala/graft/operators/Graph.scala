@@ -775,27 +775,81 @@ object Graph {
     require(kMax >= 1, s"coreNumbers: kMax must be at least 1, got $kMax")
     import Checkpoints.{tracked => checkpointTracked, release}
     val handles = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
-    var cur = edges
+    // ONE merged peel loop instead of kMax independent kCoreMembers
+    // phases: the old per-phase structure recomputed the degree table
+    // at least three times per round-equivalent (the in-round check,
+    // the phase-result emission, and the next phase's first check all
+    // re-aggregated the same edge set). Here the checkpointed degree
+    // table of the CURRENT k-core candidate edge set is the single
+    // source for (a) the sub-k removal set, (b) the phase's member
+    // emission when the peel is at fixpoint (survivor degrees ARE the
+    // member rows), and (c) the next k's first check — each edge-set
+    // change pays exactly one degree aggregation. The peel semantics
+    // are unchanged (same removals in the same order), so the output
+    // is identical; GraphSpec pins it against per-k kCoreMembers peels.
+    var (canon, canonH) = checkpointTracked(
+      edges
+        .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+        .select(
+          least(col("src"), col("dst")).as("_a"),
+          greatest(col("src"), col("dst")).as("_b"))
+        .distinct())
+    handles ++= canonH
+    def degreesOf(e: DataFrame): DataFrame =
+      e.select(col("_a").as("_v"))
+        .unionByName(e.select(col("_b").as("_v")))
+        .groupBy("_v").agg(count(lit(1)).as("_d"))
+    var (degs, degsH) = checkpointTracked(degreesOf(canon))
+    handles ++= degsH
     var out: Option[DataFrame] = None
-    for (k <- 1 to kMax) {
-      // phase result pinned: it feeds the label union AND the next
-      // phase's shrunken edge set (tracked — released once the final
-      // label table is materialized below)
-      val (members, mH) = checkpointTracked(
-        kCoreMembers(cur, k, maxIter, maxBroadcastVertices)
-          .select(col("node"), lit(k).as("core")))
-      handles ++= mH
-      out = Some(out match {
-        case None    => members
-        case Some(p) =>
-          // later phases overwrite: survivors of the k-peel get core ≥ k
-          p.join(members.select("node"), Seq("node"), "left_anti")
-            .unionByName(members)
-      })
-      cur = members.alias("m1")
-        .join(cur.alias("e"), col("e.src") === col("m1.node"))
-        .join(members.alias("m2"), col("e.dst") === col("m2.node"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    var k = 1
+    var rounds = 0
+    while (k <= kMax) {
+      // removal set read off the CACHED degree table — no shuffle
+      val removed = degs.where(col("_d") < k).select("_v")
+      val nRemoved = removed.count()
+      if (nRemoved == 0L) {
+        // fixpoint at k: survivors (with their in-core degrees) are
+        // exactly the cached degree rows — emit and advance the phase,
+        // reusing the same degree table for the (k+1)-check
+        val (members, mH) = checkpointTracked(
+          degs.select(col("_v").as("node"), lit(k).as("core")))
+        handles ++= mH
+        out = Some(out match {
+          case None => members
+          case Some(p) =>
+            // later phases overwrite: survivors of the k-peel get core ≥ k
+            p.join(members.select("node"), Seq("node"), "left_anti")
+              .unionByName(members)
+        })
+        k += 1
+        rounds = 0
+      } else {
+        require(rounds < maxIter,
+          s"coreNumbers: peel NOT at fixpoint after $maxIter rounds at k=$k — " +
+            "chain-cascade graph or budget too small; raise maxIter")
+        val r =
+          if (nRemoved <= maxBroadcastVertices) broadcast(removed) else removed
+        // LAZY checkpoint for the shrunken edge set: the eager degree
+        // checkpoint right below materializes it as a side effect of
+        // its own job, so one round pays ONE materialization job (plus
+        // the cached-scan count above) instead of two
+        val next = canon
+          .join(r.select(col("_v").as("_a")), Seq("_a"), "left_anti")
+          .join(r.select(col("_v").as("_b")), Seq("_b"), "left_anti")
+          .select("_a", "_b")
+          .localCheckpoint(false)
+        handles ++= next.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD
+              if lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+            lr.rdd
+        }
+        canon = next
+        val (nd, ndH) = checkpointTracked(degreesOf(canon))
+        handles ++= ndH
+        degs = nd
+        rounds += 1
+      }
     }
     val (result, _) = checkpointTracked(out.get.select(col("node"), col("core")))
     release(handles.toSeq)
@@ -1052,9 +1106,15 @@ object Graph {
     val universe = storedVertices
       .select(col(vertexCol).as("_v")).where(col("_v").isNotNull).distinct()
       .unionByName(touched).distinct()
-    val nUniverse = universe.count()
+    // |universe| and |affected ∩ universe| in ONE job: affected is
+    // distinct, so the left join cannot fan out and count(_hit) is
+    // exactly the semi-join count the two former separate jobs computed
+    val uStats = universe
+      .join(affected.withColumn("_hit", lit(1L)), Seq("_v"), "left")
+      .agg(count(lit(1)).as("_n"), count(col("_hit")).as("_na")).head()
+    val nUniverse = uStats.getLong(0)
     require(nUniverse > 0, "graphDriftReport: empty vertex universe")
-    val nAffected = affected.join(universe, Seq("_v"), "left_semi").count()
+    val nAffected = uStats.getLong(1)
     val spark = storedVertices.sparkSession
     import spark.implicits._
     Seq((nUniverse, nAffected, 1000000L * nAffected / nUniverse))
@@ -1130,11 +1190,15 @@ object Graph {
       s"cooccurrenceDriftReport: thresholdMicro must be in [0, 1000000], got $thresholdMicro")
     require(maxGroupSize >= 2,
       s"cooccurrenceDriftReport: maxGroupSize must be at least 2, got $maxGroupSize")
+    // NOT checkpointed: pairs feeds the sizing agg and the membership
+    // join inside ONE query execution (capped's checkpoint job), where
+    // the scan+distinct subtree is shared via exchange reuse — pinning
+    // it separately paid a full extra materialization round trip
+    // (measured: 2 jobs, ~1.2 s warm at sf0.1; 60M rows pinned at sf10)
     val pairs = items
       .select(col(groupCol).as("_g"), col(itemCol).as("_i"), batchTag.as("_t"))
       .where(col("_g").isNotNull && col("_i").isNotNull)
       .distinct()
-      .localCheckpoint()
     // groups that EMIT edges under the cap: 2 ≤ distinct items ≤ cap
     // (same lazy tag-constancy guard as cooccurrenceEdgesTagged — a
     // row-level tag would silently misclassify groups across slices)
@@ -1175,9 +1239,13 @@ object Graph {
     val universe = storedVertices
       .select(col(vertexCol).as("_v")).where(col("_v").isNotNull).distinct()
       .unionByName(touched).distinct()
-    val nUniverse = universe.count()
+    // one job for both counts — the graphDriftReport fusion
+    val uStats = universe
+      .join(affected.withColumn("_hit", lit(1L)), Seq("_v"), "left")
+      .agg(count(lit(1)).as("_n"), count(col("_hit")).as("_na")).head()
+    val nUniverse = uStats.getLong(0)
     require(nUniverse > 0, "cooccurrenceDriftReport: empty vertex universe")
-    val nAffected = affected.join(universe, Seq("_v"), "left_semi").count()
+    val nAffected = uStats.getLong(1)
     val spark = storedVertices.sparkSession
     import spark.implicits._
     val report = Seq((nUniverse, nAffected, 1000000L * nAffected / nUniverse))

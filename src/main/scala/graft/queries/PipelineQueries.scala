@@ -147,6 +147,15 @@ object PipelineQueries {
     clique.unionByName(chain)
   }
 
+  /** Scale-adaptive state-partition count for the events-stream
+    * replays (q124/q127/q131/q134/q139): derived from the events
+    * table's on-disk bytes, clamped to the session's shuffle
+    * partitions — see [[graft.streaming.Streams.adaptiveStatePartitions]].
+    */
+  private def eventsStateParts(s: SparkSession, dir: String): Option[Int] =
+    Some(graft.streaming.Streams.adaptiveStatePartitions(
+      s, Seq(s"$dir/events.parquet")))
+
   private def nearDupLabels(s: SparkSession, dir: String): DataFrame = {
     // evict entries of stopped sessions: their checkpoint blocks are gone
     // and the dead SparkSession reference would otherwise pin them (and
@@ -1271,7 +1280,8 @@ object PipelineQueries {
       val ev = graft.queries.RelationalQueries.eventsStream(s, dir)
         .select(col("user_id"), col("ts").cast("long").as("sec"), col("value"))
       graft.streaming.Streams
-        .replaySessionize(ev, gapSec = 21600L, sentinelSec = 32503680000L)
+        .replaySessionize(ev, gapSec = 21600L, sentinelSec = 32503680000L,
+          statePartitions = eventsStateParts(s, dir))
         .select(
           col("user_id"), col("session_start_sec"), col("n_events"),
           col("duration_sec"), round(col("value_sum"), 2).as("value_sum"))
@@ -1307,7 +1317,8 @@ object PipelineQueries {
         .replayWindowedCounts(
           graft.queries.RelationalQueries.eventsStream(s, dir),
           "ts", "event_type", "value",
-          windowSec = 3600L, sentinelSec = 32503680000L)
+          windowSec = 3600L, sentinelSec = 32503680000L,
+          statePartitions = eventsStateParts(s, dir))
         .orderBy("window_start_sec", "event_type")
     },
     // q128: weighted per-group sample — Duffield-Lund-Thorup priority
@@ -1361,7 +1372,8 @@ object PipelineQueries {
             col("value").as(s"${p}_value"))
       graft.streaming.Streams
         .replayJoinWithin(side("click", "click"), side("purchase", "purchase"),
-          "user_id", "click_t", "purchase_t", withinSec = 7200L)
+          "user_id", "click_t", "purchase_t", withinSec = 7200L,
+          statePartitions = eventsStateParts(s, dir))
         .where(col("purchase_t") >= col("click_t"))
         .select(col("user_id"), col("click_id"), col("purchase_id"),
           col("click_t").cast("long").as("click_sec"),
@@ -1390,7 +1402,8 @@ object PipelineQueries {
       graft.streaming.Streams
         .replayDedupKeys(
           graft.queries.RelationalQueries.eventsStream(s, dir),
-          Seq("user_id", "event_type"), eventTimeCol = Some("ts"))
+          Seq("user_id", "event_type"), eventTimeCol = Some("ts"),
+          statePartitions = eventsStateParts(s, dir))
         .orderBy("user_id", "event_type")
     },
     // q133: deterministic histogram quantiles — the oracle-replayable
@@ -1462,7 +1475,8 @@ object PipelineQueries {
       graft.streaming.Streams
         .replayJoinWithinOuter(side("click", "click"), side("purchase", "purchase"),
           "user_id", "click_t", "purchase_t", withinSec = 7200L,
-          sentinelKey = -1L, sentinelSec = 32503680000L)
+          sentinelKey = -1L, sentinelSec = 32503680000L,
+          statePartitions = eventsStateParts(s, dir))
         .select(col("user_id"), col("click_id"),
           col("click_t").cast("long").as("click_sec"),
           col("purchase_id"),

@@ -457,6 +457,14 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val capped = Graph.coreNumbers(und, kMax = 3).as[(Long, Long)].collect().toMap
     assert((1L to 5L).forall(v => capped(v) == 3L))
     assert(capped(10L) == 2L && capped(20L) == 1L)
+    // the merged single-loop peel (one shared degree table per round)
+    // matches kMax INDEPENDENT per-k kCoreMembers peels of the original
+    // graph — the k-core nesting that makes the shared loop legal
+    val perK = (1 to 4).flatMap { k =>
+      Graph.kCoreMembers(und, k).select($"node").as[Long].collect()
+        .map(_ -> k.toLong)
+    }.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).max }
+    assert(got == perK)
     intercept[IllegalArgumentException](Graph.coreNumbers(und, kMax = 0))
   }
 
