@@ -102,6 +102,92 @@ case class KmvSketchAgg(
     copy(child = newChild)
 }
 
+/** Custom Catalyst AGGREGATE for a SIZE-SATURATING distinct set of a
+  * LONG child: per group, the exact distinct-value set while it holds
+  * at most `cap` values, with insertion STOPPING once the buffer holds
+  * `cap + 1` values. Growth is monotone and values are only refused at
+  * size `cap + 1`, so the final size is `min(true distinct count,
+  * cap + 1)`: `size > cap` is a sound, memory-bounded witness that the
+  * group exceeds the cap, and every non-saturated result is the exact
+  * set. That is what lets [[graft.operators.Graph]] build CAPPED
+  * co-occurrence item sets in ONE aggregation exchange — a plain
+  * `collect_set` materializes even a bot-scale group (10⁹ items) in a
+  * single task's buffer BEFORE any size filter can drop it (the
+  * single-giant-key anti-shape AQE cannot split), while the
+  * count-filter-then-join shape that avoids that pays two extra
+  * data-scale exchanges. `merge` inserts under the same bound, so the
+  * kept/dropped verdict and every kept group's set are independent of
+  * partitioning and arrival order.
+  */
+case class BoundedSetAgg(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(cap >= 1 && cap <= 16777216,
+    s"bounded_set: cap must be in [1, 16777216], got $cap")
+
+  override def prettyName: String = "bounded_set"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.HashSet[java.lang.Long] =
+    new java.util.HashSet[java.lang.Long]()
+
+  // grow to at most cap + 1 values; at cap + 1 the buffer IS the
+  // saturation witness and stops absorbing
+  private def insert(buf: java.util.HashSet[java.lang.Long], v: java.lang.Long): Unit =
+    if (buf.size <= cap) { buf.add(v); () }
+
+  override def update(
+      buf: java.util.HashSet[java.lang.Long],
+      input: InternalRow): java.util.HashSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      buf: java.util.HashSet[java.lang.Long],
+      other: java.util.HashSet[java.lang.Long]): java.util.HashSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext && buf.size <= cap) insert(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.HashSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.HashSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashSet[java.lang.Long] = {
+    val buf = createAggregationBuffer()
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.hasRemaining) buf.add(bb.getLong)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedSetAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedSetAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BoundedSetAgg =
+    copy(child = newChild)
+}
+
 /** Custom Catalyst AGGREGATE for bounded TOP-K-ROWS-PER-GROUP: per
   * group, the `k` best `(ord, tag)` pairs under the total order
   * "`ord` DESC, `tag` ASC" — the `row_number() OVER (PARTITION BY g
@@ -410,6 +496,15 @@ object SketchExpressions {
   def kmv_sketch(values: Column, k: Int): Column =
     ColumnBridge.column(
       KmvSketchAgg(ColumnBridge.expression(values), k).toAggregateExpression())
+
+  /** Size-saturating distinct set of a LONG column per group: the
+    * exact distinct set while ≤ `cap` values, `cap + 1` values once the
+    * group exceeds the cap (see [[BoundedSetAgg]] — `size(...) > cap`
+    * is the memory-bounded over-cap witness).
+    */
+  def bounded_set(values: Column, cap: Int): Column =
+    ColumnBridge.column(
+      BoundedSetAgg(ColumnBridge.expression(values), cap).toAggregateExpression())
 
   /** `k` best `(ord, tag)` pairs per group under "`ord` DESC, `tag`
     * ASC", best-first (see [[TopKPairsAgg]]). Both columns must be

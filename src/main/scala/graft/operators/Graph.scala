@@ -52,21 +52,76 @@ object Graph {
   ): DataFrame = {
     require(maxGroupSize >= 2,
       s"cooccurrenceEdges: maxGroupSize must be at least 2, got $maxGroupSize")
-    val pairs = items
-      .select(col(groupCol).as("_g"), col(itemCol).as("_i"))
-      .where(col("_g").isNotNull && col("_i").isNotNull)
+    val itemType = items.schema(itemCol).dataType
+    if (longCastable(itemType)) {
+      // ONE aggregation exchange builds the capped per-group item sets
+      // (the saturating [[graft.functions.BoundedSetAgg]]: map-side
+      // partial collect, memory bounded at cap + 1 values even for a
+      // bot-scale group) — the former shape paid the (group, item)
+      // DISTINCT exchange, the sizing aggregation AND the membership
+      // join before the pair fan-out, three data-scale exchanges for
+      // the same sets
+      val sets = items
+        .select(col(groupCol).as("_g"), col(itemCol).cast("long").as("_i"))
+        .where(col("_g").isNotNull && col("_i").isNotNull)
+        .groupBy("_g")
+        .agg(graft.functions.SketchExpressions
+          .bounded_set(col("_i"), maxGroupSize).as("_is"))
+        .where(size(col("_is")).between(2, maxGroupSize))
+      mirroredPairsFromSets(sets, Nil)
+        .select(col("src").cast(itemType).as("src"),
+          col("dst").cast(itemType).as("dst"))
+    } else {
+      // non-integral item ids: the original count-filter + membership
+      // join shape (no memory-bounded set collect exists for arbitrary
+      // types); no corpus query takes this path
+      val pairs = items
+        .select(col(groupCol).as("_g"), col(itemCol).as("_i"))
+        .where(col("_g").isNotNull && col("_i").isNotNull)
+        .distinct()
+      val sized = pairs
+        .groupBy("_g").agg(count(lit(1)).as("_n"))
+        .where(col("_n") <= maxGroupSize)
+        .select("_g")
+      val inCap = pairs.join(sized, "_g")
+      val a = inCap.select(col("_g"), col("_i").as("src"))
+      val b = inCap.select(col("_g"), col("_i").as("dst"))
+      a.join(b, Seq("_g"))
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst")
+        .distinct()
+    }
+  }
+
+  /** Integral types cast losslessly through LONG — the gate for the
+    * one-exchange [[graft.functions.BoundedSetAgg]] path.
+    */
+  private def longCastable(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t == LongType || t == IntegerType || t == ShortType || t == ByteType
+  }
+
+  /** All distinct co-occurrence pairs from per-group item-set rows
+    * `(carry…, _is)`: two generators fan each set out to its ordered
+    * pairs, the DISTINCT dedups only the canonical `src < dst` half —
+    * HALF the dedup exchange's bytes — and the mirror is a narrow
+    * union of the deduped half with itself swapped (the halves are
+    * disjoint, so the union stays distinct; the swapped side re-reads
+    * the deduped aggregate through the reused exchange, never the
+    * fan-out). Sets carry no duplicates, so within one group the pairs
+    * are already unique — the DISTINCT pays only for cross-group
+    * repetition, exactly what the former self-join shape deduped.
+    */
+  private def mirroredPairsFromSets(sets: DataFrame, carry: Seq[String]): DataFrame = {
+    val cs = carry.map(col)
+    val half = sets
+      .select(cs :+ col("_is") :+ explode(col("_is")).as("src"): _*)
+      .select(cs :+ col("src") :+ explode(col("_is")).as("dst"): _*)
+      .where(col("src") < col("dst"))
+      .select(col("src") +: col("dst") +: cs: _*)
       .distinct()
-    val sized = pairs
-      .groupBy("_g").agg(count(lit(1)).as("_n"))
-      .where(col("_n") <= maxGroupSize)
-      .select("_g")
-    val inCap = pairs.join(sized, "_g")
-    val a = inCap.select(col("_g"), col("_i").as("src"))
-    val b = inCap.select(col("_g"), col("_i").as("dst"))
-    a.join(b, Seq("_g"))
-      .where(col("src") =!= col("dst"))
-      .select("src", "dst")
-      .distinct()
+    half.unionByName(
+      half.select(col("dst").as("src") +: col("src").as("dst") +: cs: _*))
   }
 
   /** [[cooccurrenceEdges]] with a per-GROUP tag carried through the
@@ -93,18 +148,46 @@ object Graph {
   ): DataFrame = {
     require(maxGroupSize >= 2,
       s"cooccurrenceEdgesTagged: maxGroupSize must be at least 2, got $maxGroupSize")
+    val itemType = items.schema(itemCol).dataType
+    // ENFORCE the documented contract, not just state it: a row-level
+    // tag would silently shift the maxGroupSize cap and emit cross-tag
+    // pair combinations, breaking the slice-equivalence to per-slice
+    // [[cooccurrenceEdges]]. The check rides the set-building agg's own
+    // pass (three extra accumulators, no extra scan) and is LAZY per
+    // group (the Scale row-guard discipline): min ≠ max catches two
+    // tag values, count(tag) ∉ {0, _n} catches null-mixed-with-value
+    // (over raw rows here — flagged iff some rows carry a tag and some
+    // don't, the same verdict the former distinct-triple counts gave).
+    if (longCastable(itemType)) {
+      // same one-exchange bounded-set shape as [[cooccurrenceEdges]];
+      // the per-group tag (guard-certified constant) rides as min(tag)
+      val sets = items
+        .select(col(groupCol).as("_g"), col(itemCol).cast("long").as("_i"),
+          tagCol.as("tag"))
+        .where(col("_g").isNotNull && col("_i").isNotNull)
+        .groupBy("_g")
+        .agg(graft.functions.SketchExpressions
+            .bounded_set(col("_i"), maxGroupSize).as("_is"),
+          count(lit(1)).as("_n"), count(col("tag")).as("_nt"),
+          min(col("tag")).as("_t0"), max(col("tag")).as("_t1"))
+        .where(
+          when(not(col("_t0") <=> col("_t1")) ||
+              (col("_nt") =!= lit(0L) && col("_nt") =!= col("_n")),
+            raise_error(concat(
+              lit("cooccurrenceEdgesTagged: group "), col("_g").cast("string"),
+              lit(s" carries more than one tag value — tag must be a function " +
+                s"of $groupCol, or the slice-equivalence contract breaks")))
+              .cast("boolean"))
+            .otherwise(size(col("_is")).between(2, maxGroupSize)))
+        .select(col("_is"), col("_t0").as("tag"))
+      return mirroredPairsFromSets(sets, Seq("tag"))
+        .select(col("src").cast(itemType).as("src"),
+          col("dst").cast(itemType).as("dst"), col("tag"))
+    }
     val pairs = items
       .select(col(groupCol).as("_g"), col(itemCol).as("_i"), tagCol.as("tag"))
       .where(col("_g").isNotNull && col("_i").isNotNull)
       .distinct()
-    // ENFORCE the documented contract, not just state it: a row-level
-    // tag would make the distinct above count (item, tag) rows per
-    // group — silently shifting the maxGroupSize cap — and emit
-    // cross-tag pair combinations, breaking the slice-equivalence to
-    // per-slice [[cooccurrenceEdges]]. The check rides the sizing agg's
-    // own pass (two extra accumulators, no extra scan) and is LAZY per
-    // group (the Scale row-guard discipline): min ≠ max catches two
-    // tag values, count(tag) ∉ {0, _n} catches null-mixed-with-value.
     val sized = pairs
       .groupBy("_g").agg(count(lit(1)).as("_n"), count(col("tag")).as("_nt"),
         min(col("tag")).as("_t0"), max(col("tag")).as("_t1"))
@@ -1190,20 +1273,27 @@ object Graph {
       s"cooccurrenceDriftReport: thresholdMicro must be in [0, 1000000], got $thresholdMicro")
     require(maxGroupSize >= 2,
       s"cooccurrenceDriftReport: maxGroupSize must be at least 2, got $maxGroupSize")
-    // NOT checkpointed: pairs feeds the sizing agg and the membership
-    // join inside ONE query execution (capped's checkpoint job), where
-    // the scan+distinct subtree is shared via exchange reuse — pinning
-    // it separately paid a full extra materialization round trip
-    // (measured: 2 jobs, ~1.2 s warm at sf0.1; 60M rows pinned at sf10)
-    val pairs = items
-      .select(col(groupCol).as("_g"), col(itemCol).as("_i"), batchTag.as("_t"))
-      .where(col("_g").isNotNull && col("_i").isNotNull)
-      .distinct()
     // groups that EMIT edges under the cap: 2 ≤ distinct items ≤ cap
     // (same lazy tag-constancy guard as cooccurrenceEdgesTagged — a
-    // row-level tag would silently misclassify groups across slices)
-    val sized = pairs
-      .groupBy("_g").agg(count(lit(1)).as("_n"), count(col("_t")).as("_nt"),
+    // row-level tag would silently misclassify groups across slices).
+    // One bounded-set aggregation exchange replaces the former
+    // (group, item, tag) DISTINCT + sizing agg + membership join —
+    // the [[cooccurrenceEdges]] rewrite; the capped membership is the
+    // sets exploded back to rows (narrow), checkpointed as before.
+    // Non-integral item ids would need the former distinct+join shape;
+    // the probe's callers (q172/q175) probe BIGINT part keys.
+    val itemType = items.schema(itemCol).dataType
+    require(longCastable(itemType),
+      s"cooccurrenceDriftReport: item column $itemCol must be an integral " +
+        s"type (got $itemType)")
+    val sets = items
+      .select(col(groupCol).as("_g"), col(itemCol).cast("long").as("_i"),
+        batchTag.as("_t"))
+      .where(col("_g").isNotNull && col("_i").isNotNull)
+      .groupBy("_g")
+      .agg(graft.functions.SketchExpressions
+          .bounded_set(col("_i"), maxGroupSize).as("_is"),
+        count(lit(1)).as("_n"), count(col("_t")).as("_nt"),
         min(col("_t")).as("_t0"), max(col("_t")).as("_t1"))
       .where(
         when(not(col("_t0") <=> col("_t1")) ||
@@ -1213,14 +1303,15 @@ object Graph {
             lit(s" carries more than one batchTag value — batchTag must be " +
               s"a function of $groupCol")))
             .cast("boolean"))
-          .otherwise(col("_n") >= 2 && col("_n") <= maxGroupSize))
-      .select(col("_g"), col("_t0").as("_tag"))
+          .otherwise(size(col("_is")).between(2, maxGroupSize)))
+      .select(col("_g"), col("_t0").as("_tag"), col("_is"))
     // an all-NULL-tag group belongs to NEITHER slice (`where(pred)` and
     // `where(!pred)` both drop it), so it must not contribute ring
     // members either; a null MIXED with a value is caught by the guard
-    val capped = pairs.join(sized, "_g")
+    val capped = sets
       .where(col("_tag").isNotNull)
-      .select(col("_g"), col("_i"), col("_tag"))
+      .select(col("_g"), explode(col("_is")).as("_il"), col("_tag"))
+      .select(col("_g"), col("_il").cast(itemType).as("_i"), col("_tag"))
       .localCheckpoint()
     val touched = capped.where(col("_tag")).select(col("_i").as("_v")).distinct()
       .localCheckpoint()
@@ -1277,11 +1368,12 @@ object Graph {
       case Some(tag) => capped.where(col("_tag") === tag)
       case None      => capped
     }
-    val a = rows.select(col("_g"), col("_i").as("src"))
-    val b = rows.select(col("_g"), col("_i").as("dst"))
-    a.join(b, Seq("_g"))
-      .where(col("src") =!= col("dst"))
-      .select("src", "dst")
-      .distinct()
+    // re-collect the per-group sets (groups are ≤ maxGroupSize by the
+    // probe's own cap, so a plain collect_set is memory-bounded here)
+    // and fan out through the mirrored-canonical pair path — one
+    // aggregation exchange + a half-width dedup instead of the former
+    // self-join + full-width distinct
+    val sets = rows.groupBy("_g").agg(collect_set(col("_i")).as("_is"))
+    mirroredPairsFromSets(sets, Nil)
   }
 }

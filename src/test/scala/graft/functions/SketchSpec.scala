@@ -213,4 +213,47 @@ class SketchSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](tkAgg(0)).getMessage.contains("[1, 65536]"))
     assert(intercept[IllegalArgumentException](tkAgg(65537)).getMessage.contains("[1, 65536]"))
   }
+
+  private def bsAgg(cap: Int) =
+    BoundedSetAgg(BoundReference(0, LongType, nullable = true), cap)
+
+  private def bsOf(cap: Int, values: Seq[Long]): Set[Long] = {
+    val a = bsAgg(cap)
+    val buf = values.foldLeft(a.createAggregationBuffer()) { (b, v) =>
+      a.update(b, org.apache.spark.sql.catalyst.InternalRow(v))
+    }
+    a.eval(buf).asInstanceOf[ArrayData].toLongArray().toSet
+  }
+
+  test("bounded_set: exact set at or under the cap, saturates at cap+1 above it") {
+    assert(bsOf(4, Seq(3L, 1L, 3L, 2L)) == Set(1L, 2L, 3L))
+    assert(bsOf(3, Seq(5L, 6L, 7L, 5L, 6L)) == Set(5L, 6L, 7L)) // exactly cap: exact
+    // over-cap: size is cap+1 (the witness), never more — regardless of order
+    val over = (1L to 10L)
+    for (seed <- 1 to 20) {
+      val shuffled = new scala.util.Random(seed).shuffle(over ++ over)
+      assert(bsOf(4, shuffled).size == 5)
+    }
+    assert(intercept[IllegalArgumentException](bsAgg(0)).getMessage.contains("[1, 16777216]"))
+  }
+
+  test("bounded_set: merge keeps the kept/dropped verdict partition-invariant") {
+    val a = bsAgg(4)
+    def feedBs(values: Seq[Long]) =
+      values.foldLeft(a.createAggregationBuffer()) { (b, v) =>
+        a.update(b, org.apache.spark.sql.catalyst.InternalRow(v))
+      }
+    val prop = Prop.forAll { (xs: List[Long], cut0: Int) =>
+      val vals = xs.map(v => math.floorMod(v, 9L)) // small domain: both regimes hit
+      val cut = if (vals.isEmpty) 0 else math.floorMod(cut0, vals.size)
+      val (l, r) = vals.splitAt(cut)
+      val merged = a.deserialize(a.serialize(a.merge(feedBs(l), feedBs(r))))
+      val got = a.eval(merged).asInstanceOf[ArrayData].toLongArray().toSet
+      val truth = vals.toSet
+      if (truth.size <= 4) got == truth // exact below the cap
+      else got.size == 5 && got.subsetOf(truth) // saturated witness above it
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
